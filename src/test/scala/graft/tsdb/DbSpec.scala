@@ -1,0 +1,57 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DbSpec extends SparkSpec {
+  lazy val db: Db = Db.fromEvents(spark, sfDir)
+
+  test("series frame has canonical schema") {
+    assert(db.frame.columns.toSeq == Seq("metric", "ts", "value", "tag_user", "tag_k"))
+    assert(db.frame.schema("ts").dataType.typeName == "long")
+  }
+
+  test("avg buckets: n and value consistent with raw scan") {
+    val out = db.avg("purchase", "user").granularity(Duration.days(1)).build().collect()
+    assert(out.nonEmpty)
+    val totalN = out.map(_.getAs[Long]("n")).sum
+    val rawN = db.scan("purchase").where(col("tag_user").isNotNull).count()
+    assert(totalN == rawN)
+    // one spot value: recompute avg for one (grp, bucket) by hand
+    val r = out.head
+    val w = Duration.days(1)
+    val manual = db.scan("purchase")
+      .where(col("tag_user") === r.getAs[String]("grp"))
+      .where(expr(s"ts div ${w}L") * w === r.getAs[Long]("bucket_start"))
+      .agg(avg("value")).collect()(0).getDouble(0)
+    assert(math.abs(manual - r.getAs[Double]("value")) < 1e-4)
+  }
+
+  test("filter DSL restricts rows and NOT complements") {
+    val all = db.scan("error").count()
+    val not1 = db.scan("error", "!user:1*").count()
+    val yes1 = db.scan("error", "user:1*").count()
+    assert(not1 + yes1 == all)
+  }
+
+  test("count agg equals scan count") {
+    val out = db.count("signup", "user").granularity(Duration.days(7)).build()
+    val sumN = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(sumN == db.scan("signup").where(col("tag_user").isNotNull).count())
+  }
+
+  test("latest returns at most n per series, newest first") {
+    val out = db.latest("purchase", 3)
+    val maxPer = out.groupBy("tag_user", "tag_k").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("range bounds are inclusive") {
+    val lo = 1704844800000000000L // 2024-01-10
+    val hi = 1705708800000000000L // 2024-01-20
+    val c = db.scan("purchase", minTs = Some(lo), maxTs = Some(hi))
+      .agg(min("ts"), max("ts")).collect()(0)
+    assert(c.getLong(0) >= lo && c.getLong(1) <= hi)
+  }
+}

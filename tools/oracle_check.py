@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Dev-only mimic of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            continue
+        got = norm(pd.concat([pd.read_parquet(f) for f in files]))
+        try:
+            exp = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            continue
+        bad = None
+        for c in got.columns:
+            a, b = got[c].tolist(), exp[c].tolist()
+            for i, (x, y) in enumerate(zip(a, b)):
+                if isinstance(x, float) or isinstance(y, float):
+                    fx = float("nan") if x is None else float(x)
+                    fy = float("nan") if y is None else float(y)
+                    same = (math.isnan(fx) and math.isnan(fy)) or fx == fy
+                else:
+                    same = x == y
+                if not same:
+                    bad = (c, i, x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, x, y = bad
+            print(f"FAIL {name}: col {c} row {i}: spark={x!r} duckdb={y!r}")
+        else:
+            n_ok += 1
+            print(f"OK   {name} ({len(got)} rows)")
+    print(f"{n_ok}/{len(oracle)} match")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
