@@ -44,6 +44,19 @@ object SparkEntry {
     "ts_raw" -> ((s, d) => Db.fromEvents(s, d).scan("error", "user:1*")),
     "ts_multi_tag_group" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "k").granularity(Week).build()),
+
+    // ---- General analytics (Spark batch-query layer) ----
+    "q1_agg" -> ((s, d) => graft.operators.Analytics.q1(s, d)),
+    "q3_join" -> ((s, d) => graft.operators.Analytics.q3(s, d)),
+    "q5_multijoin" -> ((s, d) => graft.operators.Analytics.q5(s, d)),
+    "q_topk_window" -> ((s, d) => graft.operators.Analytics.topkPerBrand(s, d)),
+    "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
+
+    // ---- Text analysis (documents) ----
+    "text_tokens" -> ((s, d) => graft.operators.TextAnalysis.tokens(s, d)),
+    "text_langid" -> ((s, d) => graft.operators.TextAnalysis.langid(s, d)),
+    "text_quality" -> ((s, d) => graft.operators.TextAnalysis.quality(s, d)),
+    "text_fingerprint" -> ((s, d) => graft.operators.TextAnalysis.fingerprint(s, d)),
   )
 
   // ---- DuckDB oracle SQL ----
@@ -101,5 +114,111 @@ object SparkEntry {
          |SELECT metric, ts, value, tag_user, tag_k
          |FROM ev WHERE metric = 'error' AND tag_user LIKE '1%'""".stripMargin,
     "ts_multi_tag_group" -> tsAgg("purchase", "k", AvgV, width = Week),
+
+    // ---- General analytics ----
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        | round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*), 6) AS avg_qty,
+        | round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*), 6) AS avg_price,
+        | round(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)/COUNT(*), 6) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_topk_window" ->
+      """SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rnk FROM (
+        |  SELECT p_brand, p_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec,
+        |         rank() OVER (PARTITION BY p_brand ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) DESC, p_partkey) AS rnk
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey
+        |) WHERE rnk <= 3""".stripMargin,
+    "q_event_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+        |), s AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |)
+        |SELECT user_id, ts, event_type,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM s""".stripMargin,
+
+    // ---- Text analysis ----
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(length(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_ws_tokens,
+        | CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id,
+        | CASE WHEN zh > 0 THEN 'zh'
+        |      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |      WHEN de >= fr AND de >= es THEN 'de'
+        |      WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |   length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh,
+        |   length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS en,
+        |   length(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS de,
+        |   length(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS fr,
+        |   length(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS es
+        |  FROM documents)""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | n_chars_calc, n_tokens,
+        | round(alpha / n_chars_calc, 6) AS alpha_ratio,
+        | round(punct / n_chars_calc, 6) AS punct_ratio,
+        | round(stops / n_tokens, 6) AS stopword_ratio,
+        | round(alpha / n_tokens, 6) AS mean_token_alpha,
+        | round(CAST(0.4 AS DOUBLE) * (alpha / n_chars_calc)
+        |   + CAST(0.4 AS DOUBLE) * least((stops / n_tokens) * 5, CAST(1.0 AS DOUBLE))
+        |   + CAST(0.2 AS DOUBLE) * (CASE WHEN n_tokens BETWEEN 10 AND 1000
+        |                                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6)
+        |   AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |   CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |   CAST(length(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+        |   CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS alpha,
+        |   CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct,
+        |   CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stops
+        |  FROM documents)""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+        |FROM documents""".stripMargin,
   )
 }

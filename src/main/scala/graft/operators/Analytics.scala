@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General batch-analytics queries over the TPC-H-ish star schema — the
+  * "Spark handles analytical queries and batch ingestion" half of the
+  * north star (talna itself has no joins; this layer is what a Spark
+  * deployment adds on top of the TSDB surface).
+  *
+  * Scale notes (100 TB): dimension sides (region, nation, filtered
+  * customer, supplier, part) are explicitly `broadcast()`; fact-fact
+  * joins shuffle on their join key only after filter pushdown; all
+  * aggregates are hash aggregates with map-side partial combine.
+  *
+  * Double sums are computed as exact DECIMAL arithmetic then cast to
+  * double so results are independent of partitioning/merge order (and
+  * bit-identical to an oracle running the same arithmetic).
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact per-row revenue term: extendedprice * (1 - discount), DECIMAL. */
+  private val revTerm =
+    expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")
+
+  /** TPC-H Q1-flavor pricing summary: single scan, hash aggregate. */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double").as("sum_qty"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(12,2))")).cast("double").as("sum_base_price"),
+        sum(revTerm).cast("double").as("sum_disc_price"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"))
+          .cast("double").as("sum_charge"),
+        round(sum(expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2))")).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(expr("CAST(l_discount AS DECIMAL(4,2))")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-flavor shipping priority: broadcast the filtered customer dim. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  /** TPC-H Q5-flavor: 6-way join, all dims broadcast, one shuffle agg. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").where(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val supp = t(spark, dir, "supplier")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+  }
+
+  /** Top-3 parts by revenue per brand — window rank over a hash aggregate. */
+  def topkPerBrand(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val perPart = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(revTerm).as("rev_dec"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("rev_dec").desc, col("p_partkey"))
+    perPart
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("p_brand"), col("p_partkey"),
+        col("rev_dec").cast("double").as("revenue"), col("rnk"))
+  }
+
+  /** Sessionize the event stream: 30-min-gap sessions per user (lag +
+    * running sum — the classic distributed sessionization shape; one
+    * shuffle on user_id, no state on the driver).
+    */
+  def sessionize(spark: SparkSession, dir: String, gapNs: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), (expr("ts div 1000L") * lit(1000L)).as("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    ev.withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapNs || lag(col("ts"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("new_sess")
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.md5Fingerprint
+
+/** Deduplication operators for training-data pipelines, over `documents`.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs cartesian —
+  * exact dedup is a hash aggregate; MinHash/SimHash turn similarity into
+  * equality on banded keys (one shuffle on the band key, then pairwise
+  * only *within* buckets); n-gram Jaccard uses prefix blocking. All
+  * hashing is Spark-native `xxhash64` (codegen'd, no UDFs).
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup: md5 of normalized text → (fingerprint, group size,
+    * keeper = lowest doc_id). A 100 TB corpus dedups in one hash
+    * aggregate with map-side combine.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5Fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+
+  // ------------------------------------------------------------- shingles
+  /** Distinct word 3-shingles of a document. */
+  private val wordShingles = expr(
+    """array_distinct(transform(
+      |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+      |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
+
+  /** Distinct char 3-grams of a document. */
+  private val charGrams = expr(
+    """array_distinct(transform(
+      |  sequence(1, greatest(length(text) - 2, 1)),
+      |  i -> substr(text, i, 3)))""".stripMargin)
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - size(array_intersect(a, b))), 6)
+  }
+
+  // -------------------------------------------------------------- minhash
+  /** MinHash + LSH near-dup pairs: word-3-shingle sets → `numHashes`
+    * minhash signature (seeded xxhash64) → `bands` banded keys →
+    * candidates = pairs sharing a band bucket → verified true Jaccard ≥
+    * `threshold`.
+    *
+    * The band-bucket self-join is the scale path: at 1000 executors the
+    * shuffle key is (band index, band hash), bucket sizes stay tiny for
+    * non-duplicate data, and AQE handles the skewed buckets created by
+    * large duplicate clusters.
+    */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("shingles"), s => xxhash64(lit(i), s)))
+    }
+    val base = docs(spark, dir)
+      .select(col("doc_id"), wordShingles.as("shingles"))
+      .withColumn("sig", array(sigCols: _*))
+    val banded = base.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> hash(slice(sig, j*$rowsPerBand + 1, $rowsPerBand)))"))
+        .as(Seq("band", "band_hash")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = base.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+  /** 64-bit SimHash per document: per-token xxhash64, ±1 vote per bit,
+    * sign → bit. One pass over the token array via codegen'd
+    * higher-order functions — no shuffle at all.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      expr(
+        """aggregate(
+          |  transform(sequence(0, 63), b -> IF(
+          |    element_at(
+          |      aggregate(split(text, ' '), array_repeat(CAST(0 AS BIGINT), 64),
+          |        (acc, t) -> zip_with(acc,
+          |          transform(sequence(0, 63),
+          |            bb -> IF((shiftright(xxhash64(t), bb) & 1) = 1,
+          |                     CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+          |          (x, y) -> x + y)),
+          |      b + 1) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin).as("simhash"))
+
+  /** SimHash banded candidates verified by Hamming distance ≤ `hamMax`.
+    * 4 × 16-bit bands: a pair within Hamming ≤ 3 of 64 bits must agree
+    * on at least one full band (pigeonhole), so equality on band keys is
+    * a complete candidate generator for hamMax ≤ 3.
+    */
+  def simhashPairs(spark: SparkSession, dir: String, hamMax: Int = 3): DataFrame = {
+    val sh = simhash(spark, dir)
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> (shiftright(simhash, j*16) & 65535))"))
+        .as(Seq("band", "band_val")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= hamMax)
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+  /** Char-3-gram Jaccard over prefix-blocked candidate pairs. Blocking on
+    * the first 16 chars keeps the join linear; the quadratic part runs
+    * only inside blocks.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   threshold: Double = 0.3): DataFrame = {
+    val g = docs(spark, dir).select(
+      col("doc_id"), substring(col("text"), 1, 16).as("blk"), charGrams.as("grams"))
+    g.as("a")
+      .join(g.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-dup pairs, blocked by `label` (the cheap
+    * cluster key): exact double-precision cosine, deterministic
+    * left-fold dot products, pairs with rounded cosine ≥ `threshold`.
+    */
+  def embeddingCosine(spark: SparkSession, dir: String,
+                      threshold: Double = 0.35): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val dotAB = expr(
+      "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x)")
+    val dotAA = expr(
+      "aggregate(transform(a.v, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x)")
+    val dotBB = expr(
+      "aggregate(transform(b.v, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x)")
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dotAB / (sqrt(dotAA) * sqrt(dotBB)), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1 aggregates per (returnflag, linestatus)") {
+    val out = Analytics.q1(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 9)
+    assert(out.forall(r => r.getAs[Long]("count_order") > 0))
+  }
+
+  test("q3 and q5 use broadcast joins") {
+    val p3 = Analytics.q3(spark, sfDir).queryExecution.executedPlan.toString
+    val p5 = Analytics.q5(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"))
+    assert(p5.contains("BroadcastHashJoin"))
+  }
+
+  test("topk returns at most k per brand with contiguous ranks") {
+    val out = Analytics.topkPerBrand(spark, sfDir, 3)
+    val per = out.groupBy("p_brand").count().agg(max("count")).collect()(0).getLong(0)
+    assert(per <= 3)
+    assert(out.where(col("rnk") > 3).count() == 0)
+  }
+
+  test("sessionize: session ids start at 1 and are monotone per user") {
+    val out = Analytics.sessionize(spark, sfDir)
+    val firsts = out.groupBy("user_id").agg(min("session_id").as("m")).collect()
+    assert(firsts.forall(_.getAs[Long]("m") == 1L))
+    val rowsTotal = out.count()
+    assert(rowsTotal == spark.read.parquet(s"$sfDir/events.parquet").count())
+  }
+}
