@@ -57,6 +57,20 @@ object SparkEntry {
     "text_langid" -> ((s, d) => graft.operators.TextAnalysis.langid(s, d)),
     "text_quality" -> ((s, d) => graft.operators.TextAnalysis.quality(s, d)),
     "text_fingerprint" -> ((s, d) => graft.operators.TextAnalysis.fingerprint(s, d)),
+
+    // ---- Deduplication (documents) ----
+    "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
+    "dedup_minhash" -> ((s, d) => graft.operators.Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => graft.operators.Dedup.simhash(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
+    "dedup_embedding" -> ((s, d) => graft.operators.Dedup.embeddingCosine(s, d)),
+
+    // ---- Similarity search (embeddings) ----
+    "ann_bruteforce" -> ((s, d) => graft.operators.Similarity.bruteForceTopK(s, d)),
+    "ann_lsh" -> ((s, d) => graft.operators.Similarity.lshTopK(s, d)),
+
+    // ---- Multimodal plumbing ----
+    "mm_meta" -> ((s, d) => graft.operators.Multimodal.extractMeta(s, d)),
   )
 
   // ---- DuckDB oracle SQL ----
@@ -220,5 +234,52 @@ object SparkEntry {
         |     list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents""".stripMargin,
+
+    // ---- Deduplication (LSH variants are rows-only: no oracle) ----
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |       COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(text, 1, 16) AS blk,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS grams
+        |  FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.3""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(
+        |      list_reduce(list_transform(list_zip(a.v, b.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 6) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.35""".stripMargin,
+
+    // ---- Similarity search ----
+    "ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (
+        |  SELECT q_id, vec_id,
+        |    round(
+        |      list_reduce(list_transform(list_zip(qv, v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))), 6) AS cos
+        |  FROM q, e WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        |WHERE rnk <= 10""".stripMargin,
   )
 }

@@ -57,7 +57,7 @@ object Dedup {
     * large duplicate clusters.
     */
   def minhashLsh(spark: SparkSession, dir: String,
-                 numHashes: Int = 32, bands: Int = 8,
+                 numHashes: Int = 32, bands: Int = 16,
                  threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
@@ -93,21 +93,27 @@ object Dedup {
     * higher-order functions — no shuffle at all.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
-      col("doc_id"),
-      expr(
-        """aggregate(
-          |  transform(sequence(0, 63), b -> IF(
-          |    element_at(
-          |      aggregate(split(text, ' '), array_repeat(CAST(0 AS BIGINT), 64),
-          |        (acc, t) -> zip_with(acc,
-          |          transform(sequence(0, 63),
-          |            bb -> IF((shiftright(xxhash64(t), bb) & 1) = 1,
-          |                     CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
-          |          (x, y) -> x + y)),
-          |      b + 1) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-          |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin).as("simhash"))
+    docs(spark, dir)
+      // materialize the 64 per-bit vote counters once per row (a second
+      // projection keeps the aggregate from being inlined 64×)
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(split(text, ' '), t -> xxhash64(t)),
+            |  array_repeat(CAST(0 AS BIGINT), 64),
+            |  (acc, h) -> zip_with(acc,
+            |    transform(sequence(0, 63),
+            |      bb -> IF((shiftright(h, bb) & 1) = 1,
+            |               CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+            |    (x, y) -> x + y))""".stripMargin).as("votes"))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(sequence(0, 63), b -> IF(element_at(votes, b + 1) > 0,
+            |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+            |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin).as("simhash"))
 
   /** SimHash banded candidates verified by Hamming distance ≤ `hamMax`.
     * 4 × 16-bit bands: a pair within Hamming ≤ 3 of 64 bits must agree
@@ -129,6 +135,21 @@ object Dedup {
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
       .where(col("hamming") <= hamMax)
+  }
+
+  /** Exhaustive prefix-blocked *word-shingle* Jaccard — the ground-truth
+    * oracle for [[minhashLsh]] (same similarity measure, no hashing).
+    */
+  def wordJaccardBlocked(spark: SparkSession, dir: String,
+                         threshold: Double = 0.3): DataFrame = {
+    val g = docs(spark, dir).select(
+      col("doc_id"), substring(col("text"), 1, 16).as("blk"), wordShingles.as("grams"))
+    g.as("a")
+      .join(g.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   // ------------------------------------------------------- n-gram jaccard

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variant of the TSDB aggregation: the same
+  * epoch-aligned bucket/group semantics as `graft.tsdb.AggBuilder`, over
+  * an unbounded source with watermarked state cleanup.
+  *
+  * Shape: `readStream` → canonicalize → watermark → window agg →
+  * `writeStream`. At scale the state store is keyed by (metric, tag,
+  * window) and the watermark bounds state size; late data past the
+  * watermark is dropped exactly like any Spark streaming agg.
+  */
+object StreamingAgg {
+
+  /** Raw events schema (ts as long ns, matching nanosAsLong ingestion). */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over an events directory (parquet). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(EventsSchema).parquet(dir)
+  }
+
+  /** Canonicalize + watermark + tumbling-window average per
+    * (metric, tag_user). `width` is the bucket width.
+    */
+  def bucketedAvg(events: DataFrame, width: String = "1 day",
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .select(
+        col("event_type").as("metric"),
+        timestamp_micros(expr("ts div 1000L")).as("ts"),
+        col("value"),
+        col("user_id").cast("string").as("tag_user"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("metric"), col("tag_user"), window(col("ts"), width))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("value"))
+      .select(col("metric"), col("tag_user").as("grp"),
+        col("window.start").as("bucket_start"), col("n"), col("value"))
+}
