@@ -19,16 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = spark.sparkContext.defaultParallelism
+    val spread = if (raw.rdd.getNumPartitions < p) raw.repartition(p) else raw
+    spread
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      // norm once per vector via the native codegen'd dot; identical
+      // left-fold order keeps it bit-comparable to the external oracle
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
 
   private val cosAB = round(
-    expr("aggregate(zip_with(q.qv, e.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x)") /
-      (sqrt(expr("aggregate(transform(q.qv, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x)")) *
-        sqrt(expr("aggregate(transform(e.v, x -> x * x), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"))),
-    6)
+    expr("graft_dot(q.qv, e.v)") / (col("q.qnrm") * col("e.nrm")), 6)
 
   /** Exact cosine top-k: each of the `numQueries` lowest vec_ids against
     * the whole corpus. Query side is broadcast; ranking is per-query with
@@ -38,7 +43,7 @@ object Similarity {
                      numQueries: Int = 5, k: Int = 10): DataFrame = {
     val e = vecs(spark, dir)
     val q = e.where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     e.as("e")
       .join(broadcast(q.as("q")), col("e.vec_id") =!= col("q.q_id"))
@@ -71,7 +76,8 @@ object Similarity {
               numQueries: Int = 5, k: Int = 5, planes: Int = 6): DataFrame = {
     val e = vecs(spark, dir).withColumn("bucket", lshBucket("v", planes))
     val q = e.where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     e.as("e")
       .join(broadcast(q.as("q")), col("e.bucket") === col("q.bucket") &&
