@@ -34,6 +34,10 @@ object Bench {
       }
       val t = try { once(); math.min(once(), once()) }
               catch { case _: Throwable => -1.0 }
+      // ContextCleaner only releases broadcast blocks / shuffle state
+      // after a driver GC; without this, earlier queries' debris slows
+      // later ones by an order of magnitude
+      System.gc()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

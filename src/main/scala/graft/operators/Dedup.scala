@@ -81,10 +81,14 @@ object Dedup {
       val b = (0x85EBCA6BL * (i + 1)) % P
       array_min(transform(col("hs"), h => (h * lit(a) + lit(b)) % lit(P)))
     }
+    // persist: the signature frame feeds both sides of the self-join and
+    // the verification joins — without it the shingle+signature pipeline
+    // is recomputed four times
     val base = parallelize(docs(spark, dir))
       .select(col("doc_id"), wordShingles.as("shingles"))
       .withColumn("hs", expr(s"transform(shingles, s -> pmod(xxhash64(s), ${P}L))"))
       .withColumn("sig", array(sigCols: _*))
+      .persist()
     val banded = base.select(
       col("doc_id"),
       posexplode(expr(
