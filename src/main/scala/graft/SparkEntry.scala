@@ -68,6 +68,7 @@ object SparkEntry {
     // ---- Similarity search (embeddings) ----
     "ann_bruteforce" -> ((s, d) => graft.operators.Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => graft.operators.Similarity.lshTopK(s, d)),
+    "ann_ivf" -> ((s, d) => graft.operators.Similarity.ivfTopK(s, d)),
 
     // ---- Multimodal plumbing ----
     "mm_meta" -> ((s, d) => graft.operators.Multimodal.extractMeta(s, d)),
@@ -281,5 +282,32 @@ object SparkEntry {
         |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
         |WHERE rnk <= 10""".stripMargin,
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |ac AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cent_id,
+        |    round(list_reduce(list_transform(list_zip(n.v, cv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / (n.nrm * cnrm), 6) AS ccos
+        |  FROM n, cent),
+        |assigned AS (SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+        |  FROM ac) WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS list_id FROM (
+        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+        |  FROM (SELECT * FROM ac WHERE vec_id < 5)) WHERE crnk <= 4),
+        |c AS (
+        |  SELECT q.q_id, a.vec_id,
+        |    round(list_reduce(list_transform(list_zip(q.qv, a.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a2, b2) -> a2 + b2)
+        |      / (q.qnrm * a.nrm), 6) AS cos
+        |  FROM assigned a JOIN probes q ON a.list_id = q.list_id AND a.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        |WHERE rnk <= 5""".stripMargin,
   )
 }

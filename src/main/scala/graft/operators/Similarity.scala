@@ -68,6 +68,50 @@ object Similarity {
          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
          |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin)
 
+  /** IVF-style ANN: assign every vector to its nearest of `nlist` coarse
+    * centroids (here: the first `nlist` corpus vectors — deterministic
+    * stand-ins for k-means centroids, which a production deployment
+    * would train offline), then each query probes only its `nprobe`
+    * nearest lists.
+    *
+    * Scale shape: centroids broadcast (tiny); assignment is one scan;
+    * the search join is an equi-join on `list_id`, so per-query work is
+    * `nprobe/nlist` of the corpus — the classic IVF pruning — with one
+    * shuffle keyed by list.
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+              numQueries: Int = 5, k: Int = 5,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e.where(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val centCos = round(
+      expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")), 6)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cent))
+      .withColumn("ccos", centCos)
+      .withColumn("crnk", rank().over(wAssign))
+      .where(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("list_id"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = e.where(col("vec_id") < numQueries)
+      .join(broadcast(cent))
+      .withColumn("ccos", centCos)
+      .withColumn("crnk", rank().over(wProbe))
+      .where(col("crnk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cent_id").as("list_id"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.as("e")
+      .join(broadcast(probes.as("q")),
+        col("e.list_id") === col("q.list_id") && col("e.vec_id") =!= col("q.q_id"))
+      .select(col("q_id"), col("vec_id"), cosAB.as("cos"))
+      .withColumn("rnk", rank().over(wTop).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share the full `planes`-bit signature;
     * cosine + top-k only within the bucket. At 100 TB the bucket key is
     * the shuffle key and per-bucket work stays bounded.

@@ -30,6 +30,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf topk hits are a subset of the exhaustive ranking with same cosines") {
+    val ivf = Similarity.ivfTopK(spark, sfDir, numQueries = 5, k = 5)
+    val bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 500)
+    val ivfRows = ivf.select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivfRows.nonEmpty)
+    val bfRows = bf.select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfRows.foreach { case (k2, c) =>
+      assert(bfRows.get(k2).contains(c), s"pair $k2 cos mismatch")
+    }
+  }
+
   test("brute-force plan broadcasts the query side") {
     val plan = Similarity.bruteForceTopK(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"))
