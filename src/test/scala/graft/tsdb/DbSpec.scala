@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 class DbSpec extends SparkSpec {
   lazy val db: Db = Db.fromEvents(spark, sfDir)
 
+  test("fromEvents works on a session without nanosAsLong preconfigured") {
+    // the driver smoke-checks entry() on its own session; fromEvents
+    // must set the legacy conf at runtime
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val db2 = Db.fromEvents(s2, sfDir)
+    assert(db2.frame.count() > 0)
+    assert(graft.SparkEntry.entry(s2).count() > 0)
+  }
+
   test("series frame has canonical schema") {
     assert(db.frame.columns.toSeq == Seq("metric", "ts", "value", "tag_user", "tag_k"))
     assert(db.frame.schema("ts").dataType.typeName == "long")
