@@ -24,10 +24,15 @@ object StreamingAgg {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-stream source over an events directory (parquet). */
+  /** File-stream source over the events table (parquet). The glob must
+    * target only event files — a whole-SF directory would project other
+    * tables' files to all-null rows.
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(EventsSchema).parquet(dir)
+    // a glob (not a bare file path) lets the source derive its basePath
+    // from the parent directory while selecting only event files
+    spark.readStream.schema(EventsSchema).parquet(s"$dir/events*")
   }
 
   /** Canonicalize + watermark + tumbling-window average per

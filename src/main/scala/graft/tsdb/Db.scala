@@ -66,17 +66,19 @@ object Db {
     * metric = event_type, ts = ns epoch, value = value,
     * tags = { user = user_id, k = props.k }.
     */
-  def fromEvents(spark: SparkSession, sfDir: String): Db = {
+  def fromEvents(spark: SparkSession, sfDir: String,
+                 propsTags: Seq[String] = Seq("k")): Db = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ts arrives as int64 nanoseconds; truncate to µs precision so results
     // are comparable with engines whose TIMESTAMP is µs (e.g. DuckDB).
+    val tagCols = propsTags.map(k =>
+      regexp_extract(col("props"), "\"" + k + "\":\\s*(\\d+)", 1).as(TagPrefix + k))
     val df = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(
+      .select(Seq(
         col("event_type").as("metric"),
         (expr("ts div 1000L") * lit(1000L)).as("ts"),
         col("value"),
-        col("user_id").cast("string").as("tag_user"),
-        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).as("tag_k"))
+        col("user_id").cast("string").as(TagPrefix + "user")) ++ tagCols: _*)
     new Db(df)
   }
 }

@@ -22,6 +22,18 @@ object Ingest {
       .sortWithinPartitions(col("metric"), col("ts"))
       .write.partitionBy("metric").mode("overwrite").parquet(path)
 
+  /** Append a batch to an existing layout — the Spark re-expression of
+    * the reference's `Database::write` ingestion path (talna
+    * `src/db.rs:319`): micro-batched appends instead of per-point LSM
+    * inserts.
+    */
+  def append(db: Db, path: String, filesPerMetric: Int = 4): Unit =
+    db.frame
+      .repartition(filesPerMetric, col("metric"),
+        expr(s"ts div ${Duration.days(7)}L"))
+      .sortWithinPartitions(col("metric"), col("ts"))
+      .write.partitionBy("metric").mode("append").parquet(path)
+
   /** Reopen a graft layout as a Db. The `metric` partition column comes
     * back as a string column; tag columns keep their `tag_` prefix.
     */

@@ -23,4 +23,20 @@ class IngestSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("metric"),
       s"metric filter not pushed to partitions:\n$plan")
   }
+
+  test("append adds a second batch to the layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_append").toString
+    val db = Db.fromEvents(spark, sfDir)
+    val n = db.frame.count()
+    Ingest.write(db, tmp)
+    Ingest.append(db, tmp)
+    assert(Ingest.open(spark, tmp).frame.count() == 2 * n)
+  }
+
+  test("fromEvents with extra props tags yields empty-string tags for absent keys") {
+    val db = Db.fromEvents(spark, sfDir, propsTags = Seq("k", "zz"))
+    assert(db.frame.columns.contains("tag_zz"))
+    assert(db.scan("purchase", "zz:x*").count() == 0)
+    assert(db.frame.where(col("tag_zz") === "").count() == db.frame.count())
+  }
 }
