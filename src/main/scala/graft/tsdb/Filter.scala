@@ -52,6 +52,8 @@ object FilterParser {
             require(idx > 0 && idx < word.length - 1, s"invalid filter term: '$word'")
             val k = word.substring(0, idx)
             val v = word.substring(idx + 1)
+            // reference lexer (talna src/query/lexer.rs) forbids ':' in values
+            require(!v.contains(':'), s"invalid filter term: '$word'")
             if (v.endsWith("*")) out += Leaf(k, v.dropRight(1), wildcard = true)
             else out += Leaf(k, v, wildcard = false)
         }

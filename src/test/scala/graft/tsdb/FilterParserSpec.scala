@@ -32,5 +32,6 @@ class FilterParserSpec extends AnyFunSuite {
   test("invalid term rejected") {
     assertThrows[IllegalArgumentException](FilterParser.parse("nocolon"))
     assertThrows[IllegalArgumentException](FilterParser.parse("a:1 AND (b:2"))
+    assertThrows[IllegalArgumentException](FilterParser.parse("a:b:c")) // lexer.rs: no ':' in values
   }
 }
