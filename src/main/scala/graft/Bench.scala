@@ -19,6 +19,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: a 33-query suite generates far more
+      // codegen'd classes than that, and LRU eviction forces janino to
+      // recompile every generated class on every run — the round-1
+      // full-suite bench spent most of its time compiling, not executing
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -29,7 +34,9 @@ object Bench {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink: fully evaluates every output column (a count() lets
+        // Catalyst prune projection-only work down to a row count)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       val t = try { once(); math.min(once(), once()) }

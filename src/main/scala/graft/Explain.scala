@@ -17,6 +17,7 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
@@ -24,7 +25,9 @@ object Explain {
       println(s"===== $name =====")
       df.explain("formatted")
       def once(): Double = {
-        val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
       println(f"$name: cold=${once()}%.3f warm=${once()}%.3f warm=${once()}%.3f s")
     }

@@ -1,9 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.DotProduct
+import graft.expressions.GraftFunctions
 
 /** Spark extensions injector: enables
   * `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -13,8 +11,5 @@ import graft.expressions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

@@ -44,6 +44,16 @@ object SparkEntry {
     "ts_raw" -> ((s, d) => Db.fromEvents(s, d).scan("error", "user:1*")),
     "ts_multi_tag_group" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "k").granularity(Week).build()),
+    "ts_meta_metrics" -> ((s, d) => Db.fromEvents(s, d).metrics),
+    "ts_meta_series" -> ((s, d) => Db.fromEvents(s, d).series("purchase")),
+    // full round-trip through the graft on-disk layout: write once
+    // (partitioned by metric, ts-sorted), reopen, query — proves the
+    // ingest path yields identical results with dir pruning + pushdown
+    "ts_ingest_avg" -> ((s, d) => {
+      val layout = graft.tsdb.Ingest.ensureLayout(s, d)
+      graft.tsdb.Ingest.open(s, layout)
+        .avg("purchase", "user").filter("k:1*").granularity(Day).build()
+    }),
 
     // ---- General analytics (Spark batch-query layer) ----
     "q1_agg" -> ((s, d) => graft.operators.Analytics.q1(s, d)),
@@ -64,11 +74,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => graft.operators.Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => graft.operators.Dedup.embeddingCosine(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => graft.operators.Dedup.embeddingCosineLsh(s, d)),
 
     // ---- Similarity search (embeddings) ----
     "ann_bruteforce" -> ((s, d) => graft.operators.Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => graft.operators.Similarity.lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => graft.operators.Similarity.ivfTopK(s, d)),
+    "ann_ivf_kmeans" -> ((s, d) => graft.operators.Similarity.ivfKmeansTopK(s, d)),
 
     // ---- Multimodal plumbing ----
     "mm_meta" -> ((s, d) => graft.operators.Multimodal.extractMeta(s, d)),
@@ -77,11 +89,14 @@ object SparkEntry {
   // ---- DuckDB oracle SQL ----
   // Canonical series view: DuckDB truncates parquet ns timestamps to µs,
   // so the Spark side (Db.fromEvents) truncates its ns longs identically.
+  // A props key absent from a row is a NULL tag (nullif), not an empty
+  // string — group-bys skip those points, like the reference skipping
+  // series that lack the group tag.
   private val Ev =
     """WITH ev AS (
       |  SELECT event_type AS metric, epoch_ns(ts) AS ts, value,
       |         CAST(user_id AS VARCHAR) AS tag_user,
-      |         regexp_extract(props, '"k":\s*(\d+)', 1) AS tag_k
+      |         nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS tag_k
       |  FROM events
       |)""".stripMargin
 
@@ -129,6 +144,12 @@ object SparkEntry {
          |SELECT metric, ts, value, tag_user, tag_k
          |FROM ev WHERE metric = 'error' AND tag_user LIKE '1%'""".stripMargin,
     "ts_multi_tag_group" -> tsAgg("purchase", "k", AvgV, width = Week),
+    "ts_meta_metrics" -> "SELECT DISTINCT event_type AS metric FROM events",
+    "ts_meta_series" ->
+      s"""$Ev
+         |SELECT DISTINCT metric, tag_user, tag_k FROM ev
+         |WHERE metric = 'purchase'""".stripMargin,
+    "ts_ingest_avg" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
 
     // ---- General analytics ----
     "q1_agg" ->

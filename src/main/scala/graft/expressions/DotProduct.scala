@@ -8,39 +8,61 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native Catalyst expression: dot product of two `array<double>` columns.
+/** Native Catalyst expression: dot product of two numeric-array columns
+  * (`array<float>` or `array<double>` on either side, mixed allowed).
   *
   * The higher-order-function formulation
   * (`aggregate(zip_with(a, b, *), 0.0, +)`) is CodegenFallback — every
   * row pays interpreted-lambda overhead and intermediate array
   * allocation. This expression generates a tight fused multiply-add loop
   * inside whole-stage codegen, which is what the ANN/dedup inner loop
-  * needs at 100 TB. Summation is the same left-to-right fold, so results
-  * are bit-identical to the HOF version (and to an external oracle).
+  * needs at 100 TB. Summation is the same left-to-right fold over
+  * double-widened elements, so results are bit-identical to the HOF
+  * version over cast-to-double arrays (and to an external oracle).
+  * Accepting `array<float>` directly removes the per-row
+  * `transform(embedding, CAST)` that round 1 paid on every joined pair.
+  *
+  * Length-mismatched inputs yield NULL — the same result as the HOF
+  * formulation, where `zip_with` null-pads the shorter side and the
+  * null propagates through the sum.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall {
-      _.dataType match {
-        case ArrayType(DoubleType, _) => true
-        case _ => false
-      }
-    }
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
+  // NULL on length mismatch even for non-nullable children
+  override def nullable: Boolean = true
+
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => true
+    case _ => false
   }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<float|double>, array<float|double>), got (${left.dataType}, ${right.dataType})")
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lf = isFloat(left)
+    val rf = isFloat(right)
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
@@ -49,13 +71,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val getL = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $getL * $getR;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -64,14 +92,68 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
-/** Session registration for graft's native expressions (SQL name
-  * `graft_dot`). Idempotent; operators call this before using
-  * `expr("graft_dot(...)")`.
+/** Registry of graft's native expressions, shared by the programmatic
+  * [[GraftFunctions.register]] path and the `spark.sql.extensions`
+  * injector (`graft.GraftExtensions`).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"),
+
+  private def arity(name: String, n: Int, children: Seq[Expression]): Unit =
+    require(children.length == n, s"$name expects $n arguments, got ${children.length}")
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+      (cs: Seq[Expression]) => { arity("graft_dot", 2, cs); DotProduct(cs.head, cs(1)) }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (cs: Seq[Expression]) => {
+        arity("graft_minhash_sig", 2, cs)
+        cs(1) match {
+          case IntLit(n) => MinHashSig(cs.head, n)
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig: numHashes must be an int literal, got $other")
+        }
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (cs: Seq[Expression]) => { arity("graft_simhash", 1, cs); SimHash64(cs.head) }),
+    (FunctionIdentifier("graft_rollhash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rollhash"),
+      (cs: Seq[Expression]) => { arity("graft_rollhash", 1, cs); RollingHash(cs.head) }),
+    (FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShingles3].getName, "graft_word_shingles"),
+      (cs: Seq[Expression]) => { arity("graft_word_shingles", 1, cs); WordShingles3(cs.head) }),
+    (FunctionIdentifier("graft_char_grams"),
+      new ExpressionInfo(classOf[CharGrams3].getName, "graft_char_grams"),
+      (cs: Seq[Expression]) => { arity("graft_char_grams", 1, cs); CharGrams3(cs.head) }),
+    (FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+      (cs: Seq[Expression]) => {
+        arity("graft_lsh_bucket", 2, cs)
+        cs(1) match {
+          case IntLit(p) => LshBucket(cs.head, p)
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_bucket: planes must be an int literal, got $other")
+        }
+      }),
+    (FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[LshBandBuckets].getName, "graft_lsh_bands"),
+      (cs: Seq[Expression]) => {
+        arity("graft_lsh_bands", 3, cs)
+        (cs(1), cs(2)) match {
+          case (IntLit(r), IntLit(b)) => LshBandBuckets(cs.head, r, b)
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_bands: rowsPerBand/bands must be int literals, got $other")
+        }
+      }),
+  )
+
+  /** Idempotent session registration (SQL + DataFrame `expr`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
 }

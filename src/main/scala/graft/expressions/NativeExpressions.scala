@@ -1,0 +1,199 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd wrappers over [[NativeKernels]].
+  *
+  * Each replaces an interpreted HOF pipeline that dominated the round-1
+  * bench (Spark's `transform`/`aggregate`/`zip_with` are CodegenFallback:
+  * per-row interpreted-lambda trees plus intermediate arrays). The
+  * generated code is a single static call, so the whole projection stays
+  * inside one WholeStageCodegen span and the per-row cost is the kernel
+  * loop itself.
+  */
+private[expressions] trait KernelCall { self: UnaryExpression =>
+  /** Emit `ev.value = <static kernel call>(childValue)`. */
+  protected def kernelCall(c: String): String
+
+  protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    self.defineCodeGen(ctx, ev, c => kernelCall(c))
+}
+
+/** MinHash signature (`array<long>` of length `numHashes`) of a
+  * shingle-set column — see [[NativeKernels.minhashSig]].
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig expects (array<string>, positive int literal), got $t")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    NativeKernels.minhashSig(arr.asInstanceOf[ArrayData], numHashes)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.minhashSig($c, $numHashes)"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token-array column — see [[NativeKernels.simhash]]. */
+case class SimHash64(child: Expression) extends UnaryExpression with KernelCall {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash expects array<string>, got $t")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    NativeKernels.simhash(arr.asInstanceOf[ArrayData])
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.simhash($c)"
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Polynomial rolling hash of a string column — see
+  * [[NativeKernels.rollingHash]].
+  */
+case class RollingHash(child: Expression) extends UnaryExpression with KernelCall {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_rollhash expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    NativeKernels.rollingHash(s.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.rollingHash($c)"
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Distinct word 3-shingles of a string column — see
+  * [[NativeKernels.wordShingles3]].
+  */
+case class WordShingles3(child: Expression) extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_word_shingles expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    NativeKernels.wordShingles3(s.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.wordShingles3($c)"
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles3 =
+    copy(child = newChild)
+}
+
+/** Distinct char 3-grams of a string column — see
+  * [[NativeKernels.charGrams3]].
+  */
+case class CharGrams3(child: Expression) extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_char_grams expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    NativeKernels.charGrams3(s.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.charGrams3($c)"
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams3 =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket of a numeric-array column — see
+  * [[NativeKernels.lshBucket]]. Accepts `array<float>` or `array<double>`.
+  */
+case class LshBucket(child: Expression, planes: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = LongType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) if planes > 0 && planes <= 63 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bucket expects (array<float|double>, int literal in [1,63]), got $t")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    NativeKernels.lshBucket(arr.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.lshBucket($c, $planes, $isFloat)"
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+/** Banded LSH bucket ids (`array<long>`, one per band) of a
+  * numeric-array column — see [[NativeKernels.lshBandBuckets]].
+  */
+case class LshBandBuckets(child: Expression, rowsPerBand: Int, bands: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _)
+        if rowsPerBand > 0 && rowsPerBand <= 63 && bands > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bands expects (array<float|double>, int, int), got $t")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    NativeKernels.lshBandBuckets(arr.asInstanceOf[ArrayData], rowsPerBand, bands, isFloat)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.lshBandBuckets($c, $rowsPerBand, $bands, $isFloat)"
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandBuckets =
+    copy(child = newChild)
+}
+
+private[expressions] object IntLit {
+  /** Extract a literal Int argument of a SQL function builder. */
+  def unapply(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, IntegerType) => Some(v)
+    case _ if e.foldable && e.dataType == IntegerType =>
+      Option(e.eval(null)).map(_.asInstanceOf[Int])
+    case _ => None
+  }
+}

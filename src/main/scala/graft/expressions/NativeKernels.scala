@@ -1,0 +1,219 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot-loop kernels for graft's native expressions.
+  *
+  * Each method is the compiled-Scala equivalent of a higher-order-function
+  * formulation that Spark can only run interpreted (`transform` /
+  * `aggregate` / `zip_with` are CodegenFallback). The generated code of
+  * the wrapping expressions calls these static forwarders, so the work
+  * stays inside whole-stage codegen with zero interpreted-lambda overhead
+  * and zero intermediate array allocation.
+  *
+  * All hashing goes through [[XxHash64Function]] (seed 42) so results are
+  * bit-identical to Spark's SQL `xxhash64(...)` — the specs assert
+  * equivalence against the original HOF formulations.
+  */
+object NativeKernels {
+
+  /** Mersenne prime 2^31-1: universal-hash modulus. Products of two
+    * values < P stay < 2^62, so ANSI-mode long arithmetic cannot
+    * overflow.
+    */
+  val P: Long = 2147483647L
+
+  def minhashA(i: Int): Long = (0x9E3779B9L * (i + 1)) % (P - 1) + 1
+  def minhashB(i: Int): Long = (0x85EBCA6BL * (i + 1)) % P
+
+  /** MinHash signature of a shingle set.
+    *
+    * Equivalent HOF: `hs = transform(shingles, s -> pmod(xxhash64(s), P))`
+    * then `sig[i] = array_min(transform(hs, h -> (h*a_i + b_i) % P))` —
+    * one xxhash per shingle, permutations derived by universal re-mixing.
+    */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { a(i) = minhashA(i); b(i) = minhashB(i); i += 1 }
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      val s = shingles.getUTF8String(j)
+      val h = java.lang.Math.floorMod(XxHash64Function.hash(s, StringType, 42L), P)
+      i = 0
+      while (i < numHashes) {
+        val v = (h * a(i) + b(i)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash of a token array.
+    *
+    * Equivalent HOF: per-token `xxhash64`, ±1 vote per bit
+    * (`(shiftright(h, b) & 1) = 1`), bit set iff vote sum > 0.
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val h = XxHash64Function.hash(tokens.getUTF8String(j), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Polynomial rolling hash `h = fold((h*31 + codepoint) % 1e9+7)` over
+    * the document's characters.
+    *
+    * Equivalent HOF: `aggregate(regexp_extract_all(text, '.'), 0L,
+    * (acc, c) -> (acc*31 + ascii(c)) % 1000000007)`. Java-regex `.`
+    * excludes line terminators, so those codepoints are skipped.
+    */
+  def rollingHash(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      // Java-regex '.' line terminators: \n \r NEL LS PS
+      if (cp != '\n' && cp != '\r' && cp != 0x85 && cp != 0x2028 && cp != 0x2029)
+        h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Distinct word 3-shingles of a document.
+    *
+    * Equivalent HOF: `array_distinct(transform(sequence(1,
+    * greatest(size(split(text, ' ')) - 2, 1)), i -> concat_ws(' ',
+    * slice(split(text, ' '), i, 3))))` — split on single space keeping
+    * empty tokens, windows of 3 (or the whole token list when shorter),
+    * first-occurrence-order distinct.
+    */
+  def wordShingles3(text: UTF8String): ArrayData = {
+    val tokens = text.toString.split(" ", -1)
+    val n = tokens.length
+    val windows = math.max(n - 2, 1)
+    val seen = new java.util.LinkedHashSet[String](windows * 2)
+    var i = 0
+    while (i < windows) {
+      val end = math.min(i + 3, n)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    toUtf8Array(seen)
+  }
+
+  /** Distinct char 3-grams of a document.
+    *
+    * Equivalent HOF: `array_distinct(transform(sequence(1,
+    * greatest(length(text) - 2, 1)), i -> substr(text, i, 3)))`.
+    */
+  def charGrams3(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val windows = math.max(n - 2, 1)
+    val seen = new java.util.LinkedHashSet[String](windows * 2)
+    var i = 0
+    while (i < windows) {
+      seen.add(s.substring(i, math.min(i + 3, n)))
+      i += 1
+    }
+    toUtf8Array(seen)
+  }
+
+  private def toUtf8Array(seen: java.util.LinkedHashSet[String]): ArrayData = {
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Random-hyperplane LSH bucket: `planes` sign bits; plane j's component
+    * for dimension d is ±1 from `xxhash64(j, d) & 1` (two-int xxhash
+    * chain, identical to Spark's variadic `xxhash64(j, d)`).
+    *
+    * `isFloat` selects the element accessor; accumulation is double either
+    * way, matching the HOF formulation over cast-to-double arrays.
+    */
+  def lshBucket(v: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      if (planeSign(v, n, j, isFloat) > 0) bucket += (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** Banded LSH bucket ids: band b's bucket is the `rowsPerBand` sign
+    * bits of planes `[b*rowsPerBand, (b+1)*rowsPerBand)`. OR-amplified
+    * candidate generation: a pair is a candidate iff it agrees on at
+    * least one full band — the same banding scheme as MinHash LSH, over
+    * random-hyperplane signatures.
+    */
+  def lshBandBuckets(v: ArrayData, rowsPerBand: Int, bands: Int, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        if (planeSign(v, n, b * rowsPerBand + r, isFloat) > 0) bucket += (1L << r)
+        r += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def planeSign(v: ArrayData, n: Int, plane: Int, isFloat: Boolean): Double = {
+    val hj = XxHash64Function.hash(plane, IntegerType, 42L)
+    var s = 0.0
+    var d = 0
+    while (d < n) {
+      val sign =
+        if ((XxHash64Function.hash(d, IntegerType, hj) & 1L) == 1L) 1.0 else -1.0
+      val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+      s += x * sign
+      d += 1
+    }
+    s
+  }
+}

@@ -55,14 +55,14 @@ object TextFunctions {
     hits(text, StopwordsEn).cast("long")
 
   /** Polynomial rolling hash over the document's characters:
-    * `h = fold(h*31 + ascii(c) mod 1e9+7)` — a codegen'd higher-order
-    * `aggregate` over the char array, no UDF.
+    * `h = fold(h*31 + codepoint mod 1e9+7)` — the native `graft_rollhash`
+    * expression (callers must have run `GraftFunctions.register` /
+    * the `graft.GraftExtensions` injector). Semantics identical to the
+    * interpreted HOF `aggregate(regexp_extract_all(text, '.'), 0L,
+    * (acc, c) -> (acc*31 + ascii(c)) % 1000000007)`.
     */
   def rollingHash(text: Column): Column =
-    aggregate(
-      regexp_extract_all(text, lit("."), lit(0)),
-      lit(0L),
-      (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+    call_function("graft_rollhash", text)
 
   /** Canonical md5 fingerprint of whitespace-normalized lowercase text. */
   def md5Fingerprint(text: Column): Column =

@@ -2,32 +2,38 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.expressions.GraftFunctions
 import graft.functions.TextFunctions.md5Fingerprint
 
 /** Deduplication operators for training-data pipelines, over `documents`.
   *
   * Scale design: every variant avoids the O(n²) all-pairs cartesian —
-  * exact dedup is a hash aggregate; MinHash/SimHash turn similarity into
-  * equality on banded keys (one shuffle on the band key, then pairwise
-  * only *within* buckets); n-gram Jaccard uses prefix blocking. All
-  * hashing is Spark-native `xxhash64` (codegen'd, no UDFs).
+  * exact dedup is a hash aggregate; MinHash/SimHash/embedding-LSH turn
+  * similarity into equality on banded keys (one shuffle on the band key,
+  * then pairwise only *within* buckets); n-gram Jaccard uses prefix
+  * blocking. The per-row inner loops (shingling, signatures, dot
+  * products) are native codegen'd expressions (`graft.expressions`), not
+  * interpreted HOFs.
   */
 object Dedup {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/documents.parquet")
+  }
 
   /** Spread a small-file scan across the cluster before compute-heavy
     * per-row work. A single small parquet file arrives as one split;
-    * without this the expensive HOF projections run on one core. No-op
-    * when the input already has enough splits (the 100 TB case).
+    * without this the expensive kernel projections run on one core.
+    * File counting is a listing, not an RDD materialization; at real
+    * scale (files ≥ cores) this is a no-op.
     */
   private[operators] def parallelize(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.inputFiles.length < p) df.repartition(p) else df
   }
 
-  // ---------------------------------------------------------------- exact
+  // ------------------------------------------------------------------ exact
   /** Exact dedup: md5 of normalized text → (fingerprint, group size,
     * keeper = lowest doc_id). A 100 TB corpus dedups in one hash
     * aggregate with map-side combine.
@@ -37,58 +43,41 @@ object Dedup {
       .groupBy(md5Fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
 
-  // ------------------------------------------------------------- shingles
-  /** Distinct word 3-shingles of a document. */
-  private val wordShingles = expr(
-    """array_distinct(transform(
-      |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-      |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin)
+  // --------------------------------------------------------------- shingles
+  /** Distinct word 3-shingles (native kernel). */
+  private val wordShingles = call_function("graft_word_shingles", col("text"))
 
-  /** Distinct char 3-grams of a document. */
-  private val charGrams = expr(
-    """array_distinct(transform(
-      |  sequence(1, greatest(length(text) - 2, 1)),
-      |  i -> substr(text, i, 3)))""".stripMargin)
+  /** Distinct char 3-grams (native kernel). */
+  private val charGrams = call_function("graft_char_grams", col("text"))
 
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     round(inter / (size(a) + size(b) - size(array_intersect(a, b))), 6)
   }
 
-  // -------------------------------------------------------------- minhash
+  // ---------------------------------------------------------------- minhash
   /** MinHash + LSH near-dup pairs: word-3-shingle sets → `numHashes`
-    * minhash signature (seeded xxhash64) → `bands` banded keys →
+    * minhash signature (one xxhash per shingle, permutations derived by
+    * universal re-mixing — `graft_minhash_sig`) → `bands` banded keys →
     * candidates = pairs sharing a band bucket → verified true Jaccard ≥
     * `threshold`.
     *
     * The band-bucket self-join is the scale path: at 1000 executors the
     * shuffle key is (band index, band hash), bucket sizes stay tiny for
     * non-duplicate data, and AQE handles the skewed buckets created by
-    * large duplicate clusters.
+    * large duplicate clusters. The signature projection is cheap native
+    * code, so the branches of the self-join simply recompute it — no
+    * cached state pinned in a resident session. (At 100 TB, checkpoint
+    * the signature frame to durable storage instead and join from that.)
     */
   def minhashLsh(spark: SparkSession, dir: String,
                  numHashes: Int = 32, bands: Int = 16,
                  threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // hash every shingle ONCE, then derive the i-th permutation with
-    // universal hashing mod the Mersenne prime 2^31-1 — 32x fewer hash
-    // evaluations than re-seeding xxhash, and products stay < 2^62 so
-    // ANSI-mode long arithmetic cannot overflow
-    val P = 2147483647L
-    val sigCols = (0 until numHashes).map { i =>
-      val a = (0x9E3779B9L * (i + 1)) % (P - 1) + 1
-      val b = (0x85EBCA6BL * (i + 1)) % P
-      array_min(transform(col("hs"), h => (h * lit(a) + lit(b)) % lit(P)))
-    }
-    // persist: the signature frame feeds both sides of the self-join and
-    // the verification joins — without it the shingle+signature pipeline
-    // is recomputed four times
     val base = parallelize(docs(spark, dir))
       .select(col("doc_id"), wordShingles.as("shingles"))
-      .withColumn("hs", expr(s"transform(shingles, s -> pmod(xxhash64(s), ${P}L))"))
-      .withColumn("sig", array(sigCols: _*))
-      .persist()
+      .withColumn("sig", call_function("graft_minhash_sig", col("shingles"), lit(numHashes)))
     val banded = base.select(
       col("doc_id"),
       posexplode(expr(
@@ -109,33 +98,16 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  // -------------------------------------------------------------- simhash
+  // ---------------------------------------------------------------- simhash
   /** 64-bit SimHash per document: per-token xxhash64, ±1 vote per bit,
-    * sign → bit. One pass over the token array via codegen'd
-    * higher-order functions — no shuffle at all.
+    * sign → bit — one native kernel call per row (`graft_simhash`), one
+    * scan, no shuffle.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      // materialize the 64 per-bit vote counters once per row (a second
-      // projection keeps the aggregate from being inlined 64×)
       .select(
         col("doc_id"),
-        expr(
-          """aggregate(
-            |  transform(split(text, ' '), t -> xxhash64(t)),
-            |  array_repeat(CAST(0 AS BIGINT), 64),
-            |  (acc, h) -> zip_with(acc,
-            |    transform(sequence(0, 63),
-            |      bb -> IF((shiftright(h, bb) & 1) = 1,
-            |               CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
-            |    (x, y) -> x + y))""".stripMargin).as("votes"))
-      .select(
-        col("doc_id"),
-        expr(
-          """aggregate(
-            |  transform(sequence(0, 63), b -> IF(element_at(votes, b + 1) > 0,
-            |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-            |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin).as("simhash"))
+        call_function("graft_simhash", split(col("text"), " ")).as("simhash"))
 
   /** SimHash banded candidates verified by Hamming distance ≤ `hamMax`.
     * 4 × 16-bit bands: a pair within Hamming ≤ 3 of 64 bits must agree
@@ -174,7 +146,7 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  // ------------------------------------------------------- n-gram jaccard
+  // --------------------------------------------------------- n-gram jaccard
   /** Char-3-gram Jaccard over prefix-blocked candidate pairs. Blocking on
     * the first 16 chars keeps the join linear; the quadratic part runs
     * only inside blocks.
@@ -191,29 +163,74 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  // --------------------------------------------------- embedding near-dup
+  // ----------------------------------------------------- embedding near-dup
+  private def embFrame(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    parallelize(spark.read.parquet(s"$dir/embeddings.parquet"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      // norm once per vector; graft_dot reads array<float> directly and
+      // accumulates in double — bit-identical to dotting cast-to-double
+      // arrays, with no per-row transform(CAST) materialization
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the cheap
     * cluster key): exact double-precision cosine, deterministic
     * left-fold dot products, pairs with rounded cosine ≥ `threshold`.
+    *
+    * All-pairs *within a label block* — O(N²/labels): fine when label
+    * blocks are small, quadratic when they aren't. The scale path is
+    * [[embeddingCosineLsh]]; this variant is its correctness oracle
+    * (exhaustive within blocks, SQL-expressible).
     */
   def embeddingCosine(spark: SparkSession, dir: String,
                       threshold: Double = 0.35): DataFrame = {
-    // per-vector norms are computed ONCE here; the per-pair work is a
-    // single dot product. sqrt(dotAA)*sqrt(dotBB) is bit-identical to
-    // computing the norms inline, so the external oracle still matches.
-    graft.expressions.GraftFunctions.register(spark)
-    val e = parallelize(spark.read.parquet(s"$dir/embeddings.parquet"))
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-    val dotAB = expr("graft_dot(a.v, b.v)")
+    val e = embFrame(spark, dir)
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       // re-spread: a 10-label equi-join leaves only 10 busy partitions
       .repartition(col("a.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+        round(call_function("graft_dot", col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Scale-safe embedding near-dup: banded random-hyperplane LSH
+    * candidate generation + exact cosine verify. No label blocking, no
+    * all-pairs: candidates are an equi-join on (band, bucket), so the
+    * shuffle key bounds the work exactly like MinHash LSH.
+    *
+    * Amplification: a pair is a candidate iff it agrees on all
+    * `rowsPerBand` sign bits of at least one band. For threshold `t`,
+    * P(agree on one plane) = 1 - acos(t)/π; recall =
+    * 1 - (1 - p^rowsPerBand)^bands. The defaults (2×12) give >99% recall
+    * at cos ≥ 0.35 — chosen for this corpus's low-cosine regime; a
+    * near-dup corpus (t ≥ 0.9) wants deeper bands (8×16) where LSH
+    * prunes aggressively.
+    */
+  def embeddingCosineLsh(spark: SparkSession, dir: String,
+                         threshold: Double = 0.35,
+                         rowsPerBand: Int = 2, bands: Int = 12): DataFrame = {
+    val e = embFrame(spark, dir)
+    val banded = e.select(
+      col("vec_id"),
+      posexplode(call_function("graft_lsh_bands", col("v"),
+        lit(rowsPerBand), lit(bands))).as(Seq("band", "bucket")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val side = e.select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(side.as("sa"), col("vec_a") === col("sa.vec_id"))
+      .join(side.as("sb"), col("vec_b") === col("sb.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        round(call_function("graft_dot", col("sa.v"), col("sb.v"))
+          / (col("sa.nrm") * col("sb.nrm")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

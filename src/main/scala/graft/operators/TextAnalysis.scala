@@ -11,8 +11,10 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/documents.parquet")
+  }
 
   def tokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(

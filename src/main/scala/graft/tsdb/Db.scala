@@ -25,22 +25,44 @@ object AggKind {
   * dictionary/min-max pushdown on them is the distributed analog of the
   * reference's inverted TagIndex — the scan skips row groups the way
   * talna skips series.
+  *
+  * Metric names are validated at every query API boundary
+  * ([[MetricName]]), matching the reference's `MetricName: TryFrom`
+  * rejection of invalid names (talna `src/metric_name.rs:15-25`,
+  * `src/db.rs:213-324`).
+  *
+  * Unknown tag keys resolve to a NULL column rather than an analysis
+  * error: filters on them match nothing and group-bys return empty —
+  * the reference treats unknown tags as empty posting lists
+  * (`src/tag_index.rs` query_eq on an absent key) and skips series
+  * lacking the group tag (`src/agg/builder.rs:121`).
   */
 final class Db(val frame: DataFrame) {
   import Db.TagPrefix
 
-  def avg(metric: String, groupBy: String): AggBuilder   = AggBuilder(this, AggKind.Avg, metric, groupBy)
-  def sum(metric: String, groupBy: String): AggBuilder   = AggBuilder(this, AggKind.Sum, metric, groupBy)
-  def min(metric: String, groupBy: String): AggBuilder   = AggBuilder(this, AggKind.Min, metric, groupBy)
-  def max(metric: String, groupBy: String): AggBuilder   = AggBuilder(this, AggKind.Max, metric, groupBy)
-  def count(metric: String, groupBy: String): AggBuilder = AggBuilder(this, AggKind.Count, metric, groupBy)
+  def avg(metric: String, groupBy: String): AggBuilder   = AggBuilder(this, AggKind.Avg, Db.validated(metric), groupBy)
+  def sum(metric: String, groupBy: String): AggBuilder   = AggBuilder(this, AggKind.Sum, Db.validated(metric), groupBy)
+  def min(metric: String, groupBy: String): AggBuilder   = AggBuilder(this, AggKind.Min, Db.validated(metric), groupBy)
+  def max(metric: String, groupBy: String): AggBuilder   = AggBuilder(this, AggKind.Max, Db.validated(metric), groupBy)
+  def count(metric: String, groupBy: String): AggBuilder = AggBuilder(this, AggKind.Count, Db.validated(metric), groupBy)
 
-  def tagCol(key: String): Column = col(TagPrefix + key)
+  /** Tag-key → column. Missing keys become a typed NULL column so that
+    * Eq/Wildcard predicates coalesce to false and group-bys skip every
+    * row (reference empty-posting-list semantics), instead of throwing
+    * an unresolved-column AnalysisException.
+    */
+  def tagCol(key: String): Column =
+    if (frame.columns.contains(TagPrefix + key)) col(TagPrefix + key)
+    else lit(null).cast("string")
+
+  /** Tag columns present in the frame, sorted by key. */
+  private[tsdb] def tagColumns: Seq[String] =
+    frame.columns.filter(_.startsWith(TagPrefix)).sorted.toSeq
 
   /** Raw series scan: metric + filter DSL + optional bounds, no aggregation. */
   def scan(metric: String, filterExpr: String = "*",
            minTs: Option[Long] = None, maxTs: Option[Long] = None): DataFrame = {
-    var df = frame.where(col("metric") === lit(metric))
+    var df = frame.where(col("metric") === lit(Db.validated(metric)))
     minTs.foreach(t => df = df.where(col("ts") >= lit(t)))
     maxTs.foreach(t => df = df.where(col("ts") <= lit(t)))
     df.where(FilterParser.compileString(filterExpr, tagCol))
@@ -53,18 +75,51 @@ final class Db(val frame: DataFrame) {
   def latest(metric: String, n: Int, filterExpr: String = "*"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = scan(metric, filterExpr)
-    val tagCols = base.columns.filter(_.startsWith(TagPrefix)).sorted.map(col(_))
-    val w = Window.partitionBy(tagCols.toSeq: _*).orderBy(col("ts").desc, col("value").desc)
+    val w = Window.partitionBy(tagColumns.map(col): _*).orderBy(col("ts").desc, col("value").desc)
     base.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
+  }
+
+  // ------------------------------------------------------- introspection
+  // The reference enumerates a metric's tag keys/values and series via
+  // its TagIndex/TagSets partitions (talna `src/tag_index.rs`,
+  // `src/tag_sets.rs`). In Spark these are distinct scans — cheap,
+  // pushdown-pruned by the metric predicate.
+
+  /** Distinct metric names in the database. */
+  def metrics: DataFrame = frame.select(col("metric")).distinct()
+
+  /** Distinct series (metric × full tagset) of a metric. */
+  def series(metric: String): DataFrame =
+    frame.where(col("metric") === lit(Db.validated(metric)))
+      .select((col("metric") +: tagColumns.map(col)): _*)
+      .distinct()
+
+  /** Tag keys that occur (non-null) on at least one point of a metric. */
+  def tagKeys(metric: String): Seq[String] = {
+    val tags = tagColumns
+    if (tags.isEmpty) return Seq.empty
+    import org.apache.spark.sql.functions.{count => cnt}
+    val cnts = frame.where(col("metric") === lit(Db.validated(metric)))
+      .agg(cnt(col(tags.head)).as(tags.head),
+        tags.tail.map(t => cnt(col(t)).as(t)): _*)
+      .collect()(0)
+    tags.filter(t => cnts.getAs[Long](t) > 0).map(_.stripPrefix(TagPrefix))
   }
 }
 
 object Db {
   val TagPrefix = "tag_"
 
+  private[tsdb] def validated(metric: String): String = MetricName(metric).name
+
   /** Canonical series frame from the driver's `events` table:
     * metric = event_type, ts = ns epoch, value = value,
-    * tags = { user = user_id, k = props.k }.
+    * tags = { user = user_id } ∪ { k = props.k | k ∈ propsTags }.
+    *
+    * A props key absent from a row yields a NULL tag (not an empty
+    * string), so group-bys skip those points — parity with the
+    * reference, which drops series lacking the group tag
+    * (`src/agg/builder.rs:121`).
     */
   def fromEvents(spark: SparkSession, sfDir: String,
                  propsTags: Seq[String] = Seq("k")): Db = {
@@ -72,7 +127,8 @@ object Db {
     // ts arrives as int64 nanoseconds; truncate to µs precision so results
     // are comparable with engines whose TIMESTAMP is µs (e.g. DuckDB).
     val tagCols = propsTags.map(k =>
-      regexp_extract(col("props"), "\"" + k + "\":\\s*(\\d+)", 1).as(TagPrefix + k))
+      nullif(regexp_extract(col("props"), "\"" + k + "\":\\s*(\\d+)", 1), lit(""))
+        .as(TagPrefix + k))
     val df = spark.read.parquet(s"$sfDir/events.parquet")
       .select(Seq(
         col("event_type").as("metric"),
@@ -80,6 +136,23 @@ object Db {
         col("value"),
         col("user_id").cast("string").as(TagPrefix + "user")) ++ tagCols: _*)
     new Db(df)
+  }
+
+  /** [[fromEvents]] with props tag keys discovered from a driver-side
+    * sample of the `props` column — the open-tagset analog of the
+    * reference's TagSets (any written key becomes queryable without
+    * declaring it). Sampling is a bounded driver read; keys outside the
+    * sample resolve to NULL columns (empty-result semantics) rather
+    * than errors.
+    */
+  def fromEventsAuto(spark: SparkSession, sfDir: String, sampleRows: Int = 1024): Db = {
+    val KeyRe = "\"([A-Za-z0-9_-]+)\"\\s*:".r
+    val keys = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("props")).where(col("props").isNotNull).limit(sampleRows)
+      .collect()
+      .flatMap(r => KeyRe.findAllMatchIn(r.getString(0)).map(_.group(1)))
+      .distinct.sorted.toSeq
+    fromEvents(spark, sfDir, keys)
   }
 }
 
@@ -95,6 +168,12 @@ object Db {
   * Double aggregates are computed via exact DECIMAL sums then converted,
   * so results are bit-identical regardless of partitioning/merge order
   * (and identical to a DuckDB oracle running the same arithmetic).
+  *
+  * Relative bounds ([[startRelative]]/[[endRelative]]) mirror the
+  * reference's `start_relative`/`end_relative`
+  * (`src/agg/builder.rs:71-91`): resolved against the wall clock at
+  * builder-call time, `now - window`. The clock is injectable for
+  * deterministic tests via [[withClock]].
   */
 final case class AggBuilder(
     db: Db,
@@ -104,12 +183,19 @@ final case class AggBuilder(
     filterExpr: String = "*",
     minTs: Option[Long] = None,
     maxTs: Option[Long] = None,
-    widthNs: Long = Duration.minutes(1)) {
+    widthNs: Long = Duration.minutes(1),
+    clock: () => Long = Time.timestamp _) {
 
-  def filter(e: String): AggBuilder      = copy(filterExpr = e)
-  def start(ns: Long): AggBuilder        = copy(minTs = Some(ns))
-  def end(ns: Long): AggBuilder          = copy(maxTs = Some(ns))
-  def granularity(ns: Long): AggBuilder  = copy(widthNs = ns)
+  def filter(e: String): AggBuilder        = copy(filterExpr = e)
+  def start(ns: Long): AggBuilder          = copy(minTs = Some(ns))
+  def end(ns: Long): AggBuilder            = copy(maxTs = Some(ns))
+  /** Lower bound `now - window`, like the reference's `start_relative`. */
+  def startRelative(window: Long): AggBuilder = copy(minTs = Some(clock() - window))
+  /** Upper bound `now - window`, like the reference's `end_relative`. */
+  def endRelative(window: Long): AggBuilder   = copy(maxTs = Some(clock() - window))
+  def granularity(ns: Long): AggBuilder    = copy(widthNs = ns)
+  /** Inject a fixed clock (tests); production uses [[Time.timestamp]]. */
+  def withClock(c: () => Long): AggBuilder = copy(clock = c)
 
   def build(): DataFrame = {
     val grpCol = db.tagCol(groupBy)

@@ -31,6 +31,12 @@ object FilterParser {
   private case object LPar extends Tok
   private case object RPar extends Tok
 
+  // Reference lexer charset (talna src/query/lexer.rs:22-26):
+  //   Identifier: [a-zA-Z_-]+ ':' [a-zA-Z0-9_\-.]+
+  //   Wildcard:   [a-zA-Z_-]+ ':' [a-zA-Z0-9_\-.]* '*'   ('*' trailing only)
+  private val IdentRe    = "([a-zA-Z_-]+):([a-zA-Z0-9_.-]+)".r
+  private val WildcardRe = "([a-zA-Z_-]+):([a-zA-Z0-9_.-]*)\\*".r
+
   private def lex(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
     var i = 0
@@ -45,17 +51,13 @@ object FilterParser {
         while (i < s.length && !s.charAt(i).isWhitespace &&
                s.charAt(i) != '(' && s.charAt(i) != ')') i += 1
         s.substring(j0, i) match {
-          case "AND" => out += TAnd
-          case "OR"  => out += TOr
-          case word =>
-            val idx = word.indexOf(':')
-            require(idx > 0 && idx < word.length - 1, s"invalid filter term: '$word'")
-            val k = word.substring(0, idx)
-            val v = word.substring(idx + 1)
-            // reference lexer (talna src/query/lexer.rs) forbids ':' in values
-            require(!v.contains(':'), s"invalid filter term: '$word'")
-            if (v.endsWith("*")) out += Leaf(k, v.dropRight(1), wildcard = true)
-            else out += Leaf(k, v, wildcard = false)
+          case "AND"                => out += TAnd
+          case "OR"                 => out += TOr
+          case WildcardRe(k, v)     => out += Leaf(k, v, wildcard = true)
+          case IdentRe(k, v)        => out += Leaf(k, v, wildcard = false)
+          case word => throw new IllegalArgumentException(
+            s"invalid filter term: '$word' (expected key:value with key in " +
+              "[a-zA-Z_-], value in [a-zA-Z0-9_.-], optional trailing '*')")
         }
       }
     }
@@ -102,13 +104,19 @@ object FilterParser {
   }
 
   /** Compile the AST to a boolean Column. `tag` resolves a tag key to its
-    * column. Eq/Wildcard are null-safe (missing tag => false) so that NOT
-    * matches the reference's complement-over-all-series semantics.
+    * column. Eq/Wildcard are null-safe (missing tag => false, never NULL)
+    * so that NOT matches the reference's complement-over-all-series
+    * semantics — and they are written in pushdown-friendly forms:
+    * `<=>` translates to a parquet EqualNullSafe predicate and
+    * `isNotNull && startsWith` to IsNotNull + StringStartsWith, so tag
+    * filters prune row groups at the scan instead of filtering
+    * post-read (a `coalesce(..., false)` wrapper would be semantically
+    * identical but blocks predicate pushdown entirely).
     */
   def compile(node: FilterNode, tag: String => Column): Column = node match {
     case FilterNode.AllStar        => lit(true)
-    case FilterNode.Eq(k, v)       => coalesce(tag(k) === lit(v), lit(false))
-    case FilterNode.Wildcard(k, v) => coalesce(tag(k).startsWith(v), lit(false))
+    case FilterNode.Eq(k, v)       => tag(k) <=> lit(v)
+    case FilterNode.Wildcard(k, v) => tag(k).isNotNull && tag(k).startsWith(v)
     case FilterNode.And(cs)        => cs.map(compile(_, tag)).reduce(_ && _)
     case FilterNode.Or(cs)         => cs.map(compile(_, tag)).reduce(_ || _)
     case FilterNode.Not(c)         => !compile(c, tag)

@@ -15,8 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
+  /** Distributed metric-name validation: the reference rejects invalid
+    * names at the write boundary (`src/db.rs:319` via
+    * `MetricName::try_from`, `src/metric_name.rs:15-25`). Wrapping the
+    * column in a `raise_error` guard fails the write job on the first
+    * invalid value without a separate validation pass.
+    */
+  private def validatedMetric: org.apache.spark.sql.Column =
+    when(col("metric").rlike("^[a-z_.]+$"), col("metric"))
+      .otherwise(raise_error(concat(
+        lit("invalid metric name: '"), col("metric"), lit("' (allowed: a-z _ .)"))))
+
   def write(db: Db, path: String, filesPerMetric: Int = 4): Unit =
     db.frame
+      .withColumn("metric", validatedMetric)
       .repartition(filesPerMetric, col("metric"),
         expr(s"ts div ${Duration.days(7)}L"))
       .sortWithinPartitions(col("metric"), col("ts"))
@@ -29,6 +41,7 @@ object Ingest {
     */
   def append(db: Db, path: String, filesPerMetric: Int = 4): Unit =
     db.frame
+      .withColumn("metric", validatedMetric)
       .repartition(filesPerMetric, col("metric"),
         expr(s"ts div ${Duration.days(7)}L"))
       .sortWithinPartitions(col("metric"), col("ts"))
@@ -40,4 +53,23 @@ object Ingest {
   def open(spark: SparkSession, path: String): Db =
     new Db(spark.read.parquet(path)
       .withColumn("metric", col("metric").cast("string")))
+
+  /** Write-once cached graft layout for a source events dir: the first
+    * call materializes `Db.fromEvents` through [[write]]; later calls
+    * reuse it. Lets queries exercise the real on-disk layout (metric
+    * partition dirs + materialized tag columns ⇒ partition pruning and
+    * parquet tag pushdown) without rewriting per run.
+    */
+  /** Bump when the canonical frame layout changes (e.g. tag semantics),
+    * so cached layouts from older code are never silently reused.
+    */
+  private val LayoutVersion = 2
+
+  def ensureLayout(spark: SparkSession, sfDir: String,
+                   base: String = "/root/repo/out"): String = {
+    val path = s"$base/graft_layout_v${LayoutVersion}_${Integer.toHexString(sfDir.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      write(Db.fromEvents(spark, sfDir), path)
+    path
+  }
 }

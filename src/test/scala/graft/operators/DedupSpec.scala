@@ -44,4 +44,23 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.embeddingCosine(spark, sfDir, threshold = 0.2).collect()
     assert(out.forall(r => r.getAs[Double]("cos") >= 0.2))
   }
+
+  test("embedding LSH dedup recalls the label-blocked truth with equal cosines") {
+    // truth = exhaustive within-label pairs; the LSH variant is global
+    // (may legitimately find cross-label pairs on top), so assert
+    // recall >= 0.9 of the truth set and cosine equality on the overlap.
+    // With 2 planes x 12 bands, P(candidate | cos=t) =
+    // 1 - (1 - (1 - acos(t)/pi)^2)^12 > 0.99 for t >= 0.2.
+    val t = 0.2
+    val truth = Dedup.embeddingCosine(spark, sfDir, threshold = t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingCosineLsh(spark, sfDir, threshold = t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(truth.nonEmpty)
+    val hit = truth.keySet.intersect(lsh.keySet)
+    assert(hit.size >= math.ceil(truth.size * 0.9).toInt,
+      s"recall ${hit.size}/${truth.size}; missed ${truth.keySet.diff(lsh.keySet)}")
+    hit.foreach(k => assert(truth(k) == lsh(k), s"cos mismatch on $k"))
+    assert(lsh.values.forall(_ >= t))
+  }
 }

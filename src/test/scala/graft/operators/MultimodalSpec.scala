@@ -12,11 +12,53 @@ class MultimodalSpec extends SparkSpec {
     assert(blobs.count() == n)
   }
 
-  test("extractMeta is deterministic and typed") {
+  test("header parser reads real PNG IHDR dimensions") {
+    val bytes = Multimodal.Synth.png(640, 480, "pixels".getBytes)
+    val m = Multimodal.HeaderParser.parse(bytes)
+    assert(m.mime == "image/png")
+    assert(m.width.contains(640) && m.height.contains(480))
+    assert(m.sampleRate.isEmpty && m.channels.isEmpty)
+  }
+
+  test("header parser walks RIFF chunks to the WAV fmt block") {
+    val bytes = Multimodal.Synth.wav(44100, 2, "samples".getBytes)
+    val m = Multimodal.HeaderParser.parse(bytes)
+    assert(m.mime == "audio/wav")
+    assert(m.sampleRate.contains(44100) && m.channels.contains(2))
+    assert(m.width.isEmpty && m.height.isEmpty)
+  }
+
+  test("header parser falls back to octet-stream on unknown bytes") {
+    val m = Multimodal.HeaderParser.parse("just some text".getBytes)
+    assert(m.mime == "application/octet-stream")
+    assert(m.width.isEmpty && m.sampleRate.isEmpty)
+    // a truncated PNG signature is not a PNG
+    val m2 = Multimodal.HeaderParser.parse(Array[Byte](0x89.toByte, 'P', 'N'))
+    assert(m2.mime == "application/octet-stream")
+  }
+
+  test("extractMeta is deterministic, typed, and header-consistent") {
     val a = Multimodal.extractMeta(spark, sfDir).orderBy("doc_id").collect()
     val b = Multimodal.extractMeta(spark, sfDir).orderBy("doc_id").collect()
     assert(a.sameElements(b))
-    assert(a.forall(r => Set("image/png", "audio/wav", "video/mp4")(r.getAs[String]("mime"))))
     assert(a.forall(r => r.getAs[Long]("n_bytes") > 0))
+    val mimes = Set("image/png", "audio/wav", "application/octet-stream")
+    assert(a.forall(r => mimes(r.getAs[String]("mime"))))
+    assert(a.exists(_.getAs[String]("mime") == "image/png"))
+    assert(a.exists(_.getAs[String]("mime") == "audio/wav"))
+    a.foreach { r =>
+      r.getAs[String]("mime") match {
+        case "image/png" =>
+          assert(r.getAs[Integer]("width") >= 16 && r.getAs[Integer]("height") >= 16)
+          assert(r.isNullAt(r.fieldIndex("sample_rate")))
+        case "audio/wav" =>
+          assert(r.getAs[Integer]("sample_rate") >= 8000)
+          val ch = r.getAs[Integer]("channels")
+          assert(ch == 1 || ch == 2)
+          assert(r.isNullAt(r.fieldIndex("width")))
+        case _ =>
+          assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("sample_rate")))
+      }
+    }
   }
 }

@@ -43,6 +43,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans ivf: recall@k vs brute force, cosines exact") {
+    val k = 5
+    val ivf = Similarity.ivfKmeansTopK(spark, sfDir, numQueries = 5, k = k)
+    val bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = k)
+    val ivfRows = ivf.select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bfRows = bf.select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivfRows.nonEmpty)
+    // candidate cosines must be exact (same kernel as brute force)
+    val exhaustive = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 500)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfRows.foreach { case (k2, c) => assert(exhaustive.get(k2).contains(c)) }
+    // recall@k: trained centroids must find most true neighbors
+    val hit = bfRows.keySet.intersect(ivfRows.keySet)
+    assert(hit.size >= math.ceil(bfRows.size * 0.6).toInt,
+      s"recall@$k = ${hit.size}/${bfRows.size}")
+  }
+
+  test("kmeans centroids: deterministic shape, one row per surviving list") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.expressions.GraftFunctions.register(spark)
+    val v = e.select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val cent = Similarity.kmeansCentroids(v, nlist = 8, iters = 2).collect()
+    assert(cent.nonEmpty && cent.length <= 8)
+    assert(cent.map(_.getInt(0)).distinct.length == cent.length)
+  }
+
   test("brute-force plan broadcasts the query side") {
     val plan = Similarity.bruteForceTopK(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"))

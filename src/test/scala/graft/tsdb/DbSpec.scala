@@ -57,6 +57,59 @@ class DbSpec extends SparkSpec {
     assert(maxPer <= 3)
   }
 
+  test("relative bounds resolve against the injected clock (start/end_relative parity)") {
+    val now = 1705708800000000000L // fixed "wall clock": 2024-01-20
+    val window = Duration.days(10)
+    val rel = db.sum("purchase", "user").withClock(() => now)
+      .startRelative(window).granularity(Duration.days(1)).build()
+      .orderBy("grp", "bucket_start").collect()
+    val abs = db.sum("purchase", "user").start(now - window)
+      .granularity(Duration.days(1)).build()
+      .orderBy("grp", "bucket_start").collect()
+    assert(rel.nonEmpty && rel.sameElements(abs))
+    val relEnd = db.sum("purchase", "user").withClock(() => now)
+      .endRelative(window).granularity(Duration.days(1)).build().collect()
+    val absEnd = db.sum("purchase", "user").end(now - window)
+      .granularity(Duration.days(1)).build().collect()
+    assert(relEnd.map(_.toString).sorted.sameElements(absEnd.map(_.toString).sorted))
+  }
+
+  test("metric names are validated at the query boundary") {
+    assertThrows[IllegalArgumentException](db.avg("CPU total", "user"))
+    assertThrows[IllegalArgumentException](db.scan("bad-metric!"))
+    assertThrows[IllegalArgumentException](db.latest("UPPER", 1))
+    // valid but absent metric: empty result, not an error
+    assert(db.avg("cpu.total_x", "user").build().count() == 0)
+  }
+
+  test("unknown tag keys: filters match nothing, group-by returns empty (no AnalysisException)") {
+    assert(db.scan("purchase", "nosuchtag:x").count() == 0)
+    assert(db.scan("purchase", "nosuchtag:x*").count() == 0)
+    // NOT over an unknown tag matches everything (complement of empty)
+    assert(db.scan("purchase", "!nosuchtag:x").count() == db.scan("purchase").count())
+    assert(db.avg("purchase", "nosuchtag").granularity(Duration.days(1)).build().count() == 0)
+  }
+
+  test("introspection: metrics, series, tagKeys") {
+    val ms = db.metrics.collect().map(_.getString(0)).sorted
+    assert(ms.contains("purchase") && ms.length >= 2)
+    val series = db.series("purchase")
+    assert(series.columns.toSeq == Seq("metric", "tag_k", "tag_user"))
+    val n = series.count()
+    assert(n > 0 && n <= db.scan("purchase").count())
+    assert(db.tagKeys("purchase").toSet == Set("user", "k"))
+    // a declared-but-never-present tag is not reported
+    val db3 = Db.fromEvents(spark, sfDir, propsTags = Seq("k", "zz"))
+    assert(db3.tagKeys("purchase").toSet == Set("user", "k"))
+  }
+
+  test("fromEventsAuto discovers props keys from data") {
+    val auto = Db.fromEventsAuto(spark, sfDir)
+    assert(auto.frame.columns.contains("tag_k"))
+    assert(auto.scan("purchase", "k:1*").count() ==
+      db.scan("purchase", "k:1*").count())
+  }
+
   test("range bounds are inclusive") {
     val lo = 1704844800000000000L // 2024-01-10
     val hi = 1705708800000000000L // 2024-01-20

@@ -34,4 +34,48 @@ class FilterParserSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](FilterParser.parse("a:1 AND (b:2"))
     assertThrows[IllegalArgumentException](FilterParser.parse("a:b:c")) // lexer.rs: no ':' in values
   }
+
+  test("charset parity: accepts exactly the reference lexer grammar") {
+    // reference (talna src/query/lexer.rs:22-26):
+    //   Identifier [a-zA-Z_-]+:[a-zA-Z0-9_\-.]+
+    //   Wildcard   [a-zA-Z_-]+:[a-zA-Z0-9_\-.]*\*
+    assert(FilterParser.parse("A-b_:x.y-Z_1") == Eq("A-b_", "x.y-Z_1"))
+    assert(FilterParser.parse("env:123") == Eq("env", "123"))
+    assert(FilterParser.parse("k:*") == Wildcard("k", ""))
+    assert(FilterParser.parse("service:db-*") == Wildcard("service", "db-"))
+    val rejected = Seq(
+      "a:b*c",      // '*' only as trailing wildcard
+      "a:b**",      // double star
+      "1a:b",       // digit in key
+      "a1:b",       // digit in key
+      "a$:b",       // symbol in key
+      "env:pro$d",  // symbol in value
+      "a:b c:",     // empty value without star
+      "k:",         // empty value
+      "a.b:c",      // '.' not allowed in keys (values only)
+      "a:b/c",      // '/' not allowed
+    )
+    rejected.foreach { s =>
+      assertThrows[IllegalArgumentException](FilterParser.parse(s))
+    }
+  }
+
+  test("charset parity property: every generated valid term parses, mutated ones fail") {
+    val keyChars = "azAZ_-".toSeq
+    val valChars = "azAZ09_-.".toSeq
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val k = Seq.fill(1 + rnd.nextInt(6))(keyChars(rnd.nextInt(keyChars.length))).mkString
+      val v = Seq.fill(1 + rnd.nextInt(8))(valChars(rnd.nextInt(valChars.length))).mkString
+      val star = rnd.nextBoolean()
+      val term = s"$k:$v" + (if (star) "*" else "")
+      val parsed = FilterParser.parse(term)
+      if (star) assert(parsed == Wildcard(k, v)) else assert(parsed == Eq(k, v))
+      // inject one character the reference grammar forbids in either part
+      val badKey = k.updated(rnd.nextInt(k.length), '$')
+      assertThrows[IllegalArgumentException](FilterParser.parse(s"$badKey:$v"))
+      val badVal = v.updated(rnd.nextInt(v.length), '!')
+      assertThrows[IllegalArgumentException](FilterParser.parse(s"$k:$badVal" + (if (star) "*" else "")))
+    }
+  }
 }

@@ -33,10 +33,48 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.open(spark, tmp).frame.count() == 2 * n)
   }
 
-  test("fromEvents with extra props tags yields empty-string tags for absent keys") {
+  test("fromEvents with extra props tags yields NULL tags for absent keys") {
+    // reference parity: a series lacking the tag is skipped by group-bys
+    // (agg/builder.rs:121), so absent keys must be NULL, not ''
     val db = Db.fromEvents(spark, sfDir, propsTags = Seq("k", "zz"))
     assert(db.frame.columns.contains("tag_zz"))
     assert(db.scan("purchase", "zz:x*").count() == 0)
-    assert(db.frame.where(col("tag_zz") === "").count() == db.frame.count())
+    assert(db.frame.where(col("tag_zz").isNull).count() == db.frame.count())
+    assert(db.avg("purchase", "zz").granularity(Duration.days(1)).build().count() == 0)
+  }
+
+  test("write rejects invalid metric names at the boundary") {
+    val db = Db.fromEvents(spark, sfDir)
+    val bad = new Db(db.frame.withColumn("metric",
+      concat(upper(col("metric")), lit(" X"))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badmetric").toString
+    val e = intercept[Exception](Ingest.write(bad, tmp))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("invalid metric name")), e.toString)
+  }
+
+  test("tag predicates push down to the parquet scan over the ingest layout") {
+    val layout = Ingest.ensureLayout(spark, sfDir,
+      base = java.nio.file.Files.createTempDirectory("graft_layout").toString)
+    val db = Ingest.open(spark, layout)
+    val plan = db.scan("purchase", "user:123 AND k:1*")
+      .queryExecution.executedPlan.toString
+    // metric → directory-level partition pruning
+    assert(plan.contains("PartitionFilters") && plan.contains("metric"), plan)
+    // tag eq → EqualNullSafe, tag wildcard → IsNotNull + StartsWith, all
+    // inside PushedFilters (the inverted-index analog: row groups whose
+    // dictionary/min-max can't match are never read)
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("EqualNullSafe(tag_user,123)"), plan)
+    assert(pushed.contains("IsNotNull(tag_k)"), plan)
+    assert(pushed.contains("StringStartsWith(tag_k,1)"), plan)
+    // and the layout round-trips the same result as the source frame
+    val a = Db.fromEvents(spark, sfDir).scan("purchase", "user:123 AND k:1*")
+      .orderBy("ts", "value").collect()
+    val b = db.scan("purchase", "user:123 AND k:1*")
+      .select("metric", "ts", "value", "tag_user", "tag_k")
+      .orderBy("ts", "value").collect()
+    assert(a.sameElements(b))
   }
 }
