@@ -79,6 +79,7 @@ object SparkEntry {
     // ---- Similarity search (embeddings) ----
     "ann_bruteforce" -> ((s, d) => graft.operators.Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => graft.operators.Similarity.lshTopK(s, d)),
+    "ann_lsh_multiprobe" -> ((s, d) => graft.operators.Similarity.lshMultiProbeTopK(s, d)),
     "ann_ivf" -> ((s, d) => graft.operators.Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => graft.operators.Similarity.ivfKmeansTopK(s, d)),
 

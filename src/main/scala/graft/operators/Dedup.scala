@@ -72,10 +72,27 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String,
                  numHashes: Int = 32, bands: Int = 16,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, salt: Int = 1): DataFrame =
+    minhashLshFrame(parallelize(docs(spark, dir)), numHashes, bands, threshold, salt)
+
+  /** [[minhashLsh]] over an arbitrary (doc_id, text) frame.
+    *
+    * `salt > 1` spreads each band bucket over `salt` sub-keys: the left
+    * side keeps one deterministic salt per doc, the right side is
+    * replicated to all salts, so every candidate pair still meets
+    * exactly once and the result is identical — but a pathological
+    * duplicate cluster's O(c²) pairs land on `salt`× more reducers
+    * instead of one straggler task. (AQE's skew-join split does this
+    * adaptively; the salt is the explicit, planner-independent form.)
+    */
+  def minhashLshFrame(docsDf: DataFrame,
+                      numHashes: Int = 32, bands: Int = 16,
+                      threshold: Double = 0.5, salt: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(salt >= 1, "salt must be >= 1")
+    GraftFunctions.register(docsDf.sparkSession)
     val rowsPerBand = numHashes / bands
-    val base = parallelize(docs(spark, dir))
+    val base = docsDf
       .select(col("doc_id"), wordShingles.as("shingles"))
       .withColumn("sig", call_function("graft_minhash_sig", col("shingles"), lit(numHashes)))
     val banded = base.select(
@@ -83,10 +100,19 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> hash(slice(sig, j*$rowsPerBand + 1, $rowsPerBand)))"))
         .as(Seq("band", "band_hash")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val cand = (if (salt <= 1) {
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+    } else {
+      val a = banded.withColumn("salt", pmod(hash(col("doc_id")), lit(salt)))
+      val b = banded.withColumn("salt", explode(expr(s"sequence(0, ${salt - 1})")))
+      a.as("a")
+        .join(b.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
+    })
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sh = base.select(col("doc_id"), col("shingles"))

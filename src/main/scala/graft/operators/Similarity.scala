@@ -216,4 +216,35 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), cosAB.as("cos"))
     topKPerQuery(scored, k)
   }
+
+  /** Multi-probe LSH ANN: each query probes its own bucket *and* every
+    * bucket at Hamming distance 1 from its signature (the planes most
+    * likely to have flipped for a true near neighbor). Recall rises
+    * steeply — probing `planes+1` of `2^planes` buckets — while the
+    * corpus side still holds ONE bucket id per vector: the probe
+    * expansion is on the (tiny, broadcast) query side only, so the
+    * join stays an equi-join on the bucket key and the corpus is never
+    * re-bucketed or replicated. This is the classic trade: multi-probe
+    * buys recall with query-side work instead of index-side memory.
+    */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String,
+                        numQueries: Int = 5, k: Int = 5,
+                        planes: Int = 6): DataFrame = {
+    val e = vecs(spark, dir)
+      .withColumn("bucket", call_function("graft_lsh_bucket", col("v"), lit(planes)))
+    val q = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
+      // own bucket + the `planes` single-bit flips of the signature
+      .withColumn("probe", explode(expr(
+        s"array_union(array(bucket), transform(sequence(0, ${planes - 1}), j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))")))
+    // no distinct needed: a corpus vector has exactly one bucket and a
+    // query's probe set is duplicate-free, so each (q_id, vec_id) pair
+    // matches at most once
+    val scored = e.as("e")
+      .join(broadcast(q.as("q")), col("e.bucket") === col("q.probe") &&
+        col("e.vec_id") =!= col("q.q_id"))
+      .select(col("q_id"), col("vec_id"), cosAB.as("cos"))
+    topKPerQuery(scored, k)
+  }
 }

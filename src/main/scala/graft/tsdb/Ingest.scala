@@ -60,6 +60,29 @@ object Ingest {
     * partition dirs + materialized tag columns ⇒ partition pruning and
     * parquet tag pushdown) without rewriting per run.
     */
+  /** Bucketed series layout: `bucketBy` on the series key (metric +
+    * primary tag) with in-bucket sort. Repeated series-keyed joins and
+    * aggregations between tables written this way are co-located —
+    * Catalyst plans them with NO shuffle exchange, the Spark analog of
+    * the reference keeping a series' points contiguous under one
+    * SeriesId. Requires `saveAsTable` (bucket metadata lives in the
+    * catalog); at 100 TB this is the layout for series-join-heavy
+    * workloads, while the plain [[write]] layout optimizes scan+filter.
+    */
+  def writeBucketed(db: Db, table: String, buckets: Int = 8,
+                    tagKey: String = "user"): Unit =
+    db.frame
+      .withColumn("metric", validatedMetric)
+      .write
+      .bucketBy(buckets, "metric", Db.TagPrefix + tagKey)
+      .sortBy("metric", Db.TagPrefix + tagKey, "ts")
+      .mode("overwrite").format("parquet")
+      .saveAsTable(table)
+
+  /** Reopen a bucketed table as a Db. */
+  def openTable(spark: SparkSession, table: String): Db =
+    new Db(spark.table(table))
+
   /** Bump when the canonical frame layout changes (e.g. tag semantics),
     * so cached layouts from older code are never silently reused.
     */

@@ -29,6 +29,27 @@ class DedupSpec extends SparkSpec {
     assert(truth.subsetOf(mh), s"missed: ${truth.diff(mh)}")
   }
 
+  test("salted minhash returns exactly the unsalted pairs, even with a planted skew cluster") {
+    // plant a pathological duplicate cluster: one doc replicated 30x —
+    // its band buckets would funnel O(c^2) pairs through single tasks
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seed = docs.orderBy("doc_id").limit(1).collect()(0)
+    import spark.implicits._
+    val clones = (1 to 30)
+      .map(i => (1000000L + i, seed.getString(1))).toDF("doc_id", "text")
+    val frame = docs.union(clones)
+    def pairs(salt: Int) =
+      Dedup.minhashLshFrame(frame, salt = salt)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsalted = pairs(1)
+    val salted = pairs(4)
+    // the clone cluster alone contributes C(30,2)+30 pairs
+    assert(unsalted.size > 400)
+    assert(salted == unsalted)
+  }
+
   test("simhash emits one 64-bit signature per doc") {
     val out = Dedup.simhash(spark, sfDir)
     assert(out.count() == spark.read.parquet(s"$sfDir/documents.parquet").count())

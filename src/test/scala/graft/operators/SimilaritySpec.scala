@@ -43,6 +43,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe lsh: superset of single-probe hits, exact cosines, better-or-equal recall") {
+    val k = 5
+    val single = Similarity.lshTopK(spark, sfDir, numQueries = 5, k = k)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val multi = Similarity.lshMultiProbeTopK(spark, sfDir, numQueries = 5, k = k)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = k)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(multi.nonEmpty)
+    // all cosines must agree with the exhaustive computation
+    val exhaustive = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 500)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    multi.foreach { case (k2, c) => assert(exhaustive.get(k2).contains(c)) }
+    // probing hamming-1 buckets can only add candidates per query, so
+    // recall vs brute-force top-k must be >= single-probe recall
+    val rSingle = bf.keySet.intersect(single.keySet).size
+    val rMulti = bf.keySet.intersect(multi.keySet).size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
+  }
+
   test("kmeans ivf: recall@k vs brute force, cosines exact") {
     val k = 5
     val ivf = Similarity.ivfKmeansTopK(spark, sfDir, numQueries = 5, k = k)

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tsdb.{Db, Ingest}
+import org.apache.spark.sql.functions._
+
+class StreamingIngestSpec extends SparkSpec {
+
+  test("streaming ingest produces a layout interchangeable with batch fromEvents") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sing").toString
+    // stage the event file into a landing-zone directory (the streaming
+    // file source watches a directory for arriving files)
+    val landing = java.nio.file.Paths.get(base, "landing")
+    java.nio.file.Files.createDirectories(landing)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "events.parquet"),
+      landing.resolve("events-000.parquet"))
+    StreamingIngest.ingestAvailable(spark, landing.toString, s"$base/layout", s"$base/ckpt")
+    val streamed = Ingest.open(spark, s"$base/layout")
+    val batch = Db.fromEvents(spark, sfDir)
+    assert(streamed.frame.count() == batch.frame.count())
+    // same canonical content: identical filtered aggregation results
+    val a = streamed.avg("purchase", "user").filter("k:1*")
+      .granularity(graft.tsdb.Duration.days(1)).build()
+      .orderBy("grp", "bucket_start").collect()
+    val b = batch.avg("purchase", "user").filter("k:1*")
+      .granularity(graft.tsdb.Duration.days(1)).build()
+      .orderBy("grp", "bucket_start").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    // absent props keys arrive as NULL through the streaming path too
+    val db2 = new Db(streamed.frame)
+    assert(db2.scan("purchase").where(col("tag_k").isNull).count() ==
+      batch.scan("purchase").where(col("tag_k").isNull).count())
+  }
+}

@@ -43,6 +43,36 @@ class IngestSpec extends SparkSpec {
     assert(db.avg("purchase", "zz").granularity(Duration.days(1)).build().count() == 0)
   }
 
+  test("bucketed layout: series-keyed self-join plans with no shuffle exchange") {
+    // a previous JVM's managed-table location survives on disk while the
+    // in-memory catalog starts empty — clear both before writing
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_spec")
+    val loc = java.nio.file.Paths.get("spark-warehouse", "graft_bucketed_spec")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    Ingest.writeBucketed(Db.fromEvents(spark, sfDir), "graft_bucketed_spec", buckets = 4)
+    val db = Ingest.openTable(spark, "graft_bucketed_spec")
+    val t1 = db.frame.as("x")
+    val t2 = db.frame.as("y")
+    // force sort-merge (broadcast would hide the co-location) and join
+    // on the bucket key: both sides read pre-bucketed files
+    val joined = t1.hint("merge").join(t2,
+      col("x.metric") === col("y.metric") && col("x.tag_user") === col("y.tag_user"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    // bucketed aggregation on the bucket key: also shuffle-free
+    val agg = db.frame.groupBy("metric", "tag_user").agg(avg("value"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange hashpartitioning"), aggPlan)
+    // and the data round-trips
+    assert(db.frame.count() == Db.fromEvents(spark, sfDir).frame.count())
+  }
+
   test("write rejects invalid metric names at the boundary") {
     val db = Db.fromEvents(spark, sfDir)
     val bad = new Db(db.frame.withColumn("metric",
