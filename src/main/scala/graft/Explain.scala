@@ -30,6 +30,7 @@ object Explain {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name: cold=${once()}%.3f warm=${once()}%.3f warm=${once()}%.3f s")
+      System.gc() // release broadcast/shuffle debris before the next query
     }
     spark.stop()
   }
