@@ -44,6 +44,8 @@ object SparkEntry {
     "ts_raw" -> ((s, d) => Db.fromEvents(s, d).scan("error", "user:1*")),
     "ts_multi_tag_group" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "k").granularity(Week).build()),
+    "ts_bounds_avg" -> ((s, d) =>
+      Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildWithBounds()),
     "ts_meta_metrics" -> ((s, d) => Db.fromEvents(s, d).metrics),
     "ts_meta_series" -> ((s, d) => Db.fromEvents(s, d).series("purchase")),
     // full round-trip through the graft on-disk layout: write once
@@ -145,6 +147,15 @@ object SparkEntry {
          |SELECT metric, ts, value, tag_user, tag_k
          |FROM ev WHERE metric = 'error' AND tag_user LIKE '1%'""".stripMargin,
     "ts_multi_tag_group" -> tsAgg("purchase", "k", AvgV, width = Week),
+    "ts_bounds_avg" ->
+      s"""$Ev
+         |SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |       ${bucket(Day)} + ${Day} AS bucket_end,
+         |       ${bucket(Day)} + ${Day / 2} AS bucket_middle,
+         |       COUNT(*) AS n, $AvgV
+         |FROM ev
+         |WHERE metric = 'purchase' AND tag_user IS NOT NULL
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
     "ts_meta_metrics" -> "SELECT DISTINCT event_type AS metric FROM events",
     "ts_meta_series" ->
       s"""$Ev

@@ -213,4 +213,18 @@ final case class AggBuilder(
     }).as("value")
     base.groupBy(grpCol.as("grp"), bucketStart).agg(n, valueCol)
   }
+
+  /** Like [[build]], also emitting the bucket's upper bound and middle
+    * timestamp — the reference `Bucket` carries `start`, `end`, `len`,
+    * `value` and computes `middle()` (talna `src/agg/mod.rs:20-46`).
+    * Under epoch-aligned tumbling buckets, `end = start + width` and
+    * `middle = start + width/2` (the reference's
+    * `start + (end-start)/2`).
+    */
+  def buildWithBounds(): DataFrame =
+    build()
+      .withColumn("bucket_end", col("bucket_start") + lit(widthNs))
+      .withColumn("bucket_middle", col("bucket_start") + lit(widthNs / 2))
+      .select(col("grp"), col("bucket_start"), col("bucket_end"),
+        col("bucket_middle"), col("n"), col("value"))
 }

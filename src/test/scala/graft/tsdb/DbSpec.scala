@@ -37,6 +37,18 @@ class DbSpec extends SparkSpec {
     assert(math.abs(manual - r.getAs[Double]("value")) < 1e-4)
   }
 
+  test("buildWithBounds emits bucket end and middle (reference Bucket parity)") {
+    val w = Duration.days(1)
+    val out = db.avg("purchase", "user").granularity(w).buildWithBounds().collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val s = r.getAs[Long]("bucket_start")
+      assert(r.getAs[Long]("bucket_end") == s + w)
+      // reference middle(): start + (end - start)/2
+      assert(r.getAs[Long]("bucket_middle") == s + w / 2)
+    }
+  }
+
   test("filter DSL restricts rows and NOT complements") {
     val all = db.scan("error").count()
     val not1 = db.scan("error", "!user:1*").count()
