@@ -22,4 +22,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(expr.isInstanceOf[graft.expressions.DotProduct])
     assert(expr.eval(null) == 11.0)
   }
+
+  test("GraftExtensions injects every registered graft function") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val registry = GraftExtensionsBridge.applyTo(
+      ext, FunctionRegistry.builtin.clone())
+    graft.expressions.GraftFunctions.all.foreach { case (id, _, _) =>
+      assert(registry.functionExists(id), s"missing injected function: $id")
+    }
+  }
 }
