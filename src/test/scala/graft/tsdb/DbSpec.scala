@@ -122,6 +122,30 @@ class DbSpec extends SparkSpec {
       db.scan("purchase", "k:1*").count())
   }
 
+  test("concurrent queries on a shared session return identical results") {
+    // the reference is an embedded DB queried from many threads; the
+    // Spark re-expression must serve a shared session the same way
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val expected = db.avg("purchase", "user").granularity(Duration.days(1))
+      .build().collect().map(_.toString).sorted.toSeq
+    val futs = (1 to 8).map { i =>
+      Future {
+        if (i % 2 == 0)
+          db.avg("purchase", "user").granularity(Duration.days(1))
+            .build().collect().map(_.toString).sorted.toSeq
+        else {
+          graft.operators.Dedup.exact(spark, sfDir).count() // interleave other work
+          db.avg("purchase", "user").granularity(Duration.days(1))
+            .build().collect().map(_.toString).sorted.toSeq
+        }
+      }
+    }
+    // generous bound: the wall-clock here depends on host load, not us
+    val all = Await.result(Future.sequence(futs), scala.concurrent.duration.Duration(600, "s"))
+    all.foreach(a => assert(a == expected))
+  }
+
   test("range bounds are inclusive") {
     val lo = 1704844800000000000L // 2024-01-10
     val hi = 1705708800000000000L // 2024-01-20
