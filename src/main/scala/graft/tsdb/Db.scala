@@ -110,6 +110,14 @@ final class Db(val frame: DataFrame) {
 object Db {
   val TagPrefix = "tag_"
 
+  /** Open a graft on-disk layout (written by [[Ingest.write]]) — the
+    * analog of `Database::builder().open(path)` (talna
+    * `src/db_builder.rs`): the storage-engine knobs (LSM cache sizes,
+    * keyspaces) have no Spark counterpart, so opening is just binding
+    * the layout path.
+    */
+  def open(spark: SparkSession, path: String): Db = Ingest.open(spark, path)
+
   private[tsdb] def validated(metric: String): String = MetricName(metric).name
 
   /** Canonical series frame from the driver's `events` table:

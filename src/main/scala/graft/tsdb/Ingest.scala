@@ -37,7 +37,9 @@ object Ingest {
   /** Append a batch to an existing layout — the Spark re-expression of
     * the reference's `Database::write` ingestion path (talna
     * `src/db.rs:319`): micro-batched appends instead of per-point LSM
-    * inserts.
+    * inserts. `write_at` (explicit timestamp, `src/db.rs:324`) needs no
+    * separate API: every row of the canonical frame carries its own
+    * `ts`, so all graft writes are explicit-timestamp writes.
     */
   def append(db: Db, path: String, filesPerMetric: Int = 4): Unit =
     db.frame

@@ -24,6 +24,13 @@ class IngestSpec extends SparkSpec {
       s"metric filter not pushed to partitions:\n$plan")
   }
 
+  test("Db.open binds a written layout (builder().open() parity)") {
+    val layout = Ingest.ensureLayout(spark, sfDir,
+      base = java.nio.file.Files.createTempDirectory("graft_open").toString)
+    val db = Db.open(spark, layout)
+    assert(db.frame.count() == Db.fromEvents(spark, sfDir).frame.count())
+  }
+
   test("append adds a second batch to the layout") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_append").toString
     val db = Db.fromEvents(spark, sfDir)
