@@ -85,6 +85,10 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => graft.operators.Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => graft.operators.Similarity.ivfKmeansTopK(s, d)),
 
+    // ---- Deterministic sampling / splits ----
+    "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
+    "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
+
     // ---- Multimodal plumbing ----
     "mm_meta" -> ((s, d) => graft.operators.Multimodal.extractMeta(s, d)),
   )
@@ -298,6 +302,21 @@ object SparkEntry {
         |         * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 6) AS cos
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.35""".stripMargin,
+
+    // ---- Deterministic sampling / splits ----
+    "sample_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "sample_stratified" ->
+      """SELECT vec_id, label, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT vec_id, label, row_number() OVER (
+        |    PARTITION BY label
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+        |  FROM embeddings)
+        |WHERE rnk <= 10""".stripMargin,
 
     // ---- Similarity search ----
     "ann_bruteforce" ->

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training-data
+  * pipelines.
+  *
+  * Everything here is *hash-based, not RNG-based*: a row's assignment
+  * depends only on its stable key, so splits are reproducible across
+  * reruns, engines, partitionings, and data arrival order — the
+  * property a 100 TB pipeline needs for train/val/test hygiene
+  * (re-ingesting a shard never shuffles rows between splits, and two
+  * independent jobs agree on the split without coordination).
+  *
+  * The hash is md5 of the key rendered as a string; buckets are the
+  * first two hex chars (256 buckets) compared lexicographically, which
+  * every SQL engine evaluates identically — no engine-specific hash
+  * function in the contract.
+  */
+object Sampling {
+
+  /** 256-bucket content-stable hash bucket of a key column: the first
+    * two hex chars of md5(key as string).
+    */
+  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 2)
+
+  private def hexThreshold(pct: Double): String = {
+    val n = math.round(pct * 256).toInt.max(0).min(256)
+    f"$n%02x" // buckets "00".."ff" < threshold ⇔ bucket index < n
+  }
+
+  /** Train/val/test assignment by stable key hash: `trainPct` of the
+    * 256 buckets go to `train`, the next `valPct` to `val`, the rest to
+    * `test`. Single scan, no shuffle, no state.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+                  trainPct: Double = 0.8, valPct: Double = 0.1): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 1.0,
+      "trainPct + valPct must be <= 1")
+    val b = hashBucket(key)
+    when(b < lit(hexThreshold(trainPct)), "train")
+      .when(b < lit(hexThreshold(trainPct + valPct)), "val")
+      .otherwise("test")
+  }
+
+  /** Deterministic fraction sample: keep rows whose hash bucket falls
+    * under `fraction` of the 256 buckets. The realized rate converges to
+    * `round(fraction*256)/256` — quantized, but stable under re-runs
+    * and appends (a row's membership never changes).
+    */
+  def sampleFraction(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.where(hashBucket(key) < lit(hexThreshold(fraction)))
+
+  /** documents → (doc_id, split) assignment. */
+  def docSplit(spark: SparkSession, dir: String,
+               trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id"),
+      assignSplit(docs, col("doc_id"), trainPct, valPct).as("split"))
+  }
+
+  /** Stratified deterministic top-`perLabel` sample of `embeddings` per
+    * label: rows ranked inside each label by (hash, id) — a content-
+    * stable shuffle — and the first `perLabel` kept. One shuffle on the
+    * stratum key; at 100 TB the stratum is the natural partition.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       perLabel: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val w = Window.partitionBy(col("label"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    e.select(col("vec_id"), col("label"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= perLabel)
+  }
+}
