@@ -147,6 +147,29 @@ object GraftFunctions {
             s"graft_lsh_bands: rowsPerBand/bands must be int literals, got $other")
         }
       }),
+    (FunctionIdentifier("graft_cent_cos"),
+      new ExpressionInfo(classOf[CentroidCosines].getName, "graft_cent_cos"),
+      (cs: Seq[Expression]) => {
+        arity("graft_cent_cos", 4, cs)
+        // the packed centroid matrix is index state, not data: extract the
+        // literal once at build time so the hot loop reads a primitive
+        // double[] and the plan tree doesn't carry the array literal
+        val centsOk = cs(1).foldable && (cs(1).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        })
+        if (!centsOk) throw new IllegalArgumentException(
+          s"graft_cent_cos: cents must be a foldable array<double>, got ${cs(1)}")
+        val cents = cs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        (cs(2), cs(3)) match {
+          case (IntLit(dim), r) if r.foldable && r.dataType == BooleanType =>
+            CentroidCosines(cs.head, cents, dim,
+              r.eval(null).asInstanceOf[Boolean])
+          case other => throw new IllegalArgumentException(
+            s"graft_cent_cos: dim/rounded must be int/boolean literals, got $other")
+        }
+      }),
   )
 
   /** Idempotent session registration (SQL + DataFrame `expr`). */

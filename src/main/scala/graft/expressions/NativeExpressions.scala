@@ -26,10 +26,17 @@ private[expressions] trait KernelCall { self: UnaryExpression =>
 
 /** MinHash signature (`array<long>` of length `numHashes`) of a
   * shingle-set column — see [[NativeKernels.minhashSig]].
+  *
+  * An empty shingle array yields NULL, matching the documented
+  * HOF equivalent (`array_min` over an empty `transform` is NULL per
+  * element) — reachable only from user-supplied arrays; the shingle
+  * kernels always emit at least one element.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with KernelCall {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
@@ -37,11 +44,19 @@ case class MinHashSig(child: Expression, numHashes: Int)
       s"graft_minhash_sig expects (array<string>, positive int literal), got $t")
   }
 
-  override protected def nullSafeEval(arr: Any): Any =
-    NativeKernels.minhashSig(arr.asInstanceOf[ArrayData], numHashes)
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (a.numElements() == 0) null else NativeKernels.minhashSig(a, numHashes)
+  }
 
-  override protected def kernelCall(c: String): String =
-    s"graft.expressions.NativeKernels.minhashSig($c, $numHashes)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |if ($c.numElements() == 0) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.expressions.NativeKernels.minhashSig($c, $numHashes);
+      |}
+      |""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -185,6 +200,61 @@ case class LshBandBuckets(child: Expression, rowsPerBand: Int, bands: Int)
     s"graft.expressions.NativeKernels.lshBandBuckets($c, $rowsPerBand, $bands, $isFloat)"
 
   override protected def withNewChildInternal(newChild: Expression): LshBandBuckets =
+    copy(child = newChild)
+}
+
+/** Per-centroid cosine scores (`array<double>`, one slot per centroid in
+  * id order) of a numeric-array column against a packed centroid matrix —
+  * see [[NativeKernels.centCosines]].
+  *
+  * The centroids ride along as a plan constant (a `double[]` reference
+  * object in the generated code), NOT as a joined relation: nearest-
+  * centroid assignment is a per-row reduction, so expressing it as an
+  * expression keeps IVF assignment inside one WholeStageCodegen span with
+  * zero shuffle — where the former formulation paid a corpus×nlist join
+  * plus a rank window partitioned by vec_id (a full-corpus shuffle of
+  * nlist-times-replicated rows).
+  */
+case class CentroidCosines(child: Expression, cents: Array[Double],
+                           dim: Int, rounded: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // NULL when the vector's length doesn't match the centroid dim
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _)
+        if dim > 0 && cents.length % (dim + 1) == 0 && cents.length > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_cent_cos expects (array<float|double>, packed centroid matrix), got $t")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) null
+    else NativeKernels.centCosines(a, cents, dim, rounded, isFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |if ($c.numElements() != $dim) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.expressions.NativeKernels.centCosines(
+      |    $c, $centsRef, $dim, $rounded, $isFloat);
+      |}
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidCosines =
     copy(child = newChild)
 }
 

@@ -203,6 +203,59 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Spark's `round(x, 6)` on DoubleType, exactly (catalyst
+    * mathExpressions `Round`: NaN/Infinity pass through, otherwise
+    * `BigDecimal.valueOf` + HALF_UP).
+    */
+  def roundHalfUp6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Cosine of `v` against every coarse centroid, in one pass — the
+    * shuffle-free IVF assignment/probe primitive. `cents` is the packed
+    * centroid matrix: for centroid c, `cents(c*(dim+1))` is its norm and
+    * the next `dim` slots its components (built by
+    * [[graft.operators.Similarity]] from driver-resident centroids,
+    * which are tiny by construction).
+    *
+    * Arithmetic parity: `v`'s norm is the same left-fold
+    * `sqrt(graft_dot(v, v))` the query pipeline computes, each dot is
+    * the same left-fold as `graft_dot(v, cv)` over cast-to-double
+    * components, and `rounded = true` applies Spark's `round(x, 6)` —
+    * so scores are bit-identical to the former broadcast-join + window
+    * formulation (and to the DuckDB oracle).
+    */
+  def centCosines(v: ArrayData, cents: Array[Double], dim: Int,
+                  rounded: Boolean, isFloat: Boolean): ArrayData = {
+    var sn = 0.0
+    var d = 0
+    while (d < dim) {
+      val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+      sn += x * x
+      d += 1
+    }
+    val nrm = java.lang.Math.sqrt(sn)
+    val stride = dim + 1
+    val nlist = cents.length / stride
+    val out = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val base = c * stride
+      var s = 0.0
+      d = 0
+      while (d < dim) {
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        s += x * cents(base + 1 + d)
+        d += 1
+      }
+      val cos = s / (nrm * cents(base))
+      out(c) = if (rounded) roundHalfUp6(cos) else cos
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def planeSign(v: ArrayData, n: Int, plane: Int, isFloat: Boolean): Double = {
     val hj = XxHash64Function.hash(plane, IntegerType, 42L)
     var s = 0.0

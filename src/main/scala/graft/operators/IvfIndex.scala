@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized IVF index: a written inverted-list layout, built once
+  * per (corpus content, centroid variant, nlist, iters) and reused by
+  * every query — index building is an *offline* step; probing is the
+  * only per-query work.
+  *
+  * Layout on disk:
+  * {{{
+  *   <path>/centroids/   parquet (cent_id long, cv array<double>)
+  *   <path>/assign/      parquet (vec_id, v, nrm) PARTITIONED BY list_id
+  * }}}
+  *
+  * Partitioning the assignment by `list_id` makes each inverted list a
+  * parquet partition directory — the Spark-native analog of an IVF
+  * posting list. A probe join on `list_id` partition-prunes the scan to
+  * `nprobe/nlist` of the corpus (dynamic partition pruning from the
+  * broadcast probe side), and nothing per-query ever shuffles or
+  * re-assigns the corpus.
+  *
+  * The path embeds a content fingerprint of the source table, so a
+  * regenerated corpus is never served from a stale index. The stored
+  * centroids — not a retrain — are the source of truth on reuse:
+  * k-means means depend on aggregation order, so reusing the persisted
+  * quantizer is what keeps assignment and probing consistent (exactly
+  * how a served IVF index behaves).
+  */
+object IvfIndex {
+
+  final case class Index(path: String, centroids: Similarity.Centroids)
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  /** Build-or-open the index for `dir`'s embeddings. `train` runs only
+    * on a build; `corpus` must carry (vec_id, v, nrm).
+    */
+  def ensure(spark: SparkSession, dir: String, variant: String,
+             nlist: Int, iters: Int,
+             train: () => Similarity.Centroids, corpus: => DataFrame,
+             base: String = "/root/repo/out"): Index = {
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$dir/embeddings.parquet")
+    val path = s"$base/ivf_v1_${Integer.toHexString(dir.hashCode)}_${fp}_" +
+      s"${variant}_n${nlist}_i$iters"
+    cache.computeIfAbsent(path, _ => {
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, "assign", "_SUCCESS"))) {
+        val data = train()
+        import spark.implicits._
+        data.map { case (id, cv) => (id, cv.toSeq) }.toDF("cent_id", "cv")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+        // build-time shuffle on list_id bounds file counts (one writer
+        // per list) — offline cost, paid once per corpus version
+        Similarity.assignFrame(corpus, data)
+          .repartition(col("list_id"))
+          .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/assign")
+      }
+      val cents = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+      Index(path, cents)
+    })
+  }
+
+  /** The assignment layout as (vec_id, v, nrm, list_id). The partition
+    * column is directory-inferred (int) — cast back to the centroid id
+    * type.
+    */
+  def open(spark: SparkSession, index: Index): DataFrame =
+    spark.read.parquet(s"${index.path}/assign")
+      .withColumn("list_id", col("list_id").cast("long"))
+}

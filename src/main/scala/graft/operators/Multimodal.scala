@@ -60,7 +60,11 @@ object Multimodal {
           if (id == "fmt " && o + 8 + 8 <= b.length)
             return Meta("audio/wav", None, None,
               Some(le32(b, o + 8 + 4)), Some(le16(b, o + 8 + 2)))
-          o += 8 + sz + (sz & 1) // chunks are word-aligned
+          // a crafted size >= 2^31 reads back negative; the offset must
+          // strictly advance or the walk would loop forever on the chunk
+          val next = o + 8 + sz + (sz & 1) // chunks are word-aligned
+          if (sz < 0 || next <= o) return Meta("audio/wav", None, None, None, None)
+          o = next
         }
         Meta("audio/wav", None, None, None, None)
       } else Meta("application/octet-stream", None, None, None, None)

@@ -25,9 +25,15 @@ object Sampling {
     */
   def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 2)
 
-  private def hexThreshold(pct: Double): String = {
+  /** `bucket < round(pct*256)`-th hex threshold. A full range
+    * (`pct = 1.0` ⇒ n = 256) has no 2-char hex upper bound — "100" is
+    * 3 chars and lexicographically below "11" — so it is `true`
+    * directly rather than a string comparison.
+    */
+  private def bucketBelow(bucket: Column, pct: Double): Column = {
     val n = math.round(pct * 256).toInt.max(0).min(256)
-    f"$n%02x" // buckets "00".."ff" < threshold ⇔ bucket index < n
+    if (n >= 256) lit(true)
+    else bucket < lit(f"$n%02x") // "00".."ff" < threshold ⇔ index < n
   }
 
   /** Train/val/test assignment by stable key hash: `trainPct` of the
@@ -39,8 +45,8 @@ object Sampling {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 1.0,
       "trainPct + valPct must be <= 1")
     val b = hashBucket(key)
-    when(b < lit(hexThreshold(trainPct)), "train")
-      .when(b < lit(hexThreshold(trainPct + valPct)), "val")
+    when(bucketBelow(b, trainPct), "train")
+      .when(bucketBelow(b, trainPct + valPct), "val")
       .otherwise("test")
   }
 
@@ -50,7 +56,7 @@ object Sampling {
     * and appends (a row's membership never changes).
     */
   def sampleFraction(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.where(hashBucket(key) < lit(hexThreshold(fraction)))
+    df.where(bucketBelow(hashBucket(key), fraction))
 
   /** documents → (doc_id, split) assignment. */
   def docSplit(spark: SparkSession, dir: String,

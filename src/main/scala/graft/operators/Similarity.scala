@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.GraftFunctions
@@ -14,8 +14,9 @@ import graft.expressions.GraftFunctions
   * - [[lshTopK]] is the scale path: random-hyperplane signature buckets
   *   both sides, so the join is an equi-join on the bucket key (one
   *   shuffle) and cosine is only computed within buckets.
-  * - [[ivfTopK]] prunes by coarse quantization: per-query work is
-  *   `nprobe/nlist` of the corpus.
+  * - [[ivfTopK]] prunes by coarse quantization over a *materialized*
+  *   inverted-list layout ([[IvfIndex]]): per-query work is
+  *   `nprobe/nlist` of the corpus, read via partition pruning.
   *
   * Dot products are the native `graft_dot` expression reading
   * `array<float>` directly — double accumulation in left-fold order, so
@@ -27,7 +28,7 @@ import graft.expressions.GraftFunctions
   */
 object Similarity {
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def vecs(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val raw = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = spark.sparkContext.defaultParallelism
@@ -75,38 +76,86 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** IVF-style ANN with injectable coarse centroids: assign every vector
-    * to its nearest centroid, then each query probes only its `nprobe`
-    * nearest lists.
-    *
-    * Scale shape: centroids broadcast (tiny); assignment is one scan;
-    * the search join is an equi-join on `list_id`, so per-query work is
-    * `nprobe/nlist` of the corpus — the classic IVF pruning — with one
-    * shuffle keyed by list.
-    *
-    * `centroids` must have columns (cent_id int/long, cv array, cnrm
-    * double). [[ivfTopK]] uses the first `nlist` corpus vectors
-    * (deterministic, SQL-expressible — the correctness baseline);
-    * [[ivfKmeansTopK]] trains real k-means centroids.
+  // ------------------------------------------------------------------- IVF
+  /** Driver-resident coarse centroids: (cent_id, components-as-double),
+    * ascending cent_id. Coarse quantizers are tiny by construction
+    * (nlist × dim doubles) — holding them on the driver is what every
+    * production IVF trainer does.
     */
-  def ivfTopKWith(centroids: DataFrame, e: DataFrame,
-                  numQueries: Int, k: Int, nprobe: Int): DataFrame = {
-    val centCos = round(
-      call_function("graft_dot", col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = e.join(broadcast(centroids))
-      .withColumn("ccos", centCos)
-      .withColumn("crnk", rank().over(wAssign))
-      .where(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("list_id"))
-    val probes = e.where(col("vec_id") < numQueries)
-      .join(broadcast(centroids))
-      .withColumn("ccos", centCos)
-      .withColumn("crnk", rank().over(wAssign))
+  private[operators] type Centroids = Seq[(Long, Array[Double])]
+
+  /** Pack centroids for [[graft.expressions.NativeKernels.centCosines]]:
+    * ids ascending, each block = (norm, components…). Norms use the same
+    * left-fold sum of squares as `sqrt(graft_dot(cv, cv))`.
+    */
+  private[operators] def packCentroids(data: Centroids): (Array[Long], Array[Double], Int) = {
+    require(data.nonEmpty, "no centroids")
+    val sorted = data.sortBy(_._1)
+    val dim = sorted.head._2.length
+    val ids = sorted.map(_._1).toArray
+    val flat = new Array[Double]((dim + 1) * sorted.length)
+    var c = 0
+    while (c < sorted.length) {
+      val cv = sorted(c)._2
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += cv(d) * cv(d); d += 1 }
+      flat(c * (dim + 1)) = math.sqrt(s)
+      System.arraycopy(cv, 0, flat, c * (dim + 1) + 1, dim)
+      c += 1
+    }
+    (ids, flat, dim)
+  }
+
+  /** All-centroid cosine scores of `v` as one `array<double>` column —
+    * a per-row reduction over a plan-constant centroid matrix: no join,
+    * no shuffle, stays inside WholeStageCodegen.
+    */
+  private def centScores(data: Centroids, rounded: Boolean): Column = {
+    val (_, flat, dim) = packCentroids(data)
+    call_function("graft_cent_cos", col("v"), typedLit(flat), lit(dim), lit(rounded))
+  }
+
+  /** Nearest-centroid id: argmax over the score array with the same
+    * tiebreak as a (score desc, cent_id asc) rank — `array_position`
+    * returns the FIRST maximal slot and slots are in ascending-id order.
+    */
+  private def nearestCentroid(data: Centroids, cc: Column): Column = {
+    val ids = packCentroids(data)._1
+    element_at(typedLit(ids), array_position(cc, array_max(cc)).cast("int"))
+  }
+
+  /** Corpus → inverted-list assignment as a pure projection (score
+    * array + argmax): the shape that scales — one scan, no shuffle.
+    */
+  private[operators] def assignFrame(e: DataFrame, data: Centroids): DataFrame =
+    e.withColumn("cc", centScores(data, rounded = true))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        nearestCentroid(data, col("cc")).as("list_id"))
+
+  /** IVF search over a materialized [[IvfIndex]]: per-query work is
+    * probe selection (a per-row kernel over the tiny query set + a rank
+    * over numQueries×nlist rows) and an equi-join against only the
+    * probed inverted lists. The corpus side arrives pre-assigned from
+    * the index layout — `list_id` is its *partition directory*, so the
+    * broadcast hash join's dynamic partition pruning reads just
+    * `nprobe/nlist` of the data. Nothing per-query ever shuffles the
+    * corpus.
+    */
+  private def ivfSearch(index: IvfIndex.Index, queries: DataFrame,
+                        numQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val assigned = IvfIndex.open(spark, index)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val ids = packCentroids(index.centroids)._1
+    val probes = queries
+      .withColumn("cc", centScores(index.centroids, rounded = true))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        posexplode(col("cc")).as(Seq("pos", "ccos")))
+      .withColumn("cent_id", element_at(typedLit(ids), (col("pos") + 1).cast("int")))
+      .withColumn("crnk", rank().over(wProbe))
       .where(col("crnk") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("cent_id").as("list_id"))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cent_id").as("list_id"))
     val scored = assigned.as("e")
       .join(broadcast(probes.as("q")),
         col("e.list_id") === col("q.list_id") && col("e.vec_id") =!= col("q.q_id"))
@@ -123,64 +172,10 @@ object Similarity {
               numQueries: Int = 5, k: Int = 5,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = vecs(spark, dir)
-    val cent = e.where(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    ivfTopKWith(cent, e, numQueries, k, nprobe)
+    val index = IvfIndex.ensure(spark, dir, "first", nlist, iters = 0,
+      train = () => firstVectorCentroids(e, nlist), corpus = e)
+    ivfSearch(index, e.where(col("vec_id") < numQueries), numQueries, k, nprobe)
   }
-
-  /** Spherical k-means coarse centroids: deterministic init (first
-    * `nlist` vectors), `iters` Lloyd rounds — assign by cosine, recompute
-    * as the per-list mean. Each round is one broadcast join + one hash
-    * aggregate over `array<float>` columns; centroids (nlist × dim
-    * doubles) round-trip through the driver, which is exactly what a
-    * production trainer does with coarse quantizers (they are tiny by
-    * construction).
-    */
-  def kmeansCentroids(e: DataFrame, nlist: Int = 16, iters: Int = 3): DataFrame = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    trainCentroidData(e, nlist, iters).toDF("cent_id", "cv")
-  }
-
-  private def trainCentroidData(e: DataFrame, nlist: Int,
-                                iters: Int): Seq[(Int, Array[Double])] = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    val dim = e.select(size(col("v"))).first().getInt(0)
-    val avgCols = (0 until dim).map(i => avg(col("v")(i)).as(s"c$i"))
-    var cent = e.where(col("vec_id") < nlist)
-      .select(col("vec_id").cast("int").as("cent_id"),
-        expr("transform(v, x -> CAST(x AS DOUBLE))").as("cv"))
-    var data: Seq[(Int, Array[Double])] = Seq.empty
-    var it = 0
-    while (it < iters) {
-      val c = cent
-        .withColumn("cnrm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = e.join(broadcast(c))
-        .withColumn("ccos",
-          call_function("graft_dot", col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        .withColumn("crnk", rank().over(wAssign))
-        .where(col("crnk") === 1)
-      val means = assigned.groupBy(col("cent_id")).agg(avgCols.head, avgCols.tail: _*)
-      // rows collected: nlist × dim doubles — tiny by construction
-      data = means.collect().map { r =>
-        (r.getInt(0), (0 until dim).map(i => r.getDouble(i + 1)).toArray)
-      }.toSeq
-      cent = data.toDF("cent_id", "cv")
-      it += 1
-    }
-    data
-  }
-
-  /** Trained coarse quantizers per (source dir, nlist, iters): IVF index
-    * building is an *offline* step — a production deployment trains once
-    * and serves many queries, so repeated query invocations reuse the
-    * trained centroids (nlist × dim doubles per entry; bounded).
-    */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(Int, Array[Double])]]()
 
   /** IVF ANN over trained k-means centroids — the recall-bearing variant
     * (rows-only: the centroid training is not practically
@@ -190,14 +185,54 @@ object Similarity {
                     numQueries: Int = 5, k: Int = 5,
                     nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     val e = vecs(spark, dir)
-    val data = centroidCache.computeIfAbsent((dir, nlist, iters),
-      _ => trainCentroidData(e, nlist, iters))
-    import spark.implicits._
-    val cent = data.toDF("cent_id", "cv")
-      .withColumn("cnrm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
-    ivfTopKWith(cent, e, numQueries, k, nprobe)
+    val index = IvfIndex.ensure(spark, dir, "kmeans", nlist, iters,
+      train = () => trainCentroidData(e, nlist, iters), corpus = e)
+    ivfSearch(index, e.where(col("vec_id") < numQueries), numQueries, k, nprobe)
   }
 
+  /** Bounded driver read: the first `nlist` corpus vectors as coarse
+    * centroids (nlist × dim floats — tiny by construction).
+    */
+  private[operators] def firstVectorCentroids(e: DataFrame, nlist: Int): Centroids =
+    e.where(col("vec_id") < nlist).select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq.sortBy(_._1)
+
+  /** Spherical k-means coarse centroids: deterministic init (first
+    * `nlist` vectors), `iters` Lloyd rounds — assign by cosine (the
+    * shuffle-free kernel argmax, unrounded scores), recompute as the
+    * per-list mean. Each round is one scan + one hash aggregate;
+    * centroids (nlist × dim doubles) round-trip through the driver,
+    * which is exactly what a production trainer does with coarse
+    * quantizers.
+    */
+  def kmeansCentroids(e: DataFrame, nlist: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    trainCentroidData(e, nlist, iters)
+      .map { case (id, cv) => (id.toInt, cv) }.toDF("cent_id", "cv")
+  }
+
+  private def trainCentroidData(e: DataFrame, nlist: Int, iters: Int): Centroids = {
+    var data = firstVectorCentroids(e, nlist)
+    val dim = data.head._2.length
+    val avgCols = (0 until dim).map(i => avg(col("v")(i)).as(s"c$i"))
+    var it = 0
+    while (it < iters) {
+      val means = e
+        .withColumn("cc", centScores(data, rounded = false))
+        .withColumn("cent_id", nearestCentroid(data, col("cc")))
+        .groupBy(col("cent_id")).agg(avgCols.head, avgCols.tail: _*)
+      // rows collected: nlist × dim doubles — tiny by construction
+      data = means.collect().map { r =>
+        (r.getLong(0), (0 until dim).map(i => r.getDouble(i + 1)).toArray)
+      }.toSeq.sortBy(_._1)
+      it += 1
+    }
+    data
+  }
+
+  // ------------------------------------------------------------------- LSH
   /** LSH-bucketed ANN: candidates share the full `planes`-bit signature
     * (native `graft_lsh_bucket`); cosine + top-k only within the bucket.
     * At 100 TB the bucket key is the shuffle key and per-bucket work

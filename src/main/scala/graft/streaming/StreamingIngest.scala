@@ -44,6 +44,10 @@ object StreamingIngest {
         (expr("ts div 1000L") * lit(1000L)).as("ts"),
         col("value"),
         col("user_id").cast("string").as(Db.TagPrefix + "user")) ++ tagCols: _*)
+      // same write-boundary guard as the batch path (Ingest.write):
+      // reference MetricName::try_from rejects invalid names at ingest,
+      // and graft's own query APIs refuse to read them back
+      .withColumn("metric", graft.tsdb.Ingest.validatedMetric)
     val q = canonical.writeStream
       .format("parquet")
       .option("path", dest)

@@ -21,7 +21,7 @@ object Ingest {
     * column in a `raise_error` guard fails the write job on the first
     * invalid value without a separate validation pass.
     */
-  private def validatedMetric: org.apache.spark.sql.Column =
+  private[graft] def validatedMetric: org.apache.spark.sql.Column =
     when(col("metric").rlike("^[a-z_.]+$"), col("metric"))
       .otherwise(raise_error(concat(
         lit("invalid metric name: '"), col("metric"), lit("' (allowed: a-z _ .)"))))
@@ -90,9 +90,29 @@ object Ingest {
     */
   private val LayoutVersion = 2
 
+  /** Content fingerprint of a source dir: md5 over every file's relative
+    * path, size, and mtime. Keying cached layouts on it (not just the
+    * dir name) means a regenerated source is never silently served from
+    * a stale layout.
+    */
+  private[graft] def contentFingerprint(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+      .toSeq.sorted
+      .foreach(s => digest.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    digest.digest().take(6).map("%02x".format(_)).mkString
+  }
+
   def ensureLayout(spark: SparkSession, sfDir: String,
                    base: String = "/root/repo/out"): String = {
-    val path = s"$base/graft_layout_v${LayoutVersion}_${Integer.toHexString(sfDir.hashCode)}"
+    val fp = contentFingerprint(s"$sfDir/events.parquet")
+    val path = s"$base/graft_layout_v${LayoutVersion}_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
       write(Db.fromEvents(spark, sfDir), path)
     path

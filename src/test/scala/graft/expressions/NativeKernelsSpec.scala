@@ -61,6 +61,19 @@ class NativeKernelsSpec extends SparkSpec {
     out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("graft_minhash_sig of an empty array is NULL, like the HOF") {
+    import spark.implicits._
+    val df = Seq(Seq.empty[String], Seq("one shingle")).toDF("shingles")
+    val out = df.select(
+      call_function("graft_minhash_sig", col("shingles"), lit(4)).as("native"),
+      // HOF equivalent: array_min over an empty transform is NULL per slot
+      expr(s"array_min(transform(transform(shingles, s -> pmod(xxhash64(s), ${P}L)), " +
+        s"h -> (h * ${NativeKernels.minhashA(0)}L + ${NativeKernels.minhashB(0)}L) % ${P}L))")
+        .as("hof0")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(!out(1).isNullAt(0) && out(1).getSeq[Long](0).head == out(1).getLong(1))
+  }
+
   test("graft_simhash == vote-loop HOF") {
     val out = docs
       .select(col("doc_id"),

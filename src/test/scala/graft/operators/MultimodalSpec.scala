@@ -37,6 +37,29 @@ class MultimodalSpec extends SparkSpec {
     assert(m2.mime == "application/octet-stream")
   }
 
+  test("header parser terminates on crafted RIFF chunk sizes") {
+    // chunk size 0xFFFFFFFF reads back as a negative signed le32: the
+    // walk must bail out instead of spinning on a non-advancing offset
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    bb.put("JUNK".getBytes).putInt(0xFFFFFFFF)
+    bb.put("fmt ".getBytes).putInt(16)
+    bb.putShort(1.toShort).putShort(2.toShort).putInt(44100)
+    val m = Multimodal.HeaderParser.parse(bb.array())
+    assert(m.mime == "audio/wav") // parsed as WAV, fmt unreachable past the bad chunk
+    assert(m.sampleRate.isEmpty && m.channels.isEmpty)
+    // size-0 chunk still advances by 8 bytes: fmt after it is found
+    val ok = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ok.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    ok.put("JUNK".getBytes).putInt(0)
+    ok.put("fmt ".getBytes).putInt(16)
+    ok.putShort(1.toShort).putShort(2.toShort).putInt(44100)
+    val m2 = Multimodal.HeaderParser.parse(ok.array())
+    assert(m2.sampleRate.contains(44100) && m2.channels.contains(2))
+  }
+
   test("extractMeta is deterministic, typed, and header-consistent") {
     val a = Multimodal.extractMeta(spark, sfDir).orderBy("doc_id").collect()
     val b = Multimodal.extractMeta(spark, sfDir).orderBy("doc_id").collect()

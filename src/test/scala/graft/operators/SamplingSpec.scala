@@ -30,6 +30,17 @@ class SamplingSpec extends SparkSpec {
     assert(sub == full.filter(_ % 2 == 0))
   }
 
+  test("full-range thresholds: fraction 1.0 keeps every row, train+val=1.0 leaves no test") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // n=256 has no 2-hex-char upper bound; must degenerate to TRUE
+    assert(Sampling.sampleFraction(docs, col("doc_id"), 1.0).count() == docs.count())
+    val splits = docs.select(
+      Sampling.assignSplit(docs, col("doc_id"), trainPct = 0.5, valPct = 0.5).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!splits.contains("test"), s"rows leaked to test: $splits")
+    assert(splits.keySet == Set("train", "val"))
+  }
+
   test("stratified sample keeps at most perLabel rows per label, deterministically") {
     val out = Sampling.stratifiedSample(spark, sfDir, perLabel = 5)
     val perLabel = out.groupBy("label").count().collect()

@@ -97,6 +97,46 @@ class SimilaritySpec extends SparkSpec {
     assert(cent.map(_.getInt(0)).distinct.length == cent.length)
   }
 
+  test("graft_cent_cos == per-centroid round(graft_dot/(nrm*cnrm), 6)") {
+    val e = Similarity.vecs(spark, sfDir)
+    val data = Similarity.firstVectorCentroids(e, 8)
+    val (_, flat, dim) = Similarity.packCentroids(data)
+    val expected = array(data.map { case (_, cv) =>
+      val cnrm = math.sqrt(cv.map(x => x * x).sum)
+      round(call_function("graft_dot", col("v"), typedLit(cv)) / (col("nrm") * lit(cnrm)), 6)
+    }: _*)
+    val out = e.select(
+      call_function("graft_cent_cos", col("v"), typedLit(flat), lit(dim), lit(true)).as("native"),
+      expected.as("hof")).collect()
+    out.foreach(r => assert(r.getSeq[Double](0) == r.getSeq[Double](1)))
+  }
+
+  test("ivf index is materialized once and reused: inverted-list partition dirs on disk") {
+    val a = Similarity.ivfTopK(spark, sfDir, numQueries = 5, k = 5).collect()
+    val layouts = new java.io.File("/root/repo/out").listFiles()
+      .filter(f => f.getName.startsWith("ivf_v1_") && f.getName.contains("_first_n16_i0"))
+    assert(layouts.nonEmpty, "no materialized ivf layout written")
+    val assignDir = new java.io.File(layouts.head, "assign")
+    val listDirs = assignDir.listFiles().filter(_.getName.startsWith("list_id="))
+    assert(listDirs.nonEmpty, "assignment not partitioned by list_id")
+    val success = new java.io.File(assignDir, "_SUCCESS")
+    val mtime = success.lastModified()
+    val b = Similarity.ivfTopK(spark, sfDir, numQueries = 5, k = 5).collect()
+    assert(success.lastModified() == mtime, "index rebuilt on second query")
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+  }
+
+  test("ivf plans never window/shuffle the corpus by vec_id") {
+    // assignment must be a projection (kernel argmax), not a rank window
+    // partitioned by vec_id over a corpus×centroids join
+    for (df <- Seq(Similarity.ivfTopK(spark, sfDir),
+                   Similarity.ivfKmeansTopK(spark, sfDir))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("windowspecdefinition(vec_id"),
+        "corpus-side vec_id window found in IVF plan")
+    }
+  }
+
   test("brute-force plan broadcasts the query side") {
     val plan = Similarity.bruteForceTopK(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"))
