@@ -76,7 +76,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => graft.operators.Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => graft.operators.Dedup.embeddingCosine(s, d)),
-    "dedup_embedding_lsh" -> ((s, d) => graft.operators.Dedup.embeddingCosineLsh(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => graft.operators.Dedup.embeddingNearDup(s, d)),
 
     // ---- Similarity search (embeddings) ----
     "ann_bruteforce" -> ((s, d) => graft.operators.Similarity.bruteForceTopK(s, d)),

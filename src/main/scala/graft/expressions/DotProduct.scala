@@ -147,6 +147,20 @@ object GraftFunctions {
             s"graft_lsh_bands: rowsPerBand/bands must be int literals, got $other")
         }
       }),
+    (FunctionIdentifier("graft_first_eq"),
+      new ExpressionInfo(classOf[FirstEqualSlot].getName, "graft_first_eq"),
+      (cs: Seq[Expression]) => { arity("graft_first_eq", 2, cs); FirstEqualSlot(cs.head, cs(1)) }),
+    (FunctionIdentifier("graft_jitter"),
+      new ExpressionInfo(classOf[Jitter].getName, "graft_jitter"),
+      (cs: Seq[Expression]) => {
+        arity("graft_jitter", 3, cs)
+        cs(2) match {
+          case a if a.foldable && a.dataType == DoubleType =>
+            Jitter(cs.head, cs(1), a.eval(null).asInstanceOf[Double])
+          case other => throw new IllegalArgumentException(
+            s"graft_jitter: amp must be a double literal, got $other")
+        }
+      }),
     (FunctionIdentifier("graft_cent_cos"),
       new ExpressionInfo(classOf[CentroidCosines].getName, "graft_cent_cos"),
       (cs: Seq[Expression]) => {

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -201,6 +201,61 @@ case class LshBandBuckets(child: Expression, rowsPerBand: Int, bands: Int)
 
   override protected def withNewChildInternal(newChild: Expression): LshBandBuckets =
     copy(child = newChild)
+}
+
+/** First index where two `array<long>` columns agree, -1 if none — see
+  * [[NativeKernels.firstEqualSlot]].
+  */
+case class FirstEqualSlot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_first_eq expects (array<long>, array<long>), got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.firstEqualSlot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.NativeKernels.firstEqualSlot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstEqualSlot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Deterministic near-duplicate jitter of a float-vector column — see
+  * [[NativeKernels.jitter]].
+  */
+case class Jitter(left: Expression, right: Expression, amp: Double)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_jitter expects (array<float>, long id, double literal), got $t")
+    }
+
+  override protected def nullSafeEval(v: Any, id: Any): Any =
+    NativeKernels.jitter(v.asInstanceOf[ArrayData], id.asInstanceOf[Long], amp)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, id) =>
+      s"graft.expressions.NativeKernels.jitter($v, $id, $amp)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Jitter =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Per-centroid cosine scores (`array<double>`, one slot per centroid in

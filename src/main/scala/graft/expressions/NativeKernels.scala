@@ -256,15 +256,71 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Index of the first slot where two long arrays agree, -1 if none —
+    * the LSH exactly-once pair filter: a banded self-join emits a
+    * candidate pair once per matching band; keeping it only where
+    * `first_eq(a.bands, b.bands) = band` dedups candidates *inside the
+    * join* instead of a distinct (an extra full shuffle + two hash
+    * aggregates over the candidate stream).
+    */
+  def firstEqualSlot(x: ArrayData, y: ArrayData): Int = {
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Deterministic near-duplicate jitter of a float vector:
+    * `x_i + amp·‖v‖/√dim · (±1 from xxhash64(id, i))`, result cast per
+    * component to float — cos(v, jitter(v)) ≈ 1/√(1+amp²). The norm is
+    * the same left fold as `graft_dot(v, v)`; the sign chain matches
+    * SQL `xxhash64(id, i)` (long then int, seed 42).
+    */
+  def jitter(v: ArrayData, id: Long, amp: Double): ArrayData = {
+    val n = v.numElements()
+    var sn = 0.0
+    var d = 0
+    while (d < n) { val x = v.getFloat(d).toDouble; sn += x * x; d += 1 }
+    val scale = amp * java.lang.Math.sqrt(sn) / java.lang.Math.sqrt(n.toDouble)
+    val hid = XxHash64Function.hash(id, org.apache.spark.sql.types.LongType, 42L)
+    val out = new Array[Float](n)
+    d = 0
+    while (d < n) {
+      val sign = if ((XxHash64Function.hash(d, IntegerType, hid) & 1L) == 1L) 1.0 else -1.0
+      out(d) = (v.getFloat(d).toDouble + scale * sign).toFloat
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hyperplane sign rows are a fixed function of (plane, dim) — cache
+    * them per JVM so the per-row signature is a pure multiply-add loop
+    * instead of two xxhash64 chains per (plane, dim) element (which
+    * dominated the banded-LSH scan: planes × dim hashes per row).
+    * Multiplying by cached ±1.0 is bit-identical to the conditional
+    * add/subtract of the hash-per-element formulation.
+    */
+  private val planeSignCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def planeSigns(plane: Int, dim: Int): Array[Double] =
+    planeSignCache.computeIfAbsent((plane, dim), { case (j, n) =>
+      val hj = XxHash64Function.hash(j, IntegerType, 42L)
+      Array.tabulate(n) { d =>
+        if ((XxHash64Function.hash(d, IntegerType, hj) & 1L) == 1L) 1.0 else -1.0
+      }
+    })
+
   private def planeSign(v: ArrayData, n: Int, plane: Int, isFloat: Boolean): Double = {
-    val hj = XxHash64Function.hash(plane, IntegerType, 42L)
+    val signs = planeSigns(plane, n)
     var s = 0.0
     var d = 0
     while (d < n) {
-      val sign =
-        if ((XxHash64Function.hash(d, IntegerType, hj) & 1L) == 1L) 1.0 else -1.0
       val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
-      s += x * sign
+      s += x * signs(d)
       d += 1
     }
     s

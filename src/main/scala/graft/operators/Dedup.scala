@@ -210,8 +210,13 @@ object Dedup {
     * (exhaustive within blocks, SQL-expressible).
     */
   def embeddingCosine(spark: SparkSession, dir: String,
-                      threshold: Double = 0.35): DataFrame = {
-    val e = embFrame(spark, dir)
+                      threshold: Double = 0.35): DataFrame =
+    embeddingCosineFrame(embFrame(spark, dir), threshold)
+
+  /** [[embeddingCosine]] over an arbitrary (vec_id, label, v, nrm)
+    * frame — the exhaustive ground truth the LSH specs compare against.
+    */
+  def embeddingCosineFrame(e: DataFrame, threshold: Double): DataFrame =
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -221,42 +226,135 @@ object Dedup {
         round(call_function("graft_dot", col("a.v"), col("b.v"))
           / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .where(col("cos") >= threshold)
+
+  /** Threshold-aware banding: the (rowsPerBand, bands) pair that holds
+    * `P(candidate | cos = threshold) ≥ targetRecall` with the deepest
+    * bands that fit the plane budget.
+    *
+    * Amplification: a pair is a candidate iff it agrees on all
+    * `rowsPerBand` sign bits of at least one band; with
+    * p = 1 - acos(t)/π per plane, recall = 1 - (1 - p^b)^n. Deeper
+    * bands (larger b) prune harder — a random pair passes a band with
+    * probability 2^-b — but need more bands n for the same recall, so
+    * the plan takes the largest b whose n·b stays within `maxPlanes`.
+    *
+    * Sign-LSH is selective only when the threshold is well above
+    * random: below t ≈ 0.6 even the planned bands admit most pairs
+    * (p is too close to ½ for any depth to separate), which is
+    * inherent to the family, not a parameter choice — use the
+    * exhaustive [[embeddingCosine]] there, or raise the threshold.
+    * If no depth fits the budget, the plan degrades to (1, maxPlanes)
+    * — the max-recall shape the budget allows.
+    */
+  def lshPlan(threshold: Double, targetRecall: Double = 0.98,
+              maxPlanes: Int = 192): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0,1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    var b = math.min(63, maxPlanes)
+    while (b >= 1) {
+      val pb = math.pow(p, b)
+      if (pb > 0) {
+        val n = math.ceil(math.log(1.0 - targetRecall) / math.log1p(-pb)).toInt
+        if (n >= 1 && n.toLong * b <= maxPlanes) return (b, n)
+      }
+      b -= 1
+    }
+    (1, maxPlanes)
   }
 
   /** Scale-safe embedding near-dup: banded random-hyperplane LSH
-    * candidate generation + exact cosine verify. No label blocking, no
+    * candidate generation + exact cosine verify, with banding planned
+    * from the threshold by [[lshPlan]]. No label blocking, no
     * all-pairs: candidates are an equi-join on (band, bucket), so the
-    * shuffle key bounds the work exactly like MinHash LSH.
-    *
-    * Amplification: a pair is a candidate iff it agrees on all
-    * `rowsPerBand` sign bits of at least one band. For threshold `t`,
-    * P(agree on one plane) = 1 - acos(t)/π; recall =
-    * 1 - (1 - p^rowsPerBand)^bands. The defaults (2×12) give >99% recall
-    * at cos ≥ 0.35 — chosen for this corpus's low-cosine regime; a
-    * near-dup corpus (t ≥ 0.9) wants deeper bands (8×16) where LSH
-    * prunes aggressively.
+    * shuffle key bounds the work exactly like MinHash LSH — at the
+    * planned depth the key has `bands × 2^rowsPerBand` values (e.g.
+    * 17 × 1024 at t = 0.9), plenty of reducer parallelism.
     */
   def embeddingCosineLsh(spark: SparkSession, dir: String,
                          threshold: Double = 0.35,
-                         rowsPerBand: Int = 2, bands: Int = 12): DataFrame = {
-    val e = embFrame(spark, dir)
+                         targetRecall: Double = 0.98,
+                         maxPlanes: Int = 192, salt: Int = 1): DataFrame =
+    embeddingCosineLshFrame(embFrame(spark, dir), threshold, targetRecall,
+      maxPlanes, salt)
+
+  /** [[embeddingCosineLsh]] over an arbitrary (vec_id, v, nrm) frame.
+    *
+    * `salt > 1` spreads each band bucket over `salt` sub-keys exactly
+    * like [[minhashLshFrame]]: identical pairs, but a pathological
+    * near-dup cluster's O(c²) in-bucket pairs land on `salt`× more
+    * reducers instead of one straggler task.
+    */
+  def embeddingCosineLshFrame(e: DataFrame, threshold: Double,
+                              targetRecall: Double = 0.98,
+                              maxPlanes: Int = 192, salt: Int = 1): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    GraftFunctions.register(e.sparkSession)
+    val (rowsPerBand, bands) = lshPlan(threshold, targetRecall, maxPlanes)
+    // each banded row carries its payload (v, nrm) and the full band-id
+    // array: candidates verify inline in the join — no distinct shuffle,
+    // no side-table re-joins. Exactly-once pairs come from the classic
+    // first-match filter: keep a pair only in the FIRST band where the
+    // two signatures agree (`graft_first_eq`), which is equality-dedup
+    // evaluated inside the join instead of a post-hoc aggregate.
     val banded = e.select(
-      col("vec_id"),
-      posexplode(call_function("graft_lsh_bands", col("v"),
-        lit(rowsPerBand), lit(bands))).as(Seq("band", "bucket")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    val side = e.select(col("vec_id"), col("v"), col("nrm"))
-    cand
-      .join(side.as("sa"), col("vec_a") === col("sa.vec_id"))
-      .join(side.as("sb"), col("vec_b") === col("sb.vec_id"))
-      .select(col("vec_a"), col("vec_b"),
-        round(call_function("graft_dot", col("sa.v"), col("sb.v"))
-          / (col("sa.nrm") * col("sb.nrm")), 6).as("cos"))
+      col("vec_id"), col("v"), col("nrm"),
+      call_function("graft_lsh_bands", col("v"),
+        lit(rowsPerBand), lit(bands)).as("bkt"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bkt"),
+        posexplode(col("bkt")).as(Seq("band", "bucket")))
+    val firstMatch =
+      call_function("graft_first_eq", col("a.bkt"), col("b.bkt")) === col("a.band")
+    val joined = (if (salt <= 1) {
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id") && firstMatch)
+    } else {
+      val a = banded.withColumn("salt", pmod(hash(col("vec_id")), lit(salt)))
+      val b = banded.withColumn("salt", explode(expr(s"sequence(0, ${salt - 1})")))
+      a.as("a")
+        .join(b.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.salt") === col("b.salt") && col("a.vec_id") < col("b.vec_id") &&
+            firstMatch)
+    })
+    joined
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(call_function("graft_dot", col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** The corpus plus one deterministic jittered near-duplicate per
+    * vector (clone id = vec_id + 1e6, same label): each clone is
+    * `v + amp·‖v‖/√dim · (±1 per component)` with signs from
+    * `xxhash64(vec_id, i)`, giving cos(v, clone) ≈ 1/√(1+amp²) ≈ 0.95
+    * at the default. The shipped corpus has no high-cosine pairs (max
+    * ≈ 0.48), so this provides the near-duplicate regime that embedding
+    * dedup — and its LSH pruning — actually targets, with known planted
+    * ground truth.
+    */
+  def withPlantedNearDups(spark: SparkSession, dir: String,
+                          amp: Double = 0.33): DataFrame = {
+    val e = embFrame(spark, dir)
+    val clones = e.select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("label"),
+      call_function("graft_jitter", col("v"), col("vec_id"), lit(amp)).as("v"))
+    e.select(col("vec_id"), col("label"), col("v"))
+      .union(clones)
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+  }
+
+  /** Embedding near-dup detection in its operating regime: LSH over the
+    * planted-near-dup frame at a near-duplicate threshold. At the
+    * planned banding (10 planes × 17 bands) a random pair is a
+    * candidate with probability ≈ 1.7% while planted pairs (cos ≈ 0.95)
+    * are recalled with p > 0.999 — the pruning regime a 100 TB dedup
+    * runs in, unlike sub-0.6 thresholds where sign-LSH cannot separate
+    * pairs from noise (see [[lshPlan]]).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.9): DataFrame =
+    embeddingCosineLshFrame(withPlantedNearDups(spark, dir), threshold)
 }

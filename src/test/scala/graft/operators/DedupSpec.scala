@@ -70,8 +70,7 @@ class DedupSpec extends SparkSpec {
     // truth = exhaustive within-label pairs; the LSH variant is global
     // (may legitimately find cross-label pairs on top), so assert
     // recall >= 0.9 of the truth set and cosine equality on the overlap.
-    // With 2 planes x 12 bands, P(candidate | cos=t) =
-    // 1 - (1 - (1 - acos(t)/pi)^2)^12 > 0.99 for t >= 0.2.
+    // Banding is planned by lshPlan for P(candidate | cos=t) >= 0.98.
     val t = 0.2
     val truth = Dedup.embeddingCosine(spark, sfDir, threshold = t).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -83,5 +82,45 @@ class DedupSpec extends SparkSpec {
       s"recall ${hit.size}/${truth.size}; missed ${truth.keySet.diff(lsh.keySet)}")
     hit.foreach(k => assert(truth(k) == lsh(k), s"cos mismatch on $k"))
     assert(lsh.values.forall(_ >= t))
+  }
+
+  test("lshPlan meets the recall target within the plane budget, at pruning depth") {
+    for (t <- Seq(0.2, 0.35, 0.6, 0.8, 0.9, 0.95); r <- Seq(0.95, 0.98)) {
+      val (b, n) = Dedup.lshPlan(t, r)
+      val p = 1.0 - math.acos(t) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, b), n)
+      assert(recall >= r, s"t=$t r=$r plan=($b,$n) recall=$recall")
+      assert(b.toLong * n <= 192, s"t=$t plan=($b,$n) exceeds budget")
+    }
+    // near-dup thresholds must get deep (pruning) bands: a random pair
+    // passes a band with prob 2^-b, so b >= 8 means <= 0.4% per band
+    assert(Dedup.lshPlan(0.9)._1 >= 8)
+    assert(Dedup.lshPlan(0.95)._1 >= 10)
+  }
+
+  test("planted near-dups: LSH at t=0.9 recalls the exhaustive truth and prunes") {
+    val frame = Dedup.withPlantedNearDups(spark, sfDir)
+    val truth = Dedup.embeddingCosineFrame(frame, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // one planted clone per vector at cos ~0.95: the truth set is ~n pairs
+    assert(truth.size >= n * 0.95, s"planted pairs missing: ${truth.size} of $n")
+    val lsh = Dedup.embeddingNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hit = truth.keySet.intersect(lsh.keySet)
+    assert(hit.size >= math.ceil(truth.size * 0.95).toInt,
+      s"recall ${hit.size}/${truth.size}")
+    hit.foreach(k => assert(truth(k) == lsh(k), s"cos mismatch on $k"))
+    assert(lsh.values.forall(_ >= 0.9))
+  }
+
+  test("salted embedding LSH returns exactly the unsalted pairs") {
+    val frame = Dedup.withPlantedNearDups(spark, sfDir)
+    def pairs(salt: Int) =
+      Dedup.embeddingCosineLshFrame(frame, threshold = 0.9, salt = salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsalted = pairs(1)
+    assert(unsalted.nonEmpty)
+    assert(pairs(4) == unsalted)
   }
 }
