@@ -53,7 +53,78 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ingest = if (sys.env.contains("SPARK_GRAFT_SKIP_INGEST")) "{}"
+                 else ingestBench(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest":$ingest,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Ingest-throughput measurement (pts/s), the reference's headline
+    * number (talna README "Benchmark: 1 billion data points",
+    * billion/src/main.rs: 1.36M pts/s single-node).
+    *
+    * Three paths, each timed as one cold end-to-end write job:
+    *  - synthetic: `range` → canonical frame → [[graft.tsdb.Ingest.write]]
+    *    layout, default 10M points over 8 metrics / ~12 weeks — the
+    *    direct analog of the reference's synthetic-series writer, at a
+    *    volume where job overhead amortizes.
+    *  - events: `Db.fromEvents(sfDir)` → layout — the real-data path
+    *    including props-tag canonicalization.
+    *  - streaming: Structured Streaming file source → layout sink
+    *    (micro-batched, checkpointed, AvailableNow).
+    */
+  private def ingestBench(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val base = "/root/repo/out/bench_ingest"
+    def clean(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // --- synthetic: the reference-benchmark shape ---
+    val n = sys.env.getOrElse("SPARK_GRAFT_INGEST_POINTS", "10000000").toLong
+    val metrics = array(Seq("cpu.user", "cpu.sys", "mem.free", "disk.io",
+      "net.rx", "net.tx", "load.one", "io.wait").map(lit): _*)
+    val synth = spark.range(n).select(
+      element_at(metrics, (col("id") % 8 + 1).cast("int")).as("metric"),
+      (lit(1704067200000000000L) + col("id") * 700000000L).as("ts"),
+      (col("id") % 997).cast("double").as("value"),
+      (col("id") % 1000).cast("string").as("tag_user"))
+    clean(s"$base/synthetic")
+    val synthSec = timed {
+      graft.tsdb.Ingest.write(new graft.tsdb.Db(synth), s"$base/synthetic")
+    }
+    System.gc()
+    // --- real events through the batch path ---
+    val evCount = spark.read.parquet(s"$sfDir/events.parquet").count()
+    clean(s"$base/events")
+    val evSec = timed {
+      graft.tsdb.Ingest.write(
+        graft.tsdb.Db.fromEvents(spark, sfDir), s"$base/events")
+    }
+    System.gc()
+    // --- real events through the streaming path ---
+    // the streaming file source watches a DIRECTORY (a landing zone);
+    // when the sf table is a single parquet file, link it into one
+    clean(s"$base/stream"); clean(s"$base/ckpt"); clean(s"$base/landing")
+    val evPath = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val landing =
+      if (java.nio.file.Files.isDirectory(evPath)) evPath.toString
+      else {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/landing"))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$base/landing/events.parquet"), evPath)
+        s"$base/landing"
+      }
+    val stSec = timed {
+      graft.streaming.StreamingIngest.ingestAvailable(
+        spark, landing, s"$base/stream", s"$base/ckpt")
+    }
+    System.gc()
+    Seq(s"$base/synthetic", s"$base/events", s"$base/stream", s"$base/ckpt",
+      s"$base/landing").foreach(clean)
+    f"""{"synthetic_points":$n,"synthetic_sec":$synthSec%.3f,"synthetic_pts_per_sec":${n / synthSec}%.0f,""" +
+      f""""events_points":$evCount,"events_sec":$evSec%.3f,"events_pts_per_sec":${evCount / evSec}%.0f,""" +
+      f""""streaming_points":$evCount,"streaming_sec":$stSec%.3f,"streaming_pts_per_sec":${evCount / stSec}%.0f}"""
   }
 }

@@ -26,11 +26,21 @@ object Ingest {
       .otherwise(raise_error(concat(
         lit("invalid metric name: '"), col("metric"), lit("' (allowed: a-z _ .)"))))
 
-  def write(db: Db, path: String, filesPerMetric: Int = 4): Unit =
+  /** Shuffle key ahead of a layout write: (metric, week, salt). Keys the
+    * exchange by layout locality — same metric+week lands together, the
+    * salt caps files per (metric, week) at `filesPerWeek` — while the
+    * partition COUNT stays `spark.sql.shuffle.partitions` (cluster-
+    * sized), so writer parallelism scales with the cluster instead of
+    * being pinned to the file-count knob.
+    */
+  private def layoutKey(filesPerWeek: Int) = Seq(
+    col("metric"), expr(s"ts div ${Duration.days(7)}L"),
+    pmod(hash(col("ts")), lit(filesPerWeek)))
+
+  def write(db: Db, path: String, filesPerWeek: Int = 4): Unit =
     db.frame
       .withColumn("metric", validatedMetric)
-      .repartition(filesPerMetric, col("metric"),
-        expr(s"ts div ${Duration.days(7)}L"))
+      .repartition(layoutKey(filesPerWeek): _*)
       .sortWithinPartitions(col("metric"), col("ts"))
       .write.partitionBy("metric").mode("overwrite").parquet(path)
 
@@ -41,11 +51,10 @@ object Ingest {
     * separate API: every row of the canonical frame carries its own
     * `ts`, so all graft writes are explicit-timestamp writes.
     */
-  def append(db: Db, path: String, filesPerMetric: Int = 4): Unit =
+  def append(db: Db, path: String, filesPerWeek: Int = 4): Unit =
     db.frame
       .withColumn("metric", validatedMetric)
-      .repartition(filesPerMetric, col("metric"),
-        expr(s"ts div ${Duration.days(7)}L"))
+      .repartition(layoutKey(filesPerWeek): _*)
       .sortWithinPartitions(col("metric"), col("ts"))
       .write.partitionBy("metric").mode("append").parquet(path)
 
@@ -88,7 +97,7 @@ object Ingest {
   /** Bump when the canonical frame layout changes (e.g. tag semantics),
     * so cached layouts from older code are never silently reused.
     */
-  private val LayoutVersion = 2
+  private val LayoutVersion = 3
 
   /** Content fingerprint of a source dir: md5 over every file's relative
     * path, size, and mtime. Keying cached layouts on it (not just the
