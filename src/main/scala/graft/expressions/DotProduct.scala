@@ -147,6 +147,12 @@ object GraftFunctions {
             s"graft_lsh_bands: rowsPerBand/bands must be int literals, got $other")
         }
       }),
+    (FunctionIdentifier("graft_mm_synth"),
+      new ExpressionInfo(classOf[MmSynthPayload].getName, "graft_mm_synth"),
+      (cs: Seq[Expression]) => { arity("graft_mm_synth", 2, cs); MmSynthPayload(cs.head, cs(1)) }),
+    (FunctionIdentifier("graft_mm_meta"),
+      new ExpressionInfo(classOf[MmHeaderMeta].getName, "graft_mm_meta"),
+      (cs: Seq[Expression]) => { arity("graft_mm_meta", 1, cs); MmHeaderMeta(cs.head) }),
     (FunctionIdentifier("graft_first_eq"),
       new ExpressionInfo(classOf[FirstEqualSlot].getName, "graft_first_eq"),
       (cs: Seq[Expression]) => { arity("graft_first_eq", 2, cs); FirstEqualSlot(cs.head, cs(1)) }),

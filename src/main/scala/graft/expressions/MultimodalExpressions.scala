@@ -1,0 +1,168 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level multimodal container handling as native expressions: the
+  * header-parse path is a pure `binary → struct` function, so it lives
+  * inside WholeStageCodegen as a single static call per row — no RDD
+  * round-trip, no Row re-encoding, columnar parquet input preserved.
+  * (Payload *decoding* past the header needs codec libraries and
+  * per-partition batch state — that slot stays on
+  * `graft.operators.Multimodal.decodeBatch`.)
+  */
+object MmFormat {
+
+  /** Typed metadata per blob; format-inapplicable fields are None. */
+  final case class Meta(mime: String, width: Option[Int], height: Option[Int],
+                        sampleRate: Option[Int], channels: Option[Int])
+
+  /** Byte-level container-header parser (public formats, no deps):
+    * PNG signature + IHDR (RFC 2083 §3.1) and RIFF/WAVE `fmt ` chunks.
+    */
+  object HeaderParser {
+    private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def parse(b: Array[Byte]): Meta = {
+      if (b.length >= 24 && b.take(8).sameElements(PngSig) && tag(b, 12) == "IHDR")
+        // IHDR: width/height are the first two big-endian u32 of the chunk body
+        Meta("image/png", Some(be32(b, 16)), Some(be32(b, 20)), None, None)
+      else if (b.length >= 36 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
+        // walk RIFF chunks for "fmt ": u16le channels at +2, u32le rate at +4
+        var o = 12
+        while (o + 8 <= b.length) {
+          val id = tag(b, o)
+          val sz = le32(b, o + 4)
+          if (id == "fmt " && o + 8 + 8 <= b.length)
+            return Meta("audio/wav", None, None,
+              Some(le32(b, o + 8 + 4)), Some(le16(b, o + 8 + 2)))
+          // a crafted size >= 2^31 reads back negative; the offset must
+          // strictly advance or the walk would loop forever on the chunk
+          val next = o + 8 + sz + (sz & 1) // chunks are word-aligned
+          if (sz < 0 || next <= o) return Meta("audio/wav", None, None, None, None)
+          o = next
+        }
+        Meta("audio/wav", None, None, None, None)
+      } else Meta("application/octet-stream", None, None, None, None)
+    }
+  }
+
+  /** Synthesize genuine container headers (for the corpus, which ships
+    * no media): PNG with derived dimensions, WAV with derived
+    * sample-rate/channels, or raw bytes — keyed off stable content so
+    * results are reproducible.
+    */
+  object Synth {
+    def payload(docId: Long, text: String): Array[Byte] = {
+      val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = java.util.Arrays.hashCode(body)
+      (docId % 3) match {
+        case 0 => png(16 + math.floorMod(h, 1024), 16 + math.floorMod(h >> 10, 1024), body)
+        case 1 => wav(8000 + 100 * math.floorMod(h, 441), 1 + math.floorMod(h >> 16, 2), body)
+        case _ => body
+      }
+    }
+
+    def png(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33 + body.length)
+      bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      bb.putInt(13).put("IHDR".getBytes).putInt(width).putInt(height)
+      bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.putInt(0) // CRC placeholder; parser reads the header fields only
+      bb.put(body, 0, math.min(body.length, bb.remaining()))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+
+    def wav(sampleRate: Int, channels: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataLen = body.length
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+      bb.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      bb.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16.toShort)
+      bb.put("data".getBytes).putInt(dataLen).put(body)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+  }
+
+  /** The `graft_mm_meta` struct layout. */
+  val MetaStruct: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true)))
+
+  // ---- static kernels called from generated code ----
+  def synthKernel(docId: Long, text: UTF8String): Array[Byte] =
+    Synth.payload(docId, text.toString)
+
+  def metaKernel(b: Array[Byte]): InternalRow = {
+    val m = HeaderParser.parse(b)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(m.mime),
+      m.width.orNull, m.height.orNull, m.sampleRate.orNull, m.channels.orNull))
+  }
+}
+
+/** `graft_mm_synth(doc_id, text)` — deterministic container-header
+  * payload synthesis as a codegen'd `(long, string) → binary` call.
+  */
+case class MmSynthPayload(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_mm_synth expects (long, string), got $t")
+    }
+
+  override protected def nullSafeEval(id: Any, text: Any): Any =
+    MmFormat.synthKernel(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, t) =>
+      s"graft.expressions.MmFormat.synthKernel($id, $t)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MmSynthPayload =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_mm_meta(payload)` — container-header parse as a codegen'd
+  * `binary → struct` call (see [[MmFormat.HeaderParser]]).
+  */
+case class MmHeaderMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MmFormat.MetaStruct
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_mm_meta expects binary, got $t")
+  }
+
+  override protected def nullSafeEval(b: Any): Any =
+    MmFormat.metaKernel(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expressions.MmFormat.metaKernel($b)")
+
+  override protected def withNewChildInternal(newChild: Expression): MmHeaderMeta =
+    copy(child = newChild)
+}

@@ -1,19 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.expressions.{GraftFunctions, MmFormat}
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: treat image/audio payloads as opaque
-  * `binary` columns with typed metadata, processed in partition-sized
-  * batches.
+  * `binary` columns with typed metadata.
   *
   * The metadata extraction is a *real* byte-level container-header
   * parser for public formats — PNG (signature + IHDR, RFC 2083 §3.1)
-  * and WAV (RIFF/WAVE `fmt ` chunk) — no codec libraries involved.
-  * Payload *decoding* past the header (pixel/sample data) is where a
-  * production deployment plugs a codec into the same per-partition
-  * batch loop.
+  * and WAV (RIFF/WAVE `fmt ` chunk) — no codec libraries involved, and
+  * it runs as a native `binary → struct` Catalyst expression
+  * (`graft_mm_meta`), so the whole path is DataFrame-native inside one
+  * WholeStageCodegen span: columnar parquet scan → synth → parse, no
+  * RDD round-trip. Payload *decoding* past the header (pixel/sample
+  * data) is where codec libraries and per-partition batch state come
+  * in — that slot is [[decodeBatch]].
   *
   * Since the corpus ships no real media, [[blobFrame]] synthesizes
   * payloads with genuine PNG/WAV headers derived deterministically from
@@ -31,117 +34,66 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true)))
 
-  final case class Meta(mime: String, width: Option[Int], height: Option[Int],
-                        sampleRate: Option[Int], channels: Option[Int])
-
-  /** Byte-level container-header parser (public formats, no deps). */
-  object HeaderParser {
-    private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
-
-    private def be32(b: Array[Byte], o: Int): Int =
-      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-    private def le32(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-    private def le16(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    private def tag(b: Array[Byte], o: Int): String =
-      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-
-    def parse(b: Array[Byte]): Meta = {
-      if (b.length >= 24 && b.take(8).sameElements(PngSig) && tag(b, 12) == "IHDR")
-        // IHDR: width/height are the first two big-endian u32 of the chunk body
-        Meta("image/png", Some(be32(b, 16)), Some(be32(b, 20)), None, None)
-      else if (b.length >= 36 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
-        // walk RIFF chunks for "fmt ": u16le channels at +2, u32le rate at +4
-        var o = 12
-        while (o + 8 <= b.length) {
-          val id = tag(b, o)
-          val sz = le32(b, o + 4)
-          if (id == "fmt " && o + 8 + 8 <= b.length)
-            return Meta("audio/wav", None, None,
-              Some(le32(b, o + 8 + 4)), Some(le16(b, o + 8 + 2)))
-          // a crafted size >= 2^31 reads back negative; the offset must
-          // strictly advance or the walk would loop forever on the chunk
-          val next = o + 8 + sz + (sz & 1) // chunks are word-aligned
-          if (sz < 0 || next <= o) return Meta("audio/wav", None, None, None, None)
-          o = next
-        }
-        Meta("audio/wav", None, None, None, None)
-      } else Meta("application/octet-stream", None, None, None, None)
-    }
-  }
-
-  /** Synthesize genuine container headers (for the corpus, which ships
-    * no media): PNG with derived dimensions, WAV with derived
-    * sample-rate/channels, or raw bytes — keyed off stable content so
-    * results are reproducible.
-    */
-  object Synth {
-    def payload(docId: Long, text: String): Array[Byte] = {
-      val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val h = java.util.Arrays.hashCode(body)
-      (docId % 3) match {
-        case 0 => png(16 + math.floorMod(h, 1024), 16 + math.floorMod(h >> 10, 1024), body)
-        case 1 => wav(8000 + 100 * math.floorMod(h, 441), 1 + math.floorMod(h >> 16, 2), body)
-        case _ => body
-      }
-    }
-
-    def png(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(33 + body.length)
-      bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
-      bb.putInt(13).put("IHDR".getBytes).putInt(width).putInt(height)
-      bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
-      bb.putInt(0) // CRC placeholder; parser reads the header fields only
-      bb.put(body, 0, math.min(body.length, bb.remaining()))
-      java.util.Arrays.copyOf(bb.array(), bb.position())
-    }
-
-    def wav(sampleRate: Int, channels: Int, body: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(44 + body.length)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val dataLen = body.length
-      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
-      bb.put("fmt ".getBytes).putInt(16)
-      bb.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
-      bb.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16.toShort)
-      bb.put("data".getBytes).putInt(dataLen).put(body)
-      java.util.Arrays.copyOf(bb.array(), bb.position())
-    }
-  }
+  // byte-level logic lives with the expressions (graft.expressions
+  // .MmFormat); aliased here for API continuity
+  type Meta = MmFormat.Meta
+  val HeaderParser: MmFormat.HeaderParser.type = MmFormat.HeaderParser
+  val Synth: MmFormat.Synth.type = MmFormat.Synth
 
   /** Binary-blob frame from `documents`: (doc_id, payload binary) with
-    * synthesized-but-genuine container headers.
+    * synthesized-but-genuine container headers — a pure projection
+    * (`graft_mm_synth`).
     */
   def blobFrame(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        call_function("graft_mm_synth", col("doc_id"), col("text")).as("payload"))
+  }
+
+  /** Header-parse pass: DataFrame-native end-to-end — `graft_mm_meta`
+    * emits the typed struct per row and the projection flattens it to
+    * [[MetaSchema]].
+    */
+  def extractMeta(spark: SparkSession, dir: String): DataFrame =
+    blobFrame(spark, dir)
+      .withColumn("m", call_function("graft_mm_meta", col("payload")))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("m.mime").as("mime"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"))
+
+  /** The codec-decode slot: per-partition batch iteration over blobs —
+    * one decoder/context init per partition, streaming over rows, no
+    * driver collect. This is where a real deployment plugs an image or
+    * audio codec (not shipped here); the default `decode` is a
+    * deterministic stand-in (leading-byte checksum) that keeps the
+    * plumbing — schema, batch shape, partition-level init — real and
+    * testable.
+    */
+  def decodeBatch(blobs: DataFrame,
+                  decode: Array[Byte] => Long = defaultDecode): DataFrame = {
+    val spark = blobs.sparkSession
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val rdd = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text")).rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          Row(id, Synth.payload(id, r.getString(1)))
-        }
+      StructField("feature", LongType, nullable = false)))
+    val rdd = blobs.select(col("doc_id"), col("payload")).rdd.mapPartitions { rows =>
+      // per-partition setup: codec contexts / reusable buffers init here
+      rows.map { r =>
+        org.apache.spark.sql.Row(r.getLong(0), decode(r.getAs[Array[Byte]](1)))
       }
+    }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Header-parse / feature-extract pass: per-partition batch iteration
-    * (the shape a vectorized decoder needs — one codec init per
-    * partition, streaming over rows, no driver collect).
-    */
-  def extractMeta(spark: SparkSession, dir: String): DataFrame = {
-    val rdd = blobFrame(spark, dir).rdd.mapPartitions { rows =>
-      // per-partition setup would init codec contexts/buffers here
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val m = HeaderParser.parse(bytes)
-        Row(id, bytes.length.toLong, m.mime,
-          m.width.orNull, m.height.orNull, m.sampleRate.orNull, m.channels.orNull)
-      }
-    }
-    spark.createDataFrame(rdd, MetaSchema)
+  private def defaultDecode(b: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    val n = math.min(b.length, 64)
+    while (i < n) { h = h * 31 + (b(i) & 0xff); i += 1 }
+    h
   }
 }

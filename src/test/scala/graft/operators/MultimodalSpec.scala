@@ -60,6 +60,22 @@ class MultimodalSpec extends SparkSpec {
     assert(m2.sampleRate.contains(44100) && m2.channels.contains(2))
   }
 
+  test("extractMeta is DataFrame-native: no RDD scan, codegen'd parse") {
+    val qe = Multimodal.extractMeta(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), "RDD round-trip found in extractMeta plan")
+    assert(plan.contains("*(1)"), "extractMeta not one whole-stage-codegen span")
+    assert(plan.contains("Scan parquet"), "parquet scan lost")
+  }
+
+  test("decodeBatch keeps the per-partition batch shape: one feature row per blob") {
+    val blobs = Multimodal.blobFrame(spark, sfDir)
+    val a = Multimodal.decodeBatch(blobs).orderBy("doc_id").collect()
+    val b = Multimodal.decodeBatch(blobs).orderBy("doc_id").collect()
+    assert(a.length == blobs.count())
+    assert(a.sameElements(b))
+  }
+
   test("extractMeta is deterministic, typed, and header-consistent") {
     val a = Multimodal.extractMeta(spark, sfDir).orderBy("doc_id").collect()
     val b = Multimodal.extractMeta(spark, sfDir).orderBy("doc_id").collect()
