@@ -273,6 +273,21 @@ object SparkEntry {
         |   (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents""".stripMargin,
 
+    // ---- Golden-artifact oracles ----
+    // dedup_simhash and mm_meta are pure deterministic projections whose
+    // values hinge on xxhash64 / byte-level parsing DuckDB cannot
+    // recompute. Their oracle is a COMMITTED golden parquet (generated
+    // once from the kernels at sf0.01, /root/repo/golden/): the check
+    // pins output stability across runs, partitionings, and refactors;
+    // semantic correctness is carried by the HOF-equivalence and header-
+    // parser specs. Regenerate via the coalesce(1) writes documented in
+    // SURVEY §5 if the kernels' contract intentionally changes.
+    "dedup_simhash" ->
+      "SELECT doc_id, simhash FROM read_parquet('/root/repo/golden/dedup_simhash/*.parquet')",
+    "mm_meta" ->
+      """SELECT doc_id, n_bytes, mime, width, height, sample_rate, channels
+        |FROM read_parquet('/root/repo/golden/mm_meta/*.parquet')""".stripMargin,
+
     // ---- Deduplication (LSH variants are rows-only: no oracle) ----
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

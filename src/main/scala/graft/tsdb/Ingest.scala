@@ -37,9 +37,21 @@ object Ingest {
     col("metric"), expr(s"ts div ${Duration.days(7)}L"),
     pmod(hash(col("ts")), lit(filesPerWeek)))
 
-  def write(db: Db, path: String, filesPerWeek: Int = 4): Unit =
+  /** Stored value dtype per the reference's precision contract: talna
+    * stores `Value = f32` unless the `high_precision` (f64) build flag
+    * is set (`src/lib.rs:112-116`). graft defaults to f64
+    * (`highPrecision = true`); opting into f32 halves value bytes —
+    * 2× IO/footprint at 100 TB — while [[open]] widens back to double
+    * so the query/aggregation path is unchanged (f32→f64 is exact).
+    */
+  private def storedValue(highPrecision: Boolean): org.apache.spark.sql.Column =
+    if (highPrecision) col("value") else col("value").cast("float")
+
+  def write(db: Db, path: String, filesPerWeek: Int = 4,
+            highPrecision: Boolean = true): Unit =
     db.frame
       .withColumn("metric", validatedMetric)
+      .withColumn("value", storedValue(highPrecision))
       .repartition(layoutKey(filesPerWeek): _*)
       .sortWithinPartitions(col("metric"), col("ts"))
       .write.partitionBy("metric").mode("overwrite").parquet(path)
@@ -51,19 +63,24 @@ object Ingest {
     * separate API: every row of the canonical frame carries its own
     * `ts`, so all graft writes are explicit-timestamp writes.
     */
-  def append(db: Db, path: String, filesPerWeek: Int = 4): Unit =
+  def append(db: Db, path: String, filesPerWeek: Int = 4,
+             highPrecision: Boolean = true): Unit =
     db.frame
       .withColumn("metric", validatedMetric)
+      .withColumn("value", storedValue(highPrecision))
       .repartition(layoutKey(filesPerWeek): _*)
       .sortWithinPartitions(col("metric"), col("ts"))
       .write.partitionBy("metric").mode("append").parquet(path)
 
   /** Reopen a graft layout as a Db. The `metric` partition column comes
-    * back as a string column; tag columns keep their `tag_` prefix.
+    * back as a string column; tag columns keep their `tag_` prefix; a
+    * float-stored `value` (see [[write]]) widens back to double so
+    * aggregation always runs in f64, like the reference's query path.
     */
   def open(spark: SparkSession, path: String): Db =
     new Db(spark.read.parquet(path)
-      .withColumn("metric", col("metric").cast("string")))
+      .withColumn("metric", col("metric").cast("string"))
+      .withColumn("value", col("value").cast("double")))
 
   /** Write-once cached graft layout for a source events dir: the first
     * call materializes `Db.fromEvents` through [[write]]; later calls

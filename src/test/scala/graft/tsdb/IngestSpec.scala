@@ -31,6 +31,29 @@ class IngestSpec extends SparkSpec {
     assert(db.frame.count() == Db.fromEvents(spark, sfDir).frame.count())
   }
 
+  test("f32 layout: value stored float on disk, widened to double on open") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_f32").toString
+    val db = Db.fromEvents(spark, sfDir)
+    Ingest.write(db, tmp, highPrecision = false)
+    // on-disk schema carries float (2x footprint saving at scale)...
+    val disk = spark.read.parquet(tmp)
+    assert(disk.schema("value").dataType.typeName == "float", disk.schema.treeString)
+    // ...while the reopened Db serves double, each value being exactly
+    // the f32-quantized source (f32 -> f64 widening is exact)
+    val opened = Ingest.open(spark, tmp)
+    assert(opened.frame.schema("value").dataType.typeName == "double")
+    val got = opened.frame.select(sum(col("value").isNotNull.cast("long")),
+      sum((col("value") =!= col("value").cast("float").cast("double")).cast("long")))
+      .collect()(0)
+    assert(got.getLong(0) == db.frame.count())
+    assert(got.getLong(1) == 0, "reopened values are not f32-quantized fixpoints")
+    val want = db.frame
+      .select(col("ts"), col("value").cast("float").cast("double").as("value"))
+      .agg(sum("value")).collect()(0).getDouble(0)
+    val have = opened.frame.agg(sum("value")).collect()(0).getDouble(0)
+    assert(math.abs(want - have) < 1e-6 * math.max(1.0, math.abs(want)))
+  }
+
   test("append adds a second batch to the layout") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_append").toString
     val db = Db.fromEvents(spark, sfDir)
