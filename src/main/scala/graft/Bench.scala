@@ -55,8 +55,54 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val ingest = if (sys.env.contains("SPARK_GRAFT_SKIP_INGEST")) "{}"
                  else ingestBench(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest":$ingest,"sf":"$sfDir"}""")
+    val scale = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+                else scaleBench(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest":$ingest,"scale10":$scale,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Scaling curve of the heavy family: the same query at the base sf
+    * and at a content-perturbed 10× replication ([[ScaleData]]), one
+    * warmed timed run each, reported as base/x10 seconds + ratio.
+    * Linear-in-rows queries should land around the row ratio (10) or
+    * below (fixed overhead amortizes); `dedup_embedding` is the
+    * documented exception — exhaustive within label blocks, O(n²)
+    * by design, kept as the LSH variant's correctness oracle. The LSH
+    * variant runs with the corpus-scaled plane budget (2^b ∝ n — see
+    * [[graft.operators.Dedup.embeddingNearDup]]).
+    */
+  private def scaleBench(spark: SparkSession, sfDir: String): String = {
+    val dir10 = ScaleData.ensure(spark, sfDir, 10)
+    val heavy: Seq[(String, Boolean => (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "dedup_exact" -> (_ => SparkEntry.queries("dedup_exact")),
+      "dedup_minhash" -> (_ => SparkEntry.queries("dedup_minhash")),
+      "dedup_ngram_jaccard" -> (_ => SparkEntry.queries("dedup_ngram_jaccard")),
+      "dedup_embedding" -> (_ => SparkEntry.queries("dedup_embedding")),
+      "dedup_embedding_lsh" -> (x10 => (s, d) =>
+        graft.operators.Dedup.embeddingNearDup(s, d,
+          maxPlanes = if (x10) 288 else 192)),
+      "ann_bruteforce" -> (_ => SparkEntry.queries("ann_bruteforce")),
+      "ann_ivf" -> (_ => SparkEntry.queries("ann_ivf")),
+      "ann_ivf_kmeans" -> (_ => SparkEntry.queries("ann_ivf_kmeans")),
+      "ann_lsh" -> (_ => SparkEntry.queries("ann_lsh")),
+      "ann_lsh_multiprobe" -> (_ => SparkEntry.queries("ann_lsh_multiprobe")),
+      "q5_multijoin" -> (_ => SparkEntry.queries("q5_multijoin")))
+    val parts = heavy.map { case (name, fn) =>
+      // single cold run per scale: the ratio compares like with like,
+      // and the section stays cheap enough to run every round
+      def run(x10: Boolean, dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(x10)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val base = try run(x10 = false, sfDir) catch { case _: Throwable => -1.0 }
+      System.gc()
+      val x10 = try run(x10 = true, dir10) catch { case _: Throwable => -1.0 }
+      System.gc()
+      val ratio = if (base > 0 && x10 > 0) x10 / base else -1.0
+      f""""$name":{"base_sec":$base%.3f,"x10_sec":$x10%.3f,"ratio":$ratio%.2f}"""
+    }
+    parts.mkString("{", ",", "}")
   }
 
   /** Ingest-throughput measurement (pts/s), the reference's headline

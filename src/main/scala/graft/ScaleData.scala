@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Replicated scale-up of an sf dir for scaling-curve measurement:
+  * `factor`× the rows of the heavy-family tables, written once per
+  * (source content, factor) under out/ and reused.
+  *
+  * Copies are content-perturbed so the scaled corpus keeps the
+  * original's *similarity structure* instead of planting `factor`-sized
+  * duplicate clusters (which would make every dedup output quadratic in
+  * copies and measure a different workload):
+  *  - documents: per-copy letter substitution (rotated a..j alphabet) —
+  *    shingle/gram sets of different copies are disjoint-ish, so
+  *    near-dup pair counts scale ~linearly;
+  *  - embeddings: per-copy cyclic dimension rotation — norms exact,
+  *    cross-copy cosines behave like unrelated vectors;
+  *  - TPC-H facts (lineitem/orders/customer/supplier): join keys offset
+  *    per copy, so join selectivity and group counts scale linearly;
+  *    nation/region stay as the shared dimensions.
+  */
+object ScaleData {
+
+  private val Stride = 10000000L
+
+  /** Bump when the perturbation scheme changes, so cached scale dirs
+    * from older generators are never reused.
+    */
+  private val GenVersion = 2
+
+  def ensure(spark: SparkSession, sfDir: String, factor: Int = 10,
+             base: String = "/root/repo/out"): String = {
+    val fp = graft.tsdb.Ingest.contentFingerprint(sfDir)
+    val dir = s"$base/scale${factor}_v${GenVersion}_${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = java.nio.file.Paths.get(dir, "_SCALE_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      writeTables(spark, sfDir, dir, factor)
+      java.nio.file.Files.createFile(done)
+    }
+    dir
+  }
+
+  private def replicate(df: DataFrame, factor: Int)
+                       (copy: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(i => copy(df, i)).reduce(_ union _)
+
+  private def writeTables(spark: SparkSession, sfDir: String, dir: String,
+                          factor: Int): Unit = {
+    def src(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+    def out(t: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+
+    // substitute (almost) the whole alphabet per copy: a narrow map
+    // would leave common words intact across copies, making every copy
+    // a near-duplicate of the original — shingle overlap must die for
+    // dedup candidate volume to scale linearly with copies
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    out("documents", replicate(src("documents"), factor) { (d, i) =>
+      val to = letters.drop(i * 7 % 26) + letters.take(i * 7 % 26)
+      d.select((col("doc_id") + i * Stride).as("doc_id"),
+        translate(col("text"), letters, to).as("text"))
+    })
+
+    out("embeddings", replicate(src("embeddings"), factor) { (e, i) =>
+      val rot =
+        if (i == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+          s"slice(embedding, 1, $i))")
+      e.select((col("vec_id") + i * Stride).as("vec_id"), col("label"),
+        rot.as("embedding"))
+    })
+
+    out("lineitem", replicate(src("lineitem"), factor) { (l, i) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + i * Stride)
+        .withColumn("l_suppkey", col("l_suppkey") + i * Stride)
+    })
+    out("orders", replicate(src("orders"), factor) { (o, i) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + i * Stride)
+        .withColumn("o_custkey", col("o_custkey") + i * Stride)
+    })
+    out("customer", replicate(src("customer"), factor) { (c, i) =>
+      c.withColumn("c_custkey", col("c_custkey") + i * Stride)
+    })
+    out("supplier", replicate(src("supplier"), factor) { (s, i) =>
+      s.withColumn("s_suppkey", col("s_suppkey") + i * Stride)
+    })
+    out("nation", src("nation"))
+    out("region", src("region"))
+  }
+}

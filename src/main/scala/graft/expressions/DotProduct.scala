@@ -153,9 +153,6 @@ object GraftFunctions {
     (FunctionIdentifier("graft_mm_meta"),
       new ExpressionInfo(classOf[MmHeaderMeta].getName, "graft_mm_meta"),
       (cs: Seq[Expression]) => { arity("graft_mm_meta", 1, cs); MmHeaderMeta(cs.head) }),
-    (FunctionIdentifier("graft_first_eq"),
-      new ExpressionInfo(classOf[FirstEqualSlot].getName, "graft_first_eq"),
-      (cs: Seq[Expression]) => { arity("graft_first_eq", 2, cs); FirstEqualSlot(cs.head, cs(1)) }),
     (FunctionIdentifier("graft_jitter"),
       new ExpressionInfo(classOf[Jitter].getName, "graft_jitter"),
       (cs: Seq[Expression]) => {

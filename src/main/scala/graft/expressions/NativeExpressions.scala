@@ -203,35 +203,6 @@ case class LshBandBuckets(child: Expression, rowsPerBand: Int, bands: Int)
     copy(child = newChild)
 }
 
-/** First index where two `array<long>` columns agree, -1 if none — see
-  * [[NativeKernels.firstEqualSlot]].
-  */
-case class FirstEqualSlot(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = IntegerType
-
-  private def ok(e: Expression): Boolean = e.dataType match {
-    case ArrayType(LongType, _) => true
-    case _ => false
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_first_eq expects (array<long>, array<long>), got (${left.dataType}, ${right.dataType})")
-
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    NativeKernels.firstEqualSlot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expressions.NativeKernels.firstEqualSlot($a, $b)")
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): FirstEqualSlot =
-    copy(left = newLeft, right = newRight)
-}
-
 /** Deterministic near-duplicate jitter of a float-vector column — see
   * [[NativeKernels.jitter]].
   */

