@@ -127,6 +127,10 @@ object Bench {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // start from a clean heap: this section follows ~170 query
+    // executions whose broadcast/shuffle debris otherwise inflates the
+    // first big write's GC time
+    System.gc()
     // --- synthetic: the reference-benchmark shape ---
     val n = sys.env.getOrElse("SPARK_GRAFT_INGEST_POINTS", "10000000").toLong
     val metrics = array(Seq("cpu.user", "cpu.sys", "mem.free", "disk.io",
