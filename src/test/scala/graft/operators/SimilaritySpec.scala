@@ -126,6 +126,12 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
   }
 
+  test("ivf probe partition-prunes the inverted-list layout (dynamic pruning)") {
+    val plan = Similarity.ivfTopK(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on list_id in:\n${plan.take(2000)}")
+  }
+
   test("ivf plans never window/shuffle the corpus by vec_id") {
     // assignment must be a projection (kernel argmax), not a rank window
     // partitioned by vec_id over a corpus×centroids join
