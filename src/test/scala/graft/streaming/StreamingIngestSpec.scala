@@ -32,4 +32,27 @@ class StreamingIngestSpec extends SparkSpec {
     assert(db2.scan("purchase").where(col("tag_k").isNull).count() ==
       batch.scan("purchase").where(col("tag_k").isNull).count())
   }
+
+  test("streaming ingest enforces the metric-name write boundary like batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sbad").toString
+    val landing = java.nio.file.Paths.get(base, "landing")
+    java.nio.file.Files.createDirectories(landing)
+    // one event with a name the reference's MetricName::try_from rejects;
+    // stage the spark write and move its part file into the landing zone
+    val staging = java.nio.file.Paths.get(base, "staging")
+    spark.read.parquet(s"$sfDir/events.parquet").limit(1)
+      .withColumn("event_type", lit("BAD METRIC!"))
+      .coalesce(1).write.parquet(staging.toString)
+    val part = new java.io.File(staging.toString).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, landing.resolve("bad-000.parquet"))
+    val e = intercept[Exception] {
+      StreamingIngest.ingestAvailable(spark, landing.toString,
+        s"$base/layout", s"$base/ckpt")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("invalid metric name")), msgs(e).mkString(" | "))
+  }
 }
