@@ -114,6 +114,16 @@ class DedupSpec extends SparkSpec {
     assert(lsh.values.forall(_ >= 0.9))
   }
 
+  test("embedding LSH fetches candidate payloads via broadcast joins") {
+    // the candidate-payload joins must not fall to sort-merge: SMJ
+    // sorts an intermediate that carries a vector per row (measured
+    // 10-30x slower and spill-prone at 10x scale)
+    val plan = Dedup.embeddingNearDup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected >=2 broadcast payload joins, got $broadcasts")
+  }
+
   test("salted embedding LSH returns exactly the unsalted pairs") {
     val frame = Dedup.withPlantedNearDups(spark, sfDir)
     def pairs(salt: Int) =
