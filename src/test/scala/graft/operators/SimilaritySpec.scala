@@ -143,6 +143,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("concurrent ivf queries share one materialized index and agree") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val expected = Similarity.ivfKmeansTopK(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val futs = (1 to 4).map { _ =>
+      Future(Similarity.ivfKmeansTopK(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq)
+    }
+    val all = Await.result(Future.sequence(futs),
+      scala.concurrent.duration.Duration(600, "s"))
+    all.foreach(a => assert(a == expected))
+  }
+
   test("brute-force plan broadcasts the query side") {
     val plan = Similarity.bruteForceTopK(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"))
