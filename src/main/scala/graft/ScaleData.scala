@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   *  - TPC-H facts (lineitem/orders/customer/supplier): join keys offset
   *    per copy, so join selectivity and group counts scale linearly;
   *    nation/region stay as the shared dimensions.
+  *
+  * Perturbations are periodic: letter rotations repeat every 26 copies
+  * and dimension rotations every `dim` copies, so factors beyond that
+  * reintroduce exact duplicates across copies (groups of
+  * ~factor/period). Dedup operators then legitimately report those
+  * clusters — representative of real web-scale duplication — but pair
+  * counts gain a (bounded, ~factor/period per row) extra term; the
+  * fully-decorrelated regime is factor ≤ 26 for documents, ≤ dim for
+  * embeddings.
   */
 object ScaleData {
 
@@ -63,10 +72,14 @@ object ScaleData {
     })
 
     out("embeddings", replicate(src("embeddings"), factor) { (e, i) =>
+      // rotate modulo the dimension: copy indices past `dim` wrap (see
+      // the periodicity note above) instead of producing negative
+      // slice lengths
       val rot =
         if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))")
+        else expr(s"concat(slice(embedding, ($i % size(embedding)) + 1, " +
+          s"size(embedding) - ($i % size(embedding))), " +
+          s"slice(embedding, 1, $i % size(embedding)))")
       e.select((col("vec_id") + i * Stride).as("vec_id"), col("label"),
         rot.as("embedding"))
     })

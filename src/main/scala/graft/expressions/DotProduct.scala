@@ -147,6 +147,9 @@ object GraftFunctions {
             s"graft_lsh_bands: rowsPerBand/bands must be int literals, got $other")
         }
       }),
+    (FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "graft_jaccard"),
+      (cs: Seq[Expression]) => { arity("graft_jaccard", 2, cs); JaccardSim(cs.head, cs(1)) }),
     (FunctionIdentifier("graft_mm_synth"),
       new ExpressionInfo(classOf[MmSynthPayload].getName, "graft_mm_synth"),
       (cs: Seq[Expression]) => { arity("graft_mm_synth", 2, cs); MmSynthPayload(cs.head, cs(1)) }),

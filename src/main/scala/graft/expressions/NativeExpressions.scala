@@ -203,6 +203,35 @@ case class LshBandBuckets(child: Expression, rowsPerBand: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** Rounded Jaccard similarity of two distinct-element string-array
+  * columns — see [[NativeKernels.jaccard]].
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jaccard expects (array<string>, array<string>), got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.NativeKernels.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Deterministic near-duplicate jitter of a float-vector column — see
   * [[NativeKernels.jitter]].
   */

@@ -256,6 +256,36 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Rounded Jaccard similarity of two distinct-element string arrays:
+    * `round(|a∩b| / (|a|+|b|-|a∩b|), 6)` in one hash-set pass.
+    *
+    * Equivalent formulation: `round(size(array_intersect(a, b)) /
+    * (size(a) + size(b) - size(array_intersect(a, b))), 6)` — which
+    * materializes the intersection ARRAY (twice, if written naively)
+    * per row; this kernel builds one hash set of the smaller side and
+    * counts probes from the larger, dominating cost for the
+    * candidate-verification stage of every Jaccard dedup variant.
+    * Inputs are produced by the shingle/gram kernels, which emit
+    * distinct elements; for already-distinct inputs the count equals
+    * `size(array_intersect)` exactly, and the rounding matches Spark's
+    * `round(x, 6)`.
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val (small, ns, large, nl) = if (na <= nb) (a, na, b, nb) else (b, nb, a, na)
+    val set = new java.util.HashSet[UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nl) {
+      if (set.contains(large.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    roundHalfUp6(inter.toDouble / (na + nb - inter))
+  }
+
   /** Deterministic near-duplicate jitter of a float vector:
     * `x_i + amp·‖v‖/√dim · (±1 from xxhash64(id, i))`, result cast per
     * component to float — cos(v, jitter(v)) ≈ 1/√(1+amp²). The norm is

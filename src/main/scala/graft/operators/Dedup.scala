@@ -50,10 +50,13 @@ object Dedup {
   /** Distinct char 3-grams (native kernel). */
   private val charGrams = call_function("graft_char_grams", col("text"))
 
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    round(inter / (size(a) + size(b) - size(array_intersect(a, b))), 6)
-  }
+  /** Rounded exact Jaccard as one native kernel call (single hash-set
+    * pass) — the `size(array_intersect(...))` formulation materializes
+    * the intersection array per candidate pair and dominated the verify
+    * stage at 100× corpus scale.
+    */
+  private def jaccard(a: Column, b: Column): Column =
+    call_function("graft_jaccard", a, b)
 
   // ---------------------------------------------------------------- minhash
   /** MinHash + LSH near-dup pairs: word-3-shingle sets → `numHashes`
@@ -87,7 +90,8 @@ object Dedup {
     */
   def minhashLshFrame(docsDf: DataFrame,
                       numHashes: Int = 32, bands: Int = 16,
-                      threshold: Double = 0.5, salt: Int = 1): DataFrame = {
+                      threshold: Double = 0.5, salt: Int = 1,
+                      broadcastVerify: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(salt >= 1, "salt must be >= 1")
     GraftFunctions.register(docsDf.sparkSession)
@@ -115,7 +119,16 @@ object Dedup {
     })
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = base.select(col("doc_id"), col("shingles"))
+    // verify-side joins must HASH, never sort-merge: shingle-set rows
+    // are KBs each, and sorting the candidate×shingles intermediate
+    // spills once the corpus outgrows the auto-broadcast threshold.
+    // Default: broadcast the (doc_id, shingles) side while the corpus
+    // fits executor memory; `broadcastVerify = false` switches to
+    // shuffle-hash joins (per-partition hash build on the fat side) for
+    // beyond-memory corpora — same contract as
+    // [[embeddingCosineLshFrame]].
+    val sh0 = base.select(col("doc_id"), col("shingles"))
+    val sh = if (broadcastVerify) broadcast(sh0) else sh0.hint("shuffle_hash")
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -166,6 +166,27 @@ class NativeKernelsSpec extends SparkSpec {
     }
   }
 
+  test("graft_jaccard == round(size(array_intersect)/union, 6) on real shingle pairs") {
+    // real candidate-like pairs: consecutive docs' shingle sets
+    val g = docs.select(col("doc_id"),
+      call_function("graft_word_shingles", col("text")).as("sh"))
+    val pairs = g.as("a").join(g.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+    val out = pairs.select(
+      call_function("graft_jaccard", col("a.sh"), col("b.sh")).as("native"),
+      round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+        / (size(col("a.sh")) + size(col("b.sh"))
+           - size(array_intersect(col("a.sh"), col("b.sh")))), 6).as("hof"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // identical pair and char-gram variants
+    val out2 = docs.select(
+      call_function("graft_jaccard",
+        call_function("graft_char_grams", col("text")),
+        call_function("graft_char_grams", col("text"))).as("self")).collect()
+    out2.foreach(r => assert(r.getDouble(0) == 1.0))
+  }
+
   test("graft_jitter == indexed-transform HOF with xxhash64 signs") {
     val out = embs.select(
       call_function("graft_jitter", col("embedding"), col("vec_id"), lit(0.33)).as("native"),
