@@ -91,6 +91,46 @@ object Analytics {
         col("rev_dec").cast("double").as("revenue"), col("rnk"))
   }
 
+  /** Write lineitem + orders bucketed (and bucket-sorted) on the order
+    * key: the layout that deletes the fact-fact shuffle. A plain-parquet
+    * q3/q5 must exchange both fact tables on `orderkey` per query — at
+    * 100 TB that sort-merge of the biggest tables dominates (the 100×
+    * experiment's q5 finding). Tables written this way join and
+    * aggregate WITH NO SHUFFLE EXCHANGE AT ALL: bucketing co-locates
+    * the keys, `sortBy` pre-orders inside buckets, and a groupBy whose
+    * keys include the bucket key reuses the same distribution — the
+    * whole q3 pipeline becomes exchange-free (spec-asserted). Pay the
+    * shuffle once at ingest, not once per query.
+    */
+  def bucketFacts(spark: SparkSession, dir: String,
+                  buckets: Int = 8, prefix: String = "graft"): Unit = {
+    t(spark, dir, "lineitem").write
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").format("parquet").saveAsTable(s"${prefix}_lineitem_b")
+    t(spark, dir, "orders").write
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").format("parquet").saveAsTable(s"${prefix}_orders_b")
+  }
+
+  /** [[q3]] over [[bucketFacts]] tables — identical results, zero
+    * shuffle exchanges in the whole plan (join co-located by bucketing;
+    * the aggregation's grouping keys include the bucket key, so the
+    * join's distribution satisfies it too; the dimension is broadcast).
+    */
+  def q3Bucketed(spark: SparkSession, dir: String,
+                 prefix: String = "graft"): DataFrame = {
+    val cust = t(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = spark.table(s"${prefix}_orders_b")
+      .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li = spark.table(s"${prefix}_lineitem_b")
+      .where(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
   /** Sessionize the event stream: 30-min-gap sessions per user (lag +
     * running sum — the classic distributed sessionization shape; one
     * shuffle on user_id, no state on the driver).

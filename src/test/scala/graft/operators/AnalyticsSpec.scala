@@ -11,6 +11,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("count_order") > 0))
   }
 
+  test("bucketed fact tables make q3 fully exchange-free with identical results") {
+    for (tbl <- Seq("graft_lineitem_b", "graft_orders_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = java.nio.file.Paths.get("spark-warehouse", tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Analytics.bucketFacts(spark, sfDir, buckets = 4)
+    val bucketed = Analytics.q3Bucketed(spark, sfDir)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    // the fact-fact join AND the aggregation ride the bucketing: no
+    // shuffle exchange anywhere (broadcast exchange for the dim is fine)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"shuffle exchange in bucketed q3 plan:\n${plan.take(3000)}")
+    val a = bucketed.collect().map(_.toString).sorted
+    val b = Analytics.q3(spark, sfDir).collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("q3 and q5 use broadcast joins") {
     val p3 = Analytics.q3(spark, sfDir).queryExecution.executedPlan.toString
     val p5 = Analytics.q5(spark, sfDir).queryExecution.executedPlan.toString
