@@ -86,7 +86,11 @@ object Bench {
       "ann_ivf_kmeans" -> (_ => SparkEntry.queries("ann_ivf_kmeans")),
       "ann_lsh" -> (_ => SparkEntry.queries("ann_lsh")),
       "ann_lsh_multiprobe" -> (_ => SparkEntry.queries("ann_lsh_multiprobe")),
-      "q5_multijoin" -> (_ => SparkEntry.queries("q5_multijoin")))
+      "q5_multijoin" -> (_ => SparkEntry.queries("q5_multijoin")),
+      // TSDB core representatives: aggregation, per-series window, scan
+      "ts_avg" -> (_ => SparkEntry.queries("ts_avg")),
+      "ts_latest" -> (_ => SparkEntry.queries("ts_latest")),
+      "ts_raw" -> (_ => SparkEntry.queries("ts_raw")))
     val parts = heavy.map { case (name, fn) =>
       // single cold run per scale: the ratio compares like with like,
       // and the section stays cheap enough to run every round

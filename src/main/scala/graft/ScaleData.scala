@@ -36,7 +36,7 @@ object ScaleData {
   /** Bump when the perturbation scheme changes, so cached scale dirs
     * from older generators are never reused.
     */
-  private val GenVersion = 2
+  private val GenVersion = 3
 
   def ensure(spark: SparkSession, sfDir: String, factor: Int = 10,
              base: String = "/root/repo/out"): String = {
@@ -98,6 +98,13 @@ object ScaleData {
     out("supplier", replicate(src("supplier"), factor) { (s, i) =>
       s.withColumn("s_suppkey", col("s_suppkey") + i * Stride)
     })
+    // events: distinct users per copy (series count scales), same time
+    // range — the TSDB scan/agg/window paths see factor× points
+    out("events", replicate(src("events"), factor) { (e, i) =>
+      e.withColumn("user_id", col("user_id") + i * Stride)
+        .withColumn("event_id", col("event_id") + i * Stride)
+    })
+
     out("nation", src("nation"))
     out("region", src("region"))
   }
