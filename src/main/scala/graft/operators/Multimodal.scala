@@ -96,4 +96,52 @@ object Multimodal {
     while (i < n) { h = h * 31 + (b(i) & 0xff); i += 1 }
     h
   }
+
+  /** Frame sampling over binary payloads: emit every `everyK`-th frame
+    * of each blob as its own (doc_id, frame_idx, frame) row — the
+    * video-pipeline shape (decode container → iterate frames → keep a
+    * stride) on the same per-partition batch loop as [[decodeBatch]].
+    * One blob fans out to many frame rows WITHOUT driver involvement,
+    * and downstream per-frame work (embedding, resize, dedup) joins on
+    * (doc_id, frame_idx).
+    *
+    * The real codec isn't shipped (no media libs in this build), so the
+    * default `frames` treats the post-header payload as fixed-size
+    * chunks — a deterministic stand-in with the exact iterator contract
+    * a decoder plugs into (header parse once per blob, then a lazy
+    * frame iterator; nothing is materialized per partition beyond the
+    * row stream).
+    */
+  def frameSample(blobs: DataFrame, everyK: Int = 2,
+                  frames: Array[Byte] => Iterator[Array[Byte]] = defaultFrames)
+      : DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val spark = blobs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rdd = blobs.select(col("doc_id"), col("payload")).rdd.mapPartitions { rows =>
+      // per-partition setup: codec contexts init here, once
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        frames(r.getAs[Array[Byte]](1)).zipWithIndex.collect {
+          case (f, i) if i % everyK == 0 =>
+            org.apache.spark.sql.Row(id, i.toLong, f)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic stand-in frame iterator: 256-byte chunks of the
+    * payload past the 44-byte container header region.
+    */
+  private def defaultFrames(b: Array[Byte]): Iterator[Array[Byte]] = {
+    val start = math.min(44, b.length)
+    val frame = 256
+    Iterator.range(start, b.length, frame).map { o =>
+      java.util.Arrays.copyOfRange(b, o, math.min(o + frame, b.length))
+    }
+  }
 }

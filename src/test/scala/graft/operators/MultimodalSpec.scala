@@ -76,6 +76,27 @@ class MultimodalSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("frameSample keeps every k-th frame with stable indices, no driver fan-out") {
+    val blobs = Multimodal.blobFrame(spark, sfDir)
+    val all = Multimodal.frameSample(blobs, everyK = 1)
+    val sampled = Multimodal.frameSample(blobs, everyK = 3)
+    val a = all.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = sampled.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s.keySet.subsetOf(a.keySet))
+    // ceil(n/3) frames survive a stride of 3
+    s.foreach { case (id, n) => assert(n == (a(id) + 2) / 3, s"doc $id: $n of ${a(id)}") }
+    // sampled indices are the stride positions
+    val idx = sampled.where(col("doc_id") === s.keys.head)
+      .select("frame_idx").collect().map(_.getLong(0)).sorted
+    assert(idx.zipWithIndex.forall { case (v, i) => v == 3L * i })
+    // deterministic across runs
+    val again = Multimodal.frameSample(blobs, everyK = 3)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(again.sameElements(sampled.orderBy("doc_id", "frame_idx").collect()))
+  }
+
   test("extractMeta is deterministic, typed, and header-consistent") {
     val a = Multimodal.extractMeta(spark, sfDir).orderBy("doc_id").collect()
     val b = Multimodal.extractMeta(spark, sfDir).orderBy("doc_id").collect()
