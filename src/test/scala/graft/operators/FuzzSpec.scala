@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic (seeded) fuzz coverage for the pure, no-session
+  * parsing and planning code — components that consume arbitrary bytes
+  * or user-chosen parameters and must never hang, throw, or violate
+  * their stated bounds.
+  */
+class FuzzSpec extends AnyFunSuite {
+
+  test("HeaderParser terminates and classifies on arbitrary bytes") {
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      val m = Multimodal.HeaderParser.parse(b) // must return, not loop/throw
+      assert(Set("image/png", "audio/wav", "application/octet-stream")(m.mime))
+    }
+  }
+
+  test("HeaderParser terminates on crafted RIFF containers with arbitrary chunk tables") {
+    // RIFF/WAVE preamble + random chunk id/size words: the walk must
+    // always terminate (negative and zero sizes included)
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val n = rnd.nextInt(16)
+      val bb = java.nio.ByteBuffer.allocate(12 + n * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(n * 8 + 4).put("WAVE".getBytes)
+      (1 to n).foreach { _ =>
+        bb.put("JUNK".getBytes)
+        bb.putInt(rnd.nextInt() match { case x if rnd.nextBoolean() => x; case x => x & 0xff })
+      }
+      val m = Multimodal.HeaderParser.parse(bb.array())
+      // buffers under the 36-byte RIFF/WAVE minimum classify as opaque
+      if (bb.capacity() >= 36) assert(m.mime == "audio/wav")
+      else assert(m.mime == "application/octet-stream")
+    }
+  }
+
+  test("lshPlan always meets recall within budget for valid (threshold, recall)") {
+    val rnd = new scala.util.Random(13)
+    (1 to 2000).foreach { _ =>
+      val t = 0.05 + rnd.nextDouble() * 0.94
+      val r = 0.5 + rnd.nextDouble() * 0.495
+      val bud = 8 + rnd.nextInt(1017)
+      val (b, n) = Dedup.lshPlan(t, r, bud)
+      assert(b >= 1 && n >= 1)
+      assert(b.toLong * n <= bud || (b == 1 && n == bud), // degraded max-recall form
+        s"t=$t r=$r bud=$bud plan=($b,$n)")
+      if (b.toLong * n <= bud) {
+        val p = 1.0 - math.acos(t) / math.Pi
+        val recall = 1.0 - math.pow(1.0 - math.pow(p, b), n)
+        assert(recall >= r - 1e-9, s"t=$t r=$r bud=$bud plan=($b,$n) recall=$recall")
+      }
+    }
+  }
+}
