@@ -91,12 +91,18 @@ object FilterParser {
       output += ops.pop()
     }
     val st = scala.collection.mutable.Stack.empty[FilterNode]
+    // arity-guarded pops: a dangling operator ("a:1 AND", "!") must be
+    // a clean reject, not an internal empty-stack error
+    def pop1(op: String): FilterNode = {
+      require(st.nonEmpty, s"invalid filter: '$s' (dangling $op)")
+      st.pop()
+    }
     output.foreach {
       case Leaf(k, v, false) => st.push(FilterNode.Eq(k, v))
       case Leaf(k, v, true)  => st.push(FilterNode.Wildcard(k, v))
-      case TNot => val a = st.pop(); st.push(FilterNode.Not(a))
-      case TAnd => val b = st.pop(); val a = st.pop(); st.push(FilterNode.And(List(a, b)))
-      case TOr  => val b = st.pop(); val a = st.pop(); st.push(FilterNode.Or(List(a, b)))
+      case TNot => val a = pop1("NOT"); st.push(FilterNode.Not(a))
+      case TAnd => val b = pop1("AND"); val a = pop1("AND"); st.push(FilterNode.And(List(a, b)))
+      case TOr  => val b = pop1("OR"); val a = pop1("OR"); st.push(FilterNode.Or(List(a, b)))
       case _    => ()
     }
     require(st.size == 1, s"invalid filter: '$s'")

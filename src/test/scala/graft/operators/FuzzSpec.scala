@@ -39,6 +39,16 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("filter DSL parser terminates on arbitrary strings: parse or clean reject") {
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abz019*!:() AND OR \t".toCharArray
+    (1 to 3000).foreach { _ =>
+      val s = new String(Array.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length))))
+      try { graft.tsdb.FilterParser.parse(s); () }
+      catch { case _: IllegalArgumentException => () } // clean reject only
+    }
+  }
+
   test("lshPlan always meets recall within budget for valid (threshold, recall)") {
     val rnd = new scala.util.Random(13)
     (1 to 2000).foreach { _ =>
