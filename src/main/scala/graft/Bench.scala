@@ -1,15 +1,27 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
   * Per query: one untimed warm run (JIT + code cache + page cache),
-  * then the best of two timed runs — steady-state latency, which is
+  * then the best of three timed runs — steady-state latency, which is
   * what a resident engine (the reference keeps its LSM tree open)
   * actually serves.
+  *
+  * Output contract: sections are printed as human-readable lines as
+  * they complete (so a crash mid-run still leaves earlier numbers in
+  * stdout), the full JSON is written to /root/repo/BENCH_LOCAL.json,
+  * and the LAST stdout line is a compact summary JSON — rounded values,
+  * scale sections as `[base_sec, xN_sec, ratio]` arrays — sized to fit
+  * a bounded log-tail capture (the round-3 one-line artifact outgrew
+  * the capture window and lost the first 14 queries' times).
   */
 object Bench {
+
+  private def fmt(x: Double, dp: Int): String =
+    if (x < 0) "-1" else s"%.${dp}f".format(x)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -19,7 +31,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // static conf, default 100: a 33-query suite generates far more
+      // static conf, default 100: a 42-query suite generates far more
       // codegen'd classes than that, and LRU eviction forces janino to
       // recompile every generated class on every run — the round-1
       // full-suite bench spent most of its time compiling, not executing
@@ -50,63 +62,169 @@ object Bench {
       System.gc()
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"# queries: $qs")
     val ingest = if (sys.env.contains("SPARK_GRAFT_SKIP_INGEST")) "{}"
                  else ingestBench(spark, sfDir)
-    val scale = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
-                else scaleBench(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest":$ingest,"scale10":$scale,"sf":"$sfDir"}""")
+    println(s"# ingest: $ingest")
+    val scale10 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+                  else scaleSection(spark, sfDir, 10, scale10Entries,
+                    ScaleData.AllTables)
+    println(s"# scale10: $scale10")
+    val scale100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) "{}"
+                   else scaleSection(spark, sfDir, 100, scale100Entries,
+                     Seq("documents", "embeddings", "events"),
+                     extra = s""""skipped":$scale100Skips""")
+    println(s"# scale100: $scale100")
+    println(s"# scale100 skip reasons: $scale100SkipProse")
+    val skew = if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW")) "{}"
+               else skewBench(spark, sfDir)
+    println(s"# skew: $skew")
+    val line =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,""" +
+      s""""ingest":$ingest,"scale10":$scale10,"scale100":$scale100,""" +
+      s""""skew":$skew,"fmt":"scale entries are [base_sec,xN_sec,ratio]","sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 
-  /** Scaling curve of the heavy family: the same query at the base sf
-    * and at a content-perturbed 10× replication ([[ScaleData]]), one
-    * warmed timed run each, reported as base/x10 seconds + ratio.
-    * Linear-in-rows queries should land around the row ratio (10) or
-    * below (fixed overhead amortizes); `dedup_embedding` is the
-    * documented exception — exhaustive within label blocks, O(n²)
-    * by design, kept as the LSH variant's correctness oracle. The LSH
-    * variant runs with the corpus-scaled plane budget (2^b ∝ n — see
-    * [[graft.operators.Dedup.embeddingNearDup]]).
+  private type Entry = (String, (SparkSession, String) => DataFrame)
+
+  /** 10× scaling curve: the heavy family plus TSDB representatives.
+    * `dedup_embedding_lsh` runs through the production entry — its
+    * banding is planned from the corpus size ([[graft.operators.Dedup
+    * .lshPlanSized]], 2^b ∝ n), so no per-scale knob exists to
+    * mis-set: the 10× corpus automatically gets deeper bands.
     */
-  private def scaleBench(spark: SparkSession, sfDir: String): String = {
-    val dir10 = ScaleData.ensure(spark, sfDir, 10)
-    val heavy: Seq[(String, Boolean => (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
-      "dedup_exact" -> (_ => SparkEntry.queries("dedup_exact")),
-      "dedup_minhash" -> (_ => SparkEntry.queries("dedup_minhash")),
-      "dedup_ngram_jaccard" -> (_ => SparkEntry.queries("dedup_ngram_jaccard")),
-      "dedup_embedding" -> (_ => SparkEntry.queries("dedup_embedding")),
-      "dedup_embedding_lsh" -> (x10 => (s, d) =>
-        graft.operators.Dedup.embeddingNearDup(s, d,
-          maxPlanes = if (x10) 288 else 192)),
-      "ann_bruteforce" -> (_ => SparkEntry.queries("ann_bruteforce")),
-      "ann_ivf" -> (_ => SparkEntry.queries("ann_ivf")),
-      "ann_ivf_kmeans" -> (_ => SparkEntry.queries("ann_ivf_kmeans")),
-      "ann_lsh" -> (_ => SparkEntry.queries("ann_lsh")),
-      "ann_lsh_multiprobe" -> (_ => SparkEntry.queries("ann_lsh_multiprobe")),
-      "q5_multijoin" -> (_ => SparkEntry.queries("q5_multijoin")),
-      // TSDB core representatives: aggregation, per-series window, scan
-      "ts_avg" -> (_ => SparkEntry.queries("ts_avg")),
-      "ts_latest" -> (_ => SparkEntry.queries("ts_latest")),
-      "ts_raw" -> (_ => SparkEntry.queries("ts_raw")))
-    val parts = heavy.map { case (name, fn) =>
-      // single cold run per scale: the ratio compares like with like,
-      // and the section stays cheap enough to run every round
-      def run(x10: Boolean, dir: String): Double = {
-        val t0 = System.nanoTime()
-        fn(x10)(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+  private def scale10Entries: Seq[Entry] = Seq(
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_embedding", "dedup_embedding_lsh",
+    "ann_bruteforce", "ann_ivf", "ann_ivf_kmeans",
+    "ann_lsh", "ann_lsh_multiprobe", "q5_multijoin",
+    // TSDB core representatives: aggregation, per-series window, scan
+    "ts_avg", "ts_latest", "ts_raw").map(n => n -> SparkEntry.queries(n))
+
+  /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
+    * is bounded, with IVF's nlist scaled √n-style (16 → 160) as a
+    * production deployment would. Excluded queries are DOCUMENTED in
+    * the `skipped` key — no silent caps.
+    */
+  private def scale100Entries: Seq[Entry] = Seq[Entry](
+    "dedup_exact" -> SparkEntry.queries("dedup_exact"),
+    "dedup_embedding_lsh" -> SparkEntry.queries("dedup_embedding_lsh"),
+    "ann_bruteforce" -> SparkEntry.queries("ann_bruteforce"),
+    "ann_lsh" -> SparkEntry.queries("ann_lsh"),
+    "ann_lsh_multiprobe" -> SparkEntry.queries("ann_lsh_multiprobe"),
+    // nlist ∝ √n: 16 at base → 160 at 100× (the base leg of the ratio
+    // keeps the production default; the knob change is part of how an
+    // IVF deployment scales and is called out in SURVEY §5d)
+    "ann_ivf" -> ((s: SparkSession, d: String) =>
+      if (d.contains("scale100")) graft.operators.Similarity.ivfTopK(s, d, nlist = 160)
+      else graft.operators.Similarity.ivfTopK(s, d)),
+    "ann_ivf_kmeans" -> ((s: SparkSession, d: String) =>
+      if (d.contains("scale100")) graft.operators.Similarity.ivfKmeansTopK(s, d, nlist = 160)
+      else graft.operators.Similarity.ivfKmeansTopK(s, d)),
+    "ts_avg" -> SparkEntry.queries("ts_avg"),
+    "ts_latest" -> SparkEntry.queries("ts_latest"),
+    "ts_raw" -> SparkEntry.queries("ts_raw"))
+
+  /** Short codes in the JSON (the compact final line has a byte
+    * budget); the full reasons are printed as a comment line by
+    * [[main]] and recorded in SURVEY §5d.
+    */
+  private val scale100Skips: String =
+    """{"q5_multijoin":"1jvm-smj-sort-spill","dedup_minhash":"true-dup-clusters-quadratic-verify",""" +
+    """"dedup_ngram_jaccard":"linear-but-39s","dedup_embedding":"quadratic-oracle"}"""
+
+  private val scale100SkipProse: String =
+    "q5_multijoin: fact-fact SMJ sorts 60M rows in one JVM heap (spill) — cluster-sharded by design, " +
+    "layout answer is bucketFacts/q3Bucketed; " +
+    "dedup_minhash: 155s in the r03 one-off at 16g — letter-rotation period 26 makes ~4-way TRUE dup " +
+    "clusters whose verification is quadratic in cluster size (the workload, not the plan); " +
+    "dedup_ngram_jaccard: linear but ~39s in the r03 one-off, excluded to bound round wall-clock; " +
+    "dedup_embedding: documented-quadratic exhaustive oracle for the LSH variant"
+
+  /** One scaling section: per query, warm + timed at the base sf, then
+    * warm + timed at the `factor`× dir. The warm run is the fix for the
+    * round-3 curve's cold-start noise (ann_bruteforce "ratio 0.26" was
+    * codegen/JIT on the base leg, not the query).
+    */
+  private def scaleSection(spark: SparkSession, sfDir: String, factor: Int,
+                           entries: Seq[Entry], tables: Seq[String],
+                           extra: String = ""): String = {
+    val dirN = ScaleData.ensure(spark, sfDir, factor, tables = tables)
+    val parts = entries.map { case (name, fn) =>
+      def run(dir: String): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t = try { once(); once() } catch { case _: Throwable => -1.0 }
+        System.gc()
+        t
       }
-      val base = try run(x10 = false, sfDir) catch { case _: Throwable => -1.0 }
-      System.gc()
-      val x10 = try run(x10 = true, dir10) catch { case _: Throwable => -1.0 }
-      System.gc()
-      val ratio = if (base > 0 && x10 > 0) x10 / base else -1.0
-      f""""$name":{"base_sec":$base%.3f,"x10_sec":$x10%.3f,"ratio":$ratio%.2f}"""
+      val base = run(sfDir)
+      val xN = run(dirN)
+      val ratio = if (base > 0 && xN > 0) xN / base else -1.0
+      s""""$name":[${fmt(base, 2)},${fmt(xN, 2)},${fmt(ratio, 2)}]"""
     }
-    parts.mkString("{", ",", "}")
+    (parts ++ Option(extra).filter(_.nonEmpty)).mkString("{", ",", "}")
+  }
+
+  /** Reducer-balance demo for the salted band joins: a planted 1000-doc
+    * duplicate cluster at 10× puts O(c²) candidate pairs on ONE band
+    * bucket; `salt` spreads them across `salt`× reducers with identical
+    * results. Reported per run: wall seconds + max/median task millis
+    * over the job's tasks — the straggler the salt removes is visible
+    * as the max-task collapse, not the wall clock (other reducers run
+    * in parallel with the straggler either way).
+    */
+  private def skewBench(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = Seq("documents"))
+    val docs = spark.read.parquet(s"$dir10/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val one = docs.orderBy(col("doc_id")).limit(1).select(col("text"))
+    val cluster = spark.range(1000).crossJoin(broadcast(one))
+      .select((col("id") + 900000000L).as("doc_id"), col("text"))
+    val planted = docs.union(cluster)
+
+    val durs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        durs.add(t.taskInfo.duration)
+    }
+    def run(salt: Int): String = {
+      durs.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val res = try {
+        graft.operators.Dedup.minhashLshFrame(planted, salt = salt)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      // listener events are posted asynchronously; give the bus a beat
+      Thread.sleep(1000)
+      spark.sparkContext.removeSparkListener(listener)
+      val ds = {
+        val it = durs.iterator(); val b = Seq.newBuilder[Long]
+        while (it.hasNext) b += it.next()
+        b.result().sorted
+      }
+      val maxMs = if (ds.nonEmpty) ds.last else -1L
+      val medMs = if (ds.nonEmpty) ds(ds.size / 2) else -1L
+      System.gc()
+      s"""{"sec":${fmt(res, 2)},"max_task_ms":$maxMs,"med_task_ms":$medMs,"tasks":${ds.size}}"""
+    }
+    val noSalt = run(1)
+    val salted = run(16)
+    s"""{"cluster":1000,"salt1":$noSalt,"salt16":$salted}"""
   }
 
   /** Ingest-throughput measurement (pts/s), the reference's headline
@@ -159,9 +277,12 @@ object Bench {
     System.gc()
     // --- real events through the streaming path ---
     // the streaming file source watches a DIRECTORY (a landing zone);
-    // when the sf table is a single parquet file, link it into one
+    // when the sf table is a single parquet file, link it into one.
+    // absolute+normalized target: a relative sfDir would make the link
+    // resolve relative to the landing directory and the read fail
     clean(s"$base/stream"); clean(s"$base/ckpt"); clean(s"$base/landing")
     val evPath = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+      .toAbsolutePath.normalize()
     val landing =
       if (java.nio.file.Files.isDirectory(evPath)) evPath.toString
       else {

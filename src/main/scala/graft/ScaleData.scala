@@ -38,14 +38,23 @@ object ScaleData {
     */
   private val GenVersion = 3
 
+  val AllTables: Seq[String] = Seq("documents", "embeddings", "lineitem",
+    "orders", "customer", "supplier", "events", "nation", "region")
+
+  /** Ensure the `factor`× dir holds (at least) `tables`, generating only
+    * the missing ones — per-table `_SUCCESS` markers make the cache
+    * incremental, so a 100× run that needs only documents + embeddings
+    * + events never pays for a 60M-row lineitem write it won't read.
+    */
   def ensure(spark: SparkSession, sfDir: String, factor: Int = 10,
-             base: String = "/root/repo/out"): String = {
+             base: String = "/root/repo/out",
+             tables: Seq[String] = AllTables): String = {
     val fp = graft.tsdb.Ingest.contentFingerprint(sfDir)
     val dir = s"$base/scale${factor}_v${GenVersion}_${Integer.toHexString(sfDir.hashCode)}_$fp"
-    val done = java.nio.file.Paths.get(dir, "_SCALE_DONE")
-    if (!java.nio.file.Files.exists(done)) {
-      writeTables(spark, sfDir, dir, factor)
-      java.nio.file.Files.createFile(done)
+    tables.foreach { t =>
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, s"$t.parquet", "_SUCCESS")))
+        writeTable(spark, sfDir, dir, factor, t)
     }
     dir
   }
@@ -54,58 +63,61 @@ object ScaleData {
                        (copy: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map(i => copy(df, i)).reduce(_ union _)
 
-  private def writeTables(spark: SparkSession, sfDir: String, dir: String,
-                          factor: Int): Unit = {
+  private def writeTable(spark: SparkSession, sfDir: String, dir: String,
+                         factor: Int, table: String): Unit = {
     def src(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
-    def out(t: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    def out(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$table.parquet")
 
     // substitute (almost) the whole alphabet per copy: a narrow map
     // would leave common words intact across copies, making every copy
     // a near-duplicate of the original — shingle overlap must die for
     // dedup candidate volume to scale linearly with copies
     val letters = "abcdefghijklmnopqrstuvwxyz"
-    out("documents", replicate(src("documents"), factor) { (d, i) =>
-      val to = letters.drop(i * 7 % 26) + letters.take(i * 7 % 26)
-      d.select((col("doc_id") + i * Stride).as("doc_id"),
-        translate(col("text"), letters, to).as("text"))
-    })
+    table match {
+      case "documents" => out(replicate(src("documents"), factor) { (d, i) =>
+        val to = letters.drop(i * 7 % 26) + letters.take(i * 7 % 26)
+        d.select((col("doc_id") + i * Stride).as("doc_id"),
+          translate(col("text"), letters, to).as("text"))
+      })
 
-    out("embeddings", replicate(src("embeddings"), factor) { (e, i) =>
-      // rotate modulo the dimension: copy indices past `dim` wrap (see
-      // the periodicity note above) instead of producing negative
-      // slice lengths
-      val rot =
-        if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ($i % size(embedding)) + 1, " +
-          s"size(embedding) - ($i % size(embedding))), " +
-          s"slice(embedding, 1, $i % size(embedding)))")
-      e.select((col("vec_id") + i * Stride).as("vec_id"), col("label"),
-        rot.as("embedding"))
-    })
+      case "embeddings" => out(replicate(src("embeddings"), factor) { (e, i) =>
+        // rotate modulo the dimension: copy indices past `dim` wrap (see
+        // the periodicity note above) instead of producing negative
+        // slice lengths
+        val rot =
+          if (i == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ($i % size(embedding)) + 1, " +
+            s"size(embedding) - ($i % size(embedding))), " +
+            s"slice(embedding, 1, $i % size(embedding)))")
+        e.select((col("vec_id") + i * Stride).as("vec_id"), col("label"),
+          rot.as("embedding"))
+      })
 
-    out("lineitem", replicate(src("lineitem"), factor) { (l, i) =>
-      l.withColumn("l_orderkey", col("l_orderkey") + i * Stride)
-        .withColumn("l_suppkey", col("l_suppkey") + i * Stride)
-    })
-    out("orders", replicate(src("orders"), factor) { (o, i) =>
-      o.withColumn("o_orderkey", col("o_orderkey") + i * Stride)
-        .withColumn("o_custkey", col("o_custkey") + i * Stride)
-    })
-    out("customer", replicate(src("customer"), factor) { (c, i) =>
-      c.withColumn("c_custkey", col("c_custkey") + i * Stride)
-    })
-    out("supplier", replicate(src("supplier"), factor) { (s, i) =>
-      s.withColumn("s_suppkey", col("s_suppkey") + i * Stride)
-    })
-    // events: distinct users per copy (series count scales), same time
-    // range — the TSDB scan/agg/window paths see factor× points
-    out("events", replicate(src("events"), factor) { (e, i) =>
-      e.withColumn("user_id", col("user_id") + i * Stride)
-        .withColumn("event_id", col("event_id") + i * Stride)
-    })
+      case "lineitem" => out(replicate(src("lineitem"), factor) { (l, i) =>
+        l.withColumn("l_orderkey", col("l_orderkey") + i * Stride)
+          .withColumn("l_suppkey", col("l_suppkey") + i * Stride)
+      })
+      case "orders" => out(replicate(src("orders"), factor) { (o, i) =>
+        o.withColumn("o_orderkey", col("o_orderkey") + i * Stride)
+          .withColumn("o_custkey", col("o_custkey") + i * Stride)
+      })
+      case "customer" => out(replicate(src("customer"), factor) { (c, i) =>
+        c.withColumn("c_custkey", col("c_custkey") + i * Stride)
+      })
+      case "supplier" => out(replicate(src("supplier"), factor) { (s, i) =>
+        s.withColumn("s_suppkey", col("s_suppkey") + i * Stride)
+      })
+      // events: distinct users per copy (series count scales), same time
+      // range — the TSDB scan/agg/window paths see factor× points
+      case "events" => out(replicate(src("events"), factor) { (e, i) =>
+        e.withColumn("user_id", col("user_id") + i * Stride)
+          .withColumn("event_id", col("event_id") + i * Stride)
+      })
 
-    out("nation", src("nation"))
-    out("region", src("region"))
+      case "nation" => out(src("nation"))
+      case "region" => out(src("region"))
+      case other => throw new IllegalArgumentException(s"unknown table $other")
+    }
   }
 }

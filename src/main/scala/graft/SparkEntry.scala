@@ -274,21 +274,35 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // ---- Golden-artifact oracles ----
-    // dedup_simhash and mm_meta are pure deterministic projections whose
-    // values hinge on xxhash64 / byte-level parsing DuckDB cannot
-    // recompute. Their oracle is a COMMITTED golden parquet (generated
-    // once from the kernels at sf0.01, /root/repo/golden/): the check
-    // pins output stability across runs, partitionings, and refactors;
-    // semantic correctness is carried by the HOF-equivalence and header-
-    // parser specs. Regenerate via the coalesce(1) writes documented in
-    // SURVEY §5 if the kernels' contract intentionally changes.
+    // These pipelines' values hinge on xxhash64 / byte-level parsing /
+    // trained index state DuckDB cannot recompute, but every one is
+    // deterministic end-to-end (fixed hyperplanes and permutations,
+    // deterministic k-means init with disk-cached centroids, corpus-
+    // sized LSH plans, total-order rank tiebreaks). Their oracle is a
+    // COMMITTED golden parquet (graft.GenGolden at sf0.01,
+    // /root/repo/golden/): the check pins output stability across runs,
+    // partitionings, and refactors; semantic correctness is carried by
+    // each operator's specs (recall vs same-measure ground truth,
+    // subset-of-exhaustive with exact cosines, HOF bit-equivalence,
+    // plan assertions). Regenerate ONLY on an intentional
+    // kernel-contract change — a stale golden FAILS Verify.
     "dedup_simhash" ->
       "SELECT doc_id, simhash FROM read_parquet('/root/repo/golden/dedup_simhash/*.parquet')",
     "mm_meta" ->
       """SELECT doc_id, n_bytes, mime, width, height, sample_rate, channels
         |FROM read_parquet('/root/repo/golden/mm_meta/*.parquet')""".stripMargin,
+    "dedup_minhash" ->
+      "SELECT doc_a, doc_b, jaccard FROM read_parquet('/root/repo/golden/dedup_minhash/*.parquet')",
+    "dedup_embedding_lsh" ->
+      "SELECT vec_a, vec_b, cos FROM read_parquet('/root/repo/golden/dedup_embedding_lsh/*.parquet')",
+    "ann_lsh" ->
+      "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_lsh/*.parquet')",
+    "ann_lsh_multiprobe" ->
+      "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_lsh_multiprobe/*.parquet')",
+    "ann_ivf_kmeans" ->
+      "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_ivf_kmeans/*.parquet')",
 
-    // ---- Deduplication (LSH variants are rows-only: no oracle) ----
+    // ---- Deduplication ----
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keeper

@@ -148,7 +148,13 @@ object GraftFunctions {
         }
       }),
     (FunctionIdentifier("graft_jaccard"),
-      new ExpressionInfo(classOf[JaccardSim].getName, "graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSim].getName, null, "graft_jaccard",
+        "_FUNC_(a, b) - round(|a∩b| / (|a|+|b|-|a∩b|), 6) of two string " +
+          "arrays. Inputs are expected to hold DISTINCT elements (as " +
+          "graft_word_shingles / graft_char_grams emit): the intersection " +
+          "is counted first-match-only, but the union term uses the raw " +
+          "array sizes, so duplicate elements shrink the result vs " +
+          "distinct-set Jaccard.", ""),
       (cs: Seq[Expression]) => { arity("graft_jaccard", 2, cs); JaccardSim(cs.head, cs(1)) }),
     (FunctionIdentifier("graft_mm_synth"),
       new ExpressionInfo(classOf[MmSynthPayload].getName, "graft_mm_synth"),
@@ -184,7 +190,8 @@ object GraftFunctions {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
         (cs(2), cs(3)) match {
           case (IntLit(dim), r) if r.foldable && r.dataType == BooleanType =>
-            CentroidCosines(cs.head, cents, dim,
+            CentroidCosines(cs.head,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(cents), dim,
               r.eval(null).asInstanceOf[Boolean])
           case other => throw new IllegalArgumentException(
             s"graft_cent_cos: dim/rounded must be int/boolean literals, got $other")

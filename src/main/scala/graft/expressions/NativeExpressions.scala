@@ -270,13 +270,21 @@ case class Jitter(left: Expression, right: Expression, amp: Double)
   * plus a rank window partitioned by vec_id (a full-corpus shuffle of
   * nlist-times-replicated rows).
   */
-case class CentroidCosines(child: Expression, cents: Array[Double],
+case class CentroidCosines(child: Expression,
+                           cents: scala.collection.immutable.ArraySeq[Double],
                            dim: Int, rounded: Boolean)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   // NULL when the vector's length doesn't match the centroid dim
   override def nullable: Boolean = true
+
+  // the matrix is held as an immutable ArraySeq so case-class equality
+  // is element-wise — an Array field compares by reference, silently
+  // defeating canonicalization / semanticEquals / subexpression
+  // elimination for semantically identical plan fragments. The kernel
+  // reads a primitive double[]; materialized once per plan instance.
+  @transient private lazy val centsArr: Array[Double] = cents.toArray
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -294,11 +302,11 @@ case class CentroidCosines(child: Expression, cents: Array[Double],
   override protected def nullSafeEval(arr: Any): Any = {
     val a = arr.asInstanceOf[ArrayData]
     if (a.numElements() != dim) null
-    else NativeKernels.centCosines(a, cents, dim, rounded, isFloat)
+    else NativeKernels.centCosines(a, centsArr, dim, rounded, isFloat)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "double[]")
     nullSafeCodeGen(ctx, ev, c => s"""
       |if ($c.numElements() != $dim) {
       |  ${ev.isNull} = true;

@@ -263,11 +263,17 @@ object NativeKernels {
     * (size(a) + size(b) - size(array_intersect(a, b))), 6)` — which
     * materializes the intersection ARRAY (twice, if written naively)
     * per row; this kernel builds one hash set of the smaller side and
-    * counts probes from the larger, dominating cost for the
+    * probes it from the larger, dominating cost for the
     * candidate-verification stage of every Jaccard dedup variant.
-    * Inputs are produced by the shingle/gram kernels, which emit
-    * distinct elements; for already-distinct inputs the count equals
-    * `size(array_intersect)` exactly, and the rounding matches Spark's
+    *
+    * The intersection count removes each matched element from the set
+    * (first-match-only), so a duplicate-bearing probe side cannot
+    * inflate |a∩b| beyond the distinct-intersection size —
+    * `size(array_intersect)` semantics. The union DENOMINATOR uses the
+    * raw input sizes, so full parity with the `array_intersect`
+    * formulation still requires distinct-element inputs (what the
+    * shingle/gram kernels always emit — the precondition is also in the
+    * SQL function's usage string). Rounding matches Spark's
     * `round(x, 6)`.
     */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
@@ -280,7 +286,7 @@ object NativeKernels {
     var inter = 0
     i = 0
     while (i < nl) {
-      if (set.contains(large.getUTF8String(i))) inter += 1
+      if (set.remove(large.getUTF8String(i))) inter += 1
       i += 1
     }
     roundHalfUp6(inter.toDouble / (na + nb - inter))

@@ -283,6 +283,47 @@ object Dedup {
     (1, maxPlanes)
   }
 
+  /** Corpus-sized banding plan: the shallowest depth `b` whose expected
+    * random-pair candidate volume stays within `candPerRow` candidates
+    * per row, with the band count chosen for `targetRecall` at that
+    * depth.
+    *
+    * Model: independent sign bits split a random pair evenly, so a
+    * random pair collides in one band with probability 2^-b and the
+    * expected candidates per row are ≈ n · bands / 2^b. Holding that
+    * constant as the corpus grows forces **2^b ∝ n** — the invariant a
+    * fixed plane budget ([[lshPlan]]) silently under-turns: a 10×
+    * corpus with an unscaled budget gets ~10× the candidates *per row*
+    * (≈100× total pair volume), which is exactly the measured 36.85×
+    * wall-clock blow-up this planner replaces. Signature cost is linear
+    * in planes (cached ±1 rows), so buying depth is cheap relative to
+    * quadratic candidate growth; `maxPlanes` is a safety cap — if the
+    * sized plan exceeds it (sub-0.6 thresholds, where sign-LSH cannot
+    * prune), degrade to the budget-capped [[lshPlan]].
+    */
+  def lshPlanSized(threshold: Double, n: Long,
+                   targetRecall: Double = 0.98,
+                   candPerRow: Double = 32.0,
+                   maxPlanes: Int = 4096): (Int, Int) = {
+    require(n > 0, "corpus size must be positive")
+    require(candPerRow > 0, "candPerRow must be positive")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0,1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    var b = 1
+    while (b <= 62) {
+      val pb = math.pow(p, b)
+      val bands = math.max(1,
+        math.ceil(math.log(1.0 - targetRecall) / math.log1p(-pb)).toLong)
+      if (n.toDouble * bands / math.pow(2.0, b) <= candPerRow) {
+        if (bands * b <= maxPlanes) return (b, bands.toInt)
+        else return lshPlan(threshold, targetRecall, maxPlanes)
+      }
+      b += 1
+    }
+    lshPlan(threshold, targetRecall, maxPlanes)
+  }
+
   /** Scale-safe embedding near-dup: banded random-hyperplane LSH
     * candidate generation + exact cosine verify, with banding planned
     * from the threshold by [[lshPlan]]. No label blocking, no
@@ -308,10 +349,12 @@ object Dedup {
   def embeddingCosineLshFrame(e: DataFrame, threshold: Double,
                               targetRecall: Double = 0.98,
                               maxPlanes: Int = 192, salt: Int = 1,
-                              broadcastVerify: Boolean = true): DataFrame = {
+                              broadcastVerify: Boolean = true,
+                              planOverride: Option[(Int, Int)] = None): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
     GraftFunctions.register(e.sparkSession)
-    val (rowsPerBand, bands) = lshPlan(threshold, targetRecall, maxPlanes)
+    val (rowsPerBand, bands) =
+      planOverride.getOrElse(lshPlan(threshold, targetRecall, maxPlanes))
     // banded rows are ids-only (vec_id, band, bucket): the self-join
     // shuffles the minimum possible volume — bands × ~24 bytes per
     // vector — and payloads are fetched per CANDIDATE, not replicated
@@ -360,9 +403,22 @@ object Dedup {
       .distinct()
   }
 
+  /** The clone-id offset for [[withPlantedNearDups]]: the smallest
+    * power of ten above both `maxId` and 10^6, so clone ids can never
+    * collide with corpus ids regardless of the corpus's id range (a
+    * fixed 10^6 offset silently corrupts the planted ground truth the
+    * moment a corpus holds ids ≥ 10^6). Floored at 10^6 so the shipped
+    * sf tables (ids ≪ 10^6) keep stable clone ids across scale factors.
+    */
+  private[operators] def cloneOffset(maxId: Long): Long = {
+    var off = 1000000L
+    while (off <= maxId) off *= 10L
+    off
+  }
+
   /** The corpus plus one deterministic jittered near-duplicate per
-    * vector (clone id = vec_id + 1e6, same label): each clone is
-    * `v + amp·‖v‖/√dim · (±1 per component)` with signs from
+    * vector (clone id = vec_id + [[cloneOffset]], same label): each
+    * clone is `v + amp·‖v‖/√dim · (±1 per component)` with signs from
     * `xxhash64(vec_id, i)`, giving cos(v, clone) ≈ 1/√(1+amp²) ≈ 0.95
     * at the default. The shipped corpus has no high-cosine pairs (max
     * ≈ 0.48), so this provides the near-duplicate regime that embedding
@@ -372,8 +428,11 @@ object Dedup {
   def withPlantedNearDups(spark: SparkSession, dir: String,
                           amp: Double = 0.33): DataFrame = {
     val e = embFrame(spark, dir)
+    // one tiny agg job: the max id bounds the clone offset; collecting
+    // a single row is not a driver-side loop
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
     val clones = e.select(
-      (col("vec_id") + 1000000L).as("vec_id"), col("label"),
+      (col("vec_id") + cloneOffset(maxId)).as("vec_id"), col("label"),
       call_function("graft_jitter", col("v"), col("vec_id"), lit(amp)).as("v"))
     e.select(col("vec_id"), col("label"), col("v"))
       .union(clones)
@@ -381,21 +440,24 @@ object Dedup {
   }
 
   /** Embedding near-dup detection in its operating regime: LSH over the
-    * planted-near-dup frame at a near-duplicate threshold. At the
-    * planned banding (10 planes × 17 bands) a random pair is a
-    * candidate with probability ≈ 1.7% while planted pairs (cos ≈ 0.95)
-    * are recalled with p > 0.999 — the pruning regime a 100 TB dedup
-    * runs in, unlike sub-0.6 thresholds where sign-LSH cannot separate
-    * pairs from noise (see [[lshPlan]]).
-    *
-    * `maxPlanes` is the corpus-size knob: candidate volume per row is
-    * ∝ n / 2^rowsPerBand, so a 10× corpus wants ~3-4 more planes per
-    * band (2^b ∝ n) to hold candidates-per-row constant — raise the
-    * budget accordingly (e.g. 288 → 12×24 bands at t = 0.9).
+    * planted-near-dup frame at a near-duplicate threshold, with banding
+    * sized from the CORPUS ([[lshPlanSized]]): candidates per row stay
+    * ≈ `candPerRow` at any scale because 2^rowsPerBand grows ∝ n. At
+    * sf0.1 (n = 4000 with clones) the plan is 12 planes × 24 bands; a
+    * 10× corpus gets 16 × 45 — deeper bands, constant per-row work,
+    * total candidate volume ~linear in n. Planted pairs (cos ≈ 0.95)
+    * are recalled with p > 0.99 by construction of the band count —
+    * the pruning regime a 100 TB dedup runs in, unlike sub-0.6
+    * thresholds where sign-LSH cannot separate pairs from noise (see
+    * [[lshPlan]]).
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        threshold: Double = 0.9,
-                       maxPlanes: Int = 192): DataFrame =
+                       candPerRow: Double = 32.0): DataFrame = {
+    // corpus size from parquet footers (row-count metadata, no scan);
+    // the planted frame doubles it
+    val n = 2L * spark.read.parquet(s"$dir/embeddings.parquet").count()
     embeddingCosineLshFrame(withPlantedNearDups(spark, dir), threshold,
-      maxPlanes = maxPlanes)
+      planOverride = Some(lshPlanSized(threshold, n, candPerRow = candPerRow)))
+  }
 }

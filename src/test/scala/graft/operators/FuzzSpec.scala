@@ -49,6 +49,36 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("lshPlanSized holds candidates/row and recall at any corpus size (2^b ∝ n)") {
+    val rnd = new scala.util.Random(21)
+    (1 to 2000).foreach { _ =>
+      val t = 0.6 + rnd.nextDouble() * 0.38 // the pruning regime sign-LSH serves
+      val n = 100L + (rnd.nextDouble() * rnd.nextDouble() * 1e8).toLong
+      val cand = 4.0 + rnd.nextDouble() * 60.0
+      val (b, bands) = Dedup.lshPlanSized(t, n, candPerRow = cand)
+      assert(b >= 1 && bands >= 1)
+      val p = 1.0 - math.acos(t) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, b), bands)
+      val boundHolds = n.toDouble * bands / math.pow(2.0, b) <= cand + 1e-9
+      // either the sized plan satisfies the per-row candidate bound, or
+      // the bound needs more than maxPlanes and the result is EXACTLY
+      // the documented degradation: the budget-capped lshPlan
+      assert(boundHolds || (b, bands) == Dedup.lshPlan(t, 0.98, 4096),
+        s"t=$t n=$n cand=$cand plan=($b,$bands)")
+      if (bands.toLong * b <= 4096)
+        assert(recall >= 0.98 - 1e-9, s"t=$t n=$n plan=($b,$bands) recall=$recall")
+    }
+    // the scaling invariant itself: a 10× corpus gets ≥3 more sign bits
+    // per band (2^3 < 10), so candidates/row cannot drift upward
+    val b1 = Dedup.lshPlanSized(0.9, 4000)._1
+    val b10 = Dedup.lshPlanSized(0.9, 40000)._1
+    assert(b10 >= b1 + 3, s"depth must scale with n: $b1 -> $b10")
+    // sub-0.6 thresholds cannot prune (p too close to 1/2): the sized
+    // plan degrades to the budget-capped lshPlan instead of exploding
+    val (bl, nl) = Dedup.lshPlanSized(0.35, 1000000L)
+    assert(bl.toLong * nl <= 4096)
+  }
+
   test("lshPlan always meets recall within budget for valid (threshold, recall)") {
     val rnd = new scala.util.Random(13)
     (1 to 2000).foreach { _ =>
