@@ -48,6 +48,10 @@ object SparkEntry {
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildWithBounds()),
     "ts_meta_metrics" -> ((s, d) => Db.fromEvents(s, d).metrics),
     "ts_meta_series" -> ((s, d) => Db.fromEvents(s, d).series("purchase")),
+    "ts_rate" -> ((s, d) => Db.fromEvents(s, d).rate("click")),
+    "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
+    "ts_quantile" -> ((s, d) =>
+      Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
     // full round-trip through the graft on-disk layout: write once
     // (partitioned by metric, ts-sorted), reopen, query — proves the
     // ingest path yields identical results with dir pruning + pushdown
@@ -69,6 +73,8 @@ object SparkEntry {
     "text_langid" -> ((s, d) => graft.operators.TextAnalysis.langid(s, d)),
     "text_quality" -> ((s, d) => graft.operators.TextAnalysis.quality(s, d)),
     "text_fingerprint" -> ((s, d) => graft.operators.TextAnalysis.fingerprint(s, d)),
+    "text_repetition" -> ((s, d) => graft.operators.TextAnalysis.repetition(s, d)),
+    "text_decontaminate" -> ((s, d) => graft.operators.TextAnalysis.decontaminate(s, d)),
 
     // ---- Deduplication (documents) ----
     "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
@@ -77,6 +83,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => graft.operators.Dedup.embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => graft.operators.Dedup.embeddingNearDup(s, d)),
+    "dedup_cluster" -> ((s, d) => graft.operators.Dedup.cluster(s, d)),
 
     // ---- Similarity search (embeddings) ----
     "ann_bruteforce" -> ((s, d) => graft.operators.Similarity.bruteForceTopK(s, d)),
@@ -166,6 +173,30 @@ object SparkEntry {
          |SELECT DISTINCT metric, tag_user, tag_k FROM ev
          |WHERE metric = 'purchase'""".stripMargin,
     "ts_ingest_avg" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
+    "ts_quantile" -> tsAgg("view", "user",
+      "round(quantile_cont(value, 0.95), 6) AS value"),
+    // same (ts, value) ordering and strict Δt>0 row filter as Db.rate,
+    // so duplicate-timestamp pairings are identical in both engines
+    "ts_rate" ->
+      s"""$Ev
+         |SELECT metric, ts, value, tag_user, tag_k, rate_per_s FROM (
+         |  SELECT metric, ts, value, tag_user, tag_k,
+         |    lag(ts) OVER w AS prev_ts,
+         |    round((value - lag(value) OVER w)
+         |          / ((ts - lag(ts) OVER w) / 1e9), 6) AS rate_per_s
+         |  FROM ev WHERE metric = 'click'
+         |  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
+         |) WHERE prev_ts IS NOT NULL AND prev_ts < ts""".stripMargin,
+    // right side pre-merged to one row per (tag, ts) — ASOF tie choice
+    // at identical timestamps is engine-defined otherwise
+    "ts_asof" ->
+      s"""$Ev
+         |, l AS (SELECT tag_user AS grp, ts, value FROM ev
+         |        WHERE metric = 'click' AND tag_user IS NOT NULL),
+         |r AS (SELECT tag_user AS grp, ts, max(value) AS rv FROM ev
+         |      WHERE metric = 'purchase' GROUP BY 1, 2)
+         |SELECT l.grp, l.ts, l.value, r.rv AS asof_value, r.ts AS asof_ts
+         |FROM l ASOF LEFT JOIN r ON l.grp = r.grp AND l.ts >= r.ts""".stripMargin,
 
     // ---- General analytics ----
     "q1_agg" ->
@@ -272,6 +303,47 @@ object SparkEntry {
         |     list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents
+        |), b AS (
+        |  SELECT doc_id, len(w) AS nw, w,
+        |    list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1]) AS bg,
+        |    list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS tg
+        |  FROM t
+        |), topb AS (
+        |  SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, g, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT b.doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(len(list_distinct(w)) / CAST(nw AS DOUBLE), 6) AS distinct_word_frac,
+        |  CAST(coalesce(topc, 0) AS BIGINT) AS top_bigram_count,
+        |  round(CASE WHEN nw >= 2 THEN coalesce(topc, 0) / CAST(nw - 1 AS DOUBLE)
+        |        ELSE 0 END, 6) AS top_bigram_frac,
+        |  round(CASE WHEN nw >= 3 THEN 1 - len(list_distinct(tg)) / CAST(nw - 2 AS DOUBLE)
+        |        ELSE 0 END, 6) AS dup_trigram_frac
+        |FROM b LEFT JOIN topb USING (doc_id)""".stripMargin,
+    // same gram construction as the graft_word_shingles kernel: split on
+    // single space KEEPING empties, windows of 3 (whole list when
+    // shorter), per-document distinct
+    "text_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(wl) - 2, 1)),
+        |    i -> array_to_string(list_slice(wl, i, i + 2), ' ')))) AS gram
+        |  FROM w
+        |), ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_shared_grams
+        |FROM g JOIN ev USING (gram)
+        |WHERE g.doc_id % 50 <> 0
+        |GROUP BY 1""".stripMargin,
 
     // ---- Golden-artifact oracles ----
     // These pipelines' values hinge on xxhash64 / byte-level parsing /
@@ -319,6 +391,35 @@ object SparkEntry {
         |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
         |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.3""".stripMargin,
+    // transitive closure over the SAME pair set as dedup_ngram_jaccard:
+    // min reachable id per node == component id (graph symmetrized)
+    "dedup_cluster" ->
+      """WITH RECURSIVE gr AS (
+        |  SELECT doc_id, substr(text, 1, 16) AS blk,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS grams
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        |    FROM gr a JOIN gr b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.3
+        |), e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p
+        |), r AS (
+        |  SELECT src AS id, src AS comp FROM e
+        |  UNION
+        |  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id
+        |), c AS (
+        |  SELECT id, min(comp) AS comp FROM r GROUP BY id
+        |)
+        |SELECT c.id AS doc_id, c.comp AS cluster_id,
+        |       s.cluster_size, (c.id = c.comp) AS is_keeper
+        |FROM c JOIN (SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp) s
+        |  ON c.comp = s.comp""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

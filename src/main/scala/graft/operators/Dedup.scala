@@ -460,4 +460,79 @@ object Dedup {
     embeddingCosineLshFrame(withPlantedNearDups(spark, dir), threshold,
       planOverride = Some(lshPlanSized(threshold, n, candPerRow = candPerRow)))
   }
+
+  // -------------------------------------------------- duplicate clustering
+  /** Connected components over a near-dup pair frame `(doc_a, doc_b)` —
+    * the last step of every dedup pipeline: pairwise candidates only say
+    * "a~b"; keeping one document per TRANSITIVE group needs the
+    * components. Output: one row per document that appears in any pair,
+    * with its `cluster_id` (the component's minimum doc id — a
+    * deterministic canonical representative), the `cluster_size`, and
+    * `is_keeper` (true exactly for the representative).
+    *
+    * Distributed shape: min-label propagation — every node starts as its
+    * own label; each round replaces a node's label with the minimum over
+    * itself and its neighbors (one shuffle join + one aggregate per
+    * round); a fixed point is reached after O(component diameter)
+    * rounds — with a pointer-doubling shortcut each round (a node's
+    * label jumps to its label's label: comp values only decrease and
+    * comp(x) ≤ x, so the jump is always downhill), which halves the
+    * longest label path per round and makes convergence O(log diameter)
+    * even on adversarial long-path graphs. Each round's label frame
+    * (small — two longs per *paired* doc, not per corpus doc) is
+    * eagerly `localCheckpoint`ed: the shortcut self-join references the
+    * round's frame twice, so without plan truncation the logical plan
+    * doubles per round and explodes exponentially — caching alone
+    * (persist) keeps the data but not the plan flat. (On a real
+    * cluster, swap in reliable `checkpoint` to survive executor loss;
+    * same contract.)
+    */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // symmetrize once: propagation must flow both directions
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min(col("comp")).as("nbr"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      // shortcut: comp(v) := comp(comp(v)). Every comp value is itself a
+      // node id (mins over ids), so the lookup always resolves.
+      val next = stepped.as("s")
+        .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
+          col("s.comp") === col("pid"), "left")
+        .select(col("s.id").as("id"),
+          coalesce(col("pcomp"), col("s.comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.comp") =!= col("o.comp")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    val out = labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("comp"))))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("comp")).as("is_keeper"))
+    sym.unpersist()
+    out
+  }
+
+  /** [[clusterPairs]] over the n-gram-Jaccard near-dup pairs — the
+    * SQL-oracle-able instantiation (DuckDB recomputes the components
+    * with a recursive transitive closure over the same pair set).
+    */
+  def cluster(spark: SparkSession, dir: String,
+              threshold: Double = 0.3): DataFrame =
+    clusterPairs(ngramJaccard(spark, dir, threshold))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -56,4 +56,116 @@ object TextAnalysis {
       col("doc_id"),
       md5Fingerprint(col("text")).as("fp_md5"),
       rollingHash(col("text")).as("fp_roll"))
+
+  /** Repetition quality signals (the Gopher-rules family): distinct-word
+    * fraction, the most frequent word-bigram's count and share, and the
+    * duplicated-trigram share. Still one scan / zero shuffle: the
+    * per-document counts come from array expressions over the split
+    * text, with the top-bigram count computed as the longest run in the
+    * SORTED bigram array (sort + one fold, no per-document group-by —
+    * a groupBy(doc_id, bigram) would shuffle the whole exploded corpus).
+    * Guarded `sequence()` calls: Spark's sequence(0, n) generates a
+    * DESCENDING range when n < 0, so short documents must short-circuit
+    * to empty arrays rather than relying on an empty range.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionFrame(docs(spark, dir))
+
+  /** [[repetition]] over an arbitrary (doc_id, text) frame. */
+  def repetitionFrame(d: DataFrame): DataFrame = {
+    val words = split(trim(col("text")), " +")
+    val nw = size(words)
+    val bigrams = when(nw >= 2, expr(
+      "transform(sequence(0, size(split(trim(text), ' +')) - 2), " +
+        "i -> concat(split(trim(text), ' +')[i], ' ', split(trim(text), ' +')[i + 1]))"))
+      .otherwise(array().cast("array<string>"))
+    val trigrams = when(nw >= 3, expr(
+      "transform(sequence(0, size(split(trim(text), ' +')) - 3), " +
+        "i -> concat_ws(' ', split(trim(text), ' +')[i], " +
+        "split(trim(text), ' +')[i + 1], split(trim(text), ' +')[i + 2]))"))
+      .otherwise(array().cast("array<string>"))
+    // longest equal-run in the sorted array == max multiplicity
+    def maxRun(arr: Column): Column = {
+      val folded = aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(acc.getField("prev") <=> x,
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        })
+      folded.getField("best")
+    }
+    d.withColumn("nw", nw)
+      .withColumn("bg", bigrams)
+      .withColumn("tg", trigrams)
+      .select(
+        col("doc_id"),
+        col("nw").cast("long").as("n_words"),
+        round(size(array_distinct(words)) / col("nw").cast("double"), 6)
+          .as("distinct_word_frac"),
+        maxRun(col("bg")).as("top_bigram_count"),
+        round(when(col("nw") >= 2,
+          maxRun(col("bg")) / (col("nw") - 1).cast("double")).otherwise(0.0), 6)
+          .as("top_bigram_frac"),
+        round(when(col("nw") >= 3,
+          lit(1.0) - size(array_distinct(col("tg"))) / (col("nw") - 2).cast("double"))
+          .otherwise(0.0), 6)
+          .as("dup_trigram_frac"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-3-gram with a designated eval set (here: `doc_id % 50 == 0`,
+    * the driver-data stand-in for an eval benchmark), reporting how many
+    * distinct grams leak. The industry-standard n-gram-overlap
+    * decontamination shape (eval sets are small; training corpora are
+    * the 100 TB side).
+    *
+    * Scale shape: the train side explodes to (doc_id, gram) and joins
+    * the BROADCAST distinct eval-gram set — the corpus-sized side
+    * shuffles only for its own per-document count aggregate, never
+    * against eval. Gram strings come from the codegen'd
+    * `graft_word_shingles` kernel (already distinct per document).
+    * At petabyte scale, swap the gram string for its xxhash64
+    * ([[hashedGramJoin]]) to shrink shuffle/broadcast bytes — spec'd
+    * identical on the shipped corpus.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+                    evalMod: Int = 50): DataFrame =
+    decontaminateFrame(docs(spark, dir), evalMod)
+
+  /** [[decontaminate]] over an arbitrary (doc_id, text) frame. */
+  def decontaminateFrame(d: DataFrame, evalMod: Int = 50): DataFrame = {
+    graft.expressions.GraftFunctions.register(d.sparkSession)
+    val grams = call_function("graft_word_shingles", col("text"))
+    val evalGrams = d.where(col("doc_id") % evalMod === 0)
+      .select(explode(grams).as("gram")).distinct()
+    d.where(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** [[decontaminate]] joining on xxhash64(gram) instead of the gram
+    * string — the petabyte-scale form (8-byte join keys; false positives
+    * need a 64-bit collision *within the eval set's grams*, vanishingly
+    * rare at any real eval-set size).
+    */
+  def decontaminateHashed(spark: SparkSession, dir: String,
+                          evalMod: Int = 50): DataFrame = {
+    val d = docs(spark, dir)
+    val grams = call_function("graft_word_shingles", col("text"))
+    val evalGrams = d.where(col("doc_id") % evalMod === 0)
+      .select(explode(grams).as("g")).select(xxhash64(col("g")).as("gh"))
+      .distinct()
+    d.where(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .join(broadcast(evalGrams), "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

@@ -3,7 +3,11 @@ package graft.tsdb
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Aggregation kinds, parity with reference talna `src/agg/{avg,sum,min,max,count}.rs`. */
+/** Aggregation kinds, parity with reference talna `src/agg/{avg,sum,min,max,count}.rs`.
+  * [[AggKind.Quantile]] goes beyond the reference surface (talna has no
+  * percentile aggregator) — it is the bucketed-p95 shape every metrics
+  * store grows, expressed with Spark's exact `percentile` aggregate.
+  */
 sealed trait AggKind
 object AggKind {
   case object Avg   extends AggKind
@@ -11,6 +15,7 @@ object AggKind {
   case object Min   extends AggKind
   case object Max   extends AggKind
   case object Count extends AggKind
+  final case class Quantile(q: Double) extends AggKind
 }
 
 /** Spark-native analog of the reference Database (talna `src/db.rs`).
@@ -45,6 +50,11 @@ final class Db(val frame: DataFrame) {
   def min(metric: String, groupBy: String): AggBuilder   = AggBuilder(this, AggKind.Min, Db.validated(metric), groupBy)
   def max(metric: String, groupBy: String): AggBuilder   = AggBuilder(this, AggKind.Max, Db.validated(metric), groupBy)
   def count(metric: String, groupBy: String): AggBuilder = AggBuilder(this, AggKind.Count, Db.validated(metric), groupBy)
+  /** Bucketed exact quantile (e.g. q=0.95 → p95 latency per group). */
+  def quantile(metric: String, groupBy: String, q: Double): AggBuilder = {
+    require(q > 0 && q < 1, "quantile must be in (0,1)")
+    AggBuilder(this, AggKind.Quantile(q), Db.validated(metric), groupBy)
+  }
 
   /** Tag-key → column. Missing keys become a typed NULL column so that
     * Eq/Wildcard predicates coalesce to false and group-bys skip every
@@ -77,6 +87,68 @@ final class Db(val frame: DataFrame) {
     val base = scan(metric, filterExpr)
     val w = Window.partitionBy(tagColumns.map(col): _*).orderBy(col("ts").desc, col("value").desc)
     base.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
+  }
+
+  /** Per-series first derivative (Datadog-style `per_second()` rate):
+    * for each consecutive pair of points within a series (metric × full
+    * tagset), `rate_per_s = Δvalue / Δseconds`. One shuffle on the
+    * series key, then a codegen'd window lag — no self-join, no
+    * per-series driver loop, so it scales with the point count.
+    *
+    * Points are ordered by `(ts, value)` — the value tiebreak makes the
+    * pairing deterministic when a series carries duplicate timestamps —
+    * and zero-Δt pairs are dropped (no rate exists at an instant).
+    */
+  def rate(metric: String, filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(tagColumns.map(col): _*)
+      .orderBy(col("ts"), col("value"))
+    scan(metric, filterExpr)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .where(col("prev_ts").isNotNull && col("prev_ts") < col("ts"))
+      .withColumn("rate_per_s", round(
+        (col("value") - col("prev_value"))
+          / ((col("ts") - col("prev_ts")) / lit(1e9)), 6))
+      .drop("prev_ts", "prev_value")
+  }
+
+  /** As-of alignment of two metrics: for every point of `leftMetric`,
+    * the latest `rightMetric` value (and its timestamp) at `ts' <= ts`
+    * within the same `on` tag — the standard "join the most recent
+    * reading" primitive metric stores bolt on.
+    *
+    * Spark-first shape: NO join. Both streams are unioned with a kind
+    * marker (right rows sort before left rows at equal ts, so `<=`
+    * semantics hold), then one window pass carries the last non-null
+    * right value forward. A single shuffle on the `on` tag; an as-of
+    * implemented as a range join would shuffle both sides AND explode
+    * matching ranges. Right rows are pre-merged to one per (tag, ts)
+    * (max value) so ties at identical timestamps are deterministic in
+    * any engine.
+    */
+  def asofAlign(leftMetric: String, rightMetric: String,
+                on: String = "user"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = tagCol(on).as("grp")
+    val l = frame.where(col("metric") === lit(Db.validated(leftMetric)))
+      .select(key, col("ts"), lit(1).as("kind"),
+        col("value").as("value"), lit(null).cast("double").as("rv"))
+      .where(col("grp").isNotNull)
+    val r = frame.where(col("metric") === lit(Db.validated(rightMetric)))
+      .groupBy(key, col("ts"))
+      .agg(org.apache.spark.sql.functions.max(col("value")).as("rv"))
+      .select(col("grp"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("double").as("value"), col("rv"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_value", last(col("rv"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts",
+        last(when(col("rv").isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("grp"), col("ts"), col("value"),
+        col("asof_value"), col("asof_ts"))
   }
 
   // ------------------------------------------------------- introspection
@@ -218,6 +290,10 @@ final case class AggBuilder(
       case AggKind.Min   => min(col("value"))
       case AggKind.Max   => max(col("value"))
       case AggKind.Count => count(lit(1)).cast("double")
+      // exact percentile (sort + linear interpolation at p·(n-1)), the
+      // same definition DuckDB's quantile_cont computes; rounded because
+      // the interpolation arithmetic is float, not decimal
+      case AggKind.Quantile(q) => round(expr(s"percentile(value, ${q}d)"), 6)
     }).as("value")
     base.groupBy(grpCol.as("grp"), bucketStart).agg(n, valueCol)
   }

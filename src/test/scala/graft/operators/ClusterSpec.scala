@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusterSpec extends SparkSpec {
+
+  private def pairsDf(ps: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    ps.toDF("doc_a", "doc_b")
+  }
+
+  test("clusterPairs resolves chain, triangle, and isolated pair components") {
+    val out = Dedup.clusterPairs(pairsDf(Seq(
+      (1L, 2L), (2L, 3L),           // chain → comp 1
+      (5L, 6L), (6L, 7L), (5L, 7L), // triangle → comp 5
+      (9L, 10L))))                  // pair → comp 9
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L, 6L, 7L, 9L, 10L))
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 1L))
+    assert(Seq(5L, 6L, 7L).forall(out(_)._1 == 5L))
+    assert(Seq(9L, 10L).forall(out(_)._1 == 9L))
+    assert(out(1L)._2 == 3 && out(5L)._2 == 3 && out(9L)._2 == 2)
+    assert(out.collect { case (id, (_, _, true)) => id }.toSet == Set(1L, 5L, 9L))
+  }
+
+  test("pointer doubling converges on a long path within the iteration cap") {
+    // a 200-node path has diameter 199: plain min-propagation needs 199
+    // rounds; with the label-shortcut step convergence is logarithmic
+    val out = Dedup.clusterPairs(pairsDf((0L until 199L).map(i => (i, i + 1))))
+      .collect()
+    assert(out.length == 200)
+    assert(out.forall(_.getLong(1) == 0L))
+    assert(out.forall(_.getLong(2) == 200L))
+  }
+
+  test("cluster over ngram pairs: endpoints co-clustered, keeper is the component min") {
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val out = Dedup.cluster(spark, sfDir).collect()
+    val comp = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"$a ~ $b split") }
+    // cluster id is a member, and exactly the minimum one; keeper flags match
+    out.groupBy(_.getLong(1)).foreach { case (cid, rows) =>
+      val ids = rows.map(_.getLong(0))
+      assert(ids.min == cid)
+      assert(rows.forall(_.getLong(2) == rows.length))
+      assert(rows.count(_.getBoolean(3)) == 1)
+    }
+  }
+
+  test("clusterPairs is deterministic across reruns") {
+    def run() = Dedup.cluster(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(run() == run())
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+
+  private def docsDf(ds: Seq[(Long, String)]) = {
+    import spark.implicits._
+    ds.toDF("doc_id", "text")
+  }
+
+  test("repetition signals on handcrafted documents") {
+    val out = TextAnalysis.repetitionFrame(docsDf(Seq(
+      (0L, "a b a b"),   // 4 words, 2 distinct; bigrams [a b, b a, a b] top 2/3
+      (1L, "x"),         // single word: no bigrams/trigrams
+      (2L, "p q"),       // one bigram, count 1
+      (3L, "c c c c"))))  // fully repeated
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_words") == 4)
+    assert(d0.getAs[Double]("distinct_word_frac") == 0.5)
+    assert(d0.getAs[Long]("top_bigram_count") == 2)
+    assert(d0.getAs[Double]("top_bigram_frac") == 0.666667)
+    // trigrams [a b a, b a b] — both distinct
+    assert(d0.getAs[Double]("dup_trigram_frac") == 0.0)
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_words") == 1)
+    assert(d1.getAs[Long]("top_bigram_count") == 0)
+    assert(d1.getAs[Double]("top_bigram_frac") == 0.0)
+    assert(d1.getAs[Double]("dup_trigram_frac") == 0.0)
+    val d3 = out(3L)
+    assert(d3.getAs[Double]("distinct_word_frac") == 0.25)
+    assert(d3.getAs[Long]("top_bigram_count") == 3)    // "c c" three times
+    assert(d3.getAs[Double]("top_bigram_frac") == 1.0)
+    assert(d3.getAs[Double]("dup_trigram_frac") == 0.5) // [c c c] x2 → 1 distinct of 2
+  }
+
+  test("repetition fractions are well-formed over the corpus") {
+    val out = TextAnalysis.repetition(spark, sfDir)
+    assert(out.count() == spark.read.parquet(s"$sfDir/documents.parquet").count())
+    val bad = out.where(
+      col("distinct_word_frac") < 0 || col("distinct_word_frac") > 1 ||
+        col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1 ||
+        col("dup_trigram_frac") < 0 || col("dup_trigram_frac") > 1 ||
+        col("n_words") <= 0)
+    assert(bad.count() == 0)
+  }
+
+  test("decontaminate flags exactly the documents sharing a 3-gram with the eval set") {
+    val out = TextAnalysis.decontaminateFrame(docsDf(Seq(
+      (0L, "w1 w2 w3 w4"),          // eval doc (0 % 50 == 0)
+      (1L, "zz w2 w3 w4"),          // shares "w2 w3 w4" → 1 gram
+      (2L, "n1 n2 n3 n4"),          // no overlap
+      (3L, "w1 w2 w3 w4"))))        // identical to eval: shares both grams
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("hashed decontamination equals the string-join form on the corpus") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = key(TextAnalysis.decontaminate(spark, sfDir))
+    val hashed = key(TextAnalysis.decontaminateHashed(spark, sfDir))
+    assert(plain.nonEmpty)
+    assert(plain == hashed)
+  }
+}

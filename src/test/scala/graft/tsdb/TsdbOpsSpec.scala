@@ -1,0 +1,82 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 TSDB additions: per-series rate, as-of
+  * alignment, and exact bucketed quantiles.
+  */
+class TsdbOpsSpec extends SparkSpec {
+
+  private def db(rows: Seq[(String, Long, Double, String)]) = {
+    import spark.implicits._
+    new Db(rows.toDF("metric", "ts", "value", "tag_user"))
+  }
+
+  test("rate computes per-pair derivative, drops zero-dt pairs, per series") {
+    val d = db(Seq(
+      ("m", 0L, 1.0, "u1"),
+      ("m", 10_000_000_000L, 5.0, "u1"),   // rate (5-1)/10 = 0.4
+      ("m", 30_000_000_000L, 2.0, "u1"),   // rate (2-5)/20 = -0.15
+      ("m", 0L, 100.0, "u2"),
+      ("m", 5_000_000_000L, 110.0, "u2"),  // rate 2.0 — series are independent
+      ("x", 1L, 9.0, "u1")))               // other metric: excluded
+    val out = d.rate("m").orderBy("tag_user", "ts").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Double]("rate_per_s")).toSeq == Seq(0.4, -0.15, 2.0))
+  }
+
+  test("rate is deterministic under duplicate timestamps (value tiebreak, zero-dt dropped)") {
+    val d = db(Seq(
+      ("m", 0L, 1.0, "u"),
+      ("m", 10_000_000_000L, 7.0, "u"),
+      ("m", 10_000_000_000L, 3.0, "u"),    // same ts: ordered (3.0, 7.0); the 3→7 pair has dt=0
+      ("m", 20_000_000_000L, 9.0, "u")))
+    val out = d.rate("m").orderBy("ts", "value").collect()
+    // pairs: (1.0@0 → 3.0@10) = 0.2 ; (3.0@10 → 7.0@10) dropped ; (7.0@10 → 9.0@20) = 0.2
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Double]("rate_per_s")).toSeq == Seq(0.2, 0.2))
+  }
+
+  test("asofAlign carries the latest right value at ts' <= ts, max-merged at ties") {
+    val d = db(Seq(
+      ("l", 5L, 1.0, "u"),
+      ("l", 15L, 2.0, "u"),
+      ("l", 10L, 3.0, "u"),                 // equal ts as a right point: <= includes it
+      ("r", 0L, 10.0, "u"),
+      ("r", 10L, 20.0, "u"),
+      ("r", 10L, 25.0, "u"),                // duplicate right ts → merged to max 25
+      ("l", 7L, 4.0, "v")))                 // other user, no right points → nulls
+    val out = d.asofAlign("l", "r").orderBy("grp", "ts").collect()
+    assert(out.length == 4)
+    val byKey = out.map(r => (r.getString(0), r.getLong(1)) ->
+      (Option(r.getAs[java.lang.Double]("asof_value")),
+        Option(r.getAs[java.lang.Long]("asof_ts")))).toMap
+    assert(byKey(("u", 5L)) == (Some(10.0), Some(0L)))
+    assert(byKey(("u", 10L)) == (Some(25.0), Some(10L)))
+    assert(byKey(("u", 15L)) == (Some(25.0), Some(10L)))
+    assert(byKey(("v", 7L)) == (None, None))
+  }
+
+  test("quantile matches the sort-interpolate definition") {
+    val d = db(Seq(
+      ("m", 1L, 1.0, "u"), ("m", 2L, 2.0, "u"),
+      ("m", 3L, 3.0, "u"), ("m", 4L, 4.0, "u")))
+    val out = d.quantile("m", "user", 0.95).granularity(Duration.days(1)).build().collect()
+    // p95 of [1,2,3,4]: pos = 0.95*3 = 2.85 → 3 + 0.85*(4-3) = 3.85
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("value") == 3.85)
+    assert(out(0).getAs[Long]("n") == 4)
+  }
+
+  test("quantile builder composes with filter/granularity on real data") {
+    val q = Db.fromEvents(spark, sfDir)
+      .quantile("view", "user", 0.5).granularity(Duration.days(1)).build()
+    val c = Db.fromEvents(spark, sfDir)
+      .count("view", "user").granularity(Duration.days(1)).build()
+    // same groups, same n, and the median is within each group's min/max
+    val qs = q.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cs = c.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(qs == cs)
+  }
+}
