@@ -58,6 +58,48 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     call_function("graft_jaccard", a, b)
 
+  // ---------------------------------------------------- hot-bucket salting
+  /** Self-join `banded` on `keyCols` (+ `idCol` ordering) with
+    * HOT-BUCKET-TARGETED salting.
+    *
+    * Blanket salting (replicate the whole right side `salt`×) is a
+    * trap this repo measured: it multiplies join volume for EVERY
+    * bucket to fix a straggler in one, and the round-3 skew bench came
+    * out 4× slower WITH the salt. Here only buckets holding ≥ `hotMin`
+    * rows — found by one ids-only aggregate, then broadcast (hot keys
+    * are by definition few) — get their left rows split across `salt`
+    * sub-keys and their right rows replicated; every other bucket joins
+    * exactly as unsalted. Pair multiset is identical in all cases: a
+    * pair in a hot bucket meets at the left row's salt, a pair
+    * elsewhere meets at salt 0. This is precisely AQE's skew-join
+    * split done manually — kept because the candidate join is a
+    * self-join of a generated frame whose skew AQE's size estimates
+    * cannot see at planning time.
+    */
+  private[operators] def hotSaltedSelfJoin(banded: DataFrame,
+                                           keyCols: Seq[String], idCol: String,
+                                           salt: Int, hotMin: Long): DataFrame = {
+    val keyEq = (a: String, b: String) =>
+      keyCols.map(k => col(s"$a.$k") === col(s"$b.$k")).reduce(_ && _)
+    if (salt <= 1) {
+      banded.as("a").join(banded.as("b"),
+        keyEq("a", "b") && col(s"a.$idCol") < col(s"b.$idCol"))
+    } else {
+      val hot = banded.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= hotMin)
+        .select(keyCols.map(col) :+ lit(true).as("is_hot"): _*)
+      val tagged = banded.join(broadcast(hot), keyCols, "left")
+      val a = tagged.withColumn("salt",
+        when(col("is_hot"), pmod(hash(col(idCol)), lit(salt))).otherwise(lit(0)))
+      val b = tagged.withColumn("salt",
+        explode(when(col("is_hot"), expr(s"sequence(0, ${salt - 1})"))
+          .otherwise(array(lit(0)))))
+      a.as("a").join(b.as("b"),
+        keyEq("a", "b") && col("a.salt") === col("b.salt") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+    }
+  }
+
   // ---------------------------------------------------------------- minhash
   /** MinHash + LSH near-dup pairs: word-3-shingle sets → `numHashes`
     * minhash signature (one xxhash per shingle, permutations derived by
@@ -80,18 +122,17 @@ object Dedup {
 
   /** [[minhashLsh]] over an arbitrary (doc_id, text) frame.
     *
-    * `salt > 1` spreads each band bucket over `salt` sub-keys: the left
-    * side keeps one deterministic salt per doc, the right side is
-    * replicated to all salts, so every candidate pair still meets
-    * exactly once and the result is identical — but a pathological
-    * duplicate cluster's O(c²) pairs land on `salt`× more reducers
-    * instead of one straggler task. (AQE's skew-join split does this
-    * adaptively; the salt is the explicit, planner-independent form.)
+    * `salt > 1` spreads each HOT band bucket (≥ `hotMin` rows) over
+    * `salt` sub-keys via [[hotSaltedSelfJoin]]: identical pairs, but a
+    * pathological duplicate cluster's O(c²) in-bucket pairs land on
+    * `salt`× more reducers instead of one straggler task — while
+    * ordinary buckets pay nothing.
     */
   def minhashLshFrame(docsDf: DataFrame,
                       numHashes: Int = 32, bands: Int = 16,
                       threshold: Double = 0.5, salt: Int = 1,
-                      broadcastVerify: Boolean = true): DataFrame = {
+                      broadcastVerify: Boolean = true,
+                      hotMin: Long = 128): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(salt >= 1, "salt must be >= 1")
     GraftFunctions.register(docsDf.sparkSession)
@@ -104,21 +145,17 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> hash(slice(sig, j*$rowsPerBand + 1, $rowsPerBand)))"))
         .as(Seq("band", "band_hash")))
-    val cand = (if (salt <= 1) {
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-    } else {
-      val a = banded.withColumn("salt", pmod(hash(col("doc_id")), lit(salt)))
-      val b = banded.withColumn("salt", explode(expr(s"sequence(0, ${salt - 1})")))
-      a.as("a")
-        .join(b.as("b"),
-          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-            col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
-    })
+    // distinct first (multi-band matches), then re-spread: the pair
+    // stream is ~16 bytes/row but costs a full set-intersection each in
+    // the verify below — AQE's BYTE-based coalescing shrinks it to a
+    // handful of partitions (measured: 3 tasks carrying the whole
+    // verify at 10×, flat max≈median — serialized, not skewed) and
+    // byte-cheap/CPU-heavy stages must pin their parallelism explicitly
+    val cand = hotSaltedSelfJoin(banded, Seq("band", "band_hash"), "doc_id",
+      salt, hotMin)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .repartition(docsDf.sparkSession.sparkContext.defaultParallelism)
     // verify-side joins must HASH, never sort-merge: shingle-set rows
     // are KBs each, and sorting the candidate×shingles intermediate
     // spills once the corpus outgrows the auto-broadcast threshold.
@@ -341,16 +378,18 @@ object Dedup {
 
   /** [[embeddingCosineLsh]] over an arbitrary (vec_id, v, nrm) frame.
     *
-    * `salt > 1` spreads each band bucket over `salt` sub-keys exactly
-    * like [[minhashLshFrame]]: identical pairs, but a pathological
-    * near-dup cluster's O(c²) in-bucket pairs land on `salt`× more
-    * reducers instead of one straggler task.
+    * `salt > 1` spreads each HOT band bucket (≥ `hotMin` rows) over
+    * `salt` sub-keys exactly like [[minhashLshFrame]]: identical pairs,
+    * but a pathological near-dup cluster's O(c²) in-bucket pairs land
+    * on `salt`× more reducers instead of one straggler task — while
+    * ordinary buckets pay nothing.
     */
   def embeddingCosineLshFrame(e: DataFrame, threshold: Double,
                               targetRecall: Double = 0.98,
                               maxPlanes: Int = 192, salt: Int = 1,
                               broadcastVerify: Boolean = true,
-                              planOverride: Option[(Int, Int)] = None): DataFrame = {
+                              planOverride: Option[(Int, Int)] = None,
+                              hotMin: Long = 128): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
     GraftFunctions.register(e.sparkSession)
     val (rowsPerBand, bands) =
@@ -368,20 +407,14 @@ object Dedup {
       col("vec_id"),
       posexplode(call_function("graft_lsh_bands", col("v"),
         lit(rowsPerBand), lit(bands))).as(Seq("band", "bucket")))
-    val cand = (if (salt <= 1) {
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-    } else {
-      val a = banded.withColumn("salt", pmod(hash(col("vec_id")), lit(salt)))
-      val b = banded.withColumn("salt", explode(expr(s"sequence(0, ${salt - 1})")))
-      a.as("a")
-        .join(b.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.salt") === col("b.salt") && col("a.vec_id") < col("b.vec_id"))
-    })
+    // ids-only candidates are byte-cheap but CPU-heavy downstream (a
+    // 64-dim dot product each): re-spread to cluster parallelism so
+    // AQE's byte-based coalescing can't serialize the verify stage
+    // (same finding as minhashLshFrame; one tiny extra shuffle)
+    val cand = hotSaltedSelfJoin(banded, Seq("band", "bucket"), "vec_id",
+      salt, hotMin)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
     // payload fetch for candidates: the side is only (vec_id, v, nrm) —
     // broadcast it while the corpus fits executor memory (tens of
     // millions of 64-dim vectors), making both fetches map-side with no

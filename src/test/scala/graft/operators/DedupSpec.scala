@@ -39,8 +39,10 @@ class DedupSpec extends SparkSpec {
     val clones = (1 to 30)
       .map(i => (1000000L + i, seed.getString(1))).toDF("doc_id", "text")
     val frame = docs.union(clones)
+    // hotMin = 8 < cluster size 31: the clone buckets genuinely take the
+    // salted path (default 128 would leave this cluster unsalted)
     def pairs(salt: Int) =
-      Dedup.minhashLshFrame(frame, salt = salt)
+      Dedup.minhashLshFrame(frame, salt = salt, hotMin = 8)
         .select("doc_a", "doc_b", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val unsalted = pairs(1)
@@ -126,8 +128,11 @@ class DedupSpec extends SparkSpec {
 
   test("salted embedding LSH returns exactly the unsalted pairs") {
     val frame = Dedup.withPlantedNearDups(spark, sfDir)
+    // hotMin = 2: every bucket with any pair potential is "hot", the
+    // strongest parity stress for the salted path
     def pairs(salt: Int) =
-      Dedup.embeddingCosineLshFrame(frame, threshold = 0.9, salt = salt)
+      Dedup.embeddingCosineLshFrame(frame, threshold = 0.9, salt = salt,
+        hotMin = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val unsalted = pairs(1)
     assert(unsalted.nonEmpty)
