@@ -102,11 +102,14 @@ object Bench {
     */
   private def scale10Entries: Seq[Entry] = Seq(
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
-    "dedup_embedding", "dedup_embedding_lsh",
+    "dedup_embedding", "dedup_embedding_lsh", "dedup_cluster",
     "ann_bruteforce", "ann_ivf", "ann_ivf_kmeans",
     "ann_lsh", "ann_lsh_multiprobe", "q5_multijoin",
-    // TSDB core representatives: aggregation, per-series window, scan
-    "ts_avg", "ts_latest", "ts_raw").map(n => n -> SparkEntry.queries(n))
+    "text_decontaminate", "text_repetition",
+    // TSDB core representatives: aggregation, per-series window, scan,
+    // plus the round-4 window/as-of family
+    "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_asof",
+    "ts_quantile").map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
     * is bounded, with IVF's nlist scaled √n-style (16 → 160) as a
@@ -130,7 +133,8 @@ object Bench {
       else graft.operators.Similarity.ivfKmeansTopK(s, d)),
     "ts_avg" -> SparkEntry.queries("ts_avg"),
     "ts_latest" -> SparkEntry.queries("ts_latest"),
-    "ts_raw" -> SparkEntry.queries("ts_raw"))
+    "ts_raw" -> SparkEntry.queries("ts_raw"),
+    "text_decontaminate" -> SparkEntry.queries("text_decontaminate"))
 
   /** Short codes in the JSON (the compact final line has a byte
     * budget); the full reasons are printed as a comment line by
@@ -176,16 +180,38 @@ object Bench {
     (parts ++ Option(extra).filter(_.nonEmpty)).mkString("{", ",", "}")
   }
 
-  /** Reducer-balance demo for the salted band joins: a planted 1000-doc
-    * duplicate cluster at 10× puts O(c²) candidate pairs on ONE band
-    * bucket per band; hot-bucket salting (Dedup.hotSaltedSelfJoin)
-    * spreads exactly those buckets across `salt`× reducers with
-    * identical results, leaving every ordinary bucket unreplicated.
-    * (The round-3 form salted ALL buckets — 16× the join volume
-    * everywhere to fix one straggler, measured 4× slower overall; the
-    * hot-targeted form is the honest scale answer.) Reported per run:
-    * wall seconds + max/median task millis over the job's tasks — the
-    * straggler the salt removes is visible as the max-task collapse.
+  /** Reducer-balance demo for the hot-salted band joins
+    * (Dedup.hotSaltedSelfJoin), in the regime where salting actually
+    * pays. Three findings are encoded here, each measured:
+    *
+    *  1. Blanket salting (round 3) replicated the right side 16× for
+    *     EVERY bucket — 4× slower overall. Hot-targeted salting
+    *     replicates only buckets ≥ hotMin rows.
+    *  2. The apparent "skew straggler" at default banding was really
+    *     AQE byte-coalescing serializing the verify stage (fixed by
+    *     the candidate re-spread in both LSH frames) — at 16 bands a
+    *     dup cluster is already spread over 16 reducers and salt buys
+    *     nothing. Salting becomes real when the band count is LOW
+    *     (precision-heavy LSH configs): this demo uses 2 bands, so a
+    *     planted 3000-dup cluster funnels ~4.5M pairs through each of
+    *     TWO reducers unsalted.
+    *  3. With salt=16 those two hot buckets split 16-ways with
+    *     identical results; ordinary buckets are untouched.
+    *  4. The shuffle regime itself must be FORCED here: at bench scale
+    *     the banded side auto-broadcasts (no reducers exist to skew —
+    *     plan-verified), and AQE's skew-join split also handles a
+    *     single hot key in SMJ/SHJ plans when its stats see it. The
+    *     demo disables both (autoBroadcastJoinThreshold=-1,
+    *     adaptive.skewJoin=false) to measure the salt mechanism in the
+    *     plan shape a 100 TB banded join actually has — a shuffle join
+    *     too big to broadcast, with hot-salt as the planner-independent
+    *     fallback when size estimates mislead.
+    *
+    * Reported per run: wall seconds, max/median task millis, and the
+    * top stages by max task (stage ids are run-relative; compare
+    * max/med shapes) — unsalted shows a flat ~2-task straggler stage
+    * (one reducer per band carrying the cluster's 4.5M pairs); salted
+    * removes it with identical output.
     */
   private def skewBench(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
@@ -193,7 +219,7 @@ object Bench {
     val docs = spark.read.parquet(s"$dir10/documents.parquet")
       .select(col("doc_id"), col("text"))
     val one = docs.orderBy(col("doc_id")).limit(1).select(col("text"))
-    val cluster = spark.range(1000).crossJoin(broadcast(one))
+    val cluster = spark.range(3000).crossJoin(broadcast(one))
       .select((col("id") + 900000000L).as("doc_id"), col("text"))
     val planted = docs.union(cluster)
 
@@ -208,7 +234,7 @@ object Bench {
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val res = try {
-        graft.operators.Dedup.minhashLshFrame(planted, salt = salt)
+        graft.operators.Dedup.minhashLshFrame(planted, bands = 2, salt = salt)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
@@ -235,9 +261,15 @@ object Bench {
       System.gc()
       s"""{"sec":${fmt(res, 2)},"max_task_ms":$maxMs,"med_task_ms":$medMs,"tasks":${all.size},"top_stages":$stages}"""
     }
-    val noSalt = run(1)
-    val salted = run(16)
-    s"""{"cluster":1000,"salt1":$noSalt,"salt16":$salted}"""
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val (noSalt, salted) = try (run(1), run(16)) finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+    }
+    s"""{"cluster":3000,"bands":2,"forced_shuffle":true,"salt1":$noSalt,"salt16":$salted}"""
   }
 
   /** Ingest-throughput measurement (pts/s), the reference's headline
