@@ -52,6 +52,8 @@ object SparkEntry {
     "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
     "ts_quantile" -> ((s, d) =>
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
+    "ts_gapfill" -> ((s, d) =>
+      Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
     // full round-trip through the graft on-disk layout: write once
     // (partitioned by metric, ts-sorted), reopen, query — proves the
     // ingest path yields identical results with dir pruning + pushdown
@@ -187,6 +189,22 @@ object SparkEntry {
          |  FROM ev WHERE metric = 'click'
          |  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
          |) WHERE prev_ts IS NOT NULL AND prev_ts < ts""".stripMargin,
+    // forward fill via ASOF: the latest aggregated bucket at b <= dense
+    // bucket IS the carried-forward value; ASOF always matches inside
+    // the series span (lo is itself a real bucket)
+    "ts_gapfill" ->
+      s"""$Ev
+         |, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS b, COUNT(*) AS n, $AvgV
+         |  FROM ev WHERE metric = 'purchase' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), s AS (SELECT grp, min(b) AS lo, max(b) AS hi FROM a GROUP BY 1),
+         |d AS (SELECT grp, unnest(generate_series(lo, hi, ${Day})) AS bucket_start FROM s)
+         |SELECT d.grp, d.bucket_start,
+         |  CAST(CASE WHEN a2.b = d.bucket_start THEN a2.n ELSE 0 END AS BIGINT) AS n,
+         |  a2.value AS value,
+         |  (a2.b <> d.bucket_start) AS filled
+         |FROM d ASOF LEFT JOIN a a2 ON d.grp = a2.grp AND d.bucket_start >= a2.b""".stripMargin,
     // right side pre-merged to one row per (tag, ts) — ASOF tie choice
     // at identical timestamps is engine-defined otherwise
     "ts_asof" ->

@@ -127,6 +127,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_char_grams"),
       new ExpressionInfo(classOf[CharGrams3].getName, "graft_char_grams"),
       (cs: Seq[Expression]) => { arity("graft_char_grams", 1, cs); CharGrams3(cs.head) }),
+    (FunctionIdentifier("graft_rep_stats"),
+      new ExpressionInfo(classOf[RepStats].getName, null, "graft_rep_stats",
+        "_FUNC_(text) - [n_words, n_distinct_words, top_bigram_count, " +
+          "n_distinct_trigrams] over split(trim(text), ' +') in one pass.", ""),
+      (cs: Seq[Expression]) => { arity("graft_rep_stats", 1, cs); RepStats(cs.head) }),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (cs: Seq[Expression]) => {

@@ -144,6 +144,28 @@ case class CharGrams3(child: Expression) extends UnaryExpression with KernelCall
     copy(child = newChild)
 }
 
+/** Repetition counters `[n_words, n_distinct_words, top_bigram_count,
+  * n_distinct_trigrams]` of a string column — see
+  * [[NativeKernels.repStats]].
+  */
+case class RepStats(child: Expression) extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_rep_stats expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    NativeKernels.repStats(s.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.repStats($c)"
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket of a numeric-array column — see
   * [[NativeKernels.lshBucket]]. Accepts `array<float>` or `array<double>`.
   */

@@ -162,6 +162,54 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Repetition counters of a document in ONE pass:
+    * `[n_words, n_distinct_words, top_bigram_count, n_distinct_trigrams]`.
+    *
+    * Words are `split(trim(text), ' +')` (Spark split semantics:
+    * limit -1; an all-whitespace document yields one empty token, so
+    * `n_words >= 1` always). `top_bigram_count` is the maximum
+    * multiplicity over word bigrams (0 when n < 2); trigram distinct
+    * count is 0 when n < 3.
+    *
+    * Equivalent HOF (spec-asserted bit-identical, TextOpsSpec): bigram
+    * top count = longest equal-run of `array_sort(transform(sequence(0,
+    * n-2), i -> concat(w[i], ' ', w[i+1])))` via an `aggregate` fold;
+    * distinct counts = `size(array_distinct(...))`. That pipeline is
+    * CodegenFallback (interpreted lambdas + intermediate arrays +
+    * per-element struct rows in the fold) and measured 11 s for the
+    * sf0.1 suite's 50k docs; this kernel is two hash maps and one
+    * array scan.
+    */
+  def repStats(text: UTF8String): ArrayData = {
+    val tokens = text.toString.trim.split(" +", -1)
+    val n = tokens.length
+    val words = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) { words.add(tokens(i)); i += 1 }
+    var topBigram = 0L
+    if (n >= 2) {
+      val bi = new java.util.HashMap[String, Int](n * 2)
+      i = 0
+      while (i < n - 1) {
+        val k = tokens(i) + " " + tokens(i + 1)
+        val c = bi.merge(k, 1, Integer.sum)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+    }
+    var triDistinct = 0L
+    if (n >= 3) {
+      val tri = new java.util.HashSet[String](n * 2)
+      i = 0
+      while (i < n - 2) {
+        tri.add(tokens(i) + " " + tokens(i + 1) + " " + tokens(i + 2))
+        i += 1
+      }
+      triDistinct = tri.size.toLong
+    }
+    new GenericArrayData(Array[Any](n.toLong, words.size.toLong, topBigram, triDistinct))
+  }
+
   /** Random-hyperplane LSH bucket: `planes` sign bits; plane j's component
     * for dimension d is ±1 from `xxhash64(j, d) & 1` (two-int xxhash
     * chain, identical to Spark's variadic `xxhash64(j, d)`).

@@ -311,4 +311,32 @@ final case class AggBuilder(
       .withColumn("bucket_middle", col("bucket_start") + lit(widthNs / 2))
       .select(col("grp"), col("bucket_start"), col("bucket_end"),
         col("bucket_middle"), col("n"), col("value"))
+
+  /** Like [[build]], then densified per group: every bucket between the
+    * group's first and last observed bucket exists, gaps carry the
+    * previous bucket's value forward (`filled = true`, `n = 0`) — the
+    * gap-filling every metrics dashboard applies before charting.
+    *
+    * Scale shape: the dense axis is generated per group with
+    * `sequence()` (rows ∝ span/width, the OUTPUT size — nothing
+    * quadratic), one left join back to the aggregated buckets on the
+    * same (group, bucket) key, and one window pass for the forward
+    * fill. All three reuse the aggregation's (group, bucket)
+    * partitioning; nothing shuffles the raw points again.
+    */
+  def buildGapFilled(): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = build()
+    val dense = base.groupBy(col("grp"))
+      .agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
+      .select(col("grp"),
+        explode(sequence(col("lo"), col("hi"), lit(widthNs))).as("bucket_start"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("bucket_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(base, Seq("grp", "bucket_start"), "left")
+      .select(col("grp"), col("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("value"), ignoreNulls = true).over(w).as("value"),
+        col("value").isNull.as("filled"))
+  }
 }

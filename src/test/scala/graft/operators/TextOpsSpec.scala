@@ -36,6 +36,20 @@ class TextOpsSpec extends SparkSpec {
     assert(d3.getAs[Double]("dup_trigram_frac") == 0.5) // [c c c] x2 → 1 distinct of 2
   }
 
+  test("repetition kernel path is identical to the interpreted HOF formulation") {
+    import spark.implicits._
+    val edge = docsDf(Seq(
+      (100L, ""), (101L, "   "), (102L, "a"), (103L, "a a"),
+      (104L, "x y x y x"), (105L, "solo pair pair solo solo pair")))
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).union(edge)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(key(TextAnalysis.repetitionFrame(corpus)) ==
+      key(TextAnalysis.repetitionFrameHof(corpus)))
+  }
+
   test("repetition fractions are well-formed over the corpus") {
     val out = TextAnalysis.repetition(spark, sfDir)
     assert(out.count() == spark.read.parquet(s"$sfDir/documents.parquet").count())

@@ -69,6 +69,24 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n") == 4)
   }
 
+  test("gapfill densifies the series span and forward-fills values") {
+    val day = Duration.days(1)
+    val d = db(Seq(
+      ("m", 0L, 2.0, "u"),
+      ("m", 0L, 4.0, "u"),          // day 0: avg 3.0, n 2
+      ("m", 3 * day + 7L, 5.0, "u"), // day 3: avg 5.0 — days 1, 2 are gaps
+      ("m", 0L, 9.0, "v")))          // single-bucket series: no gaps
+    val out = d.avg("m", "user").granularity(day).buildGapFilled()
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.size == 5)
+    assert(out(("u", 0L)) == (2L, 3.0, false))
+    assert(out(("u", day)) == (0L, 3.0, true))
+    assert(out(("u", 2 * day)) == (0L, 3.0, true))
+    assert(out(("u", 3 * day)) == (1L, 5.0, false))
+    assert(out(("v", 0L)) == (1L, 9.0, false))
+  }
+
   test("quantile builder composes with filter/granularity on real data") {
     val q = Db.fromEvents(spark, sfDir)
       .quantile("view", "user", 0.5).granularity(Duration.days(1)).build()
