@@ -193,7 +193,7 @@ object Bench {
     *     dup cluster is already spread over 16 reducers and salt buys
     *     nothing. Salting becomes real when the band count is LOW
     *     (precision-heavy LSH configs): this demo uses 2 bands, so a
-    *     planted 3000-dup cluster funnels ~4.5M pairs through each of
+    *     planted 1500-dup cluster funnels ~4.5M pairs through each of
     *     TWO reducers unsalted.
     *  3. With salt=16 those two hot buckets split 16-ways with
     *     identical results; ordinary buckets are untouched.
@@ -210,7 +210,7 @@ object Bench {
     * Reported per run: wall seconds, max/median task millis, and the
     * top stages by max task (stage ids are run-relative; compare
     * max/med shapes) — unsalted shows a flat ~2-task straggler stage
-    * (one reducer per band carrying the cluster's 4.5M pairs); salted
+    * (one reducer per band carrying the cluster pair volume pairs); salted
     * removes it with identical output.
     */
   private def skewBench(spark: SparkSession, sfDir: String): String = {
@@ -219,7 +219,7 @@ object Bench {
     val docs = spark.read.parquet(s"$dir10/documents.parquet")
       .select(col("doc_id"), col("text"))
     val one = docs.orderBy(col("doc_id")).limit(1).select(col("text"))
-    val cluster = spark.range(3000).crossJoin(broadcast(one))
+    val cluster = spark.range(1500).crossJoin(broadcast(one))
       .select((col("id") + 900000000L).as("doc_id"), col("text"))
     val planted = docs.union(cluster)
 
@@ -230,6 +230,10 @@ object Bench {
         durs.add((t.stageId, t.taskInfo.duration))
     }
     def run(salt: Int): String = {
+      // fresh heap before EACH leg: this section runs last in the suite
+      // and the verify stage's broadcast/shuffle debris otherwise skews
+      // the second leg by 2×+ (observed run-to-run)
+      System.gc()
       durs.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
@@ -269,7 +273,7 @@ object Bench {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
     }
-    s"""{"cluster":3000,"bands":2,"forced_shuffle":true,"salt1":$noSalt,"salt16":$salted}"""
+    s"""{"cluster":1500,"bands":2,"forced_shuffle":true,"salt1":$noSalt,"salt16":$salted}"""
   }
 
   /** Ingest-throughput measurement (pts/s), the reference's headline
