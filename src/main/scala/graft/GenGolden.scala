@@ -30,7 +30,8 @@ object GenGolden {
   val names: Seq[String] = Seq(
     "dedup_simhash", "mm_meta",
     "dedup_minhash", "dedup_embedding_lsh",
-    "ann_lsh", "ann_lsh_multiprobe", "ann_ivf_kmeans")
+    "ann_lsh", "ann_lsh_multiprobe", "ann_ivf_kmeans",
+    "dedup_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => graft.operators.Dedup.embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => graft.operators.Dedup.embeddingNearDup(s, d)),
     "dedup_cluster" -> ((s, d) => graft.operators.Dedup.cluster(s, d)),
+    "dedup_pipeline" -> ((s, d) => graft.operators.Dedup.pipeline(s, d)),
 
     // ---- Similarity search (embeddings) ----
     "ann_bruteforce" -> ((s, d) => graft.operators.Similarity.bruteForceTopK(s, d)),
@@ -391,6 +392,8 @@ object SparkEntry {
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_lsh_multiprobe/*.parquet')",
     "ann_ivf_kmeans" ->
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_ivf_kmeans/*.parquet')",
+    "dedup_pipeline" ->
+      "SELECT doc_id, cluster_size FROM read_parquet('/root/repo/golden/dedup_pipeline/*.parquet')",
 
     // ---- Deduplication ----
     "dedup_exact" ->

@@ -568,4 +568,34 @@ object Dedup {
   def cluster(spark: SparkSession, dir: String,
               threshold: Double = 0.3): DataFrame =
     clusterPairs(ngramJaccard(spark, dir, threshold))
+
+  /** The dedup pipeline END-TO-END — what a training-data run actually
+    * executes: MinHash-LSH near-dup pairs → connected components →
+    * keep one canonical document per cluster (plus every unpaired
+    * document). Returns the KEPT corpus ids with their cluster size
+    * (1 for unique documents).
+    *
+    * Scale shape: the only corpus-sized operations are the LSH pass
+    * itself and one final anti-join; the component labels and drop
+    * list are proportional to the *duplicated* subset, which is the
+    * small side by construction — it broadcasts.
+    */
+  def pipeline(spark: SparkSession, dir: String,
+               threshold: Double = 0.5): DataFrame =
+    pipelineFrame(parallelize(docs(spark, dir)), threshold)
+
+  /** [[pipeline]] over an arbitrary (doc_id, text) frame. */
+  def pipelineFrame(docsDf: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val clusters = clusterPairs(minhashLshFrame(docsDf, threshold = threshold))
+    val dropped = clusters.where(!col("is_keeper"))
+      .select(col("doc_id"))
+    val kept = clusters.where(col("is_keeper"))
+      .select(col("doc_id"), col("cluster_size"))
+    docsDf.select(col("doc_id"))
+      .join(broadcast(dropped.union(kept.select(col("doc_id")))
+        .withColumnRenamed("doc_id", "paired_id")),
+        col("doc_id") === col("paired_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("cluster_size"))
+      .unionByName(kept)
+  }
 }

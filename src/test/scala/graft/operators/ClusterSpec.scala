@@ -57,4 +57,26 @@ class ClusterSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
     assert(run() == run())
   }
+
+  test("pipeline keeps every unpaired doc and exactly one doc per dup cluster") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val kept = Dedup.pipeline(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Dedup.clusterPairs(
+      Dedup.minhashLsh(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val paired = clusters.map(_._1).toSet
+    val nDocs = docs.count()
+    // every doc accounted for exactly once: kept = all - (paired - keepers)
+    assert(kept.size == nDocs - clusters.count(c => !c._4))
+    // keepers carry their true cluster size; unpaired docs carry 1
+    clusters.filter(_._4).foreach { case (id, _, size, _) =>
+      assert(kept(id) == size, s"keeper $id")
+    }
+    kept.keys.filterNot(paired).foreach(id => assert(kept(id) == 1L))
+    // no dropped doc survives
+    clusters.filterNot(_._4).foreach { case (id, _, _, _) =>
+      assert(!kept.contains(id), s"dropped doc $id still present")
+    }
+  }
 }

@@ -87,6 +87,21 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out(("v", 0L)) == (1L, 9.0, false))
   }
 
+  test("plans: rate is one exchange + window; gapfill joins broadcast; filters reach the scans") {
+    val rate = Db.fromEvents(spark, sfDir).rate("click")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(rate).length == 1, s"rate plan:\n$rate")
+    assert(rate.contains("PushedFilters") && rate.contains("EqualTo(event_type,click)"))
+    val gap = Db.fromEvents(spark, sfDir)
+      .avg("purchase", "user").granularity(Duration.days(1)).buildGapFilled()
+      .queryExecution.executedPlan.toString
+    assert(gap.contains("BroadcastHashJoin"), s"gapfill plan:\n$gap")
+    val asof = Db.fromEvents(spark, sfDir).asofAlign("click", "purchase")
+      .queryExecution.executedPlan.toString
+    // union + window: no join operator anywhere in the as-of plan
+    assert(!asof.contains("Join"), s"asof plan:\n$asof")
+  }
+
   test("quantile builder composes with filter/granularity on real data") {
     val q = Db.fromEvents(spark, sfDir)
       .quantile("view", "user", 0.5).granularity(Duration.days(1)).build()
