@@ -82,13 +82,21 @@ object Bench {
     val skew = if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW")) "{}"
                else skewBench(spark, sfDir)
     println(s"# skew: $skew")
-    val line =
+    val full =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,""" +
       s""""ingest":$ingest,"scale10":$scale10,"scale100":$scale100,""" +
       s""""skew":$skew,"fmt":"scale entries are [base_sec,xN_sec,ratio]","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
-    println(line)
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), full + "\n")
+    // the LAST stdout line must survive a 2000-char tail capture (the
+    // r02/r03 artifacts both lost the full line to exactly this): emit
+    // queries at 2dp + the total ONLY, and point at the committed full
+    // JSON for the ingest/scale/skew sections printed above
+    val qs2 = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs2,""" +
+      s""""detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -103,6 +111,7 @@ object Bench {
   private def scale10Entries: Seq[Entry] = Seq(
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_embedding", "dedup_embedding_lsh", "dedup_cluster",
+    "dedup_pipeline",
     "ann_bruteforce", "ann_ivf", "ann_ivf_kmeans",
     "ann_lsh", "ann_lsh_multiprobe", "q5_multijoin",
     "text_decontaminate", "text_repetition",
