@@ -535,6 +535,10 @@ object Dedup {
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        // eager checkpoint: the shortcut references `stepped` twice, and
+        // without materialization BOTH references recompute the
+        // neighbor-min join — one extra action per round is cheaper than
+        // doubling the round's join work (and it keeps the plan flat)
         .localCheckpoint(true)
       // shortcut: comp(v) := comp(comp(v)). Every comp value is itself a
       // node id (mins over ids), so the lookup always resolves.
