@@ -77,6 +77,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => graft.operators.TextAnalysis.fingerprint(s, d)),
     "text_repetition" -> ((s, d) => graft.operators.TextAnalysis.repetition(s, d)),
     "text_decontaminate" -> ((s, d) => graft.operators.TextAnalysis.decontaminate(s, d)),
+    "text_filter_chain" -> ((s, d) => graft.operators.TextAnalysis.filterChain(s, d)),
 
     // ---- Deduplication (documents) ----
     "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
@@ -121,6 +122,70 @@ object SparkEntry {
   private val AvgV = "round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*), 6) AS value"
   private val SumV = "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value"
   private val CntV = "CAST(COUNT(*) AS DOUBLE) AS value"
+
+  // text-signal SQL bodies, shared by their own oracle entries and the
+  // composed text_filter_chain oracle
+  private val TextLangidSql =
+    """SELECT doc_id,
+      | CASE WHEN zh > 0 THEN 'zh'
+      |      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+      |      WHEN de >= fr AND de >= es THEN 'de'
+      |      WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+      |FROM (
+      |  SELECT doc_id,
+      |   length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh,
+      |   length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS en,
+      |   length(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS de,
+      |   length(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS fr,
+      |   length(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS es
+      |  FROM documents)""".stripMargin
+
+  private val TextQualitySql =
+    """SELECT doc_id,
+      | n_chars_calc, n_tokens,
+      | round(alpha / n_chars_calc, 6) AS alpha_ratio,
+      | round(punct / n_chars_calc, 6) AS punct_ratio,
+      | round(stops / n_tokens, 6) AS stopword_ratio,
+      | round(alpha / n_tokens, 6) AS mean_token_alpha,
+      | round(CAST(0.4 AS DOUBLE) * (alpha / n_chars_calc)
+      |   + CAST(0.4 AS DOUBLE) * least((stops / n_tokens) * 5, CAST(1.0 AS DOUBLE))
+      |   + CAST(0.2 AS DOUBLE) * (CASE WHEN n_tokens BETWEEN 10 AND 1000
+      |                                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6)
+      |   AS quality_score
+      |FROM (
+      |  SELECT doc_id,
+      |   CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |   CAST(length(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+      |   CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS alpha,
+      |   CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct,
+      |   CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stops
+      |  FROM documents)""".stripMargin
+
+  private val TextRepetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents
+      |), b AS (
+      |  SELECT doc_id, len(w) AS nw, w,
+      |    list_transform(generate_series(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i + 1]) AS bg,
+      |    list_transform(generate_series(1, len(w) - 2),
+      |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS tg
+      |  FROM t
+      |), topb AS (
+      |  SELECT doc_id, max(c) AS topc FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c
+      |    FROM (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY 1, 2)
+      |  GROUP BY 1
+      |)
+      |SELECT b.doc_id,
+      |  CAST(nw AS BIGINT) AS n_words,
+      |  round(len(list_distinct(w)) / CAST(nw AS DOUBLE), 6) AS distinct_word_frac,
+      |  CAST(coalesce(topc, 0) AS BIGINT) AS top_bigram_count,
+      |  round(CASE WHEN nw >= 2 THEN coalesce(topc, 0) / CAST(nw - 1 AS DOUBLE)
+      |        ELSE 0 END, 6) AS top_bigram_frac,
+      |  round(CASE WHEN nw >= 3 THEN 1 - len(list_distinct(tg)) / CAST(nw - 2 AS DOUBLE)
+      |        ELSE 0 END, 6) AS dup_trigram_frac
+      |FROM b LEFT JOIN topb USING (doc_id)""".stripMargin
 
   private def tsAgg(metric: String, grp: String, valueSql: String,
                     where: String = "TRUE", width: Long = Day): String =
@@ -280,40 +345,8 @@ object SparkEntry {
         | CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars_calc
         |FROM documents""".stripMargin,
-    "text_langid" ->
-      """SELECT doc_id,
-        | CASE WHEN zh > 0 THEN 'zh'
-        |      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-        |      WHEN de >= fr AND de >= es THEN 'de'
-        |      WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
-        |FROM (
-        |  SELECT doc_id,
-        |   length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh,
-        |   length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS en,
-        |   length(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS de,
-        |   length(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS fr,
-        |   length(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS es
-        |  FROM documents)""".stripMargin,
-    "text_quality" ->
-      """SELECT doc_id,
-        | n_chars_calc, n_tokens,
-        | round(alpha / n_chars_calc, 6) AS alpha_ratio,
-        | round(punct / n_chars_calc, 6) AS punct_ratio,
-        | round(stops / n_tokens, 6) AS stopword_ratio,
-        | round(alpha / n_tokens, 6) AS mean_token_alpha,
-        | round(CAST(0.4 AS DOUBLE) * (alpha / n_chars_calc)
-        |   + CAST(0.4 AS DOUBLE) * least((stops / n_tokens) * 5, CAST(1.0 AS DOUBLE))
-        |   + CAST(0.2 AS DOUBLE) * (CASE WHEN n_tokens BETWEEN 10 AND 1000
-        |                                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6)
-        |   AS quality_score
-        |FROM (
-        |  SELECT doc_id,
-        |   CAST(length(text) AS BIGINT) AS n_chars_calc,
-        |   CAST(length(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
-        |   CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS alpha,
-        |   CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct,
-        |   CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stops
-        |  FROM documents)""".stripMargin,
+    "text_langid" -> TextLangidSql,
+    "text_quality" -> TextQualitySql,
     "text_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
@@ -322,31 +355,20 @@ object SparkEntry {
         |     list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents""".stripMargin,
-    "text_repetition" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents
-        |), b AS (
-        |  SELECT doc_id, len(w) AS nw, w,
-        |    list_transform(generate_series(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i + 1]) AS bg,
-        |    list_transform(generate_series(1, len(w) - 2),
-        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS tg
-        |  FROM t
-        |), topb AS (
-        |  SELECT doc_id, max(c) AS topc FROM (
-        |    SELECT doc_id, g, COUNT(*) AS c
-        |    FROM (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY 1, 2)
-        |  GROUP BY 1
-        |)
-        |SELECT b.doc_id,
-        |  CAST(nw AS BIGINT) AS n_words,
-        |  round(len(list_distinct(w)) / CAST(nw AS DOUBLE), 6) AS distinct_word_frac,
-        |  CAST(coalesce(topc, 0) AS BIGINT) AS top_bigram_count,
-        |  round(CASE WHEN nw >= 2 THEN coalesce(topc, 0) / CAST(nw - 1 AS DOUBLE)
-        |        ELSE 0 END, 6) AS top_bigram_frac,
-        |  round(CASE WHEN nw >= 3 THEN 1 - len(list_distinct(tg)) / CAST(nw - 2 AS DOUBLE)
-        |        ELSE 0 END, 6) AS dup_trigram_frac
-        |FROM b LEFT JOIN topb USING (doc_id)""".stripMargin,
+    "text_repetition" -> TextRepetitionSql,
+    // the filter chain composes the three signal queries verbatim as
+    // CTEs — thresholds compare the same ROUNDED columns both engines
+    // emit, so the kept set is boundary-stable
+    "text_filter_chain" ->
+      s"""WITH q AS ($TextQualitySql),
+         |r AS ($TextRepetitionSql),
+         |l AS ($TextLangidSql)
+         |SELECT q.doc_id, q.quality_score, r.top_bigram_frac,
+         |       r.dup_trigram_frac, r.distinct_word_frac, l.lang_pred
+         |FROM q JOIN r USING (doc_id) JOIN l USING (doc_id)
+         |WHERE q.quality_score >= 0.65 AND r.top_bigram_frac <= 0.05
+         |  AND r.dup_trigram_frac <= 0.05 AND r.distinct_word_frac >= 0.4
+         |  AND l.lang_pred = 'en'""".stripMargin,
     // same gram construction as the graft_word_shingles kernel: split on
     // single space KEEPING empties, windows of 3 (whole list when
     // shorter), per-document distinct

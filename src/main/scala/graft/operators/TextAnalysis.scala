@@ -169,6 +169,50 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** The quality-filter chain a corpus pipeline runs before training:
+    * keep documents passing the heuristic quality score, the repetition
+    * bounds, and the language gate — all computed in ONE scan (the
+    * quality expressions, the `graft_rep_stats` kernel, and the langid
+    * heuristic are projections; no joins between the signals).
+    * Thresholds compare the ROUNDED signal values, so the kept set is
+    * stable across engines computing the same rounded columns.
+    */
+  def filterChain(spark: SparkSession, dir: String,
+                  minQuality: Double = 0.65,
+                  maxTopBigramFrac: Double = 0.05,
+                  maxDupTrigramFrac: Double = 0.05,
+                  minDistinctWordFrac: Double = 0.4,
+                  lang: String = "en"): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nTokens = wsTokenCount(col("text"))
+    val alpha = alphaCount(col("text"))
+    val stops = stopwordCount(col("text"))
+    val alphaRatio = alpha / nChars
+    val stopRatio = stops / nTokens
+    val qualityScore = round(
+      lit(0.4) * alphaRatio
+        + lit(0.4) * least(stopRatio * 5, lit(1.0))
+        + lit(0.2) * when(nTokens.between(10, 1000), 1.0).otherwise(0.0), 6)
+    val st = call_function("graft_rep_stats", col("text"))
+    val nw = st.getItem(0)
+    val topBigramFrac = round(when(nw >= 2,
+      st.getItem(2) / (nw - 1).cast("double")).otherwise(0.0), 6)
+    val dupTrigramFrac = round(when(nw >= 3,
+      lit(1.0) - st.getItem(3) / (nw - 2).cast("double")).otherwise(0.0), 6)
+    val distinctWordFrac = round(st.getItem(1) / nw.cast("double"), 6)
+    docs(spark, dir)
+      .select(col("doc_id"), qualityScore.as("quality_score"),
+        topBigramFrac.as("top_bigram_frac"),
+        dupTrigramFrac.as("dup_trigram_frac"),
+        distinctWordFrac.as("distinct_word_frac"),
+        langId(col("text")).as("lang_pred"))
+      .where(col("quality_score") >= minQuality &&
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("dup_trigram_frac") <= maxDupTrigramFrac &&
+        col("distinct_word_frac") >= minDistinctWordFrac &&
+        col("lang_pred") === lang)
+  }
+
   /** [[decontaminate]] joining on xxhash64(gram) instead of the gram
     * string — the petabyte-scale form (8-byte join keys; false positives
     * need a 64-bit collision *within the eval set's grams*, vanishingly

@@ -71,6 +71,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("filter chain keeps a strict subset and every kept row passes every gate") {
+    val out = TextAnalysis.filterChain(spark, sfDir).collect()
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.nonEmpty && out.length < n, s"${out.length} of $n kept")
+    out.foreach { r =>
+      assert(r.getAs[Double]("quality_score") >= 0.65)
+      assert(r.getAs[Double]("top_bigram_frac") <= 0.05)
+      assert(r.getAs[Double]("dup_trigram_frac") <= 0.05)
+      assert(r.getAs[Double]("distinct_word_frac") >= 0.4)
+      assert(r.getAs[String]("lang_pred") == "en")
+    }
+  }
+
   test("hashed decontamination equals the string-join form on the corpus") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
