@@ -54,6 +54,13 @@ object SparkEntry {
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
     "ts_gapfill" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
+    // daily avg answered from an HOURLY materialized rollup — the oracle
+    // is the raw-data SQL, so the hash match IS the associativity proof
+    "ts_rollup_avg" -> ((s, d) => {
+      val rollup = graft.tsdb.Ingest.openRollup(
+        s, graft.tsdb.Ingest.ensureRollup(s, d, Duration.hours(1)), Duration.hours(1))
+      rollup.avg("purchase", "user", Day)
+    }),
     // full round-trip through the graft on-disk layout: write once
     // (partitioned by metric, ts-sorted), reopen, query — proves the
     // ingest path yields identical results with dir pruning + pushdown
@@ -243,6 +250,10 @@ object SparkEntry {
     "ts_ingest_avg" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
     "ts_quantile" -> tsAgg("view", "user",
       "round(quantile_cont(value, 0.95), 6) AS value"),
+    // deliberately the RAW-points aggregation: the Spark side answers
+    // from hourly rollup partials, and matching this hash proves the
+    // re-aggregation is exact
+    "ts_rollup_avg" -> tsAgg("purchase", "user", AvgV),
     // same (ts, value) ordering and strict Δt>0 row filter as Db.rate,
     // so duplicate-timestamp pairings are identical in both engines
     "ts_rate" ->

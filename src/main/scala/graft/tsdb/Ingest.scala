@@ -111,6 +111,44 @@ object Ingest {
   def openTable(spark: SparkSession, table: String): Db =
     new Db(spark.table(table))
 
+  /** Materialize a rollup layout ([[Rollup]]): one hash aggregate over
+    * the raw frame into per (metric × tagset × `widthNs` bucket)
+    * partials, parquet-partitioned by metric like the point layout.
+    * Decimal sums keep re-aggregation exact; the rollup is typically
+    * orders of magnitude smaller than its source, so the write is
+    * amortized after a handful of dashboard queries.
+    */
+  def writeRollup(db: Db, path: String, widthNs: Long): Unit = {
+    val tags = db.tagColumns.map(col)
+    db.frame
+      .withColumn("metric", validatedMetric)
+      .groupBy(col("metric") +: tags :+
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .write.partitionBy("metric").mode("overwrite").parquet(path)
+  }
+
+  /** Reopen a rollup layout written by [[writeRollup]]. */
+  def openRollup(spark: SparkSession, path: String, widthNs: Long): Rollup =
+    new Rollup(spark.read.parquet(path)
+      .withColumn("metric", col("metric").cast("string")), widthNs)
+
+  /** Write-once cached rollup for a source events dir (same contract as
+    * [[ensureLayout]]).
+    */
+  def ensureRollup(spark: SparkSession, sfDir: String, widthNs: Long,
+                   base: String = "/root/repo/out"): String = {
+    val fp = contentFingerprint(s"$sfDir/events.parquet")
+    val path = s"$base/graft_rollup_v${LayoutVersion}_w${widthNs}_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      writeRollup(Db.fromEvents(spark, sfDir), path, widthNs)
+    path
+  }
+
   /** Bump when the canonical frame layout changes (e.g. tag semantics),
     * so cached layouts from older code are never silently reused.
     */

@@ -87,6 +87,37 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out(("v", 0L)) == (1L, 9.0, false))
   }
 
+  test("rollup re-aggregation is identical to the raw-points aggregation for every kind") {
+    val dir = "/root/repo/out/test_rollup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val db = Db.fromEvents(spark, sfDir)
+    Ingest.writeRollup(db, dir, Duration.hours(1))
+    val rollup = Ingest.openRollup(spark, dir, Duration.hours(1))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    for ((kind, name) <- Seq[(AggKind, String)](
+      (AggKind.Avg, "avg"), (AggKind.Sum, "sum"), (AggKind.Min, "min"),
+      (AggKind.Max, "max"), (AggKind.Count, "count"))) {
+      val direct = AggBuilder(db, kind, "purchase", "user")
+        .granularity(Duration.days(1)).build()
+      val rolled = rollup.agg(kind, "purchase", "user", Duration.days(1))
+      assert(key(direct) == key(rolled), s"kind $name")
+    }
+    // filter DSL composes over the rollup's tag columns too
+    val f = rollup.avg("purchase", "user", Duration.days(1), "k:1*")
+    val fd = Db.fromEvents(spark, sfDir).avg("purchase", "user")
+      .filter("k:1*").granularity(Duration.days(1)).build()
+    assert(key(f) == key(fd))
+    // misaligned width and quantile are clean rejections
+    intercept[IllegalArgumentException] {
+      rollup.avg("purchase", "user", Duration.hours(1) + 1)
+    }
+    intercept[IllegalArgumentException] {
+      rollup.agg(AggKind.Quantile(0.5), "purchase", "user", Duration.days(1))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("plans: rate is one exchange + window; gapfill joins broadcast; filters reach the scans") {
     val rate = Db.fromEvents(spark, sfDir).rate("click")
       .queryExecution.executedPlan.toString
