@@ -102,6 +102,7 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> ((s, d) => graft.operators.Similarity.lshMultiProbeTopK(s, d)),
     "ann_ivf" -> ((s, d) => graft.operators.Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => graft.operators.Similarity.ivfKmeansTopK(s, d)),
+    "ann_filtered" -> ((s, d) => graft.operators.Similarity.filteredTopK(s, d)),
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
@@ -516,6 +517,23 @@ object SparkEntry {
         |         * sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))), 6) AS cos
         |  FROM q, e WHERE vec_id <> q_id)
         |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        |WHERE rnk <= 10""".stripMargin,
+    // PRE-filter semantics: the label predicate restricts the corpus
+    // BEFORE ranking; queries themselves are unrestricted
+    "ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (
+        |  SELECT q_id, vec_id, label,
+        |    round(
+        |      list_reduce(list_transform(list_zip(qv, v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))), 6) AS cos
+        |  FROM q, e WHERE vec_id <> q_id AND label % 4 = 1)
+        |SELECT q_id, vec_id, label, cos, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
         |WHERE rnk <= 10""".stripMargin,
     "ann_ivf" ->

@@ -76,6 +76,30 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Filtered ANN: top-k among corpus vectors satisfying a metadata
+    * predicate — PRE-filter semantics (the predicate applies before
+    * ranking, so results are the true top-k of the matching subset;
+    * post-filtering a plain top-k can come up short). Dedicated vector
+    * stores bolt this on as a special "filtered search" mode; in a
+    * relational engine it is literally a WHERE clause Catalyst pushes
+    * into the scan, composable with every ANN variant here. This entry
+    * ranks the filtered subset exhaustively; at scale the same
+    * predicate composes with the IVF probe ([[ivfTopK]]) and prunes
+    * the materialized lists' parquet row groups.
+    */
+  def filteredTopK(spark: SparkSession, dir: String,
+                   numQueries: Int = 5, k: Int = 10,
+                   labelMod: Int = 4, labelRes: Int = 1): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val corpus = e.where(pmod(col("label"), lit(labelMod)) === labelRes)
+    val scored = corpus.as("e")
+      .join(broadcast(q.as("q")), col("e.vec_id") =!= col("q.q_id"))
+      .select(col("q_id"), col("vec_id"), col("e.label").as("label"), cosAB.as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   // ------------------------------------------------------------------- IVF
   /** Driver-resident coarse centroids: (cent_id, components-as-double),
     * ascending cent_id. Coarse quantizers are tiny by construction

@@ -17,6 +17,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered topk: pre-filter semantics — true top-k of the matching subset") {
+    val out = Similarity.filteredTopK(spark, sfDir, numQueries = 3, k = 5).collect()
+    assert(out.nonEmpty)
+    // every hit satisfies the predicate
+    assert(out.forall(_.getAs[Number]("label").longValue % 4 == 1))
+    // pre-filter, not post-filter: every query still gets a FULL k hits
+    // (a post-filtered top-k would come up short whenever the global
+    // top-k contains non-matching labels), and the hit set differs from
+    // the unfiltered ranking
+    val unfiltered = Similarity.bruteForceTopK(spark, sfDir, numQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    val got = out.map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    assert(got != unfiltered)
+    val perQ = out.groupBy(_.getLong(0))
+    perQ.foreach { case (_, rows) => assert(rows.length == 5) }
+  }
+
   test("lsh topk returns only same-bucket candidates ranked like brute force") {
     val lsh = Similarity.lshTopK(spark, sfDir, numQueries = 5, k = 5)
     val bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 500)
