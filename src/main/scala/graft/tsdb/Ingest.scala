@@ -118,7 +118,11 @@ object Ingest {
     * orders of magnitude smaller than its source, so the write is
     * amortized after a handful of dashboard queries.
     */
-  def writeRollup(db: Db, path: String, widthNs: Long): Unit = {
+  def writeRollup(db: Db, path: String, widthNs: Long): Unit =
+    rollupPartials(db, widthNs)
+      .write.partitionBy("metric").mode("overwrite").parquet(path)
+
+  private def rollupPartials(db: Db, widthNs: Long) = {
     val tags = db.tagColumns.map(col)
     db.frame
       .withColumn("metric", validatedMetric)
@@ -128,8 +132,22 @@ object Ingest {
         sum(col("value").cast("decimal(28,6)")).as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
-      .write.partitionBy("metric").mode("overwrite").parquet(path)
   }
+
+  /** Incremental rollup maintenance: aggregate ONLY the new batch into
+    * partials and append them. No read-modify-write of existing
+    * partials is needed — [[Rollup.agg]] re-aggregates at query time,
+    * so duplicate (series, bucket) partial rows from different batches
+    * merge by the same associativity that merges buckets (counts and
+    * decimal sums add, mins/maxes combine). Appending a batch costs
+    * one aggregate over the batch, independent of the rollup's size —
+    * the property that makes continuous aggregates operable at 100 TB.
+    * (Periodic compaction — rewriting a partition back to one partial
+    * per series-bucket — is an optimization, not a correctness need.)
+    */
+  def appendRollup(db: Db, path: String, widthNs: Long): Unit =
+    rollupPartials(db, widthNs)
+      .write.partitionBy("metric").mode("append").parquet(path)
 
   /** Reopen a rollup layout written by [[writeRollup]]. */
   def openRollup(spark: SparkSession, path: String, widthNs: Long): Rollup =
