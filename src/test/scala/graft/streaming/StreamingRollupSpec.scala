@@ -1,0 +1,30 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tsdb.{AggBuilder, AggKind, Db, Duration, Ingest}
+
+class StreamingRollupSpec extends SparkSpec {
+
+  test("streaming-maintained rollup answers identically to the raw batch aggregation") {
+    val base = "/root/repo/out/test_stream_rollup"
+    Seq("dest", "ckpt", "landing").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    // the file source watches a DIRECTORY (landing zone); the sf table
+    // is a single parquet file — link it into one
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/landing"))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$base/landing/events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet").toAbsolutePath.normalize())
+    StreamingRollup.rollupAvailable(
+      spark, s"$base/landing", s"$base/dest", s"$base/ckpt",
+      Duration.hours(1))
+    val rollup = Ingest.openRollup(spark, s"$base/dest", Duration.hours(1))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = AggBuilder(Db.fromEvents(spark, sfDir), AggKind.Avg,
+      "purchase", "user").granularity(Duration.days(1)).build()
+    assert(key(rollup.avg("purchase", "user", Duration.days(1))) == key(direct))
+    Seq("dest", "ckpt", "landing").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+  }
+}
