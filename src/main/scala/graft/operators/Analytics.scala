@@ -131,6 +131,33 @@ object Analytics {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
   }
 
+  /** [[q5]] over [[bucketFacts]] tables — identical results with the
+    * fact-fact shuffle GONE: the lineitem⋈orders join is co-located by
+    * the bucketing, every dimension is broadcast, and the only
+    * exchange left in the plan is the final 5-group n_name aggregate
+    * (tiny after map-side partial aggregation; its grouping key cannot
+    * ride the orderkey bucketing). This closes the q5 row of the 100×
+    * experiment: the sort-merge that spilled a single JVM was the
+    * per-query fact shuffle, paid once at ingest instead.
+    */
+  def q5Bucketed(spark: SparkSession, dir: String,
+                 prefix: String = "graft"): DataFrame = {
+    val region = t(spark, dir, "region").where(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val supp = t(spark, dir, "supplier")
+    val cust = t(spark, dir, "customer")
+    val ord = spark.table(s"${prefix}_orders_b")
+    val li = spark.table(s"${prefix}_lineitem_b")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+  }
+
   /** Sessionize the event stream: 30-min-gap sessions per user (lag +
     * running sum — the classic distributed sessionization shape; one
     * shuffle on user_id, no state on the driver).

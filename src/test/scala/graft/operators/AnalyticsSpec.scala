@@ -31,6 +31,20 @@ class AnalyticsSpec extends SparkSpec {
     val a = bucketed.collect().map(_.toString).sorted
     val b = Analytics.q3(spark, sfDir).collect().map(_.toString).sorted
     assert(a.nonEmpty && a.sameElements(b))
+
+    // q5 over the same layout: the fact-fact join rides the bucketing;
+    // the ONLY shuffle left is the final 5-group n_name aggregate
+    val b5 = Analytics.q5Bucketed(spark, sfDir)
+    val p5 = b5.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p5).length
+    assert(shuffles == 1,
+      s"expected exactly the final-agg exchange, got $shuffles:\n${p5.take(3000)}")
+    assert(!p5.contains("hashpartitioning(l_orderkey") &&
+      !p5.contains("hashpartitioning(o_orderkey"),
+      "fact tables must not shuffle on the order key")
+    val a5 = b5.collect().map(_.toString).sorted
+    val r5 = Analytics.q5(spark, sfDir).collect().map(_.toString).sorted
+    assert(a5.nonEmpty && a5.sameElements(r5))
   }
 
   test("q3 and q5 use broadcast joins") {
