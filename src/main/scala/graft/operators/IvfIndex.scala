@@ -64,6 +64,22 @@ object IvfIndex {
     })
   }
 
+  /** Incremental index maintenance: assign a batch of new vectors
+    * (vec_id, v, nrm) against the STORED centroids and append them to
+    * their inverted-list partitions. Cost is one kernel-assignment
+    * projection plus a list_id-keyed write over the batch — never a
+    * rebuild, never a touch of existing lists — and appended vectors
+    * are immediately searchable (probes re-read the layout). This is
+    * exactly how a served IVF index ingests: the coarse quantizer is
+    * fixed, new vectors land in its cells; retraining centroids is a
+    * separate offline event that builds a NEW index version (here: a
+    * new fingerprint path via [[ensure]]).
+    */
+  def append(index: Index, batch: DataFrame): Unit =
+    Similarity.assignFrame(batch, index.centroids)
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("append").parquet(s"${index.path}/assign")
+
   /** The assignment layout as (vec_id, v, nrm, list_id). The partition
     * column is directory-inferred (int) — cast back to the centroid id
     * type.

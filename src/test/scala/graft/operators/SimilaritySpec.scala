@@ -34,6 +34,31 @@ class SimilaritySpec extends SparkSpec {
     perQ.foreach { case (_, rows) => assert(rows.length == 5) }
   }
 
+  test("ivf append: incrementally indexed corpus carries the same assignment as a full build") {
+    import scala.jdk.CollectionConverters._
+    // clean the incremental index dir: a rerun would otherwise append twice
+    java.nio.file.Files.list(java.nio.file.Paths.get("/root/repo/out")).iterator().asScala
+      .filter(_.getFileName.toString.contains("spec_inc"))
+      .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    val e = Similarity.vecs(spark, sfDir)
+    val maxId = e.agg(max("vec_id")).collect()(0).getLong(0)
+    val cut = maxId / 2
+    // first-16 centroids live in the base half, so both builds train identically
+    val train = () => Similarity.firstVectorCentroids(e, 16)
+    val idxInc = IvfIndex.ensure(spark, sfDir, "spec_inc", 16, 0, train,
+      e.where(col("vec_id") <= cut))
+    IvfIndex.append(idxInc, e.where(col("vec_id") > cut))
+    val idxFull = IvfIndex.ensure(spark, sfDir, "spec_full", 16, 0, train, e)
+    def assign(ix: IvfIndex.Index) = IvfIndex.open(spark, ix)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = assign(idxInc)
+    val full = assign(idxFull)
+    assert(inc.nonEmpty && inc == full)
+    // the appended half genuinely went through the append path
+    assert(inc.exists(_._1 > cut))
+  }
+
   test("lsh topk returns only same-bucket candidates ranked like brute force") {
     val lsh = Similarity.lshTopK(spark, sfDir, numQueries = 5, k = 5)
     val bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 500)
