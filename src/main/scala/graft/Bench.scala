@@ -118,7 +118,8 @@ object Bench {
     // TSDB core representatives: aggregation, per-series window, scan,
     // plus the round-4 window/as-of family
     "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_asof",
-    "ts_quantile", "ts_gapfill").map(n => n -> SparkEntry.queries(n))
+    "ts_quantile", "ts_gapfill", "ts_rollup_avg")
+    .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
     * is bounded, with IVF's nlist scaled √n-style (16 → 160) as a
