@@ -37,10 +37,47 @@ object MmFormat {
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    /** JPEG marker walk to the first SOF frame header (ITU T.81 §B.2):
+      * markers are 0xFF id; standalone ids (01, D0-D7) carry no payload,
+      * every other segment starts with a big-endian u16 length that
+      * INCLUDES the length bytes. SOFn (C0-CF minus C4/C8/CC) carries
+      * precision u8, height u16be, width u16be. The walk stops at SOS
+      * (DA — entropy-coded data follows, no more headers), EOI (D9), or
+      * any malformed length (must advance strictly forward).
+      */
+    private def jpeg(b: Array[Byte]): Meta = {
+      var o = 2
+      while (o + 4 <= b.length) {
+        if ((b(o) & 0xff) != 0xff) return Meta("image/jpeg", None, None, None, None)
+        val id = b(o + 1) & 0xff
+        if (id == 0xff) { o += 1 } // fill bytes before a marker are legal
+        else if (id == 0x01 || (id >= 0xd0 && id <= 0xd7)) { o += 2 }
+        else if (id == 0xd9 || id == 0xda) return Meta("image/jpeg", None, None, None, None)
+        else {
+          val len = be16(b, o + 2)
+          if (len < 2) return Meta("image/jpeg", None, None, None, None)
+          val isSof = id >= 0xc0 && id <= 0xcf && id != 0xc4 && id != 0xc8 && id != 0xcc
+          if (isSof) {
+            if (o + 2 + 7 <= b.length && len >= 7)
+              return Meta("image/jpeg",
+                Some(be16(b, o + 7)), Some(be16(b, o + 5)), None, None)
+            return Meta("image/jpeg", None, None, None, None)
+          }
+          o += 2 + len // strictly advances: len >= 2
+        }
+      }
+      Meta("image/jpeg", None, None, None, None)
+    }
+
     def parse(b: Array[Byte]): Meta = {
       if (b.length >= 24 && b.take(8).sameElements(PngSig) && tag(b, 12) == "IHDR")
         // IHDR: width/height are the first two big-endian u32 of the chunk body
         Meta("image/png", Some(be32(b, 16)), Some(be32(b, 20)), None, None)
+      else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        jpeg(b)
       else if (b.length >= 36 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
         // walk RIFF chunks for "fmt ": u16le channels at +2, u32le rate at +4
         var o = 12
@@ -70,9 +107,10 @@ object MmFormat {
     def payload(docId: Long, text: String): Array[Byte] = {
       val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val h = java.util.Arrays.hashCode(body)
-      (docId % 3) match {
+      (docId % 4) match {
         case 0 => png(16 + math.floorMod(h, 1024), 16 + math.floorMod(h >> 10, 1024), body)
         case 1 => wav(8000 + 100 * math.floorMod(h, 441), 1 + math.floorMod(h >> 16, 2), body)
+        case 2 => jpeg(8 + math.floorMod(h, 4096), 8 + math.floorMod(h >> 12, 4096), body)
         case _ => body
       }
     }
@@ -83,6 +121,28 @@ object MmFormat {
       bb.putInt(13).put("IHDR".getBytes).putInt(width).putInt(height)
       bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
       bb.putInt(0) // CRC placeholder; parser reads the header fields only
+      bb.put(body, 0, math.min(body.length, bb.remaining()))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+
+    /** Minimal genuine JPEG: SOI, JFIF APP0, a baseline SOF0 frame
+      * header (one component), then the body as opaque trailing bytes —
+      * exactly the marker sequence the parser walks (ITU T.81 §B.2).
+      */
+    def jpeg(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(2 + 18 + 13 + body.length)
+      bb.put(0xff.toByte).put(0xd8.toByte)                     // SOI
+      bb.put(0xff.toByte).put(0xe0.toByte).putShort(16.toShort) // APP0 len 16
+      bb.put("JFIF".getBytes).put(0.toByte)                    // identifier
+      bb.put(1.toByte).put(1.toByte)                           // version 1.1
+      bb.put(0.toByte).putShort(1.toShort).putShort(1.toShort) // units, density
+      bb.put(0.toByte).put(0.toByte)                           // no thumbnail
+      bb.put(0xff.toByte).put(0xc0.toByte).putShort(11.toShort) // SOF0 len 11
+      bb.put(8.toByte)                                         // precision
+      bb.putShort((height & 0xffff).toShort)
+      bb.putShort((width & 0xffff).toShort)
+      bb.put(1.toByte)                                         // 1 component
+      bb.put(1.toByte).put(0x11.toByte).put(0.toByte)          // comp spec
       bb.put(body, 0, math.min(body.length, bb.remaining()))
       java.util.Arrays.copyOf(bb.array(), bb.position())
     }

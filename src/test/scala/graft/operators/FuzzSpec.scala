@@ -15,7 +15,8 @@ class FuzzSpec extends AnyFunSuite {
       val b = new Array[Byte](rnd.nextInt(512))
       rnd.nextBytes(b)
       val m = Multimodal.HeaderParser.parse(b) // must return, not loop/throw
-      assert(Set("image/png", "audio/wav", "application/octet-stream")(m.mime))
+      assert(Set("image/png", "image/jpeg", "audio/wav",
+        "application/octet-stream")(m.mime))
     }
   }
 

@@ -102,14 +102,18 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.extractMeta(spark, sfDir).orderBy("doc_id").collect()
     assert(a.sameElements(b))
     assert(a.forall(r => r.getAs[Long]("n_bytes") > 0))
-    val mimes = Set("image/png", "audio/wav", "application/octet-stream")
+    val mimes = Set("image/png", "image/jpeg", "audio/wav", "application/octet-stream")
     assert(a.forall(r => mimes(r.getAs[String]("mime"))))
     assert(a.exists(_.getAs[String]("mime") == "image/png"))
+    assert(a.exists(_.getAs[String]("mime") == "image/jpeg"))
     assert(a.exists(_.getAs[String]("mime") == "audio/wav"))
     a.foreach { r =>
       r.getAs[String]("mime") match {
         case "image/png" =>
           assert(r.getAs[Integer]("width") >= 16 && r.getAs[Integer]("height") >= 16)
+          assert(r.isNullAt(r.fieldIndex("sample_rate")))
+        case "image/jpeg" =>
+          assert(r.getAs[Integer]("width") >= 8 && r.getAs[Integer]("height") >= 8)
           assert(r.isNullAt(r.fieldIndex("sample_rate")))
         case "audio/wav" =>
           assert(r.getAs[Integer]("sample_rate") >= 8000)
@@ -119,6 +123,25 @@ class MultimodalSpec extends SparkSpec {
         case _ =>
           assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("sample_rate")))
       }
+    }
+  }
+
+  test("jpeg: synth round-trips through the marker walk; crafted tables terminate") {
+    val m = Multimodal.HeaderParser.parse(
+      Multimodal.Synth.jpeg(640, 480, "payload".getBytes))
+    assert(m.mime == "image/jpeg" && m.width.contains(640) && m.height.contains(480))
+    // SOS before any SOF: classified jpeg, no dimensions
+    val sos = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xda.toByte, 0, 4, 0, 0)
+    val m2 = Multimodal.HeaderParser.parse(sos)
+    assert(m2.mime == "image/jpeg" && m2.width.isEmpty)
+    // fuzzed marker tables: must terminate and classify (seeded)
+    val rnd = new scala.util.Random(31337)
+    (1 to 2000).foreach { _ =>
+      val n = 2 + rnd.nextInt(64)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      b(0) = 0xff.toByte; b(1) = 0xd8.toByte
+      assert(Multimodal.HeaderParser.parse(b).mime == "image/jpeg")
     }
   }
 }
