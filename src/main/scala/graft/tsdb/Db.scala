@@ -324,11 +324,21 @@ final case class AggBuilder(
     * fill. All three reuse the aggregation's (group, bucket)
     * partitioning; nothing shuffles the raw points again.
     */
-  def buildGapFilled(): DataFrame = {
+  def buildGapFilled(maxBucketsPerSeries: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = build()
+    // in-plan guard: a narrow width over a long-lived series would ask
+    // sequence() for a row-breaking array (a 1 ms width over a month is
+    // 2.6 G elements) — fail with the actual series span in the message
+    // instead of an executor OOM
+    val span = (col("hi") - col("lo")) / lit(widthNs)
     val dense = base.groupBy(col("grp"))
       .agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
+      .withColumn("hi", when(span <= maxBucketsPerSeries, col("hi"))
+        .otherwise(raise_error(concat(
+          lit(s"gapfill would emit more than $maxBucketsPerSeries buckets for group '"),
+          col("grp"), lit("' (span "), span.cast("long").cast("string"),
+          lit(" buckets); raise granularity or maxBucketsPerSeries")))))
       .select(col("grp"),
         explode(sequence(col("lo"), col("hi"), lit(widthNs))).as("bucket_start"))
     val w = Window.partitionBy(col("grp")).orderBy(col("bucket_start"))

@@ -87,6 +87,16 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out(("v", 0L)) == (1L, 9.0, false))
   }
 
+  test("gapfill rejects a bucket explosion with a clear error, not an executor OOM") {
+    val d = db(Seq(("m", 0L, 1.0, "u"), ("m", Duration.days(30), 2.0, "u")))
+    val ex = intercept[Exception] {
+      d.avg("m", "user").granularity(Duration.millis(1))
+        .buildGapFilled(maxBucketsPerSeries = 1000).collect()
+    }
+    assert(ex.getMessage.contains("gapfill would emit more than 1000 buckets") ||
+      Option(ex.getCause).exists(_.getMessage.contains("gapfill would emit")))
+  }
+
   test("rollup re-aggregation is identical to the raw-points aggregation for every kind") {
     val dir = "/root/repo/out/test_rollup"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
