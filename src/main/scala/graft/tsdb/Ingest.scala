@@ -149,6 +149,32 @@ object Ingest {
     rollupPartials(db, widthNs)
       .write.partitionBy("metric").mode("append").parquet(path)
 
+  /** Compact a rollup layout: merge the partial rows accumulated by
+    * [[appendRollup]] back to ONE row per (series, bucket) — the same
+    * associative combination the query-time merge applies, persisted.
+    * Purely an optimization (query results are identical before and
+    * after, spec-asserted); run it when the partial-row multiplicity
+    * makes scans noticeably wider. The rewrite stages to a sibling
+    * directory and swaps — not atomic against concurrent readers; a
+    * real deployment layers a transactional table format for that.
+    */
+  def compactRollup(spark: SparkSession, path: String): Unit = {
+    val frame = spark.read.parquet(path)
+    val tags = frame.columns.filter(_.startsWith(Db.TagPrefix)).sorted.map(col)
+    val compacted = frame
+      .groupBy(col("metric") +: tags :+ col("bucket_start"): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_value")).as("sum_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+    val tmp = path + ".compact"
+    compacted.write.partitionBy("metric").mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+  }
+
   /** Reopen a rollup layout written by [[writeRollup]]. */
   def openRollup(spark: SparkSession, path: String, widthNs: Long): Rollup =
     new Rollup(spark.read.parquet(path)

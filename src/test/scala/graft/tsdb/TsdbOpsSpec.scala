@@ -164,6 +164,15 @@ class TsdbOpsSpec extends SparkSpec {
       .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(got(0L) == (3L, 5.0))                        // (2+4+9)/3 across batches
     assert(got(Duration.hours(2)) == (1L, 7.0))
+
+    // compaction: one row per (series, bucket) again, identical answers
+    Ingest.compactRollup(spark, dir2)
+    val r3 = Ingest.openRollup(spark, dir2, Duration.hours(1))
+    assert(r3.frame.groupBy(col("metric"), col("tag_user"), col("bucket_start"))
+      .count().where(col("count") > 1).count() == 0)
+    val got3 = r3.avg("m", "user", Duration.hours(1)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got3 == got)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
   }
 
