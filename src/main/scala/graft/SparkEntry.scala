@@ -107,6 +107,7 @@ object SparkEntry {
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
+    "sample_mix" -> ((s, d) => graft.operators.Sampling.sourceMix(s, d)),
 
     // ---- Multimodal plumbing ----
     "mm_meta" -> ((s, d) => graft.operators.Multimodal.extractMeta(s, d)),
@@ -495,6 +496,15 @@ object SparkEntry {
         |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // per-source keep rates over the same md5 hex buckets as
+    // sample_split: 1.0 / 0.5 (< '80') / 0.25 (< '40') / 0.125 default
+    "sample_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CASE source
+        |  WHEN 'src0' THEN TRUE
+        |  WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        |  WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20' END""".stripMargin,
     "sample_stratified" ->
       """SELECT vec_id, label, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT vec_id, label, row_number() OVER (

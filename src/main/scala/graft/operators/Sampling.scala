@@ -66,6 +66,26 @@ object Sampling {
       assignSplit(docs, col("doc_id"), trainPct, valPct).as("split"))
   }
 
+  /** Deterministic source mixing — the corpus-composition step every
+    * pretraining pipeline applies: each source is kept at its own rate
+    * (e.g. keep all of a high-quality source, an eighth of a crawl),
+    * decided per document by the same content-stable hash bucket as
+    * [[assignSplit]]. Engine-reproducible, append-stable, and a pure
+    * single-scan filter — re-mixing 100 TB is a predicate, not a
+    * shuffle. Rates quantize to 1/256 (the bucket width).
+    */
+  def sourceMix(spark: SparkSession, dir: String,
+                rates: Seq[(String, Double)] =
+                  Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+                defaultRate: Double = 0.125): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b = hashBucket(col("doc_id"))
+    val keep = rates.foldRight(bucketBelow(b, defaultRate)) {
+      case ((s, r), acc) => when(col("source") === s, bucketBelow(b, r)).otherwise(acc)
+    }
+    docs.where(keep).select(col("doc_id"), col("source"))
+  }
+
   /** Stratified deterministic top-`perLabel` sample of `embeddings` per
     * label: rows ranked inside each label by (hash, id) — a content-
     * stable shuffle — and the first `perLabel` kept. One shuffle on the

@@ -50,4 +50,25 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(again.sameElements(out.collect().map(_.toString).sorted))
   }
+
+  test("source mix keeps each source at its own stable rate") {
+    val out = Sampling.sourceMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val total = docs.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val kept = out.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    // src0 keeps everything; lower-rate sources keep roughly their rate
+    assert(kept("src0") == total("src0"))
+    assert(kept.getOrElse("src1", 0.0) < total("src1"))
+    val r1 = kept.getOrElse("src1", 0.0) / total("src1")
+    assert(r1 > 0.3 && r1 < 0.7, s"src1 rate $r1")
+    // determinism + subset: rerun identical; every kept row exists
+    val again = Sampling.sourceMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+    assert(out.toSet.subsetOf(docs.toSet))
+  }
 }
