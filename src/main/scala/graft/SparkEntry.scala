@@ -54,6 +54,8 @@ object SparkEntry {
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
     "ts_gapfill" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
+    "ts_topk_series" -> ((s, d) =>
+      Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildTopK(5)),
     // daily avg answered from an HOURLY materialized rollup — the oracle
     // is the raw-data SQL, so the hash match IS the associativity proof
     "ts_rollup_avg" -> ((s, d) => {
@@ -268,6 +270,21 @@ object SparkEntry {
          |  FROM ev WHERE metric = 'click'
          |  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
          |) WHERE prev_ts IS NOT NULL AND prev_ts < ts""".stripMargin,
+    // top-5 groups per bucket by aggregate value, (value desc, grp)
+    // total order — the dashboard top() modifier
+    "ts_topk_series" ->
+      s"""$Ev
+         |, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |         COUNT(*) AS n, $SumV
+         |  FROM ev WHERE metric = 'click' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT grp, bucket_start, n, value, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY bucket_start ORDER BY value DESC, grp) AS rnk
+         |  FROM a)
+         |WHERE rnk <= 5""".stripMargin,
     // forward fill via ASOF: the latest aggregated bucket at b <= dense
     // bucket IS the carried-forward value; ASOF always matches inside
     // the series span (lo is itself a real bucket)

@@ -312,6 +312,24 @@ final case class AggBuilder(
       .select(col("grp"), col("bucket_start"), col("bucket_end"),
         col("bucket_middle"), col("n"), col("value"))
 
+  /** Like [[build]], keeping only the top `n` groups per bucket by
+    * aggregate value (the metrics-dashboard `top()` modifier: "top 5
+    * hosts by CPU per interval"). Ties break on the group name for a
+    * total order, so results are engine-deterministic. One extra window
+    * pass over the AGGREGATED buckets — cardinality = groups × buckets,
+    * already reduced from the raw points, so the rank is cheap at any
+    * scale.
+    */
+  def buildTopK(n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "n must be >= 1")
+    val w = Window.partitionBy(col("bucket_start"))
+      .orderBy(col("value").desc, col("grp"))
+    build()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= n)
+  }
+
   /** Like [[build]], then densified per group: every bucket between the
     * group's first and last observed bucket exists, gaps carry the
     * previous bucket's value forward (`filled = true`, `n = 0`) — the

@@ -87,6 +87,18 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out(("v", 0L)) == (1L, 9.0, false))
   }
 
+  test("buildTopK keeps exactly the n best groups per bucket with deterministic ties") {
+    val d = db(Seq(
+      ("m", 1L, 5.0, "a"), ("m", 2L, 5.0, "b"),    // tie at 5.0: 'a' before 'b'
+      ("m", 3L, 3.0, "c"), ("m", 4L, 1.0, "d"),
+      ("m", Duration.days(1) + 1, 9.0, "d")))       // second bucket, one group
+    val out = d.sum("m", "user").granularity(Duration.days(1)).buildTopK(2)
+      .collect().map(r => (r.getLong(1), r.getLong(4)) -> r.getString(0)).toMap
+    assert(out.size == 3)
+    assert(out((0L, 1L)) == "a" && out((0L, 2L)) == "b")
+    assert(out((Duration.days(1), 1L)) == "d")
+  }
+
   test("gapfill rejects a bucket explosion with a clear error, not an executor OOM") {
     val d = db(Seq(("m", 0L, 1.0, "u"), ("m", Duration.days(30), 2.0, "u")))
     val ex = intercept[Exception] {
