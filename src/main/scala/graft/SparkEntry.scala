@@ -258,15 +258,17 @@ object SparkEntry {
     // from hourly rollup partials, and matching this hash proves the
     // re-aggregation is exact
     "ts_rollup_avg" -> tsAgg("purchase", "user", AvgV),
-    // same (ts, value) ordering and strict Δt>0 row filter as Db.rate,
-    // so duplicate-timestamp pairings are identical in both engines
+    // same (ts, value) ordering and strict Δt>0 row filter as Db.rate;
+    // the rate is the RAW IEEE division (identical op chain on both
+    // engines is bit-stable; decimal round() is not) with `+ 0.0`
+    // canonicalizing any -0.0 quotient on both sides
     "ts_rate" ->
       s"""$Ev
          |SELECT metric, ts, value, tag_user, tag_k, rate_per_s FROM (
          |  SELECT metric, ts, value, tag_user, tag_k,
          |    lag(ts) OVER w AS prev_ts,
-         |    round((value - lag(value) OVER w)
-         |          / ((ts - lag(ts) OVER w) / 1e9), 6) AS rate_per_s
+         |    (value - lag(value) OVER w)
+         |      / ((ts - lag(ts) OVER w) / 1e9) + 0.0 AS rate_per_s
          |  FROM ev WHERE metric = 'click'
          |  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
          |) WHERE prev_ts IS NOT NULL AND prev_ts < ts""".stripMargin,

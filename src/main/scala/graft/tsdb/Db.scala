@@ -98,6 +98,13 @@ final class Db(val frame: DataFrame) {
     * Points are ordered by `(ts, value)` — the value tiebreak makes the
     * pairing deterministic when a series carries duplicate timestamps —
     * and zero-Δt pairs are dropped (no rate exists at an instant).
+    *
+    * The rate is the RAW IEEE-754 division (no decimal rounding): the
+    * identical left-to-right op chain is bit-stable across engines,
+    * whereas any decimal `round()` re-introduces engine-specific
+    * boundary behavior (BigDecimal HALF_UP vs C-library) and signed
+    * zeros. `+ 0.0` canonicalizes a `-0.0` quotient (IEEE: x + 0.0 = x
+    * for every other x) so the result has one representation.
     */
   def rate(metric: String, filterExpr: String = "*"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -107,9 +114,9 @@ final class Db(val frame: DataFrame) {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .where(col("prev_ts").isNotNull && col("prev_ts") < col("ts"))
-      .withColumn("rate_per_s", round(
+      .withColumn("rate_per_s",
         (col("value") - col("prev_value"))
-          / ((col("ts") - col("prev_ts")) / lit(1e9)), 6))
+          / ((col("ts") - col("prev_ts")) / lit(1e9)) + lit(0.0))
       .drop("prev_ts", "prev_value")
   }
 

@@ -8,6 +8,7 @@ import glob
 import json
 import math
 import os
+import struct
 import sys
 
 import duckdb
@@ -54,7 +55,11 @@ def main(sf_dir: str, out_dir: str) -> None:
                 if isinstance(x, float) or isinstance(y, float):
                     fx = float("nan") if x is None else float(x)
                     fy = float("nan") if y is None else float(y)
-                    same = (math.isnan(fx) and math.isnan(fy)) or fx == fy
+                    # BIT-level equality, like the driver's representation
+                    # hash: -0.0 != 0.0, last-bit rounding diffs fail.
+                    # (NaNs: any-NaN == any-NaN, pandas normalizes them.)
+                    same = (math.isnan(fx) and math.isnan(fy)) or (
+                        struct.pack("<d", fx) == struct.pack("<d", fy))
                 else:
                     same = x == y
                 if not same:
