@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * north star (talna itself has no joins; this layer is what a Spark
   * deployment adds on top of the TSDB surface).
   *
-  * Scale notes (100 TB): dimension sides (region, nation, filtered
-  * customer, supplier, part) are explicitly `broadcast()`; fact-fact
+  * Scale notes (100 TB): fixed-size dimension sides (region, nation,
+  * supplier, part; q3's segment-filtered customer) are explicitly
+  * `broadcast()`; customer in q5 GROWS with the corpus and is joined
+  * un-hinted after a partial pre-aggregation (see [[q5]]); fact-fact
   * joins shuffle on their join key only after filter pushdown; all
   * aggregates are hash aggregates with map-side partial combine.
   *
@@ -57,7 +59,18 @@ object Analytics {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
   }
 
-  /** TPC-H Q5-flavor: 6-way join, all dims broadcast, one shuffle agg. */
+  /** TPC-H Q5-flavor: 6-way join. True dims (region, nation, supplier)
+    * broadcast; CUSTOMER IS NOT A DIM — it is the second-largest TPC-H
+    * table and scales with the facts (hundreds of GB at the 100 TB
+    * design point), so it carries no broadcast hint: the join strategy
+    * is left to size estimates / AQE (broadcast while it fits, shuffle
+    * beyond). To keep that shuffle cheap, the fact stream is partially
+    * aggregated to one row per (custkey, supplier-nation) FIRST — the
+    * exchange then carries aggregated pairs, not lineitems, and its
+    * hash distribution is exactly the customer join's key set, so the
+    * join reuses it without a second exchange. Decimal partial sums
+    * re-aggregate exactly (bit-identical to the single-pass sum).
+    */
   def q5(spark: SparkSession, dir: String): DataFrame = {
     val region = t(spark, dir, "region").where(col("r_name") === "ASIA")
     val nation = t(spark, dir, "nation")
@@ -67,12 +80,14 @@ object Analytics {
     val li = t(spark, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+      .groupBy(col("o_custkey"), col("s_nationkey"))
+      .agg(sum(revTerm).as("rev_partial"))
+      .join(cust.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(revTerm).cast("double").as("revenue"))
+      .agg(sum(col("rev_partial")).cast("double").as("revenue"))
   }
 
   /** Top-3 parts by revenue per brand — window rank over a hash aggregate. */
@@ -133,12 +148,16 @@ object Analytics {
 
   /** [[q5]] over [[bucketFacts]] tables — identical results with the
     * fact-fact shuffle GONE: the lineitem⋈orders join is co-located by
-    * the bucketing, every dimension is broadcast, and the only
-    * exchange left in the plan is the final 5-group n_name aggregate
-    * (tiny after map-side partial aggregation; its grouping key cannot
-    * ride the orderkey bucketing). This closes the q5 row of the 100×
-    * experiment: the sort-merge that spilled a single JVM was the
-    * per-query fact shuffle, paid once at ingest instead.
+    * the bucketing (no orderkey exchange anywhere). Downstream is the
+    * same shape as [[q5]]: partial-aggregate to (custkey, s_nationkey)
+    * pairs, then join customer WITHOUT a broadcast hint — the pre-agg
+    * exchange both shrinks the stream and provides the distribution
+    * the customer join needs, so the plan's only exchanges are the
+    * pre-agg, the (un-hinted) customer side, and the tiny final
+    * n_name aggregate. This closes the q5 row of the 100× experiment:
+    * the sort-merge that spilled a single JVM was the per-query fact
+    * shuffle, paid once at ingest instead — and nothing left in the
+    * plan broadcasts a table that grows with the corpus.
     */
   def q5Bucketed(spark: SparkSession, dir: String,
                  prefix: String = "graft"): DataFrame = {
@@ -150,12 +169,14 @@ object Analytics {
     val li = spark.table(s"${prefix}_lineitem_b")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+      .groupBy(col("o_custkey"), col("s_nationkey"))
+      .agg(sum(revTerm).as("rev_partial"))
+      .join(cust.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(revTerm).cast("double").as("revenue"))
+      .agg(sum(col("rev_partial")).cast("double").as("revenue"))
   }
 
   /** Sessionize the event stream: 30-min-gap sessions per user (lag +

@@ -581,24 +581,37 @@ object Dedup {
     *
     * Scale shape: the only corpus-sized operations are the LSH pass
     * itself and one final anti-join; the component labels and drop
-    * list are proportional to the *duplicated* subset, which is the
-    * small side by construction — it broadcasts.
+    * list are proportional to the *duplicated* subset.
     */
   def pipeline(spark: SparkSession, dir: String,
                threshold: Double = 0.5): DataFrame =
     pipelineFrame(parallelize(docs(spark, dir)), threshold)
 
-  /** [[pipeline]] over an arbitrary (doc_id, text) frame. */
-  def pipelineFrame(docsDf: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** [[pipeline]] over an arbitrary (doc_id, text) frame.
+    *
+    * The final anti-join's build side is the whole paired-id set — NOT
+    * guaranteed small on the corpora dedup exists for: web crawls run
+    * 30-50% near-duplicate, so at 100 TB the paired ids are billions of
+    * rows and an unconditional broadcast ships tens of GB to every
+    * executor. The hint is therefore gated on the actual paired count
+    * (free to read here — clusterPairs has already materialized the
+    * labels); above `broadcastMaxIds` the plan falls back to a plain
+    * shuffled anti-join on doc_id, which AQE may still convert if
+    * runtime stats turn out small.
+    */
+  def pipelineFrame(docsDf: DataFrame, threshold: Double = 0.5,
+                    broadcastMaxIds: Long = 4_000_000L): DataFrame = {
     val clusters = clusterPairs(minhashLshFrame(docsDf, threshold = threshold))
-    val dropped = clusters.where(!col("is_keeper"))
-      .select(col("doc_id"))
+      .localCheckpoint(true)
+    val pairedCount = clusters.count()
     val kept = clusters.where(col("is_keeper"))
       .select(col("doc_id"), col("cluster_size"))
+    // dropped ∪ keepers = every paired id
+    val pairedIds = clusters.select(col("doc_id").as("paired_id"))
+    val build =
+      if (pairedCount <= broadcastMaxIds) broadcast(pairedIds) else pairedIds
     docsDf.select(col("doc_id"))
-      .join(broadcast(dropped.union(kept.select(col("doc_id")))
-        .withColumnRenamed("doc_id", "paired_id")),
-        col("doc_id") === col("paired_id"), "left_anti")
+      .join(build, col("doc_id") === col("paired_id"), "left_anti")
       .select(col("doc_id"), lit(1L).as("cluster_size"))
       .unionByName(kept)
   }

@@ -32,13 +32,15 @@ class AnalyticsSpec extends SparkSpec {
     val b = Analytics.q3(spark, sfDir).collect().map(_.toString).sorted
     assert(a.nonEmpty && a.sameElements(b))
 
-    // q5 over the same layout: the fact-fact join rides the bucketing;
-    // the ONLY shuffle left is the final 5-group n_name aggregate
+    // q5 over the same layout: the fact-fact join rides the bucketing —
+    // no exchange on the order key anywhere. The remaining exchanges
+    // are the custkey pre-agg (whose distribution the customer join
+    // reuses), the un-hinted customer side, and the final n_name agg.
     val b5 = Analytics.q5Bucketed(spark, sfDir)
     val p5 = b5.queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p5).length
-    assert(shuffles == 1,
-      s"expected exactly the final-agg exchange, got $shuffles:\n${p5.take(3000)}")
+    assert(shuffles <= 3,
+      s"expected at most pre-agg + customer + final-agg exchanges, got $shuffles:\n${p5.take(3000)}")
     assert(!p5.contains("hashpartitioning(l_orderkey") &&
       !p5.contains("hashpartitioning(o_orderkey"),
       "fact tables must not shuffle on the order key")
@@ -47,11 +49,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(a5.nonEmpty && a5.sameElements(r5))
   }
 
-  test("q3 and q5 use broadcast joins") {
+  test("q3 and q5 use broadcast joins; q5 never broadcast-hints customer") {
     val p3 = Analytics.q3(spark, sfDir).queryExecution.executedPlan.toString
-    val p5 = Analytics.q5(spark, sfDir).queryExecution.executedPlan.toString
+    val q5 = Analytics.q5(spark, sfDir)
+    val p5 = q5.queryExecution.executedPlan.toString
     assert(p3.contains("BroadcastHashJoin"))
-    assert(p5.contains("BroadcastHashJoin"))
+    assert(p5.contains("BroadcastHashJoin")) // supplier/nation/region dims
+    // customer must carry NO broadcast hint (size estimates / AQE may
+    // still pick broadcast at tiny SF — the point is the PLAN never
+    // forces it): the optimized logical Join on c_custkey is hint-free
+    val custJoins = q5.queryExecution.optimizedPlan.toString
+      .linesIterator.filter(l => l.contains("Join") && l.contains("c_custkey")).toSeq
+    assert(custJoins.nonEmpty)
+    assert(custJoins.forall(!_.contains("broadcast")),
+      s"customer join must be un-hinted:\n${custJoins.mkString("\n")}")
   }
 
   test("topk returns at most k per brand with contiguous ranks") {

@@ -79,4 +79,33 @@ class ClusterSpec extends SparkSpec {
       assert(!kept.contains(id), s"dropped doc $id still present")
     }
   }
+
+  test("pipeline paired-id broadcast is size-gated: plan flips, results identical (high-dup corpus)") {
+    import spark.implicits._
+    // 40 docs, 15 of them in 3 exact-dup clusters of 5 → 37.5% paired,
+    // the web-crawl-like regime where an unconditional broadcast of the
+    // paired-id set would be a scale cliff
+    val docs = ((0 until 25).map(i =>
+        (i.toLong, s"unique document number $i with its own drifting tail of words ${i * 7} ${i * 13} ${i * 31}")) ++
+      (0 until 15).map(i =>
+        (100L + i, s"duplicated boilerplate page body shared verbatim across the crawl cluster ${i / 5}")))
+      .toDF("doc_id", "text")
+    val gated = Dedup.pipelineFrame(docs)                        // paired count ≤ default cap → broadcast
+    val plain = Dedup.pipelineFrame(docs, broadcastMaxIds = 0L)  // cap forces the shuffled anti-join
+    // the STATIC plans differ: hint present vs absent (the paired-id
+    // frame is a checkpointed RDD with unknown stats, so without the
+    // hint static planning cannot broadcast; AQE may still convert at
+    // runtime — which is exactly the intended above-cap behavior)
+    def antiLine(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.toString.linesIterator
+        .filter(_.contains("LeftAnti")).mkString
+    assert(antiLine(gated).contains("Broadcast"), "gated plan should broadcast the paired ids")
+    assert(!antiLine(plain).contains("Broadcast"), "above-cap plan must not force a broadcast")
+    val a = gated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // the corpus really is high-dup: ≥30% of the 40 docs are paired
+    // (keepers carry their cluster size; 3 clusters of 5 → 15 paired)
+    assert(a.filter(_._2 > 1).map(_._2).sum >= 12, "expected ≥30% of 40 docs paired")
+  }
 }
