@@ -508,17 +508,19 @@ object Dedup {
     * itself and its neighbors (one shuffle join + one aggregate per
     * round); a fixed point is reached after O(component diameter)
     * rounds — with a pointer-doubling shortcut each round (a node's
-    * label jumps to its label's label: comp values only decrease and
-    * comp(x) ≤ x, so the jump is always downhill), which halves the
-    * longest label path per round and makes convergence O(log diameter)
-    * even on adversarial long-path graphs. Each round's label frame
-    * (small — two longs per *paired* doc, not per corpus doc) is
-    * eagerly `localCheckpoint`ed: the shortcut self-join references the
-    * round's frame twice, so without plan truncation the logical plan
-    * doubles per round and explodes exponentially — caching alone
-    * (persist) keeps the data but not the plan flat. (On a real
-    * cluster, swap in reliable `checkpoint` to survive executor loss;
-    * same contract.)
+    * label jumps through the previous round's label table: comp values
+    * only decrease and comp(x) ≤ x, so the jump is always downhill),
+    * which shortens the longest label path multiplicatively per round
+    * and keeps convergence O(log diameter) even on adversarial
+    * long-path graphs. Each round's label frame (small — two longs per
+    * *paired* doc, not per corpus doc) is eagerly `localCheckpoint`ed:
+    * the next round references it three times, so without plan
+    * truncation the logical plan multiplies per round and explodes
+    * exponentially — caching alone (persist) keeps the data but not
+    * the plan flat. Driver cost per round is exactly two jobs: the
+    * checkpoint materialization and a convergence flag read over its
+    * cached blocks. (On a real cluster, swap in reliable `checkpoint`
+    * to survive executor loss; same contract.)
     */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -533,25 +535,30 @@ object Dedup {
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id2")).agg(min(col("comp")).as("nbr"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        // eager checkpoint: the shortcut references `stepped` twice, and
-        // without materialization BOTH references recompute the
-        // neighbor-min join — one extra action per round is cheaper than
-        // doubling the round's join work (and it keeps the plan flat)
-        .localCheckpoint(true)
-      // shortcut: comp(v) := comp(comp(v)). Every comp value is itself a
-      // node id (mins over ids), so the lookup always resolves.
+      // shortcut: comp(v) := comp_prev(comp(v)) — the jump table is the
+      // PREVIOUS round's already-materialized labels, so the whole round
+      // is one plan over checkpointed inputs and needs exactly ONE
+      // materializing action. (Jumping through the round's own step
+      // frame doubles per-round progress slightly but costs a second
+      // checkpoint per round — measured, the extra driver actions
+      // dominate on these label-sized frames.) Every comp value is a
+      // node id and comp only decreases, so the lookup resolves and the
+      // jump is always downhill. The `chg` flag rides along so the
+      // convergence probe is a metadata-cheap aggregate over the
+      // checkpointed blocks, not a third join job.
       val next = stepped.as("s")
-        .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
+        .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
           col("s.comp") === col("pid"), "left")
         .select(col("s.id").as("id"),
-          coalesce(col("pcomp"), col("s.comp")).as("comp"))
+          coalesce(col("pcomp"), col("s.comp")).as("comp"),
+          (coalesce(col("pcomp"), col("s.comp")) =!= col("s.prev")).as("chg"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.comp") =!= col("o.comp")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      val anyChanged = next.agg(coalesce(max(col("chg")), lit(false)))
+        .collect()(0).getBoolean(0)
+      labels = next.select(col("id"), col("comp"))
+      converged = !anyChanged
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
