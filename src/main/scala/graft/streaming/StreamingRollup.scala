@@ -11,14 +11,14 @@ import graft.tsdb.{Db, Ingest}
   * batch, never to the rollup, and the query-time merge handles
   * partials of the same (series, bucket) arriving across batches.
   *
-  * Delivery contract: `foreachBatch` re-executes a batch after a
-  * failure, so a crash between the append and the checkpoint commit
-  * can duplicate that batch's partials (inflating counts/sums for its
-  * buckets). The standard remedies — stage to `_batchId=<id>`
-  * subdirectories and prune incomplete ones at open, or land in a
-  * table format with transactional rewrite — are deployment choices
-  * layered on the same append; the layout and merge semantics here are
-  * what they build on.
+  * Delivery contract: EXACTLY-ONCE. `foreachBatch` re-executes a batch
+  * after a failure, so each batch's partials land in their own
+  * `batch_id=<id>` partition directory with overwrite semantics
+  * ([[Ingest.appendRollupBatch]]) — a replayed batch rewrites its
+  * directory instead of appending a second copy, and a batch whose
+  * write crashed before its `_SUCCESS` marker is pruned at open
+  * ([[Ingest.openRollup]]) until the replay lands it. Spec-asserted:
+  * replaying a batch leaves every aggregate unchanged.
   */
 object StreamingRollup {
 
@@ -43,8 +43,8 @@ object StreamingRollup {
         col("value"),
         col("user_id").cast("string").as(Db.TagPrefix + "user")) ++ tagCols: _*)
     val q = canonical.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Ingest.appendRollup(new Db(batch), dest, widthNs)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Ingest.appendRollupBatch(new Db(batch), dest, widthNs, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -149,13 +149,33 @@ object Ingest {
     rollupPartials(db, widthNs)
       .write.partitionBy("metric").mode("append").parquet(path)
 
+  /** Exactly-once variant of [[appendRollup]] for replayable writers
+    * (Structured Streaming `foreachBatch`): the batch's partials land
+    * under a `batch_id=<id>` partition directory with OVERWRITE
+    * semantics, so re-executing a batch after a crash rewrites the same
+    * directory instead of appending a duplicate copy — the append is
+    * idempotent per batch id. A crash mid-write leaves the directory
+    * without its `_SUCCESS` marker; [[openRollup]] prunes such
+    * incomplete batches at read time, and the eventual replay rewrites
+    * them. Do not mix with plain [[appendRollup]] on one layout (the
+    * directory depths differ).
+    */
+  def appendRollupBatch(db: Db, path: String, widthNs: Long,
+                        batchId: Long): Unit =
+    rollupPartials(db, widthNs)
+      .write.partitionBy("metric").mode("overwrite")
+      .parquet(s"$path/batch_id=$batchId")
+
   /** Compact a rollup layout: merge the partial rows accumulated by
     * [[appendRollup]] back to ONE row per (series, bucket) — the same
     * associative combination the query-time merge applies, persisted.
     * Purely an optimization (query results are identical before and
     * after, spec-asserted); run it when the partial-row multiplicity
     * makes scans noticeably wider. The rewrite stages to a sibling
-    * directory and swaps — not atomic against concurrent readers; a
+    * directory, moves the live copy ASIDE, swaps the staged copy in,
+    * and only then deletes the old copy — a crash at any step leaves a
+    * complete rollup on disk (live or at `path + ".old"`), never a
+    * destroyed one. Still not atomic against CONCURRENT readers; a
     * real deployment layers a transactional table format for that.
     */
   def compactRollup(spark: SparkSession, path: String): Unit = {
@@ -170,15 +190,39 @@ object Ingest {
     val tmp = path + ".compact"
     compacted.write.partitionBy("metric").mode("overwrite").parquet(tmp)
     val dir = new java.io.File(path)
-    org.apache.commons.io.FileUtils.deleteDirectory(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
+    val old = new java.io.File(path + ".old")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"compaction aside-move failed: $path -> $old")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      // roll back so the live path keeps serving the pre-compaction copy
+      old.renameTo(dir)
       throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
 
-  /** Reopen a rollup layout written by [[writeRollup]]. */
-  def openRollup(spark: SparkSession, path: String, widthNs: Long): Rollup =
-    new Rollup(spark.read.parquet(path)
-      .withColumn("metric", col("metric").cast("string")), widthNs)
+  /** Reopen a rollup layout written by [[writeRollup]]/[[appendRollup]]
+    * or batch-staged by [[appendRollupBatch]]. Staged layouts are
+    * detected by their `batch_id=` partition directories; batches whose
+    * write never completed (no `_SUCCESS` marker — a crash between the
+    * parquet job and the streaming checkpoint commit) are pruned here,
+    * which is the read half of the exactly-once contract.
+    */
+  def openRollup(spark: SparkSession, path: String, widthNs: Long): Rollup = {
+    val staged = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    val frame =
+      if (staged.isEmpty) spark.read.parquet(path)
+      else {
+        val complete = staged.filter(f => new java.io.File(f, "_SUCCESS").exists())
+        require(complete.nonEmpty, s"no complete batch under staged rollup $path")
+        spark.read.option("basePath", path)
+          .parquet(complete.map(_.getAbsolutePath).sorted: _*)
+          .drop("batch_id")
+      }
+    new Rollup(frame.withColumn("metric", col("metric").cast("string")), widthNs)
+  }
 
   /** Write-once cached rollup for a source events dir (same contract as
     * [[ensureLayout]]).

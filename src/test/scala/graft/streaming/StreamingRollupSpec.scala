@@ -23,7 +23,25 @@ class StreamingRollupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     val direct = AggBuilder(Db.fromEvents(spark, sfDir), AggKind.Avg,
       "purchase", "user").granularity(Duration.days(1)).build()
-    assert(key(rollup.avg("purchase", "user", Duration.days(1))) == key(direct))
+    val expected = key(direct)
+    assert(key(rollup.avg("purchase", "user", Duration.days(1))) == expected)
+
+    def totals() = key(Ingest.openRollup(spark, s"$base/dest", Duration.hours(1))
+      .avg("purchase", "user", Duration.days(1)))
+    // exactly-once: a crash between the parquet job and the checkpoint
+    // commit makes foreachBatch re-execute the batch — simulate the
+    // replay by re-landing batch 0 (same id, same data) and assert no
+    // aggregate moved (the overwrite replaced, not duplicated)
+    Ingest.appendRollupBatch(Db.fromEvents(spark, sfDir), s"$base/dest",
+      Duration.hours(1), batchId = 0L)
+    assert(totals() == expected, "replayed batch must not double-count")
+    // and a batch whose write never completed (no _SUCCESS) is pruned
+    // at open instead of being served half-written
+    val crashed = new java.io.File(s"$base/dest/batch_id=99")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$base/dest/batch_id=0"), crashed)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(crashed, "_SUCCESS"))
+    assert(totals() == expected, "incomplete batch must be pruned at open")
     Seq("dest", "ckpt", "landing").foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
   }
