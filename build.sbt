@@ -1,5 +1,10 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// No "[success] Total time: ..." epilogue: the driver's bench capture
+// parses the LAST stdout line as JSON, and the epilogue was stealing
+// that slot from Bench's final summary line (BENCH_r04 "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 name := "talnaspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

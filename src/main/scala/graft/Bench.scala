@@ -66,16 +66,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"# queries: $qs")
-    val ingest = if (sys.env.contains("SPARK_GRAFT_SKIP_INGEST")) "{}"
-                 else ingestBench(spark, sfDir)
+    val (ingest, ingestCompact) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_INGEST")) ("{}", "{}")
+      else ingestBench(spark, sfDir)
     println(s"# ingest: $ingest")
-    val scale10 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
-                  else scaleSection(spark, sfDir, 10, scale10Entries,
+    val s10rows = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) Nil
+                  else scaleRows(spark, sfDir, 10, scale10Entries,
                     ScaleData.AllTables)
+    val scale10 = if (s10rows.isEmpty) "{}"
+                  else scaleJson(s10rows,
+                    extra = rollupScaleExtra(spark, sfDir,
+                      ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)))
     println(s"# scale10: $scale10")
     val scale100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) "{}"
-                   else scaleSection(spark, sfDir, 100, scale100Entries,
-                     Seq("documents", "embeddings", "events"),
+                   else scaleJson(
+                     scaleRows(spark, sfDir, 100, scale100Entries,
+                       Seq("documents", "embeddings", "events")),
                      extra = s""""skipped":$scale100Skips""")
     println(s"# scale100: $scale100")
     println(s"# scale100 skip reasons: $scale100SkipProse")
@@ -88,15 +94,25 @@ object Bench {
       s""""skew":$skew,"fmt":"scale entries are [base_sec,xN_sec,ratio]","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), full + "\n")
-    // the LAST stdout line must survive a 2000-char tail capture (the
-    // r02/r03 artifacts both lost the full line to exactly this): emit
-    // queries at 2dp + the total ONLY, and point at the committed full
-    // JSON for the ingest/scale/skew sections printed above
+    // the LAST stdout line is the driver's machine-parsed artifact: it
+    // must (a) be last — build.sbt sets showSuccess := false so sbt's
+    // "[success]" epilogue doesn't steal the slot — and (b) survive a
+    // 2000-char tail capture. Queries at 2dp, ingest as pts/s only,
+    // scale10 as ratios only; if the line still outgrows the budget,
+    // the ratio map degrades to the dedup/ann heavy family.
     val qs2 = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    println(
+    def ratioJson(rows: Seq[(String, Double, Double, Double)]) = rows
+      .map { case (n, _, _, r) => "\"" + n + "\":" + fmt(r, 1) }
+      .mkString("{", ",", "}")
+    def line(rows: Seq[(String, Double, Double, Double)]) =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs2,""" +
-      s""""detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+      s""""ingest_pps":$ingestCompact,"scale10_ratio":${ratioJson(rows)},""" +
+      s""""detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val candidate = line(s10rows)
+    println(if (candidate.length <= 1900) candidate
+            else line(s10rows.filter(r =>
+              r._1.startsWith("dedup") || r._1.startsWith("ann"))))
     spark.stop()
   }
 
@@ -117,8 +133,11 @@ object Bench {
     "text_decontaminate", "text_repetition",
     // TSDB core representatives: aggregation, per-series window, scan,
     // plus the round-4 window/as-of family
+    // ts_rollup_avg is NOT here: its build and query phases are timed
+    // separately by [[rollupScaleExtra]] (a single number grades the
+    // one-time materialization, not the operator's query cost)
     "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_asof",
-    "ts_quantile", "ts_gapfill", "ts_rollup_avg")
+    "ts_quantile", "ts_gapfill")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
@@ -162,16 +181,17 @@ object Bench {
     "dedup_ngram_jaccard: linear but ~39s in the r03 one-off, excluded to bound round wall-clock; " +
     "dedup_embedding: documented-quadratic exhaustive oracle for the LSH variant"
 
-  /** One scaling section: per query, warm + timed at the base sf, then
-    * warm + timed at the `factor`× dir. The warm run is the fix for the
-    * round-3 curve's cold-start noise (ann_bruteforce "ratio 0.26" was
-    * codegen/JIT on the base leg, not the query).
+  /** One scaling section as data: per query, warm + timed at the base
+    * sf, then warm + timed at the `factor`× dir. The warm run is the
+    * fix for the round-3 curve's cold-start noise (ann_bruteforce
+    * "ratio 0.26" was codegen/JIT on the base leg, not the query).
+    * Returns (name, base_sec, xN_sec, ratio) rows.
     */
-  private def scaleSection(spark: SparkSession, sfDir: String, factor: Int,
-                           entries: Seq[Entry], tables: Seq[String],
-                           extra: String = ""): String = {
+  private def scaleRows(spark: SparkSession, sfDir: String, factor: Int,
+                        entries: Seq[Entry], tables: Seq[String])
+      : Seq[(String, Double, Double, Double)] = {
     val dirN = ScaleData.ensure(spark, sfDir, factor, tables = tables)
-    val parts = entries.map { case (name, fn) =>
+    entries.map { case (name, fn) =>
       def run(dir: String): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -185,9 +205,50 @@ object Bench {
       val base = run(sfDir)
       val xN = run(dirN)
       val ratio = if (base > 0 && xN > 0) xN / base else -1.0
+      (name, base, xN, ratio)
+    }
+  }
+
+  private def scaleJson(rows: Seq[(String, Double, Double, Double)],
+                        extra: String = ""): String = {
+    val parts = rows.map { case (name, base, xN, ratio) =>
       s""""$name":[${fmt(base, 2)},${fmt(xN, 2)},${fmt(ratio, 2)}]"""
     }
     (parts ++ Option(extra).filter(_.nonEmpty)).mkString("{", ",", "}")
+  }
+
+  /** `ts_rollup_avg`'s scale legs with BUILD and QUERY separated: the
+    * operator's whole point is one-time materialization + sub-scan
+    * query cost, so one number conflates the two and grades the build
+    * (the r04 curve's "3.98×"). The cached layout is evicted first so
+    * the build leg is real on both dirs; the query leg then reads the
+    * fresh rollup warm+timed like every other scale entry.
+    */
+  private def rollupScaleExtra(spark: SparkSession, sfDir: String,
+                               dirN: String): String = {
+    val w = graft.tsdb.Duration.hours(1)
+    def leg(dir: String): (Double, Double) = try {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(graft.tsdb.Ingest.rollupPath(dir, w)))
+      val t0 = System.nanoTime()
+      graft.tsdb.Ingest.ensureRollup(spark, dir, w)
+      val build = (System.nanoTime() - t0) / 1e9
+      val fn = SparkEntry.queries("ts_rollup_avg")
+      def once(): Double = {
+        val t = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      once()
+      val q = once()
+      System.gc()
+      (build, q)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+    val (b0, q0) = leg(sfDir)
+    val (bN, qN) = leg(dirN)
+    def r(a: Double, b: Double) = if (a > 0 && b > 0) b / a else -1.0
+    s""""ts_rollup_avg_build":[${fmt(b0, 2)},${fmt(bN, 2)},${fmt(r(b0, bN), 2)}],""" +
+    s""""ts_rollup_avg_query":[${fmt(q0, 2)},${fmt(qN, 2)},${fmt(r(q0, qN), 2)}]"""
   }
 
   /** Reducer-balance demo for the hot-salted band joins
@@ -247,11 +308,21 @@ object Bench {
       durs.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
+      // a failed leg must be distinguishable from a slow one in the
+      // committed record: -1 plus the exception, never a bare -1
+      // (with broadcast and skew-join handling forced off, an OOM or
+      // plan failure here is exactly the signal the demo exists for)
+      var err: String = null
       val res = try {
         graft.operators.Dedup.minhashLshFrame(planted, bands = 2, salt = salt)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch { case e: Throwable =>
+        err = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(160)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+        -1.0
+      }
       // listener events are posted asynchronously; give the bus a beat
       Thread.sleep(1000)
       spark.sparkContext.removeSparkListener(listener)
@@ -273,7 +344,8 @@ object Bench {
         s"""{"stage":$sid,"max_ms":$mx,"med_ms":$md,"tasks":$n}"""
       }.mkString("[", ",", "]")
       System.gc()
-      s"""{"sec":${fmt(res, 2)},"max_task_ms":$maxMs,"med_task_ms":$medMs,"tasks":${all.size},"top_stages":$stages}"""
+      val errField = if (err != null) s""","error":"$err"""" else ""
+      s"""{"sec":${fmt(res, 2)},"max_task_ms":$maxMs,"med_task_ms":$medMs,"tasks":${all.size},"top_stages":$stages$errField}"""
     }
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
@@ -300,7 +372,7 @@ object Bench {
     *  - streaming: Structured Streaming file source → layout sink
     *    (micro-batched, checkpointed, AvailableNow).
     */
-  private def ingestBench(spark: SparkSession, sfDir: String): String = {
+  private def ingestBench(spark: SparkSession, sfDir: String): (String, String) = {
     import org.apache.spark.sql.functions._
     val base = "/root/repo/out/bench_ingest"
     def clean(p: String): Unit =
@@ -357,8 +429,12 @@ object Bench {
     System.gc()
     Seq(s"$base/synthetic", s"$base/events", s"$base/stream", s"$base/ckpt",
       s"$base/landing").foreach(clean)
-    f"""{"synthetic_points":$n,"synthetic_sec":$synthSec%.3f,"synthetic_pts_per_sec":${n / synthSec}%.0f,""" +
+    val full =
+      f"""{"synthetic_points":$n,"synthetic_sec":$synthSec%.3f,"synthetic_pts_per_sec":${n / synthSec}%.0f,""" +
       f""""events_points":$evCount,"events_sec":$evSec%.3f,"events_pts_per_sec":${evCount / evSec}%.0f,""" +
       f""""streaming_points":$evCount,"streaming_sec":$stSec%.3f,"streaming_pts_per_sec":${evCount / stSec}%.0f}"""
+    val compact =
+      f"""{"synth":${n / synthSec}%.0f,"events":${evCount / evSec}%.0f,"stream":${evCount / stSec}%.0f}"""
+    (full, compact)
   }
 }

@@ -49,6 +49,7 @@ object SparkEntry {
     "ts_meta_metrics" -> ((s, d) => Db.fromEvents(s, d).metrics),
     "ts_meta_series" -> ((s, d) => Db.fromEvents(s, d).series("purchase")),
     "ts_rate" -> ((s, d) => Db.fromEvents(s, d).rate("click")),
+    "ts_increase" -> ((s, d) => Db.fromEvents(s, d).increase("click", Day)),
     "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
     "ts_quantile" -> ((s, d) =>
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
@@ -92,11 +93,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => graft.operators.Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => graft.operators.Dedup.simhash(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => graft.operators.Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => graft.operators.Dedup.embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => graft.operators.Dedup.embeddingNearDup(s, d)),
     "dedup_cluster" -> ((s, d) => graft.operators.Dedup.cluster(s, d)),
     "dedup_pipeline" -> ((s, d) => graft.operators.Dedup.pipeline(s, d)),
+    "dedup_pipeline_simhash" -> ((s, d) => graft.operators.Dedup.pipelineSimhash(s, d)),
 
     // ---- Similarity search (embeddings) ----
     "ann_bruteforce" -> ((s, d) => graft.operators.Similarity.bruteForceTopK(s, d)),
@@ -272,6 +275,22 @@ object SparkEntry {
          |  FROM ev WHERE metric = 'click'
          |  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
          |) WHERE prev_ts IS NOT NULL AND prev_ts < ts""".stripMargin,
+    // counter increase: positive deltas only (reset-aware), attributed
+    // to the later point's bucket, DECIMAL-exact summation like every
+    // other ts_* sum
+    "ts_increase" ->
+      s"""$Ev
+         |, d AS (
+         |  SELECT metric, tag_user, tag_k, ts,
+         |    lag(ts) OVER w AS prev_ts,
+         |    greatest(value - lag(value) OVER w, 0) AS delta
+         |  FROM ev WHERE metric = 'click'
+         |  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
+         |)
+         |SELECT metric, tag_user, tag_k, ${bucket(Day)} AS bucket_start,
+         |  CAST(SUM(CAST(delta AS DECIMAL(28,6))) AS DOUBLE) AS value
+         |FROM d WHERE prev_ts IS NOT NULL AND prev_ts < ts
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
     // top-5 groups per bucket by aggregate value, (value desc, grp)
     // total order — the dashboard top() modifier
     "ts_topk_series" ->
@@ -448,6 +467,50 @@ object SparkEntry {
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_ivf_kmeans/*.parquet')",
     "dedup_pipeline" ->
       "SELECT doc_id, cluster_size FROM read_parquet('/root/repo/golden/dedup_pipeline/*.parquet')",
+    // DuckDB recomputes the 4×16-bit banding + Hamming verify over the
+    // golden simhash values (the kernel itself is not re-creatable in
+    // SQL; the banded-join SEMANTICS are, and that is what this checks)
+    "dedup_simhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, simhash FROM read_parquet('/root/repo/golden/dedup_simhash/*.parquet'))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | AND (((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
+        |   OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+        |   OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+        |   OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // same banding + a recursive transitive closure + keeper selection:
+    // the full SimHash pipeline re-derived independently
+    "dedup_pipeline_simhash" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, simhash FROM read_parquet('/root/repo/golden/dedup_simhash/*.parquet')
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |   AND (((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
+        |     OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+        |     OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+        |     OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |), e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p
+        |), r AS (
+        |  SELECT src AS id, src AS comp FROM e
+        |  UNION
+        |  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id
+        |), c AS (
+        |  SELECT id, min(comp) AS comp FROM r GROUP BY id
+        |), sizes AS (
+        |  SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp
+        |)
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS cluster_size FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT id FROM c)
+        |UNION ALL
+        |SELECT c.id AS doc_id, s.cluster_size FROM c JOIN sizes s ON c.comp = s.comp
+        |  WHERE c.id = c.comp""".stripMargin,
 
     // ---- Deduplication ----
     "dedup_exact" ->

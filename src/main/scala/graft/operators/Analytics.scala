@@ -62,14 +62,12 @@ object Analytics {
   /** TPC-H Q5-flavor: 6-way join. True dims (region, nation, supplier)
     * broadcast; CUSTOMER IS NOT A DIM — it is the second-largest TPC-H
     * table and scales with the facts (hundreds of GB at the 100 TB
-    * design point), so it carries no broadcast hint: the join strategy
-    * is left to size estimates / AQE (broadcast while it fits, shuffle
-    * beyond). To keep that shuffle cheap, the fact stream is partially
-    * aggregated to one row per (custkey, supplier-nation) FIRST — the
-    * exchange then carries aggregated pairs, not lineitems, and its
-    * hash distribution is exactly the customer join's key set, so the
-    * join reuses it without a second exchange. Decimal partial sums
-    * re-aggregate exactly (bit-identical to the single-pass sum).
+    * design point), so it carries NO broadcast hint: the join strategy
+    * is left to size estimates / AQE, which broadcast it while it fits
+    * and fall back to a shuffle join beyond. This plain-parquet variant
+    * is the baseline; [[q5Bucketed]] is the designed scale path — its
+    * custkey exchange runs at pre-aggregated pair grain instead of
+    * lineitem grain.
     */
   def q5(spark: SparkSession, dir: String): DataFrame = {
     val region = t(spark, dir, "region").where(col("r_name") === "ASIA")
@@ -80,14 +78,12 @@ object Analytics {
     val li = t(spark, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("o_custkey"), col("s_nationkey"))
-      .agg(sum(revTerm).as("rev_partial"))
       .join(cust.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("rev_partial")).cast("double").as("revenue"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
   }
 
   /** Top-3 parts by revenue per brand — window rank over a hash aggregate. */
@@ -146,18 +142,20 @@ object Analytics {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
   }
 
-  /** [[q5]] over [[bucketFacts]] tables — identical results with the
-    * fact-fact shuffle GONE: the lineitem⋈orders join is co-located by
-    * the bucketing (no orderkey exchange anywhere). Downstream is the
-    * same shape as [[q5]]: partial-aggregate to (custkey, s_nationkey)
-    * pairs, then join customer WITHOUT a broadcast hint — the pre-agg
-    * exchange both shrinks the stream and provides the distribution
-    * the customer join needs, so the plan's only exchanges are the
-    * pre-agg, the (un-hinted) customer side, and the tiny final
-    * n_name aggregate. This closes the q5 row of the 100× experiment:
-    * the sort-merge that spilled a single JVM was the per-query fact
-    * shuffle, paid once at ingest instead — and nothing left in the
-    * plan broadcasts a table that grows with the corpus.
+  /** [[q5]] over [[bucketFacts]] tables — identical results, and the
+    * designed 100 TB plan: the lineitem⋈orders join is co-located by
+    * the bucketing (no orderkey exchange anywhere), and the fact
+    * stream is partially aggregated to one row per (custkey,
+    * supplier-nation) BEFORE the un-hinted customer join — the
+    * pre-agg exchange shrinks the stream from lineitem grain to pair
+    * grain AND provides exactly the hash distribution the customer
+    * join needs (decimal partials re-aggregate exactly). The plan's
+    * only exchanges are that pre-agg, the customer side, and the tiny
+    * final n_name aggregate; nothing broadcasts a table that grows
+    * with the corpus. This closes the q5 row of the 100× experiment:
+    * the sort-merge that spilled a single JVM was the per-query
+    * lineitem-grain fact shuffle — paid once at ingest, and the
+    * custkey shuffle demoted to aggregated pairs.
     */
   def q5Bucketed(spark: SparkSession, dir: String,
                  prefix: String = "graft"): DataFrame = {

@@ -190,8 +190,20 @@ object Dedup {
     * on at least one full band (pigeonhole), so equality on band keys is
     * a complete candidate generator for hamMax ≤ 3.
     */
-  def simhashPairs(spark: SparkSession, dir: String, hamMax: Int = 3): DataFrame = {
-    val sh = simhash(spark, dir)
+  def simhashPairs(spark: SparkSession, dir: String, hamMax: Int = 3): DataFrame =
+    simhashPairsFrame(docs(spark, dir), hamMax)
+
+  /** [[simhashPairs]] over an arbitrary (doc_id, text) frame. Verify
+    * cost is a single `bit_count` per candidate — constant per pair,
+    * unlike shingle-set intersection — which is what lets the
+    * end-to-end composition ([[pipelineSimhash]]) scale through
+    * corpora whose true-dup clusters make set-verification quadratic.
+    */
+  def simhashPairsFrame(docsDf: DataFrame, hamMax: Int = 3): DataFrame = {
+    GraftFunctions.register(docsDf.sparkSession)
+    val sh = docsDf.select(
+      col("doc_id"),
+      call_function("graft_simhash", split(col("text"), " ")).as("simhash"))
     val banded = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(
@@ -517,10 +529,11 @@ object Dedup {
     * the next round references it three times, so without plan
     * truncation the logical plan multiplies per round and explodes
     * exponentially — caching alone (persist) keeps the data but not
-    * the plan flat. Driver cost per round is exactly two jobs: the
-    * checkpoint materialization and a convergence flag read over its
-    * cached blocks. (On a real cluster, swap in reliable `checkpoint`
-    * to survive executor loss; same contract.)
+    * the plan flat. Driver cost per round is exactly ONE job: the
+    * convergence flag is an `observe` metric collected by the
+    * checkpoint-materializing job itself, not a separate action. (On a
+    * real cluster, swap in reliable `checkpoint` to survive executor
+    * loss; same contract.)
     */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -548,15 +561,19 @@ object Dedup {
       // jump is always downhill. The `chg` flag rides along so the
       // convergence probe is a metadata-cheap aggregate over the
       // checkpointed blocks, not a third join job.
+      // the convergence flag rides the SAME job that materializes the
+      // round (observe metrics fire on the eager checkpoint), so each
+      // round is exactly ONE Spark job
+      val obs = org.apache.spark.sql.Observation()
       val next = stepped.as("s")
         .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
           col("s.comp") === col("pid"), "left")
         .select(col("s.id").as("id"),
           coalesce(col("pcomp"), col("s.comp")).as("comp"),
           (coalesce(col("pcomp"), col("s.comp")) =!= col("s.prev")).as("chg"))
+        .observe(obs, coalesce(max(col("chg")), lit(false)).as("any"))
         .localCheckpoint(true)
-      val anyChanged = next.agg(coalesce(max(col("chg")), lit(false)))
-        .collect()(0).getBoolean(0)
+      val anyChanged = obs.get("any").asInstanceOf[Boolean]
       labels = next.select(col("id"), col("comp"))
       converged = !anyChanged
       iter += 1
@@ -607,8 +624,29 @@ object Dedup {
     * runtime stats turn out small.
     */
   def pipelineFrame(docsDf: DataFrame, threshold: Double = 0.5,
-                    broadcastMaxIds: Long = 4_000_000L): DataFrame = {
-    val clusters = clusterPairs(minhashLshFrame(docsDf, threshold = threshold))
+                    broadcastMaxIds: Long = 4_000_000L): DataFrame =
+    pipelineOverPairs(docsDf, minhashLshFrame(docsDf, threshold = threshold),
+      broadcastMaxIds)
+
+  /** [[pipeline]] with SimHash banded pairs as the candidate source —
+    * constant verify cost per pair (`bit_count`, not shingle-set
+    * intersection), the variant that keeps the end-to-end composition
+    * linear on corpora with large true-dup clusters (where MinHash
+    * verification is quadratic in cluster size).
+    */
+  def pipelineSimhash(spark: SparkSession, dir: String,
+                      hamMax: Int = 3): DataFrame = {
+    val d = parallelize(docs(spark, dir))
+    pipelineOverPairs(d, simhashPairsFrame(d, hamMax))
+  }
+
+  /** The generic composition: any `(doc_a, doc_b)` near-dup pair frame
+    * → connected components → kept corpus (see [[pipelineFrame]] for
+    * the broadcast-gate contract).
+    */
+  def pipelineOverPairs(docsDf: DataFrame, pairs: DataFrame,
+                        broadcastMaxIds: Long = 4_000_000L): DataFrame = {
+    val clusters = clusterPairs(pairs)
       .localCheckpoint(true)
     val pairedCount = clusters.count()
     val kept = clusters.where(col("is_keeper"))

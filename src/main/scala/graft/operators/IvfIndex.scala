@@ -47,7 +47,8 @@ object IvfIndex {
       s"${variant}_n${nlist}_i$iters"
     cache.computeIfAbsent(path, _ => {
       if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(path, "assign", "_SUCCESS"))) {
+          java.nio.file.Paths.get(path, "assign", "_SUCCESS"))
+          || java.nio.file.Files.exists(appendedMarker(path))) {
         val data = train()
         import spark.implicits._
         data.map { case (id, cv) => (id, cv.toSeq) }.toDF("cent_id", "cv")
@@ -57,6 +58,7 @@ object IvfIndex {
         Similarity.assignFrame(corpus, data)
           .repartition(col("list_id"))
           .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/assign")
+        java.nio.file.Files.deleteIfExists(appendedMarker(path))
       }
       val cents = spark.read.parquet(s"$path/centroids").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
@@ -74,11 +76,27 @@ object IvfIndex {
     * fixed, new vectors land in its cells; retraining centroids is a
     * separate offline event that builds a NEW index version (here: a
     * new fingerprint path via [[ensure]]).
+    *
+    * An appended layout is no longer the pristine build its
+    * fingerprint-keyed cache path promises, so append drops the marker
+    * file that makes the next [[ensure]] REBUILD the path (and evicts
+    * the in-memory handle) instead of silently serving the mutated
+    * index as if it matched its key. Keep using the returned handle /
+    * [[open]] to serve the appended generation.
     */
-  def append(index: Index, batch: DataFrame): Unit =
+  def append(index: Index, batch: DataFrame): Unit = {
     Similarity.assignFrame(batch, index.centroids)
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("append").parquet(s"${index.path}/assign")
+    java.nio.file.Files.write(appendedMarker(index.path), Array.empty[Byte])
+    cache.remove(index.path)
+  }
+
+  /** Present iff [[append]] has mutated the layout past its
+    * fingerprinted source corpus.
+    */
+  private def appendedMarker(path: String) =
+    java.nio.file.Paths.get(path, "_appended")
 
   /** The assignment layout as (vec_id, v, nrm, list_id). The partition
     * column is directory-inferred (int) — cast back to the centroid id

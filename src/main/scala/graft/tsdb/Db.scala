@@ -120,6 +120,32 @@ final class Db(val frame: DataFrame) {
       .drop("prev_ts", "prev_value")
   }
 
+  /** Counter increase per (series × bucket): the sum of the POSITIVE
+    * deltas between consecutive points of a series inside each
+    * `widthNs` bucket — PromQL-`increase()` semantics without
+    * extrapolation: a counter reset (value drop) contributes zero
+    * instead of a negative step. Same per-series window shape as
+    * [[rate]] (one shuffle on the series key, codegen'd lag; deltas
+    * attributed to the LATER point's bucket, zero-Δt pairs dropped).
+    * DECIMAL summation keeps the result independent of partition
+    * merge order — bit-identical across engines, like every ts_* sum.
+    */
+  def increase(metric: String, widthNs: Long,
+               filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(tagColumns.map(col): _*)
+      .orderBy(col("ts"), col("value"))
+    scan(metric, filterExpr)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("delta",
+        greatest(col("value") - lag(col("value"), 1).over(w), lit(0.0)))
+      .where(col("prev_ts").isNotNull && col("prev_ts") < col("ts"))
+      .groupBy(col("metric") +: tagColumns.map(col) :+
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"): _*)
+      .agg(org.apache.spark.sql.functions.sum(
+        col("delta").cast("decimal(28,6)")).cast("double").as("value"))
+  }
+
   /** As-of alignment of two metrics: for every point of `leftMetric`,
     * the latest `rightMetric` value (and its timestamp) at `ts' <= ts`
     * within the same `on` tag — the standard "join the most recent

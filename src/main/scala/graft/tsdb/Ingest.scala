@@ -229,12 +229,21 @@ object Ingest {
     */
   def ensureRollup(spark: SparkSession, sfDir: String, widthNs: Long,
                    base: String = "/root/repo/out"): String = {
-    val fp = contentFingerprint(s"$sfDir/events.parquet")
-    val path = s"$base/graft_rollup_v${LayoutVersion}_w${widthNs}_" +
-      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val path = rollupPath(sfDir, widthNs, base)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
       writeRollup(Db.fromEvents(spark, sfDir), path, widthNs)
     path
+  }
+
+  /** The content-fingerprinted cache path [[ensureRollup]] uses for a
+    * source dir (no side effects — lets a benchmark evict the cache to
+    * time the build separately from the query).
+    */
+  private[graft] def rollupPath(sfDir: String, widthNs: Long,
+                                base: String = "/root/repo/out"): String = {
+    val fp = contentFingerprint(s"$sfDir/events.parquet")
+    s"$base/graft_rollup_v${LayoutVersion}_w${widthNs}_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
   }
 
   /** Bump when the canonical frame layout changes (e.g. tag semantics),

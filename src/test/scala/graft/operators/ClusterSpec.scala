@@ -80,6 +80,25 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("pipelineSimhash: every doc accounted once, keepers carry simhash-component sizes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // hamMax 10 at this tiny sf so the pair set is nonempty (the sf0.01
+    // driver entry runs the pigeonhole-complete hamMax=3 regime)
+    val kept = Dedup.pipelineSimhash(spark, sfDir, hamMax = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Dedup.clusterPairs(
+      Dedup.simhashPairs(spark, sfDir, hamMax = 10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(clusters.nonEmpty, "expected simhash pairs at hamMax=10")
+    assert(kept.size == docs.count() - clusters.count(c => !c._4))
+    clusters.filter(_._4).foreach { case (id, _, size, _) =>
+      assert(kept(id) == size, s"keeper $id")
+    }
+    clusters.filterNot(_._4).foreach { case (id, _, _, _) =>
+      assert(!kept.contains(id), s"dropped doc $id still present")
+    }
+  }
+
   test("pipeline paired-id broadcast is size-gated: plan flips, results identical (high-dup corpus)") {
     import spark.implicits._
     // 40 docs, 15 of them in 3 exact-dup clusters of 5 → 37.5% paired,

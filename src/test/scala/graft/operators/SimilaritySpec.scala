@@ -57,6 +57,12 @@ class SimilaritySpec extends SparkSpec {
     assert(inc.nonEmpty && inc == full)
     // the appended half genuinely went through the append path
     assert(inc.exists(_._1 > cut))
+    // append invalidated the fingerprint-keyed cache: re-ensuring the
+    // same key REBUILDS the pristine half-corpus index instead of
+    // silently serving the mutated layout as if it matched its key
+    val again = assign(IvfIndex.ensure(spark, sfDir, "spec_inc", 16, 0, train,
+      e.where(col("vec_id") <= cut)))
+    assert(again.nonEmpty && again.forall(_._1 <= cut))
   }
 
   test("lsh topk returns only same-bucket candidates ranked like brute force") {

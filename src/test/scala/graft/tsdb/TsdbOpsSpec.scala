@@ -38,6 +38,19 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("rate_per_s")).toSeq == Seq(0.2, 0.2))
   }
 
+  test("increase sums positive deltas per bucket; counter resets contribute zero") {
+    val day = 86_400_000_000_000L
+    val d = db(Seq(
+      ("m", 0L, 10.0, "u"),
+      ("m", 10_000_000_000L, 15.0, "u"),  // +5
+      ("m", 20_000_000_000L, 3.0, "u"),   // reset: -12 → 0
+      ("m", 30_000_000_000L, 8.0, "u"),   // +5
+      ("m", day + 5L, 9.0, "u")))         // +1, lands in the SECOND day bucket
+    val out = d.increase("m", day).collect()
+      .map(r => r.getAs[Long]("bucket_start") -> r.getAs[Double]("value")).toMap
+    assert(out == Map(0L -> 10.0, day -> 1.0))
+  }
+
   test("asofAlign carries the latest right value at ts' <= ts, max-merged at ties") {
     val d = db(Seq(
       ("l", 5L, 1.0, "u"),
