@@ -109,10 +109,14 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs2,""" +
       s""""ingest_pps":$ingestCompact,"scale10_ratio":${ratioJson(rows)},""" +
       s""""detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    val candidate = line(s10rows)
-    println(if (candidate.length <= 1900) candidate
-            else line(s10rows.filter(r =>
-              r._1.startsWith("dedup") || r._1.startsWith("ann"))))
+    // degrade cascade: full ratios → dedup/ann heavy family → none;
+    // the queries dict and ingest pts/s always survive
+    println(Seq(
+        line(s10rows),
+        line(s10rows.filter(r =>
+          r._1.startsWith("dedup") || r._1.startsWith("ann"))),
+        line(Nil))
+      .find(_.length <= 1900).getOrElse(line(Nil)))
     spark.stop()
   }
 
@@ -127,7 +131,7 @@ object Bench {
   private def scale10Entries: Seq[Entry] = Seq(
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_embedding", "dedup_embedding_lsh", "dedup_cluster",
-    "dedup_pipeline",
+    "dedup_pipeline", "dedup_simhash_pairs", "dedup_pipeline_simhash",
     "ann_bruteforce", "ann_ivf", "ann_ivf_kmeans",
     "ann_lsh", "ann_lsh_multiprobe", "q5_multijoin",
     "text_decontaminate", "text_repetition",
@@ -136,7 +140,7 @@ object Bench {
     // ts_rollup_avg is NOT here: its build and query phases are timed
     // separately by [[rollupScaleExtra]] (a single number grades the
     // one-time materialization, not the operator's query cost)
-    "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_asof",
+    "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_increase", "ts_asof",
     "ts_quantile", "ts_gapfill")
     .map(n => n -> SparkEntry.queries(n))
 
@@ -148,6 +152,10 @@ object Bench {
   private def scale100Entries: Seq[Entry] = Seq[Entry](
     "dedup_exact" -> SparkEntry.queries("dedup_exact"),
     "dedup_embedding_lsh" -> SparkEntry.queries("dedup_embedding_lsh"),
+    // the END-TO-END dedup composition at 100×: SimHash pairs keep the
+    // verify constant per candidate, so the pipeline stays linear where
+    // the minhash variant's true-dup clusters go quadratic (see skips)
+    "dedup_pipeline_simhash" -> SparkEntry.queries("dedup_pipeline_simhash"),
     "ann_bruteforce" -> SparkEntry.queries("ann_bruteforce"),
     "ann_lsh" -> SparkEntry.queries("ann_lsh"),
     "ann_lsh_multiprobe" -> SparkEntry.queries("ann_lsh_multiprobe"),

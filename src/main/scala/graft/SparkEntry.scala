@@ -50,6 +50,7 @@ object SparkEntry {
     "ts_meta_series" -> ((s, d) => Db.fromEvents(s, d).series("purchase")),
     "ts_rate" -> ((s, d) => Db.fromEvents(s, d).rate("click")),
     "ts_increase" -> ((s, d) => Db.fromEvents(s, d).increase("click", Day)),
+    "ts_ewma" -> ((s, d) => Db.fromEvents(s, d).ewma("view")),
     "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
     "ts_quantile" -> ((s, d) =>
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
@@ -116,6 +117,17 @@ object SparkEntry {
 
     // ---- Multimodal plumbing ----
     "mm_meta" -> ((s, d) => graft.operators.Multimodal.extractMeta(s, d)),
+    // frame stride over the per-partition batch loop; the compared
+    // output fingerprints each frame (length + md5) so the check rides
+    // primitive columns, not raw binary
+    "mm_framesample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Multimodal
+        .frameSample(graft.operators.Multimodal.blobFrame(s, d))
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          md5(col("frame")).as("frame_md5"))
+    }),
   )
 
   // ---- DuckDB oracle SQL ----
@@ -291,6 +303,24 @@ object SparkEntry {
          |  CAST(SUM(CAST(delta AS DECIMAL(28,6))) AS DOUBLE) AS value
          |FROM d WHERE prev_ts IS NOT NULL AND prev_ts < ts
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // per-point EWMA: list_reduce over the window prefix array is the
+    // same left fold (seeded with the first element) as the graft_ewma
+    // kernel, with the identical IEEE op chain — DOUBLE casts defeat
+    // DuckDB's decimal literal arithmetic
+    "ts_ewma" ->
+      s"""$Ev
+         |, s AS (
+         |  SELECT metric, tag_user, tag_k, ts, value,
+         |    array_agg(value) OVER (PARTITION BY tag_user, tag_k
+         |      ORDER BY ts, value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+         |  FROM ev WHERE metric = 'view'
+         |)
+         |SELECT metric, tag_user, tag_k, ts, value,
+         |  list_reduce(pref, (a, b) ->
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * a
+         |      + CAST(0.3 AS DOUBLE) * b) AS ewma
+         |FROM s""".stripMargin,
     // top-5 groups per bucket by aggregate value, (value desc, grp)
     // total order — the dashboard top() modifier
     "ts_topk_series" ->
@@ -467,6 +497,9 @@ object SparkEntry {
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_ivf_kmeans/*.parquet')",
     "dedup_pipeline" ->
       "SELECT doc_id, cluster_size FROM read_parquet('/root/repo/golden/dedup_pipeline/*.parquet')",
+    "mm_framesample" ->
+      """SELECT doc_id, frame_idx, n_bytes, frame_md5
+        |FROM read_parquet('/root/repo/golden/mm_framesample/*.parquet')""".stripMargin,
     // DuckDB recomputes the 4×16-bit banding + Hamming verify over the
     // golden simhash values (the kernel itself is not re-creatable in
     // SQL; the banded-join SEMANTICS are, and that is what this checks)

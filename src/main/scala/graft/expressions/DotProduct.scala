@@ -161,6 +161,17 @@ object GraftFunctions {
           "array sizes, so duplicate elements shrink the result vs " +
           "distinct-set Jaccard.", ""),
       (cs: Seq[Expression]) => { arity("graft_jaccard", 2, cs); JaccardSim(cs.head, cs(1)) }),
+    (FunctionIdentifier("graft_ewma"),
+      new ExpressionInfo(classOf[EwmaFold].getName, "graft_ewma"),
+      (cs: Seq[Expression]) => {
+        arity("graft_ewma", 2, cs)
+        cs(1) match {
+          case a if a.foldable && a.dataType == DoubleType =>
+            EwmaFold(cs.head, a.eval(null).asInstanceOf[Double])
+          case other => throw new IllegalArgumentException(
+            s"graft_ewma: alpha must be a double literal, got $other")
+        }
+      }),
     (FunctionIdentifier("graft_mm_synth"),
       new ExpressionInfo(classOf[MmSynthPayload].getName, "graft_mm_synth"),
       (cs: Seq[Expression]) => { arity("graft_mm_synth", 2, cs); MmSynthPayload(cs.head, cs(1)) }),

@@ -81,6 +81,32 @@ case class SimHash64(child: Expression) extends UnaryExpression with KernelCall 
     copy(child = newChild)
 }
 
+/** Running per-point EWMA over a (ts, value)-struct array sorted by
+  * (ts, value) — see [[NativeKernels.ewma]]. `alpha` is a build-time
+  * literal so the generated code stays one static call.
+  */
+case class EwmaFold(child: Expression, alpha: Double)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+        s.fields(1).dataType == DoubleType && alpha > 0 && alpha <= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ewma expects (array<struct<_, value double>>, alpha in (0,1]), got $t")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    NativeKernels.ewma(arr.asInstanceOf[ArrayData], alpha)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.ewma($c, ${alpha}D)"
+
+  override protected def withNewChildInternal(newChild: Expression): EwmaFold =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling hash of a string column — see
   * [[NativeKernels.rollingHash]].
   */

@@ -85,6 +85,32 @@ object NativeKernels {
     out
   }
 
+  /** Per-point exponentially-weighted moving average over an
+    * (ts, value)-struct array already sorted by (ts, value):
+    * `y_0 = x_0; y_i = (1-α)·y_{i-1} + α·x_i`, one output per input.
+    *
+    * The fold is the RAW IEEE op chain `om·acc + α·x` with
+    * `om = 1.0 - α` computed once — the DuckDB oracle mirrors the
+    * identical arithmetic via `list_reduce` over prefix arrays
+    * (left-fold seeded with the first element), so results are
+    * bit-stable across engines. Equivalent HOF: `aggregate` with a
+    * struct accumulator emitting the running value per element.
+    */
+  def ewma(pts: ArrayData, alpha: Double): ArrayData = {
+    val om = 1.0 - alpha
+    val n = pts.numElements()
+    val out = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = pts.getStruct(i, 2).getDouble(1)
+      acc = if (i == 0) x else om * acc + alpha * x
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Polynomial rolling hash `h = fold((h*31 + codepoint) % 1e9+7)` over
     * the document's characters.
     *

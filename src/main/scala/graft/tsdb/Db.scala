@@ -146,6 +146,31 @@ final class Db(val frame: DataFrame) {
         col("delta").cast("decimal(28,6)")).cast("double").as("value"))
   }
 
+  /** Per-point exponential smoothing of every series of a metric (the
+    * dashboard `ewma()` modifier): `y_0 = x_0; y_i = (1-α)·y_{i-1} +
+    * α·x_i` in (ts, value) order. A left fold is inherently
+    * order-dependent, so the series is collected and sorted per group
+    * (one shuffle — series fit comfortably in an executor row; this is
+    * the same bound the reference's in-memory series iteration has)
+    * and folded by the codegen'd `graft_ewma` kernel in one pass —
+    * not an O(n²) prefix recomputation, not an interpreted HOF. The
+    * DuckDB oracle mirrors the identical IEEE arithmetic with
+    * `list_reduce` over window prefix arrays (bit-stable).
+    */
+  def ewma(metric: String, alpha: Double = 0.3,
+           filterExpr: String = "*"): DataFrame = {
+    graft.expressions.GraftFunctions.register(frame.sparkSession)
+    val tags = tagColumns.map(col)
+    scan(metric, filterExpr)
+      .groupBy(col("metric") +: tags: _*)
+      .agg(sort_array(collect_list(struct(col("ts"), col("value")))).as("pts"))
+      .withColumn("sm", call_function("graft_ewma", col("pts"), lit(alpha)))
+      .select(col("metric") +: tags :+
+        posexplode(arrays_zip(col("pts"), col("sm"))).as(Seq("i", "z")): _*)
+      .select(col("metric") +: tags :+ col("z.pts.ts").as("ts") :+
+        col("z.pts.value").as("value") :+ col("z.sm").as("ewma"): _*)
+  }
+
   /** As-of alignment of two metrics: for every point of `leftMetric`,
     * the latest `rightMetric` value (and its timestamp) at `ts' <= ts`
     * within the same `on` tag — the standard "join the most recent

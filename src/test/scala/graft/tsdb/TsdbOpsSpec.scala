@@ -51,6 +51,20 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out == Map(0L -> 10.0, day -> 1.0))
   }
 
+  test("ewma folds per series in (ts, value) order, seeded with the first point") {
+    val d = db(Seq(
+      ("m", 0L, 1.0, "u"),
+      ("m", 10L, 2.0, "u"),   // 0.5*1 + 0.5*2 = 1.5
+      ("m", 20L, 3.0, "u"),   // 0.5*1.5 + 0.5*3 = 2.25
+      ("m", 0L, 100.0, "v"))) // independent series: seed only
+    val out = d.ewma("m", alpha = 0.5).orderBy("tag_user", "ts").collect()
+      .map(r => (r.getAs[String]("tag_user"), r.getAs[Long]("ts"),
+        r.getAs[Double]("value"), r.getAs[Double]("ewma")))
+    assert(out.toSeq == Seq(
+      ("u", 0L, 1.0, 1.0), ("u", 10L, 2.0, 1.5), ("u", 20L, 3.0, 2.25),
+      ("v", 0L, 100.0, 100.0)))
+  }
+
   test("asofAlign carries the latest right value at ts' <= ts, max-merged at ties") {
     val d = db(Seq(
       ("l", 5L, 1.0, "u"),
