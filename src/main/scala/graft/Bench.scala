@@ -140,8 +140,8 @@ object Bench {
     // ts_rollup_avg is NOT here: its build and query phases are timed
     // separately by [[rollupScaleExtra]] (a single number grades the
     // one-time materialization, not the operator's query cost)
-    "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_increase", "ts_asof",
-    "ts_quantile", "ts_gapfill")
+    "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_increase", "ts_ewma",
+    "ts_asof", "ts_quantile", "ts_gapfill")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost

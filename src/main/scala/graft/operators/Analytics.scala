@@ -45,15 +45,24 @@ object Analytics {
         round(sum(expr("CAST(l_discount AS DECIMAL(4,2))")).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
-  /** TPC-H Q3-flavor shipping priority: broadcast the filtered customer dim. */
+  /** TPC-H Q3-flavor shipping priority. The customer table contributes
+    * NO output column here — it is purely the segment filter — so the
+    * join is a broadcast LEFT SEMI on the single projected key column
+    * (c_custkey is the table's primary key, making semi ≡ inner): the
+    * broadcast payload is one long per matching customer, ~10× smaller
+    * than the full filtered rows, which pushes the size at which the
+    * broadcast stops fitting an order of magnitude further out.
+    */
   def q3(spark: SparkSession, dir: String): DataFrame = {
-    val cust = t(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val custKeys = t(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
     val ord = t(spark, dir, "orders")
       .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val li = t(spark, dir, "lineitem")
       .where(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(revTerm).cast("double").as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -126,17 +135,20 @@ object Analytics {
   /** [[q3]] over [[bucketFacts]] tables — identical results, zero
     * shuffle exchanges in the whole plan (join co-located by bucketing;
     * the aggregation's grouping keys include the bucket key, so the
-    * join's distribution satisfies it too; the dimension is broadcast).
+    * join's distribution satisfies it too; the customer filter is the
+    * same keys-only broadcast semi as [[q3]]).
     */
   def q3Bucketed(spark: SparkSession, dir: String,
                  prefix: String = "graft"): DataFrame = {
-    val cust = t(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val custKeys = t(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
     val ord = spark.table(s"${prefix}_orders_b")
       .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val li = spark.table(s"${prefix}_lineitem_b")
       .where(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(revTerm).cast("double").as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming maintenance of the materialized IVF index: new embedding
+  * files land in a directory, each micro-batch is assigned against the
+  * STORED centroids and appended to its inverted-list partitions
+  * ([[IvfIndex.append]]) — the streaming half of "the coarse quantizer
+  * is fixed; new vectors land in its cells". The end state must be
+  * indistinguishable from having built the index over the full corpus.
+  */
+class StreamingIvfSpec extends SparkSpec {
+
+  test("foreachBatch-appended IVF index equals the full batch build") {
+    import scala.jdk.CollectionConverters._
+    val base = "/root/repo/out/test_stream_ivf"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // clean prior spec indexes (rerun would otherwise append twice)
+    java.nio.file.Files.list(java.nio.file.Paths.get("/root/repo/out")).iterator().asScala
+      .filter(_.getFileName.toString.contains("spec_stream"))
+      .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+
+    val e = Similarity.vecs(spark, sfDir)
+    val maxId = e.agg(max("vec_id")).collect()(0).getLong(0)
+    val cut = maxId / 2
+    val train = () => Similarity.firstVectorCentroids(e, 16)
+    // base index over the first half; the rest arrives as a stream
+    val idx = IvfIndex.ensure(spark, sfDir, "spec_stream", 16, 0, train,
+      e.where(col("vec_id") <= cut))
+
+    val landing = s"$base/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    e.where(col("vec_id") > cut).select("vec_id", "label", "v", "nrm")
+      .write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val q = spark.readStream.schema(schema).parquet(landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfIndex.append(idx, batch)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = IvfIndex.open(spark, idx)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = IvfIndex.open(spark,
+        IvfIndex.ensure(spark, sfDir, "spec_stream_full", 16, 0, train, e))
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == full)
+    assert(streamed.exists(_._1 > cut), "streamed half must be searchable")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+}
