@@ -42,6 +42,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -55,13 +56,21 @@ object Bench {
       // one timed run (observed up to tens of seconds on a busy host)
       // must not be recorded as the query's steady-state latency
       val t = try { once(); Seq(once(), once(), once()).min }
-              catch { case _: Throwable => -1.0 }
+              catch { case e: Throwable =>
+                // a failed query must be distinguishable from a slow one
+                errors(name) = (e.getClass.getSimpleName + ": " +
+                  Option(e.getMessage).getOrElse("")).take(160)
+                  .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+                -1.0
+              }
       // ContextCleaner only releases broadcast blocks / shuffle state
       // after a driver GC; without this, earlier queries' debris slows
       // later ones by an order of magnitude
       System.gc()
       name -> t
     }
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -90,10 +99,15 @@ object Bench {
     println(s"# skew: $skew")
     val full =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,""" +
-      s""""ingest":$ingest,"scale10":$scale10,"scale100":$scale100,""" +
+      s""""errors":$errJson,"ingest":$ingest,"scale10":$scale10,"scale100":$scale100,""" +
       s""""skew":$skew,"fmt":"scale entries are [base_sec,xN_sec,ratio]","sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), full + "\n")
+    // partial dev runs (query subset / skipped sections) must never
+    // clobber the committed full-run record
+    val record =
+      if (only.isDefined || sys.env.keys.exists(_.startsWith("SPARK_GRAFT_SKIP_")))
+        "/root/repo/BENCH_LOCAL_DEV.json"
+      else "/root/repo/BENCH_LOCAL.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(record), full + "\n")
     // the LAST stdout line is the driver's machine-parsed artifact: it
     // must (a) be last — build.sbt sets showSuccess := false so sbt's
     // "[success]" epilogue doesn't steal the slot — and (b) survive a
