@@ -371,11 +371,18 @@ object Bench {
     }
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    // byte-based coalescing collapses reducer stages to 2-3 fat tasks in
+    // BOTH legs, hiding the straggler the demo exists to show; with it
+    // off, every reducer stage keeps its 32 partitions and skew reads as
+    // max >> median WITHIN one stage (salt collapses that ratio)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val (noSalt, salted) = try (run(1), run(16)) finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     }
     s"""{"cluster":1500,"bands":2,"forced_shuffle":true,"salt1":$noSalt,"salt16":$salted}"""
   }
