@@ -84,6 +84,7 @@ object SparkEntry {
     // ---- Text analysis (documents) ----
     "text_tokens" -> ((s, d) => graft.operators.TextAnalysis.tokens(s, d)),
     "text_langid" -> ((s, d) => graft.operators.TextAnalysis.langid(s, d)),
+    "text_langid_eval" -> ((s, d) => graft.operators.TextAnalysis.langidEval(s, d)),
     "text_quality" -> ((s, d) => graft.operators.TextAnalysis.quality(s, d)),
     "text_fingerprint" -> ((s, d) => graft.operators.TextAnalysis.fingerprint(s, d)),
     "text_repetition" -> ((s, d) => graft.operators.TextAnalysis.repetition(s, d)),
@@ -427,6 +428,11 @@ object SparkEntry {
         | CAST(length(text) AS BIGINT) AS n_chars_calc
         |FROM documents""".stripMargin,
     "text_langid" -> TextLangidSql,
+    // confusion matrix vs the corpus ground-truth lang column
+    "text_langid_eval" ->
+      s"""SELECT d.lang, p.lang_pred, COUNT(*) AS n
+         |FROM ($TextLangidSql) p JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     "text_quality" -> TextQualitySql,
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -28,6 +28,18 @@ object TextAnalysis {
       col("doc_id"),
       langId(col("text")).as("lang_pred"))
 
+  /** Classifier evaluation against the corpus ground truth: the
+    * (lang, lang_pred) confusion matrix in the same single scan — the
+    * predicted label is a projection of the `text` column the row
+    * already carries, so no join exists anywhere; one 25-cell-bounded
+    * hash aggregate.
+    */
+  def langidEval(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val nChars = length(col("text")).cast("long")
     val nTokens = wsTokenCount(col("text"))

@@ -92,4 +92,18 @@ class TextOpsSpec extends SparkSpec {
     assert(plain.nonEmpty)
     assert(plain == hashed)
   }
+
+  test("langidEval: confusion-matrix counts cover the corpus and the classifier beats chance") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m = TextAnalysis.langidEval(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.values.sum == docs.count())
+    val correct = m.collect { case ((t, p), n) if t == p => n }.sum
+    // the tiny stopword heuristic is weak on this synthetic corpus
+    // (~39% at sf0.001) — assert it clearly beats the 1/|langs| chance
+    // floor, not an absolute bar
+    val chance = 1.0 / m.keys.map(_._1).toSet.size
+    assert(correct.toDouble / m.values.sum > 1.5 * chance,
+      s"diagonal ${correct}/${m.values.sum}, chance $chance")
+  }
 }
