@@ -311,8 +311,12 @@ object Bench {
     val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = Seq("documents"))
     val docs = spark.read.parquet(s"$dir10/documents.parquet")
       .select(col("doc_id"), col("text"))
+    // 4000 planted clones: the unsalted leg funnels ~8M in-bucket pairs
+    // through each of TWO band reducers (seconds of straggler), far
+    // above host jitter — 1500 clones produced a ~1 s straggler that
+    // run-to-run GC noise could invert
     val one = docs.orderBy(col("doc_id")).limit(1).select(col("text"))
-    val cluster = spark.range(1500).crossJoin(broadcast(one))
+    val cluster = spark.range(4000).crossJoin(broadcast(one))
       .select((col("id") + 900000000L).as("doc_id"), col("text"))
     val planted = docs.union(cluster)
 
@@ -326,6 +330,14 @@ object Bench {
       // fresh heap before EACH leg: this section runs last in the suite
       // and the verify stage's broadcast/shuffle debris otherwise skews
       // the second leg by 2×+ (observed run-to-run)
+      System.gc()
+      // warm untimed pass (same methodology as every query leg): a cold
+      // leg's max_task is as often a JIT/GC pause as the straggler this
+      // demo measures — an in-suite cold salt16 leg once recorded a
+      // 1.9 s max_task that vanished warm
+      try graft.operators.Dedup.minhashLshFrame(planted, bands = 2, salt = salt)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
       System.gc()
       durs.clear()
       spark.sparkContext.addSparkListener(listener)
@@ -359,15 +371,30 @@ object Bench {
       // the straggler lives in ONE stage: report the top stages by max
       // task so the demo localizes it instead of hand-waving at a job
       // total (stage ids are run-relative, compare shapes not ids)
-      val stages = ds.groupBy(_._1).toSeq.map { case (sid, ts) =>
+      val stageStats = ds.groupBy(_._1).toSeq.map { case (sid, ts) =>
         val v = ts.map(_._2).sorted
         (sid, v.last, v(v.size / 2), v.size)
-      }.sortBy(-_._2).take(3).map { case (sid, mx, md, n) =>
+      }
+      val stages = stageStats.sortBy(-_._2).take(3).map { case (sid, mx, md, n) =>
         s"""{"stage":$sid,"max_ms":$mx,"med_ms":$md,"tasks":$n}"""
       }.mkString("[", ",", "]")
+      // THE demo metric: the most-skewed real stage (max/median task
+      // ratio). The wall clock is verify-bound and salt-independent —
+      // the candidate re-spread already balances verification; what
+      // salting fixes is the reducer balance of the pair-GENERATION
+      // join stage, and this ratio is where that is visible (≈13×
+      // unsalted → ≈1× salted) regardless of host jitter.
+      // only stages whose max task is ≥1 s qualify: sub-second map
+      // stages show huge ratios from input-split placement of the
+      // planted docs, which is not the reducer balance under test
+      val mostSkewed = stageStats.filter(s => s._4 >= 8 && s._3 > 0 && s._2 >= 1000)
+        .sortBy(s => -(s._2.toDouble / s._3)).headOption
+        .map { case (sid, mx, md, n) =>
+          s"""{"stage":$sid,"max_ms":$mx,"med_ms":$md,"tasks":$n,"ratio":${fmt(mx.toDouble / md, 1)}}"""
+        }.getOrElse("{}")
       System.gc()
       val errField = if (err != null) s""","error":"$err"""" else ""
-      s"""{"sec":${fmt(res, 2)},"max_task_ms":$maxMs,"med_task_ms":$medMs,"tasks":${all.size},"top_stages":$stages$errField}"""
+      s"""{"sec":${fmt(res, 2)},"max_task_ms":$maxMs,"med_task_ms":$medMs,"tasks":${all.size},"most_skewed":$mostSkewed,"top_stages":$stages$errField}"""
     }
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
@@ -384,7 +411,7 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     }
-    s"""{"cluster":1500,"bands":2,"forced_shuffle":true,"salt1":$noSalt,"salt16":$salted}"""
+    s"""{"cluster":4000,"bands":2,"forced_shuffle":true,"salt1":$noSalt,"salt16":$salted}"""
   }
 
   /** Ingest-throughput measurement (pts/s), the reference's headline
