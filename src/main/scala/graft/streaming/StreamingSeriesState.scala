@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-series running counter state at ingest: each arriving point is
+  * enriched with its reset-aware `increase` contribution (`max(Δv, 0)`;
+  * zero for a series' first point and for duplicate-timestamp pairs —
+  * the same pair semantics as the batch [[graft.tsdb.Db.increase]])
+  * and the running EWMA (`y ← (1-α)·y + α·x`, seeded with the first
+  * value — the same IEEE op chain as the batch `graft_ewma` kernel, so
+  * streamed values are BIT-equal to the batch fold; spec-asserted).
+  *
+  * State is one (lastTs, lastValue, ewma) record per series, sharded
+  * across executors by the state store; event-time order inside a
+  * micro-batch is restored with a local sort, like
+  * [[StatefulSessionize]]. Cross-batch late/reordered points follow
+  * the same contract as every stateful streaming op here: points are
+  * folded in arrival-batch order (add a watermark + drop if the
+  * deployment needs bounded disorder handling).
+  */
+object StreamingSeriesState {
+
+  case class Pt(series: String, ts: Long, value: Double)
+  case class SState(lastTs: Long, lastValue: Double, ewma: Double)
+  case class POut(series: String, ts: Long, value: Double,
+                  increase: Double, ewma: Double)
+
+  /** Enrich a canonical (series, ts, value) stream. */
+  def enrich(points: DataFrame, alpha: Double = 0.3): Dataset[POut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val om = 1.0 - alpha
+    points.as[Pt]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[SState, POut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[Pt], state: GroupState[SState]) =>
+          val pts = it.toSeq.sortBy(p => (p.ts, p.value))
+          var has = state.exists
+          var st = if (has) state.get else SState(Long.MinValue, 0.0, 0.0)
+          val out = pts.map { p =>
+            val inc =
+              if (!has || p.ts <= st.lastTs) 0.0
+              else math.max(p.value - st.lastValue, 0.0)
+            val e = if (!has) p.value else om * st.ewma + alpha * p.value
+            st = SState(math.max(st.lastTs, p.ts), p.value, e)
+            has = true
+            POut(series, p.ts, p.value, inc, e)
+          }
+          if (pts.nonEmpty) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** [[enrich]] over the raw events file stream for one metric, keyed
+    * by the (user, k) series — the streaming face of `Db.increase` /
+    * `Db.ewma` (the "∅" sentinel stands in for an absent props tag,
+    * mirroring the batch NULL-tag group).
+    */
+  def enrichEvents(events: DataFrame, metric: String,
+                   alpha: Double = 0.3): Dataset[POut] =
+    enrich(events
+      .where(col("event_type") === metric)
+      .select(
+        concat_ws("|", col("user_id").cast("string"),
+          coalesce(nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1),
+            lit("")), lit("∅"))).as("series"),
+        (expr("ts div 1000L") * lit(1000L)).as("ts"),
+        col("value")), alpha)
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tsdb.{Db, Duration}
+import org.apache.spark.sql.functions._
+
+class StreamingSeriesStateSpec extends SparkSpec {
+
+  private def seriesKey = concat_ws("|",
+    col("tag_user"), coalesce(col("tag_k"), lit("∅"))).as("series")
+
+  test("streamed per-series ewma is bit-equal to the batch fold; increase sums match per bucket") {
+    val stream = StreamingAgg.eventsStream(spark, sfDir)
+    val q = StreamingSeriesState.enrichEvents(stream, "click")
+      .writeStream.format("memory").queryName("series_state")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("series_state")
+
+    val db = Db.fromEvents(spark, sfDir)
+    // ewma: every streamed point carries EXACTLY the batch kernel's value
+    def ewmaRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("series", "ts", "value", "ewma").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+    val gotE = ewmaRows(got)
+    val batchE = ewmaRows(db.ewma("click").select(seriesKey,
+      col("ts"), col("value"), col("ewma")))
+    assert(gotE.nonEmpty && gotE == batchE)
+
+    // increase: per-bucket DECIMAL sums of the streamed contributions
+    // equal the batch operator's buckets; streamed-only buckets (a
+    // series' first point with no pair) sum to zero
+    val day = Duration.days(1)
+    val batchI = db.increase("click", day).select(seriesKey,
+        col("bucket_start"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val gotI = got.groupBy(col("series"),
+        (expr(s"ts div ${day}L") * lit(day)).as("bucket_start"))
+      .agg(sum(col("increase").cast("decimal(28,6)")).cast("double").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(batchI.nonEmpty)
+    batchI.foreach { case (k, v) =>
+      assert(gotI.get(k).contains(v), s"bucket $k: ${gotI.get(k)} != $v")
+    }
+    (gotI.keySet -- batchI.keySet).foreach { k =>
+      assert(gotI(k) == 0.0, s"pairless bucket $k must contribute zero")
+    }
+  }
+}
