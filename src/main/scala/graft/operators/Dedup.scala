@@ -531,17 +531,30 @@ object Dedup {
     * exponentially — caching alone (persist) keeps the data but not
     * the plan flat. Driver cost per round is exactly ONE job: the
     * convergence flag is an `observe` metric collected by the
-    * checkpoint-materializing job itself, not a separate action. (On a
-    * real cluster, swap in reliable `checkpoint` to survive executor
-    * loss; same contract.)
+    * checkpoint-materializing job itself, not a separate action.
+    *
+    * Materialization picks RELIABLE `checkpoint` automatically when
+    * the SparkContext has a checkpoint directory configured (the
+    * cluster deployment posture — survives executor loss; set it to
+    * durable storage) and `localCheckpoint` otherwise (single-machine
+    * speed; blocks die with executors). Same contract either way,
+    * spec-asserted identical results.
     */
+  /** Eager materialization + plan truncation, reliable iff the context
+    * has a checkpoint dir (see [[clusterPairs]] doc).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   def clusterPairs(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // symmetrize once: propagation must flow both directions
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+      .withColumn("comp", col("id")).transform(materialize)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -572,7 +585,7 @@ object Dedup {
           coalesce(col("pcomp"), col("s.comp")).as("comp"),
           (coalesce(col("pcomp"), col("s.comp")) =!= col("s.prev")).as("chg"))
         .observe(obs, coalesce(max(col("chg")), lit(false)).as("any"))
-        .localCheckpoint(true)
+        .transform(materialize)
       val anyChanged = obs.get("any").asInstanceOf[Boolean]
       labels = next.select(col("id"), col("comp"))
       converged = !anyChanged
@@ -647,7 +660,7 @@ object Dedup {
   def pipelineOverPairs(docsDf: DataFrame, pairs: DataFrame,
                         broadcastMaxIds: Long = 4_000_000L): DataFrame = {
     val clusters = clusterPairs(pairs)
-      .localCheckpoint(true)
+      .transform(materialize)
     val pairedCount = clusters.count()
     val kept = clusters.where(col("is_keeper"))
       .select(col("doc_id"), col("cluster_size"))

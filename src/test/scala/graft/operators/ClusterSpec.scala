@@ -80,6 +80,25 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("clusterPairs switches to reliable checkpoints when the context has a checkpoint dir") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val out = Dedup.clusterPairs(pairsDf(Seq((1L, 2L), (2L, 3L), (9L, 10L))))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L, 10L -> 9L))
+      // the rounds really went through the reliable path: checkpoint
+      // data landed under the configured dir (and the observe-based
+      // convergence probe works on that path too, or collect() above
+      // would have hung/failed)
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0)
+    } finally {
+      sc.setCheckpointDir(null) // Option(null) => None: clears it
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pipelineSimhash: every doc accounted once, keepers carry simhash-component sizes") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // hamMax 10 at this tiny sf so the pair set is nonempty (the sf0.01
