@@ -30,7 +30,7 @@ object GenGolden {
   val names: Seq[String] = Seq(
     "dedup_simhash", "mm_meta", "mm_framesample",
     "dedup_minhash", "dedup_embedding_lsh",
-    "ann_lsh", "ann_lsh_multiprobe", "ann_ivf_kmeans",
+    "ann_lsh", "ann_lsh_multiprobe", "ann_ivf_kmeans", "ann_pq",
     "dedup_pipeline")
 
   def main(args: Array[String]): Unit = {

@@ -110,6 +110,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => graft.operators.Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => graft.operators.Similarity.ivfKmeansTopK(s, d)),
     "ann_filtered" -> ((s, d) => graft.operators.Similarity.filteredTopK(s, d)),
+    "ann_pq" -> ((s, d) => graft.operators.Similarity.pqTopK(s, d)),
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
@@ -506,6 +507,8 @@ object SparkEntry {
     "mm_framesample" ->
       """SELECT doc_id, frame_idx, n_bytes, frame_md5
         |FROM read_parquet('/root/repo/golden/mm_framesample/*.parquet')""".stripMargin,
+    "ann_pq" ->
+      "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_pq/*.parquet')",
     // DuckDB recomputes the 4×16-bit banding + Hamming verify over the
     // golden simhash values (the kernel itself is not re-creatable in
     // SQL; the banded-join SEMANTICS are, and that is what this checks)

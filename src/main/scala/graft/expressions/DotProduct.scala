@@ -161,6 +161,29 @@ object GraftFunctions {
           "array sizes, so duplicate elements shrink the result vs " +
           "distinct-set Jaccard.", ""),
       (cs: Seq[Expression]) => { arity("graft_jaccard", 2, cs); JaccardSim(cs.head, cs(1)) }),
+    (FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (cs: Seq[Expression]) => {
+        arity("graft_pq_encode", 4, cs)
+        val booksOk = cs(1).foldable && (cs(1).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        })
+        if (!booksOk) throw new IllegalArgumentException(
+          s"graft_pq_encode: books must be a foldable array<double>, got ${cs(1)}")
+        val books = cs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        (cs(2), cs(3)) match {
+          case (IntLit(m), IntLit(sd)) =>
+            PqEncode(cs.head,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(books), m, sd)
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_encode: m/subDim must be int literals, got $other")
+        }
+      }),
+    (FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (cs: Seq[Expression]) => { arity("graft_pq_adc", 2, cs); PqAdc(cs.head, cs(1)) }),
     (FunctionIdentifier("graft_ewma"),
       new ExpressionInfo(classOf[EwmaFold].getName, "graft_ewma"),
       (cs: Seq[Expression]) => {

@@ -107,6 +107,84 @@ case class EwmaFold(child: Expression, alpha: Double)
     copy(child = newChild)
 }
 
+/** Product-quantization encode of a vector column into one packed long
+  * (m × 4-bit codes, 16 codewords per subspace) — see
+  * [[NativeKernels.pqEncode]]. The codebook matrix is plan state, held
+  * as an immutable ArraySeq for case-class equality (same rationale as
+  * [[CentroidCosines]]).
+  */
+case class PqEncode(child: Expression,
+                    books: scala.collection.immutable.ArraySeq[Double],
+                    m: Int, subDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  // NULL when the vector's length doesn't match m*subDim
+  override def nullable: Boolean = true
+
+  @transient private lazy val booksArr: Array[Double] = books.toArray
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _)
+        if m > 0 && m <= 16 && subDim > 0 && books.length == m * 16 * subDim =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode expects (array<float|double>, m*16*subDim codebooks, m in [1,16]), got $t")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (a.numElements() != m * subDim) null
+    else NativeKernels.pqEncode(a, booksArr, m, subDim, isFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", booksArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |if ($c.numElements() != ${m * subDim}) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.expressions.NativeKernels.pqEncode(
+      |    $c, $booksRef, $m, $subDim, $isFloat);
+      |}
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance lookup over a packed PQ code and a per-query
+  * LUT column — see [[NativeKernels.pqAdc]].
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc expects (long code, array<double> lut), got $t")
+    }
+
+  override protected def nullSafeEval(code: Any, lut: Any): Any =
+    NativeKernels.pqAdc(code.asInstanceOf[Long], lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) =>
+      s"graft.expressions.NativeKernels.pqAdc($c, $l)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Polynomial rolling hash of a string column — see
   * [[NativeKernels.rollingHash]].
   */

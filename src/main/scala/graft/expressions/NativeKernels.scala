@@ -111,6 +111,59 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Product-quantization encode: split `v` into `m` contiguous
+    * subvectors of `subDim`, per subspace pick the L2-nearest of 16
+    * codewords (`flat` layout: subspace-major, then codeword, then
+    * component — `flat(((s*16)+c)*subDim + d)`), pack the 4-bit codes
+    * into one long (subspace s at bits 4s..4s+3). 16 codewords × 4
+    * bits is the classic PQ byte-halving configuration; one long holds
+    * up to m=16 subspaces. Ties go to the LOWER codeword id (strict
+    * `<`), making the encoding deterministic.
+    */
+  def pqEncode(v: ArrayData, flat: Array[Double], m: Int, subDim: Int,
+               isFloat: Boolean): Long = {
+    var code = 0L
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < 16) {
+        val base = ((s * 16) + c) * subDim
+        var d2 = 0.0
+        var d = 0
+        while (d < subDim) {
+          val i = s * subDim + d
+          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          val diff = x - flat(base + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      code |= best.toLong << (4 * s)
+      s += 1
+    }
+    code
+  }
+
+  /** Asymmetric-distance lookup: sum the query's per-subspace partial
+    * dots (`lut` length m*16, entry `s*16 + code`) selected by the
+    * packed 4-bit codes — the approximate `dot(q, v)` that ranks the
+    * shortlist without touching the original vector.
+    */
+  def pqAdc(code: Long, lut: ArrayData): Double = {
+    val m = lut.numElements() / 16
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getDouble(s * 16 + ((code >>> (4 * s)) & 15L).toInt)
+      s += 1
+    }
+    acc
+  }
+
   /** Polynomial rolling hash `h = fold((h*31 + codepoint) % 1e9+7)` over
     * the document's characters.
     *

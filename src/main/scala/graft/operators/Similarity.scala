@@ -256,6 +256,141 @@ object Similarity {
     data
   }
 
+  // -------------------------------------------------------------------- PQ
+  /** Product-quantization ANN — the beyond-memory scale path: each
+    * 64-dim float vector (256 B) is coded as ONE long (m=8 subspaces ×
+    * 16 codewords = 4-bit codes) plus its stored norm, a 16× cut in
+    * the bytes the ranking scan touches. Query time is asymmetric
+    * distance computation: a per-query m×16 LUT of partial dots
+    * (driver-built — it is `m·16·subDim` multiplies) rides the
+    * broadcast query row, and the corpus side sums m table lookups per
+    * code (`graft_pq_adc`, codegen'd) — no original vector is read
+    * until the exact re-rank of the `shortlist` survivors, which uses
+    * the same `graft_dot` arithmetic as [[bruteForceTopK]], so every
+    * returned cosine is EXACT and a subset of the exhaustive ranking
+    * (spec-asserted, like the LSH family).
+    *
+    * Codebooks are trained driver-side on a bounded, deterministic
+    * sample (first `trainSample` vec_ids, per-subspace Lloyd with
+    * first-distinct init, strict-< ties) — PQ codebooks are tiny
+    * (m·16·subDim doubles) and production trainers sample exactly
+    * like coarse quantizers. Encoding is one corpus scan; a
+    * deployment materializes the (vec_id, nrm, code) frame like
+    * [[IvfIndex]] persists its lists and pays it once per corpus
+    * version.
+    */
+  def pqTopK(spark: SparkSession, dir: String,
+             numQueries: Int = 5, k: Int = 10,
+             m: Int = 8, shortlist: Int = 50,
+             trainSample: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    def toD(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+      r.getAs[scala.collection.Seq[Float]](i).iterator.map(_.toDouble).toArray
+    // bounded by construction: trainSample rows × dim doubles
+    val sample = e.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("v")).collect().map(toD(_, 0))
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val books = trainPqBooks(sample, m, subDim)
+    val coded = e.select(col("vec_id"), col("nrm"),
+      call_function("graft_pq_encode", col("v"),
+        typedLit(books.toSeq), lit(m), lit(subDim)).as("code"))
+    // per-query LUTs: numQueries × m×16 doubles, driver-built
+    val qLuts = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("v"), col("nrm")).collect().map { r =>
+        val qv = toD(r, 1)
+        val lut = new Array[Double](m * 16)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < 16) {
+            var acc = 0.0
+            var d = 0
+            while (d < subDim) {
+              acc += qv(s * subDim + d) * books(((s * 16) + c) * subDim + d)
+              d += 1
+            }
+            lut(s * 16 + c) = acc
+            c += 1
+          }
+          s += 1
+        }
+        (r.getLong(0), r.getDouble(2), lut.toSeq)
+      }.toSeq
+    val q = qLuts.toDF("q_id", "qnrm", "lut")
+    val short = coded.as("e")
+      .join(broadcast(q.as("q")), col("e.vec_id") =!= col("q.q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (call_function("graft_pq_adc", col("code"), col("lut"))
+          / (col("qnrm") * col("nrm"))).as("cos"))
+    val cand = topKPerQuery(short, shortlist).select(col("q_id"), col("vec_id"))
+    // exact re-rank: only the shortlist touches original vectors
+    val qv = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = cand
+      .join(e.as("e"), "vec_id")
+      .join(broadcast(qv.as("q")), "q_id")
+      .select(col("q_id"), col("vec_id"), cosAB.as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Per-subspace Lloyd on the driver sample: 16 codewords per
+    * subspace, first-distinct-subvector init, strict-< assignment
+    * ties, empty clusters keep their previous codeword — fully
+    * deterministic. Layout: subspace-major then codeword then
+    * component (what [[graft.expressions.NativeKernels.pqEncode]]
+    * reads).
+    */
+  private[operators] def trainPqBooks(sample: Array[Array[Double]], m: Int,
+                                      subDim: Int, iters: Int = 5): Array[Double] = {
+    val books = new Array[Double](m * 16 * subDim)
+    var s = 0
+    while (s < m) {
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      val init = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      var i = 0
+      while (init.length < 16 && i < subs.length) {
+        if (!init.exists(c => java.util.Arrays.equals(c, subs(i)))) init += subs(i).clone()
+        i += 1
+      }
+      // degenerate corpora (< 16 distinct subvectors): repeat cyclically
+      while (init.length < 16) init += init(init.length % math.max(init.length, 1)).clone()
+      var cents = init.toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(16)(new Array[Double](subDim))
+        val cnts = new Array[Int](16)
+        subs.foreach { x =>
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < 16) {
+            var d2 = 0.0
+            var d = 0
+            while (d < subDim) { val df = x(d) - cents(c)(d); d2 += df * df; d += 1 }
+            if (d2 < bd) { bd = d2; best = c }
+            c += 1
+          }
+          cnts(best) += 1
+          var d = 0
+          while (d < subDim) { sums(best)(d) += x(d); d += 1 }
+        }
+        cents = Array.tabulate(16)(c =>
+          if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c))
+        it += 1
+      }
+      var c = 0
+      while (c < 16) {
+        System.arraycopy(cents(c), 0, books, ((s * 16) + c) * subDim, subDim)
+        c += 1
+      }
+      s += 1
+    }
+    books
+  }
+
   // ------------------------------------------------------------------- LSH
   /** LSH-bucketed ANN: candidates share the full `planes`-bit signature
     * (native `graft_lsh_bucket`); cosine + top-k only within the bucket.

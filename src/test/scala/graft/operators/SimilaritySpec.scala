@@ -65,6 +65,26 @@ class SimilaritySpec extends SparkSpec {
     assert(again.nonEmpty && again.forall(_._1 <= cut))
   }
 
+  test("pq topk: hits carry exact cosines (subset of exhaustive) with measured recall") {
+    val pq = Similarity.pqTopK(spark, sfDir, numQueries = 5, k = 10)
+    val bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 500)
+    val pqRows = pq.select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bfAll = bf.select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pqRows.nonEmpty)
+    // every returned cosine is EXACT: identical to the exhaustive kernel
+    pqRows.foreach { case (key, c) =>
+      assert(bfAll.get(key).contains(c), s"pair $key cos mismatch")
+    }
+    // recall@10 of the ADC shortlist + exact re-rank vs the true top-10
+    val top10 = bf.where(col("rnk") <= 10).select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = top10.count(pqRows.contains)
+    val recall = hit.toDouble / top10.size
+    assert(recall >= 0.6, s"recall@10 $recall below floor (hit $hit/${top10.size})")
+  }
+
   test("lsh topk returns only same-bucket candidates ranked like brute force") {
     val lsh = Similarity.lshTopK(spark, sfDir, numQueries = 5, k = 5)
     val bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 500)
