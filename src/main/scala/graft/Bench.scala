@@ -147,7 +147,7 @@ object Bench {
     "dedup_embedding", "dedup_embedding_lsh", "dedup_cluster",
     "dedup_pipeline", "dedup_simhash_pairs", "dedup_pipeline_simhash",
     "ann_bruteforce", "ann_ivf", "ann_ivf_kmeans",
-    "ann_lsh", "ann_lsh_multiprobe", "ann_pq", "q5_multijoin",
+    "ann_lsh", "ann_lsh_multiprobe", "ann_pq", "ann_ivfpq", "q5_multijoin",
     "text_decontaminate", "text_repetition",
     // TSDB core representatives: aggregation, per-series window, scan,
     // plus the round-4 window/as-of family

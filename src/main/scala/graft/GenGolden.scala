@@ -31,7 +31,7 @@ object GenGolden {
     "dedup_simhash", "mm_meta", "mm_framesample",
     "dedup_minhash", "dedup_embedding_lsh",
     "ann_lsh", "ann_lsh_multiprobe", "ann_ivf_kmeans", "ann_pq",
-    "dedup_pipeline")
+    "ann_ivfpq", "dedup_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

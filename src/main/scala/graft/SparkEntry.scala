@@ -111,6 +111,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> ((s, d) => graft.operators.Similarity.ivfKmeansTopK(s, d)),
     "ann_filtered" -> ((s, d) => graft.operators.Similarity.filteredTopK(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.Similarity.pqTopK(s, d)),
+    "ann_ivfpq" -> ((s, d) => graft.operators.Similarity.ivfPqTopK(s, d)),
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
@@ -509,6 +510,8 @@ object SparkEntry {
         |FROM read_parquet('/root/repo/golden/mm_framesample/*.parquet')""".stripMargin,
     "ann_pq" ->
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_pq/*.parquet')",
+    "ann_ivfpq" ->
+      "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_ivfpq/*.parquet')",
     // DuckDB recomputes the 4×16-bit banding + Hamming verify over the
     // golden simhash values (the kernel itself is not re-creatable in
     // SQL; the banded-join SEMANTICS are, and that is what this checks)

@@ -105,4 +105,68 @@ object IvfIndex {
   def open(spark: SparkSession, index: Index): DataFrame =
     spark.read.parquet(s"${index.path}/assign")
       .withColumn("list_id", col("list_id").cast("long"))
+
+  // ---------------------------------------------------------------- IVF-PQ
+  /** IVF layout whose inverted lists ALSO carry the product-quantized
+    * code of every vector (one packed long — [[Similarity.pqTopK]]'s
+    * coding) next to `v`: the probe-phase ADC scan projects only
+    * (vec_id, nrm, code, list_id), so parquet column pruning keeps the
+    * 256-byte vectors on disk until the exact re-rank touches the
+    * shortlist. Codebooks live beside the centroids — both are part of
+    * the index version, and reuse (not retrain) is what keeps stored
+    * codes and query LUTs consistent.
+    */
+  final case class PqIndex(path: String, centroids: Similarity.Centroids,
+                           books: scala.collection.immutable.ArraySeq[Double],
+                           m: Int, subDim: Int)
+
+  def ensurePq(spark: SparkSession, dir: String, variant: String,
+               nlist: Int, iters: Int,
+               train: () => Similarity.Centroids,
+               trainBooks: () => (Array[Double], Int, Int),
+               corpus: => DataFrame,
+               base: String = "/root/repo/out"): PqIndex = {
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$dir/embeddings.parquet")
+    val path = s"$base/ivfpq_v1_${Integer.toHexString(dir.hashCode)}_${fp}_" +
+      s"${variant}_n${nlist}_i$iters"
+    pqCache.computeIfAbsent(path, _ => {
+      import spark.implicits._
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, "assign", "_SUCCESS"))) {
+        val cents = train()
+        val (books, m, subDim) = trainBooks()
+        cents.map { case (id, cv) => (id, cv.toSeq) }.toDF("cent_id", "cv")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+        Seq((m, subDim, books.toSeq)).toDF("m", "subdim", "books")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/pqbooks")
+        Similarity.assignFrame(corpus, cents)
+          .withColumn("code", call_function("graft_pq_encode", col("v"),
+            typedLit(books.toSeq), lit(m), lit(subDim)))
+          .repartition(col("list_id"))
+          .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/assign")
+      }
+      val cents = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+      val b = spark.read.parquet(s"$path/pqbooks").collect()(0)
+      PqIndex(path, cents,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          b.getSeq[Double](2).toArray), b.getInt(0), b.getInt(1))
+    })
+  }
+
+  /** The ADC projection of a PQ layout: (vec_id, nrm, code, list_id) —
+    * `v` deliberately unselected so the scan never reads it.
+    */
+  def openPqCodes(spark: SparkSession, index: PqIndex): DataFrame =
+    spark.read.parquet(s"${index.path}/assign")
+      .select(col("vec_id"), col("nrm"), col("code"),
+        col("list_id").cast("long").as("list_id"))
+
+  /** The full PQ layout rows (including `v`) for the re-rank phase. */
+  def openPqFull(spark: SparkSession, index: PqIndex): DataFrame =
+    spark.read.parquet(s"${index.path}/assign")
+      .withColumn("list_id", col("list_id").cast("long"))
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqIndex]()
 }

@@ -285,22 +285,107 @@ object Similarity {
              trainSample: Int = 4096): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir)
-    def toD(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
-      r.getAs[scala.collection.Seq[Float]](i).iterator.map(_.toDouble).toArray
-    // bounded by construction: trainSample rows × dim doubles
-    val sample = e.orderBy(col("vec_id")).limit(trainSample)
-      .select(col("v")).collect().map(toD(_, 0))
-    val dim = sample.head.length
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val subDim = dim / m
-    val books = trainPqBooks(sample, m, subDim)
+    val (books, _, subDim) = pqBooksFromCorpus(e, m, trainSample)
     val coded = e.select(col("vec_id"), col("nrm"),
       call_function("graft_pq_encode", col("v"),
         typedLit(books.toSeq), lit(m), lit(subDim)).as("code"))
-    // per-query LUTs: numQueries × m×16 doubles, driver-built
-    val qLuts = e.where(col("vec_id") < numQueries)
+    val q = pqQueryLuts(e, numQueries, books, m, subDim)
+      .toDF("q_id", "qnrm", "lut")
+    val short = coded.as("e")
+      .join(broadcast(q.as("q")), col("e.vec_id") =!= col("q.q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (call_function("graft_pq_adc", col("code"), col("lut"))
+          / (col("qnrm") * col("nrm"))).as("cos"))
+    val cand = topKPerQuery(short, shortlist).select(col("q_id"), col("vec_id"))
+    // exact re-rank: only the shortlist touches original vectors
+    val qv = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = cand
+      .join(e.as("e"), "vec_id")
+      .join(broadcast(qv.as("q")), "q_id")
+      .select(col("q_id"), col("vec_id"), cosAB.as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-PQ: the composed beyond-memory stack over a MATERIALIZED
+    * layout ([[IvfIndex.ensurePq]]) whose inverted lists carry each
+    * vector's packed PQ code next to it. Per query: coarse-probe
+    * `nprobe` lists exactly like [[ivfTopK]], ADC-rank the probed
+    * lists reading ONLY (vec_id, nrm, code, list_id) — parquet column
+    * pruning keeps the fat vector column on disk — then exact-re-rank
+    * the `shortlist` survivors with `graft_dot`. Per-query bytes
+    * touched ≈ `nprobe/nlist × corpus × 24 B/row` plus `shortlist`
+    * full vectors; returned cosines are exact and a subset of the
+    * exhaustive ranking (spec-asserted, with a plan assertion that
+    * the ADC scan's ReadSchema excludes `v`).
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+                numQueries: Int = 5, k: Int = 10,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, shortlist: Int = 50,
+                trainSample: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    val idx = IvfIndex.ensurePq(spark, dir, "first", nlist, iters = 0,
+      train = () => firstVectorCentroids(e, nlist),
+      trainBooks = () => {
+        val (b, mm, sd) = pqBooksFromCorpus(e, m, trainSample); (b, mm, sd)
+      },
+      corpus = e)
+    val queries = e.where(col("vec_id") < numQueries)
+    // coarse probes: nprobe nearest centroids per query (same ranking
+    // as ivfTopK), joined with the driver-built per-query LUT
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val ids = packCentroids(idx.centroids)._1
+    val probes = queries
+      .withColumn("cc", centScores(idx.centroids, rounded = true))
+      .select(col("vec_id").as("q_id"),
+        posexplode(col("cc")).as(Seq("pos", "ccos")))
+      .withColumn("cent_id", element_at(typedLit(ids), (col("pos") + 1).cast("int")))
+      .withColumn("crnk", rank().over(wProbe))
+      .where(col("crnk") <= nprobe)
+      .select(col("q_id"), col("cent_id").as("list_id"))
+    val luts = pqQueryLuts(e, numQueries, idx.books.toArray, idx.m, idx.subDim)
+      .toDF("q_id", "qnrm", "lut")
+    val probeLut = probes.join(luts, "q_id")
+    val short = IvfIndex.openPqCodes(spark, idx).as("e")
+      .join(broadcast(probeLut.as("q")),
+        col("e.list_id") === col("q.list_id") && col("e.vec_id") =!= col("q.q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (call_function("graft_pq_adc", col("code"), col("lut"))
+          / (col("qnrm") * col("nrm"))).as("cos"))
+    val cand = topKPerQuery(short, shortlist).select(col("q_id"), col("vec_id"))
+    val qv = queries
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = cand
+      .join(e.as("e"), "vec_id")
+      .join(broadcast(qv.as("q")), "q_id")
+      .select(col("q_id"), col("vec_id"), cosAB.as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Deterministic PQ codebooks from the corpus: trained on the first
+    * `trainSample` vec_ids (bounded by construction). Returns
+    * (books, m, subDim).
+    */
+  private[operators] def pqBooksFromCorpus(e: DataFrame, m: Int,
+                                           trainSample: Int): (Array[Double], Int, Int) = {
+    val sample = e.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("v")).collect().map(rowVec(_, 0))
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    (trainPqBooks(sample, m, subDim), m, subDim)
+  }
+
+  /** Driver-built per-query ADC lookup tables:
+    * (q_id, qnrm, lut[m*16]) — `lut(s*16+c) = dot(q_s, codeword_sc)`.
+    */
+  private def pqQueryLuts(e: DataFrame, numQueries: Int, books: Array[Double],
+                          m: Int, subDim: Int): Seq[(Long, Double, Seq[Double])] =
+    e.where(col("vec_id") < numQueries)
       .select(col("vec_id"), col("v"), col("nrm")).collect().map { r =>
-        val qv = toD(r, 1)
+        val qv = rowVec(r, 1)
         val lut = new Array[Double](m * 16)
         var s = 0
         while (s < m) {
@@ -319,22 +404,9 @@ object Similarity {
         }
         (r.getLong(0), r.getDouble(2), lut.toSeq)
       }.toSeq
-    val q = qLuts.toDF("q_id", "qnrm", "lut")
-    val short = coded.as("e")
-      .join(broadcast(q.as("q")), col("e.vec_id") =!= col("q.q_id"))
-      .select(col("q_id"), col("vec_id"),
-        (call_function("graft_pq_adc", col("code"), col("lut"))
-          / (col("qnrm") * col("nrm"))).as("cos"))
-    val cand = topKPerQuery(short, shortlist).select(col("q_id"), col("vec_id"))
-    // exact re-rank: only the shortlist touches original vectors
-    val qv = e.where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val scored = cand
-      .join(e.as("e"), "vec_id")
-      .join(broadcast(qv.as("q")), "q_id")
-      .select(col("q_id"), col("vec_id"), cosAB.as("cos"))
-    topKPerQuery(scored, k)
-  }
+
+  private def rowVec(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    r.getAs[scala.collection.Seq[Float]](i).iterator.map(_.toDouble).toArray
 
   /** Per-subspace Lloyd on the driver sample: 16 codewords per
     * subspace, first-distinct-subvector init, strict-< assignment

@@ -85,6 +85,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 $recall below floor (hit $hit/${top10.size})")
   }
 
+  test("ivf-pq: exact subset-of-exhaustive hits; ADC scan never reads the vector column") {
+    import scala.jdk.CollectionConverters._
+    // clean prior ivfpq layouts so a rerun rebuilds deterministically
+    java.nio.file.Files.list(java.nio.file.Paths.get("/root/repo/out")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("ivfpq_"))
+      .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    val ivfpq = Similarity.ivfPqTopK(spark, sfDir, numQueries = 5, k = 10)
+    val rows = ivfpq.select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.nonEmpty)
+    val bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 500)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { case (key, c) =>
+      assert(bf.get(key).contains(c), s"pair $key cos mismatch")
+    }
+    // the ADC phase reads codes, norms, ids — parquet column pruning
+    // must keep the 64-float vector column out of that scan entirely
+    val plan = ivfpq.queryExecution.executedPlan.toString
+    val codeScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("code")).toSeq
+    assert(codeScans.nonEmpty, s"no code scan found:\n${plan.take(2000)}")
+    assert(codeScans.forall(!_.contains("v:array")),
+      s"ADC scan must not read v:\n${codeScans.mkString("\n")}")
+  }
+
   test("lsh topk returns only same-bucket candidates ranked like brute force") {
     val lsh = Similarity.lshTopK(spark, sfDir, numQueries = 5, k = 5)
     val bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 500)
