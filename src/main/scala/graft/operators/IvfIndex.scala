@@ -132,7 +132,8 @@ object IvfIndex {
     pqCache.computeIfAbsent(path, _ => {
       import spark.implicits._
       if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(path, "assign", "_SUCCESS"))) {
+          java.nio.file.Paths.get(path, "assign", "_SUCCESS"))
+          || java.nio.file.Files.exists(appendedMarker(path))) {
         val cents = train()
         val (books, m, subDim) = trainBooks()
         cents.map { case (id, cv) => (id, cv.toSeq) }.toDF("cent_id", "cv")
@@ -144,6 +145,7 @@ object IvfIndex {
             typedLit(books.toSeq), lit(m), lit(subDim)))
           .repartition(col("list_id"))
           .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/assign")
+        java.nio.file.Files.deleteIfExists(appendedMarker(path))
       }
       val cents = spark.read.parquet(s"$path/centroids").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
@@ -152,6 +154,24 @@ object IvfIndex {
         scala.collection.immutable.ArraySeq.unsafeWrapArray(
           b.getSeq[Double](2).toArray), b.getInt(0), b.getInt(1))
     })
+  }
+
+  /** Online IVF-PQ maintenance: assign a batch of new (vec_id, v, nrm)
+    * vectors against the STORED centroids, encode them against the
+    * STORED codebooks, and append to the inverted-list partitions —
+    * the same fixed-quantizer contract as [[append]], extended to the
+    * fine quantizer. Drops the same `_appended` marker so a later
+    * [[ensurePq]] of the fingerprint key rebuilds instead of serving
+    * the mutated layout.
+    */
+  def appendPq(index: PqIndex, batch: DataFrame): Unit = {
+    Similarity.assignFrame(batch, index.centroids)
+      .withColumn("code", call_function("graft_pq_encode", col("v"),
+        typedLit(index.books.toSeq), lit(index.m), lit(index.subDim)))
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("append").parquet(s"${index.path}/assign")
+    java.nio.file.Files.write(appendedMarker(index.path), Array.empty[Byte])
+    pqCache.remove(index.path)
   }
 
   /** The ADC projection of a PQ layout: (vec_id, nrm, code, list_id) —

@@ -111,6 +111,35 @@ class SimilaritySpec extends SparkSpec {
       s"ADC scan must not read v:\n${codeScans.mkString("\n")}")
   }
 
+  test("ivf-pq append: incrementally coded corpus equals a full build (codes included)") {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get("/root/repo/out")).iterator().asScala
+      .filter(_.getFileName.toString.contains("pq_spec"))
+      .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    val e = Similarity.vecs(spark, sfDir)
+    val maxId = e.agg(max("vec_id")).collect()(0).getLong(0)
+    val cut = maxId / 2
+    val train = () => Similarity.firstVectorCentroids(e, 16)
+    // books trained on the BASE half in both builds, so the quantizers
+    // are identical and only the append path differs
+    val books = () => Similarity.pqBooksFromCorpus(e.where(col("vec_id") <= cut), 8, 4096)
+    val inc = IvfIndex.ensurePq(spark, sfDir, "pq_spec_inc", 16, 0, train, books,
+      e.where(col("vec_id") <= cut))
+    IvfIndex.appendPq(inc, e.where(col("vec_id") > cut))
+    val full = IvfIndex.ensurePq(spark, sfDir, "pq_spec_full", 16, 0, train, books, e)
+    def rows(ix: IvfIndex.PqIndex) = IvfIndex.openPqCodes(spark, ix)
+      .select("vec_id", "list_id", "code").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = rows(inc)
+    val b = rows(full)
+    assert(a.nonEmpty && a == b)
+    assert(a.exists(_._1 > cut), "appended half must be coded and searchable")
+    // append invalidated the cache: re-ensuring the same key rebuilds pristine
+    val again = rows(IvfIndex.ensurePq(spark, sfDir, "pq_spec_inc", 16, 0, train, books,
+      e.where(col("vec_id") <= cut)))
+    assert(again.nonEmpty && again.forall(_._1 <= cut))
+  }
+
   test("lsh topk returns only same-bucket candidates ranked like brute force") {
     val lsh = Similarity.lshTopK(spark, sfDir, numQueries = 5, k = 5)
     val bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 500)
