@@ -182,6 +182,12 @@ object Bench {
     "ann_ivf_kmeans" -> ((s: SparkSession, d: String) =>
       if (d.contains("scale100")) graft.operators.Similarity.ivfKmeansTopK(s, d, nlist = 160)
       else graft.operators.Similarity.ivfKmeansTopK(s, d)),
+    // IVF-PQ at 100×: same √n-style nlist scaling; the ADC scan reads
+    // 24 B/row of the probed lists only — the flattest curve here is
+    // the whole materialized-code thesis
+    "ann_ivfpq" -> ((s: SparkSession, d: String) =>
+      if (d.contains("scale100")) graft.operators.Similarity.ivfPqTopK(s, d, nlist = 160)
+      else graft.operators.Similarity.ivfPqTopK(s, d)),
     "ts_avg" -> SparkEntry.queries("ts_avg"),
     "ts_latest" -> SparkEntry.queries("ts_latest"),
     "ts_raw" -> SparkEntry.queries("ts_raw"),
