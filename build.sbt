@@ -16,6 +16,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout with NO
+// "[info] " logger decoration: the driver parses the LAST stdout line
+// of `sbt runMain graft.Bench` as JSON, and the logger prefix made
+// that parse fail (BENCH_r03..r05 "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

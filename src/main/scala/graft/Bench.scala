@@ -36,6 +36,7 @@ object Bench {
       // recompile every generated class on every run — the round-1
       // full-suite bench spent most of its time compiling, not executing
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config(graft.Conf.WorkDirKey, "/root/repo/out")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -60,7 +61,7 @@ object Bench {
                 // a failed query must be distinguishable from a slow one
                 errors(name) = (e.getClass.getSimpleName + ": " +
                   Option(e.getMessage).getOrElse("")).take(160)
-                  .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+                  .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
                 -1.0
               }
       // ContextCleaner only releases broadcast blocks / shuffle state
@@ -257,7 +258,8 @@ object Bench {
     val w = graft.tsdb.Duration.hours(1)
     def leg(dir: String): (Double, Double) = try {
       org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(graft.tsdb.Ingest.rollupPath(dir, w)))
+        new java.io.File(graft.tsdb.Ingest.rollupPath(dir, w,
+          graft.Conf.workDir(spark))))
       val t0 = System.nanoTime()
       graft.tsdb.Ingest.ensureRollup(spark, dir, w)
       val build = (System.nanoTime() - t0) / 1e9
@@ -360,7 +362,7 @@ object Bench {
       } catch { case e: Throwable =>
         err = (e.getClass.getSimpleName + ": " +
           Option(e.getMessage).getOrElse("")).take(160)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+          .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
         -1.0
       }
       // listener events are posted asynchronously; give the bus a beat

@@ -43,6 +43,7 @@ object GenGolden {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config(graft.Conf.WorkDirKey, "/root/repo/out")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val targets = if (args.nonEmpty) args.toSeq else names

@@ -41,14 +41,17 @@ object IvfIndex {
   def ensure(spark: SparkSession, dir: String, variant: String,
              nlist: Int, iters: Int,
              train: () => Similarity.Centroids, corpus: => DataFrame,
-             base: String = "/root/repo/out"): Index = {
+             base: String = ""): Index = {
     val fp = graft.tsdb.Ingest.contentFingerprint(s"$dir/embeddings.parquet")
-    val path = s"$base/ivf_v1_${Integer.toHexString(dir.hashCode)}_${fp}_" +
+    val root = graft.Conf.resolveWorkDir(spark, base)
+    val path = s"$root/ivf_v1_${Integer.toHexString(dir.hashCode)}_${fp}_" +
       s"${variant}_n${nlist}_i$iters"
     cache.computeIfAbsent(path, _ => {
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(path, "assign", "_SUCCESS"))
           || java.nio.file.Files.exists(appendedMarker(path))) {
+        // batch appends were layered on the superseded copy — drop them
+        dropBatches(path)
         val data = train()
         import spark.implicits._
         data.map { case (id, cv) => (id, cv.toSeq) }.toDF("cent_id", "cv")
@@ -81,29 +84,74 @@ object IvfIndex {
     * fingerprint-keyed cache path promises, so append drops the marker
     * file that makes the next [[ensure]] REBUILD the path (and evicts
     * the in-memory handle) instead of silently serving the mutated
-    * index as if it matched its key. Keep using the returned handle /
-    * [[open]] to serve the appended generation.
+    * index as if it matched its key. The marker lands BEFORE the data:
+    * a crash mid-append then leaves a marked layout (forced harmless
+    * rebuild), never a mutated one served as pristine. Keep using the
+    * returned handle / [[open]] to serve the appended generation.
     */
   def append(index: Index, batch: DataFrame): Unit = {
+    invalidate(index.path, cache)
     Similarity.assignFrame(batch, index.centroids)
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("append").parquet(s"${index.path}/assign")
-    java.nio.file.Files.write(appendedMarker(index.path), Array.empty[Byte])
-    cache.remove(index.path)
   }
 
-  /** Present iff [[append]] has mutated the layout past its
+  /** Replay-idempotent variant of [[append]] for replayable writers
+    * (Structured Streaming `foreachBatch`, which re-executes a batch
+    * after a crash): the batch's vectors land under a batch-keyed
+    * subdirectory with OVERWRITE semantics — a replay rewrites the same
+    * directory instead of double-appending, mirroring
+    * [[graft.tsdb.Ingest.appendRollupBatch]]. A crash mid-write leaves
+    * the directory without `_SUCCESS`; [[open]] prunes such incomplete
+    * batches until the replay completes them — together that is the
+    * exactly-once contract for streaming IVF maintenance.
+    */
+  def appendBatch(index: Index, batch: DataFrame, batchId: Long): Unit = {
+    invalidate(index.path, cache)
+    Similarity.assignFrame(batch, index.centroids)
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite")
+      .parquet(s"${index.path}/assign_batches/batch_id=$batchId")
+  }
+
+  /** Present iff an append has mutated the layout past its
     * fingerprinted source corpus.
     */
   private def appendedMarker(path: String) =
     java.nio.file.Paths.get(path, "_appended")
+
+  /** Mark the layout mutated and evict its in-memory handle — BEFORE
+    * any data lands, so every partially-appended state is marked.
+    */
+  private def invalidate(path: String,
+                         c: java.util.concurrent.ConcurrentHashMap[String, _]): Unit = {
+    java.nio.file.Files.write(appendedMarker(path), Array.empty[Byte])
+    c.remove(path)
+  }
+
+  /** Complete (`_SUCCESS`-marked) batch-append directories of a layout. */
+  private def completeBatchDirs(path: String): Seq[String] =
+    Option(new java.io.File(s"$path/assign_batches").listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getAbsolutePath).sorted
+
+  private def dropBatches(path: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$path/assign_batches"))
+
+  /** The base layout unioned with every COMPLETE batch append. */
+  private def withBatches(spark: SparkSession, path: String,
+                          base: DataFrame): DataFrame =
+    completeBatchDirs(path).foldLeft(base)((acc, d) =>
+      acc.unionByName(spark.read.parquet(d)))
 
   /** The assignment layout as (vec_id, v, nrm, list_id). The partition
     * column is directory-inferred (int) — cast back to the centroid id
     * type.
     */
   def open(spark: SparkSession, index: Index): DataFrame =
-    spark.read.parquet(s"${index.path}/assign")
+    withBatches(spark, index.path, spark.read.parquet(s"${index.path}/assign"))
       .withColumn("list_id", col("list_id").cast("long"))
 
   // ---------------------------------------------------------------- IVF-PQ
@@ -125,15 +173,21 @@ object IvfIndex {
                train: () => Similarity.Centroids,
                trainBooks: () => (Array[Double], Int, Int),
                corpus: => DataFrame,
-               base: String = "/root/repo/out"): PqIndex = {
+               m: Int = 8, trainSample: Int = 4096,
+               base: String = ""): PqIndex = {
     val fp = graft.tsdb.Ingest.contentFingerprint(s"$dir/embeddings.parquet")
-    val path = s"$base/ivfpq_v1_${Integer.toHexString(dir.hashCode)}_${fp}_" +
-      s"${variant}_n${nlist}_i$iters"
+    val root = graft.Conf.resolveWorkDir(spark, base)
+    // every knob that shapes the stored layout — coarse (nlist, iters)
+    // AND fine (m, trainSample) — is in the cache key, so requesting a
+    // different PQ geometry never silently reuses the old codes
+    val path = s"$root/ivfpq_v1_${Integer.toHexString(dir.hashCode)}_${fp}_" +
+      s"${variant}_n${nlist}_i${iters}_m${m}_t$trainSample"
     pqCache.computeIfAbsent(path, _ => {
       import spark.implicits._
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(path, "assign", "_SUCCESS"))
           || java.nio.file.Files.exists(appendedMarker(path))) {
+        dropBatches(path)
         val cents = train()
         val (books, m, subDim) = trainBooks()
         cents.map { case (id, cv) => (id, cv.toSeq) }.toDF("cent_id", "cv")
@@ -160,31 +214,44 @@ object IvfIndex {
     * vectors against the STORED centroids, encode them against the
     * STORED codebooks, and append to the inverted-list partitions —
     * the same fixed-quantizer contract as [[append]], extended to the
-    * fine quantizer. Drops the same `_appended` marker so a later
-    * [[ensurePq]] of the fingerprint key rebuilds instead of serving
-    * the mutated layout.
+    * fine quantizer. Drops the same `_appended` marker (BEFORE the
+    * data, same crash posture) so a later [[ensurePq]] of the
+    * fingerprint key rebuilds instead of serving the mutated layout.
     */
   def appendPq(index: PqIndex, batch: DataFrame): Unit = {
+    invalidate(index.path, pqCache)
+    pqEncoded(index, batch)
+      .write.partitionBy("list_id").mode("append").parquet(s"${index.path}/assign")
+  }
+
+  /** Replay-idempotent PQ append — [[appendBatch]]'s contract for the
+    * IVF-PQ layout.
+    */
+  def appendPqBatch(index: PqIndex, batch: DataFrame, batchId: Long): Unit = {
+    invalidate(index.path, pqCache)
+    pqEncoded(index, batch)
+      .write.partitionBy("list_id").mode("overwrite")
+      .parquet(s"${index.path}/assign_batches/batch_id=$batchId")
+  }
+
+  private def pqEncoded(index: PqIndex, batch: DataFrame): DataFrame =
     Similarity.assignFrame(batch, index.centroids)
       .withColumn("code", call_function("graft_pq_encode", col("v"),
         typedLit(index.books.toSeq), lit(index.m), lit(index.subDim)))
       .repartition(col("list_id"))
-      .write.partitionBy("list_id").mode("append").parquet(s"${index.path}/assign")
-    java.nio.file.Files.write(appendedMarker(index.path), Array.empty[Byte])
-    pqCache.remove(index.path)
-  }
 
   /** The ADC projection of a PQ layout: (vec_id, nrm, code, list_id) —
-    * `v` deliberately unselected so the scan never reads it.
+    * `v` deliberately unselected so the scan never reads it (the
+    * projection pushes through the batch-append union).
     */
   def openPqCodes(spark: SparkSession, index: PqIndex): DataFrame =
-    spark.read.parquet(s"${index.path}/assign")
+    withBatches(spark, index.path, spark.read.parquet(s"${index.path}/assign"))
       .select(col("vec_id"), col("nrm"), col("code"),
         col("list_id").cast("long").as("list_id"))
 
   /** The full PQ layout rows (including `v`) for the re-rank phase. */
   def openPqFull(spark: SparkSession, index: PqIndex): DataFrame =
-    spark.read.parquet(s"${index.path}/assign")
+    withBatches(spark, index.path, spark.read.parquet(s"${index.path}/assign"))
       .withColumn("list_id", col("list_id").cast("long"))
 
   private val pqCache =

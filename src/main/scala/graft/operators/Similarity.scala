@@ -331,7 +331,7 @@ object Similarity {
       trainBooks = () => {
         val (b, mm, sd) = pqBooksFromCorpus(e, m, trainSample); (b, mm, sd)
       },
-      corpus = e)
+      corpus = e, m = m, trainSample = trainSample)
     val queries = e.where(col("vec_id") < numQueries)
     // coarse probes: nprobe nearest centroids per query (same ranking
     // as ivfTopK), joined with the driver-built per-query LUT
@@ -427,8 +427,11 @@ object Similarity {
         if (!init.exists(c => java.util.Arrays.equals(c, subs(i)))) init += subs(i).clone()
         i += 1
       }
-      // degenerate corpora (< 16 distinct subvectors): repeat cyclically
-      while (init.length < 16) init += init(init.length % math.max(init.length, 1)).clone()
+      // degenerate corpora (< 16 distinct subvectors): cycle through the
+      // distinct ones found (modulo their PRE-padding count — taking the
+      // growing length would always pick index 0)
+      val distinctCount = math.max(init.length, 1)
+      while (init.length < 16) init += init(init.length % distinctCount).clone()
       var cents = init.toArray
       var it = 0
       while (it < iters) {

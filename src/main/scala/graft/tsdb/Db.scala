@@ -158,12 +158,23 @@ final class Db(val frame: DataFrame) {
     * `list_reduce` over window prefix arrays (bit-stable).
     */
   def ewma(metric: String, alpha: Double = 0.3,
-           filterExpr: String = "*"): DataFrame = {
+           filterExpr: String = "*",
+           maxPointsPerSeries: Long = 10000000L): DataFrame = {
     graft.expressions.GraftFunctions.register(frame.sparkSession)
     val tags = tagColumns.map(col)
     scan(metric, filterExpr)
       .groupBy(col("metric") +: tags: _*)
-      .agg(sort_array(collect_list(struct(col("ts"), col("value")))).as("pts"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("npts"),
+        sort_array(collect_list(struct(col("ts"), col("value")))).as("pts"))
+      // in-plan guard (gapfill's posture, Db.buildGapFilled): a series
+      // past the cap fails with its identity and size in the message
+      // instead of silently OOMing an executor in the fold/explode below
+      .withColumn("pts", when(col("npts") <= maxPointsPerSeries, col("pts"))
+        .otherwise(raise_error(concat(
+          lit(s"ewma series exceeds $maxPointsPerSeries points for metric '"),
+          col("metric"), lit("' ("), col("npts").cast("string"),
+          lit(" points); narrow the filter or raise maxPointsPerSeries")))))
+      .drop("npts")
       .withColumn("sm", call_function("graft_ewma", col("pts"), lit(alpha)))
       .select(col("metric") +: tags :+
         posexplode(arrays_zip(col("pts"), col("sm"))).as(Seq("i", "z")): _*)

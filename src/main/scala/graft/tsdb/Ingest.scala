@@ -228,8 +228,8 @@ object Ingest {
     * [[ensureLayout]]).
     */
   def ensureRollup(spark: SparkSession, sfDir: String, widthNs: Long,
-                   base: String = "/root/repo/out"): String = {
-    val path = rollupPath(sfDir, widthNs, base)
+                   base: String = ""): String = {
+    val path = rollupPath(sfDir, widthNs, graft.Conf.resolveWorkDir(spark, base))
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
       writeRollup(Db.fromEvents(spark, sfDir), path, widthNs)
     path
@@ -240,7 +240,7 @@ object Ingest {
     * time the build separately from the query).
     */
   private[graft] def rollupPath(sfDir: String, widthNs: Long,
-                                base: String = "/root/repo/out"): String = {
+                                base: String): String = {
     val fp = contentFingerprint(s"$sfDir/events.parquet")
     s"$base/graft_rollup_v${LayoutVersion}_w${widthNs}_" +
       s"${Integer.toHexString(sfDir.hashCode)}_$fp"
@@ -270,9 +270,10 @@ object Ingest {
   }
 
   def ensureLayout(spark: SparkSession, sfDir: String,
-                   base: String = "/root/repo/out"): String = {
+                   base: String = ""): String = {
     val fp = contentFingerprint(s"$sfDir/events.parquet")
-    val path = s"$base/graft_layout_v${LayoutVersion}_" +
+    val root = graft.Conf.resolveWorkDir(spark, base)
+    val path = s"$root/graft_layout_v${LayoutVersion}_" +
       s"${Integer.toHexString(sfDir.hashCode)}_$fp"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
       write(Db.fromEvents(spark, sfDir), path)

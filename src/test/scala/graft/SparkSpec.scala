@@ -16,6 +16,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(graft.Conf.WorkDirKey, "/root/repo/out")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

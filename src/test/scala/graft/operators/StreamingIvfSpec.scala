@@ -37,19 +37,32 @@ class StreamingIvfSpec extends SparkSpec {
     e.where(col("vec_id") > cut).select("vec_id", "label", "v", "nrm")
       .write.mode("overwrite").parquet(landing)
     val schema = spark.read.parquet(landing).schema
+    val seenBatches = scala.collection.mutable.ArrayBuffer[Long]()
     val q = spark.readStream.schema(schema).parquet(landing)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        IvfIndex.append(idx, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        seenBatches.synchronized { seenBatches += batchId }
+        IvfIndex.appendBatch(idx, batch, batchId)
+        // foreachBatch re-executes a batch after a crash: the batch-keyed
+        // overwrite must make the replay a no-op, not a double-append
+        IvfIndex.appendBatch(idx, batch, batchId)
+        batch.unpersist()
+        ()
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    assert(seenBatches.nonEmpty)
 
-    val streamed = IvfIndex.open(spark, idx)
+    val streamedRows = IvfIndex.open(spark, idx)
       .select("vec_id", "list_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once despite every batch running twice: no duplicate ids
+    assert(streamedRows.length == streamedRows.map(_._1).distinct.length,
+      "replayed batches must not duplicate vectors")
+    val streamed = streamedRows.toSet
     val full = IvfIndex.open(spark,
         IvfIndex.ensure(spark, sfDir, "spec_stream_full", 16, 0, train, e))
       .select("vec_id", "list_id").collect()

@@ -65,6 +65,20 @@ class TsdbOpsSpec extends SparkSpec {
       ("v", 0L, 100.0, 100.0)))
   }
 
+  test("ewma fails with a diagnostic when a series exceeds the point cap") {
+    val d = db((0L until 64L).map(i => ("m", i, i.toDouble, "u")))
+    val e = intercept[Exception] {
+      d.ewma("m", alpha = 0.5, maxPointsPerSeries = 63L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val msg = messages(e).mkString(" | ")
+    assert(msg.contains("ewma series exceeds 63 points"), msg)
+    assert(msg.contains("'m'") && msg.contains("64 points"), msg)
+    // at the cap itself the fold still runs
+    assert(d.ewma("m", alpha = 0.5, maxPointsPerSeries = 64L).count() == 64L)
+  }
+
   test("asofAlign carries the latest right value at ts' <= ts, max-merged at ties") {
     val d = db(Seq(
       ("l", 5L, 1.0, "u"),
