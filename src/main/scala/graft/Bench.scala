@@ -98,10 +98,14 @@ object Bench {
     val skew = if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW")) "{}"
                else skewBench(spark, sfDir)
     println(s"# skew: $skew")
+    val lshCounts = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+                    else lshCountsJson(spark, sfDir)
+    println(s"# lsh_counts: $lshCounts")
     val full =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"ingest":$ingest,"scale10":$scale10,"scale100":$scale100,""" +
-      s""""skew":$skew,"fmt":"scale entries are [base_sec,xN_sec,ratio]","sf":"$sfDir"}"""
+      s""""skew":$skew,"lsh_counts":$lshCounts,""" +
+      s""""fmt":"scale entries are [base_sec,xN_sec,ratio]; lsh_counts entries are [candidates,verified]","sf":"$sfDir"}"""
     // partial dev runs (query subset / skipped sections) must never
     // clobber the committed full-run record
     val record =
@@ -227,7 +231,14 @@ object Bench {
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        val t = try { once(); once() } catch { case _: Throwable => -1.0 }
+        // warm + best-of-2, same rationale as the main suite's
+        // best-of-3: a single GC pause / JIT flush in a long-lived
+        // suite JVM must not become the official scale number (the
+        // r05 embedding-LSH 100× leg recorded 165 s where steady
+        // state measures ~21 s — a first-run artifact, since fixed
+        // numbers track ~the probe's warm floor)
+        val t = try { once(); math.min(once(), once()) }
+                catch { case _: Throwable => -1.0 }
         System.gc()
         t
       }
@@ -236,6 +247,42 @@ object Bench {
       val ratio = if (base > 0 && xN > 0) xN / base else -1.0
       (name, base, xN, ratio)
     }
+  }
+
+  /** Candidate/verified pair counts for the LSH-family scale queries
+    * ([[graft.operators.Dedup.lshStats]]) at base, 10× and — for the
+    * entries the 100× curve actually runs — 100×. The counts are the
+    * artifact-side PROOF that LSH scale ratios track true-duplicate
+    * pair volume (the 10×/100× corpora are jittered replicas, so every
+    * document/vector sits in a replica cluster and candidates grow
+    * ∝ Σ cluster², i.e. superlinearly, by WORKLOAD construction).
+    * dedup_minhash's 100× counts are skipped with its timed leg (the
+    * quadratic set-intersection verify is why the leg itself is
+    * skipped); candidate counting without verification is cheap but a
+    * count nobody can tie to a timed run proves nothing.
+    */
+  private def lshCountsJson(spark: SparkSession, sfDir: String): String = {
+    val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)
+    val legs100 =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) Nil
+      else Seq("x100" -> ScaleData.ensure(spark, sfDir, 100,
+        tables = Seq("documents", "embeddings", "events")))
+    def cell(op: String, dir: String): String =
+      try {
+        val (c, v) = graft.operators.Dedup.lshStats(spark, dir, op)
+        s"[$c,$v]"
+      } catch { case _: Throwable => "[-1,-1]" }
+    val ops = Seq(
+      "dedup_minhash" -> Seq("base" -> sfDir, "x10" -> dir10),
+      "dedup_embedding_lsh" ->
+        (Seq("base" -> sfDir, "x10" -> dir10) ++ legs100),
+      "dedup_simhash_pairs" ->
+        (Seq("base" -> sfDir, "x10" -> dir10) ++ legs100))
+    ops.map { case (op, legs) =>
+      val inner = legs.map { case (k, d) => s""""$k":${cell(op, d)}""" }
+        .mkString("{", ",", "}")
+      s""""$op":$inner"""
+    }.mkString("{", ",", "}")
   }
 
   private def scaleJson(rows: Seq[(String, Double, Double, Double)],

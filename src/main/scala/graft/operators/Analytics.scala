@@ -130,6 +130,12 @@ object Analytics {
     t(spark, dir, "orders").write
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").format("parquet").saveAsTable(s"${prefix}_orders_b")
+    // customer co-bucketed on its key: the layout [[q5CoBucketed]] rides
+    // so the one fact-sized table q5 still shuffled per query never
+    // leaves its scan
+    t(spark, dir, "customer").write
+      .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").format("parquet").saveAsTable(s"${prefix}_customer_b")
   }
 
   /** [[q3]] over [[bucketFacts]] tables — identical results, zero
@@ -181,6 +187,45 @@ object Analytics {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_custkey"), col("s_nationkey"))
       .agg(sum(revTerm).as("rev_partial"))
+      .join(cust.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_partial")).cast("double").as("revenue"))
+  }
+
+  /** [[q5Bucketed]] with the CUSTOMER side also riding a bucketed
+    * layout (`bucketBy(c_custkey)`, written by [[bucketFacts]]):
+    * identical results, and customer — the one corpus-sized table
+    * [[q5Bucketed]] still exchanged per query — is now never shuffled.
+    * The aggregated (custkey, supplier-nation) pairs are explicitly
+    * re-partitioned to the customer table's OWN bucket layout (key
+    * `o_custkey`, the bucket count read from the catalog): hash
+    * partitioning on a subset of the join keys satisfies the join's
+    * clustered distribution and is spec-compatible with the bucketed
+    * scan, so the customer join introduces NO exchange on either side.
+    * Remaining exchanges, all at pair grain or smaller: the pre-agg,
+    * the pair re-alignment, and the final n_name aggregate — at 100 TB
+    * nothing heavier than one row per (customer, nation) ever moves.
+    */
+  def q5CoBucketed(spark: SparkSession, dir: String,
+                   prefix: String = "graft"): DataFrame = {
+    val region = t(spark, dir, "region").where(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val supp = t(spark, dir, "supplier")
+    val cust = spark.table(s"${prefix}_customer_b")
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${prefix}_customer_b"))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"${prefix}_customer_b is not bucketed"))
+    val ord = spark.table(s"${prefix}_orders_b")
+    val li = spark.table(s"${prefix}_lineitem_b")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_custkey"), col("s_nationkey"))
+      .agg(sum(revTerm).as("rev_partial"))
+      .repartition(buckets, col("o_custkey"))
       .join(cust.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

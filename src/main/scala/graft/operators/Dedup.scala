@@ -136,26 +136,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(salt >= 1, "salt must be >= 1")
     GraftFunctions.register(docsDf.sparkSession)
-    val rowsPerBand = numHashes / bands
-    val base = docsDf
-      .select(col("doc_id"), wordShingles.as("shingles"))
-      .withColumn("sig", call_function("graft_minhash_sig", col("shingles"), lit(numHashes)))
-    val banded = base.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), j -> hash(slice(sig, j*$rowsPerBand + 1, $rowsPerBand)))"))
-        .as(Seq("band", "band_hash")))
-    // distinct first (multi-band matches), then re-spread: the pair
-    // stream is ~16 bytes/row but costs a full set-intersection each in
-    // the verify below — AQE's BYTE-based coalescing shrinks it to a
-    // handful of partitions (measured: 3 tasks carrying the whole
-    // verify at 10×, flat max≈median — serialized, not skewed) and
-    // byte-cheap/CPU-heavy stages must pin their parallelism explicitly
-    val cand = hotSaltedSelfJoin(banded, Seq("band", "band_hash"), "doc_id",
-      salt, hotMin)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .repartition(docsDf.sparkSession.sparkContext.defaultParallelism)
+    val base = minhashBase(docsDf, numHashes)
+    val cand = minhashCandFrame(docsDf, numHashes, bands, salt, hotMin)
     // verify-side joins must HASH, never sort-merge: shingle-set rows
     // are KBs each, and sorting the candidate×shingles intermediate
     // spills once the corpus outgrows the auto-broadcast threshold.
@@ -172,6 +154,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  private def minhashBase(docsDf: DataFrame, numHashes: Int): DataFrame =
+    docsDf
+      .select(col("doc_id"), wordShingles.as("shingles"))
+      .withColumn("sig", call_function("graft_minhash_sig", col("shingles"), lit(numHashes)))
+
+  /** [[minhashLshFrame]]'s candidate pairs BEFORE verification —
+    * exposed so the benchmark can record candidate volume next to the
+    * timed runs (the quantity that explains scale ratios on dup-heavy
+    * corpora: true-dup clusters make candidates ∝ Σ cluster², which is
+    * workload, not plan).
+    */
+  private[graft] def minhashCandFrame(docsDf: DataFrame,
+                                      numHashes: Int = 32, bands: Int = 16,
+                                      salt: Int = 1, hotMin: Long = 128): DataFrame = {
+    GraftFunctions.register(docsDf.sparkSession)
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val banded = minhashBase(docsDf, numHashes).select(
+      col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> hash(slice(sig, j*$rowsPerBand + 1, $rowsPerBand)))"))
+        .as(Seq("band", "band_hash")))
+    // distinct first (multi-band matches), then re-spread: the pair
+    // stream is ~16 bytes/row but costs a full set-intersection each in
+    // the verify — AQE's BYTE-based coalescing shrinks it to a
+    // handful of partitions (measured: 3 tasks carrying the whole
+    // verify at 10×, flat max≈median — serialized, not skewed) and
+    // byte-cheap/CPU-heavy stages must pin their parallelism explicitly
+    hotSaltedSelfJoin(banded, Seq("band", "band_hash"), "doc_id",
+      salt, hotMin)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .repartition(docsDf.sparkSession.sparkContext.defaultParallelism)
   }
 
   // ---------------------------------------------------------------- simhash
@@ -199,7 +216,14 @@ object Dedup {
     * end-to-end composition ([[pipelineSimhash]]) scale through
     * corpora whose true-dup clusters make set-verification quadratic.
     */
-  def simhashPairsFrame(docsDf: DataFrame, hamMax: Int = 3): DataFrame = {
+  def simhashPairsFrame(docsDf: DataFrame, hamMax: Int = 3): DataFrame =
+    simhashCandFrame(docsDf).where(col("hamming") <= hamMax)
+
+  /** [[simhashPairsFrame]]'s distinct band-sharing candidates (with
+    * their Hamming distance) BEFORE the `hamMax` threshold — exposed
+    * for benchmark candidate-volume evidence like [[minhashCandFrame]].
+    */
+  private[graft] def simhashCandFrame(docsDf: DataFrame): DataFrame = {
     GraftFunctions.register(docsDf.sparkSession)
     val sh = docsDf.select(
       col("doc_id"),
@@ -216,7 +240,6 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
-      .where(col("hamming") <= hamMax)
   }
 
   /** Exhaustive prefix-blocked *word-shingle* Jaccard — the ground-truth
@@ -406,27 +429,7 @@ object Dedup {
     GraftFunctions.register(e.sparkSession)
     val (rowsPerBand, bands) =
       planOverride.getOrElse(lshPlan(threshold, targetRecall, maxPlanes))
-    // banded rows are ids-only (vec_id, band, bucket): the self-join
-    // shuffles the minimum possible volume — bands × ~24 bytes per
-    // vector — and payloads are fetched per CANDIDATE, not replicated
-    // per band (carrying v on banded rows multiplies shuffle bytes by
-    // the band count and spills at scale). A pair matching in k bands
-    // is verified k times (measured multiplicity ~1.07 at the planned
-    // depth — banding makes multi-band agreement rare for non-dups),
-    // and the exactly-once guarantee is a distinct on the FINAL
-    // thresholded pairs, which are tiny by construction.
-    val banded = e.select(
-      col("vec_id"),
-      posexplode(call_function("graft_lsh_bands", col("v"),
-        lit(rowsPerBand), lit(bands))).as(Seq("band", "bucket")))
-    // ids-only candidates are byte-cheap but CPU-heavy downstream (a
-    // 64-dim dot product each): re-spread to cluster parallelism so
-    // AQE's byte-based coalescing can't serialize the verify stage
-    // (same finding as minhashLshFrame; one tiny extra shuffle)
-    val cand = hotSaltedSelfJoin(banded, Seq("band", "bucket"), "vec_id",
-      salt, hotMin)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    val cand = embeddingCandFrame(e, rowsPerBand, bands, salt, hotMin)
     // payload fetch for candidates: the side is only (vec_id, v, nrm) —
     // broadcast it while the corpus fits executor memory (tens of
     // millions of 64-dim vectors), making both fetches map-side with no
@@ -447,6 +450,61 @@ object Dedup {
       .where(col("cos") >= threshold)
       .distinct()
   }
+
+  /** [[embeddingCosineLshFrame]]'s candidate pairs BEFORE cosine
+    * verification — exposed for benchmark candidate-volume evidence
+    * like [[minhashCandFrame]]. Counted WITH multi-band multiplicity
+    * (each row is one verify-kernel invocation; the production path's
+    * exactly-once `distinct` runs on the thresholded output).
+    *
+    * Banded rows are ids-only (vec_id, band, bucket): the self-join
+    * shuffles the minimum possible volume — bands × ~24 bytes per
+    * vector — and payloads are fetched per CANDIDATE, not replicated
+    * per band (carrying v on banded rows multiplies shuffle bytes by
+    * the band count and spills at scale). A pair matching in k bands
+    * is verified k times (measured multiplicity ~1.07 at the planned
+    * depth — banding makes multi-band agreement rare for non-dups).
+    * Ids-only candidates are byte-cheap but CPU-heavy downstream (a
+    * 64-dim dot product each): re-spread to cluster parallelism so
+    * AQE's byte-based coalescing can't serialize the verify stage
+    * (same finding as minhashLshFrame; one tiny extra shuffle).
+    */
+  private[graft] def embeddingCandFrame(e: DataFrame, rowsPerBand: Int,
+                                        bands: Int, salt: Int = 1,
+                                        hotMin: Long = 128): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    val banded = e.select(
+      col("vec_id"),
+      posexplode(call_function("graft_lsh_bands", col("v"),
+        lit(rowsPerBand), lit(bands))).as(Seq("band", "bucket")))
+    hotSaltedSelfJoin(banded, Seq("band", "bucket"), "vec_id", salt, hotMin)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+  }
+
+  /** Candidate + verified pair counts for an LSH-family bench query at
+    * its production defaults: `(candidates, verified)`. Benchmark-side
+    * EVIDENCE, never part of the timed runs — the counts are what tie
+    * a scale leg's wall-clock to the workload's true-duplicate
+    * structure (candidates ∝ Σ cluster² on replica-heavy corpora) so
+    * the artifact proves the ratio is the data, not the plan.
+    */
+  def lshStats(spark: SparkSession, dir: String, op: String): (Long, Long) =
+    op match {
+      case "dedup_minhash" =>
+        val d = parallelize(docs(spark, dir))
+        (minhashCandFrame(d).count(), minhashLshFrame(d).count())
+      case "dedup_embedding_lsh" =>
+        val n = 2L * spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val plan = lshPlanSized(0.9, n)
+        val e = withPlantedNearDups(spark, dir)
+        (embeddingCandFrame(e, plan._1, plan._2).count(),
+          embeddingCosineLshFrame(e, 0.9, planOverride = Some(plan)).count())
+      case "dedup_simhash_pairs" =>
+        val d = docs(spark, dir)
+        (simhashCandFrame(d).count(), simhashPairsFrame(d).count())
+      case other => sys.error(s"no LSH stats for $other")
+    }
 
   /** The clone-id offset for [[withPlantedNearDups]]: the smallest
     * power of ten above both `maxId` and 10^6, so clone ids can never

@@ -281,7 +281,7 @@ object Similarity {
     */
   def pqTopK(spark: SparkSession, dir: String,
              numQueries: Int = 5, k: Int = 10,
-             m: Int = 8, shortlist: Int = 50,
+             m: Int = 8, shortlist: Int = 100,
              trainSample: Int = 4096): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir)
@@ -322,7 +322,7 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String,
                 numQueries: Int = 5, k: Int = 10,
                 nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 8, shortlist: Int = 50,
+                m: Int = 8, shortlist: Int = 100,
                 trainSample: Int = 4096): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir)

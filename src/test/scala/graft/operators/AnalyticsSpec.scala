@@ -12,7 +12,7 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("bucketed fact tables make q3 fully exchange-free with identical results") {
-    for (tbl <- Seq("graft_lineitem_b", "graft_orders_b")) {
+    for (tbl <- Seq("graft_lineitem_b", "graft_orders_b", "graft_customer_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val loc = java.nio.file.Paths.get("spark-warehouse", tbl)
       if (java.nio.file.Files.exists(loc)) {
@@ -47,6 +47,22 @@ class AnalyticsSpec extends SparkSpec {
     val a5 = b5.collect().map(_.toString).sorted
     val r5 = Analytics.q5(spark, sfDir).collect().map(_.toString).sorted
     assert(a5.nonEmpty && a5.sameElements(r5))
+
+    // co-bucketed customer: q5's last per-query table shuffle is gone —
+    // the customer scan rides its bucketing (no exchange on c_custkey
+    // anywhere), and the only custkey exchange left is the aggregated
+    // PAIR frame aligning to the customer bucket layout
+    val c5 = Analytics.q5CoBucketed(spark, sfDir)
+    val pc5 = c5.queryExecution.executedPlan.toString
+    assert(!pc5.contains("hashpartitioning(c_custkey"),
+      s"customer table must never shuffle in q5CoBucketed:\n${pc5.take(3000)}")
+    assert(!pc5.contains("hashpartitioning(l_orderkey") &&
+      !pc5.contains("hashpartitioning(o_orderkey"),
+      "fact tables must not shuffle on the order key")
+    assert(pc5.contains("Bucketed: true"),
+      s"customer side must be a bucketed scan:\n${pc5.take(3000)}")
+    val ac5 = c5.collect().map(_.toString).sorted
+    assert(ac5.nonEmpty && ac5.sameElements(r5))
   }
 
   test("q3 and q5 use broadcast joins; q5 never broadcast-hints customer") {

@@ -77,12 +77,19 @@ class SimilaritySpec extends SparkSpec {
     pqRows.foreach { case (key, c) =>
       assert(bfAll.get(key).contains(c), s"pair $key cos mismatch")
     }
-    // recall@10 of the ADC shortlist + exact re-rank vs the true top-10
+    // recall@10 of the ADC shortlist + exact re-rank vs the true top-10.
+    // Measured at the default re-rank depth (shortlist=100): 0.86 here
+    // (sf0.001), 0.90 at sf0.01, 0.68 at sf0.1 — the synthetic corpus
+    // has near-flat cosine structure (max pairwise cos ≈ 0.48), so
+    // true-neighbor margins are tiny and 4-bit ADC error reorders them;
+    // deeper re-rank recovers it (0.74/0.98 at shortlist=200), and on
+    // real correlated embeddings an OPQ rotation before the subspace
+    // split is the standard fix. Floor set just under the measurement.
     val top10 = bf.where(col("rnk") <= 10).select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val hit = top10.count(pqRows.contains)
     val recall = hit.toDouble / top10.size
-    assert(recall >= 0.6, s"recall@10 $recall below floor (hit $hit/${top10.size})")
+    assert(recall >= 0.8, s"recall@10 $recall below floor (hit $hit/${top10.size})")
   }
 
   test("ivf-pq: exact subset-of-exhaustive hits; ADC scan never reads the vector column") {
@@ -101,6 +108,15 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach { case (key, c) =>
       assert(bf.get(key).contains(c), s"pair $key cos mismatch")
     }
+    // recall@10 vs the true top-10 (measured 0.88 at sf0.001 / 0.92 at
+    // sf0.01 / 0.72 at sf0.1 at the default shortlist=100 — see the
+    // pq spec above for why the flat synthetic corpus bounds this and
+    // when OPQ would be the fix); floor just under the measurement
+    val top10bf = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 10)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqRecall = top10bf.count(rows.contains).toDouble / top10bf.size
+    assert(ivfpqRecall >= 0.8, s"ivfpq recall@10 $ivfpqRecall below floor")
     // the ADC phase reads codes, norms, ids — parquet column pruning
     // must keep the 64-float vector column out of that scan entirely
     val plan = ivfpq.queryExecution.executedPlan.toString
