@@ -58,6 +58,7 @@ object SparkEntry {
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
     "ts_topk_series" -> ((s, d) =>
       Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildTopK(5)),
+    "ts_histogram" -> ((s, d) => Db.fromEvents(s, d).histogram("click", 10.0)),
     // daily avg answered from an HOURLY materialized rollup — the oracle
     // is the raw-data SQL, so the hash match IS the associativity proof
     "ts_rollup_avg" -> ((s, d) => {
@@ -90,6 +91,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => graft.operators.TextAnalysis.repetition(s, d)),
     "text_decontaminate" -> ((s, d) => graft.operators.TextAnalysis.decontaminate(s, d)),
     "text_filter_chain" -> ((s, d) => graft.operators.TextAnalysis.filterChain(s, d)),
+    "text_vocab_topk" -> ((s, d) => graft.operators.TextAnalysis.vocabTopK(s, d)),
 
     // ---- Deduplication (documents) ----
     "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
@@ -112,6 +114,7 @@ object SparkEntry {
     "ann_filtered" -> ((s, d) => graft.operators.Similarity.filteredTopK(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.Similarity.pqTopK(s, d)),
     "ann_ivfpq" -> ((s, d) => graft.operators.Similarity.ivfPqTopK(s, d)),
+    "ann_range" -> ((s, d) => graft.operators.Similarity.rangeSearch(s, d)),
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
@@ -339,6 +342,13 @@ object SparkEntry {
          |    PARTITION BY bucket_start ORDER BY value DESC, grp) AS rnk
          |  FROM a)
          |WHERE rnk <= 5""".stripMargin,
+    // fixed-width value bins: the identical floor(value/w)*w IEEE op
+    // chain on both engines makes bin boundaries hash-comparable
+    "ts_histogram" ->
+      s"""$Ev
+         |SELECT metric, floor(value / 10.0) * 10.0 AS bin_lo, COUNT(*) AS n
+         |FROM ev WHERE metric = 'click'
+         |GROUP BY 1, 2""".stripMargin,
     // forward fill via ASOF: the latest aggregated bucket at b <= dense
     // bucket IS the carried-forward value; ASOF always matches inside
     // the series span (lo is itself a real bucket)
@@ -458,6 +468,13 @@ object SparkEntry {
          |WHERE q.quality_score >= 0.65 AND r.top_bigram_frac <= 0.05
          |  AND r.dup_trigram_frac <= 0.05 AND r.distinct_word_frac >= 0.4
          |  AND l.lang_pred = 'en'""".stripMargin,
+    // vocabulary: corpus word-count with a (cnt desc, token) total
+    // order so the top-k cut is deterministic on both engines
+    "text_vocab_topk" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
     // same gram construction as the graft_word_shingles kernel: split on
     // single space KEEPING empties, windows of 3 (whole list when
     // shorter), per-document distinct
@@ -656,6 +673,21 @@ object SparkEntry {
         |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
         |WHERE rnk <= 10""".stripMargin,
+    // radius search: the complete cos >= t set per query (no rank, no
+    // truncation) — same exact-arithmetic cosine as ann_bruteforce
+    "ann_range" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (
+        |  SELECT q_id, vec_id,
+        |    round(
+        |      list_reduce(list_transform(list_zip(qv, v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))), 6) AS cos
+        |  FROM q, e WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id, cos FROM c WHERE cos >= 0.2""".stripMargin,
     // PRE-filter semantics: the label predicate restricts the corpus
     // BEFORE ranking; queries themselves are unrestricted
     "ann_filtered" ->

@@ -100,6 +100,27 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Radius (range) search: EVERY corpus vector within cosine ≥
+    * `threshold` of each query — not a top-k. The seeded-retrieval
+    * primitive of a training-data pipeline: "find all documents similar
+    * to these N contaminated/benchmark seeds" wants the complete set
+    * above a similarity bar, where a top-k silently truncates. One
+    * broadcast-join scan, no window, no shuffle — output rows are the
+    * only thing that grows with matches, so the plan is identical at
+    * any corpus size (and the same WHERE composes with the IVF probe
+    * when the corpus is materialized, like [[filteredTopK]]).
+    */
+  def rangeSearch(spark: SparkSession, dir: String,
+                  numQueries: Int = 5, threshold: Double = 0.2): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    e.as("e")
+      .join(broadcast(q.as("q")), col("e.vec_id") =!= col("q.q_id"))
+      .select(col("q_id"), col("vec_id"), cosAB.as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   // ------------------------------------------------------------------- IVF
   /** Driver-resident coarse centroids: (cent_id, components-as-double),
     * ascending cent_id. Coarse quantizers are tiny by construction

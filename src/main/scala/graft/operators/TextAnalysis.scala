@@ -164,6 +164,23 @@ object TextAnalysis {
     * ([[hashedGramJoin]]) to shrink shuffle/broadcast bytes — spec'd
     * identical on the shipped corpus.
     */
+  /** Corpus vocabulary: the `k` most frequent tokens with their counts
+    * (deterministic (count desc, token) tiebreak) — the
+    * vocabulary-building / tokenizer-training pass of a data pipeline.
+    * Classic word-count shape: explode + hash aggregate with map-side
+    * combine (the vocabulary, not the corpus, is the reduce-side
+    * volume), then a two-phase distributed top-k
+    * (`TakeOrderedAndProject` — per-partition heads merged on the
+    * driver, never a global sort of the vocabulary).
+    */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
   def decontaminate(spark: SparkSession, dir: String,
                     evalMod: Int = 50): DataFrame =
     decontaminateFrame(docs(spark, dir), evalMod)

@@ -120,6 +120,20 @@ final class Db(val frame: DataFrame) {
       .drop("prev_ts", "prev_value")
   }
 
+  /** Value histogram of a metric: point counts per fixed-width value
+    * bin, `bin_lo = floor(value/width)·width` (the identical IEEE op
+    * chain is engine-stable, so bins hash-match an external oracle).
+    * One hash aggregate with map-side combine over the scan; output
+    * rows ∝ value range / width — independent of corpus size, the
+    * distribution sketch a dashboard draws without pulling points.
+    */
+  def histogram(metric: String, width: Double,
+                filterExpr: String = "*"): DataFrame =
+    scan(metric, filterExpr)
+      .groupBy(col("metric"),
+        (floor(col("value") / lit(width)) * lit(width)).as("bin_lo"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+
   /** Counter increase per (series × bucket): the sum of the POSITIVE
     * deltas between consecutive points of a series inside each
     * `widthNs` bucket — PromQL-`increase()` semantics without

@@ -17,6 +17,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("range search returns the COMPLETE cos >= t set (exhaustive cross-check)") {
+    val t = 0.2
+    val out = Similarity.rangeSearch(spark, sfDir, numQueries = 5, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.nonEmpty)
+    assert(out.values.forall(_ >= t))
+    // the exhaustive ranking restricted to cos >= t must be EXACTLY the
+    // range result — completeness is the whole point vs a top-k
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count().toInt
+    val full = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = n)
+      .where(col("cos") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    assert(out == full)
+  }
+
   test("filtered topk: pre-filter semantics — true top-k of the matching subset") {
     val out = Similarity.filteredTopK(spark, sfDir, numQueries = 3, k = 5).collect()
     assert(out.nonEmpty)

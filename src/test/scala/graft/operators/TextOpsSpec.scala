@@ -61,6 +61,18 @@ class TextOpsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("vocab top-k matches a driver-side word count with (cnt desc, token) order") {
+    val out = TextAnalysis.vocabTopK(spark, sfDir, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // expected: exact counts over the whole corpus, same tiebreak
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .foldLeft(Map.empty[String, Long])((m, t) => m.updated(t, m.getOrElse(t, 0L) + 1))
+      .toSeq.sortBy { case (tok, c) => (-c, tok) }.take(20)
+    assert(out.toSeq == expected)
+  }
+
   test("decontaminate flags exactly the documents sharing a 3-gram with the eval set") {
     val out = TextAnalysis.decontaminateFrame(docsDf(Seq(
       (0L, "w1 w2 w3 w4"),          // eval doc (0 % 50 == 0)

@@ -65,6 +65,18 @@ class TsdbOpsSpec extends SparkSpec {
       ("v", 0L, 100.0, 100.0)))
   }
 
+  test("histogram bins by floor(value/width)*width with exact counts") {
+    val d = db(Seq(
+      ("m", 1L, 0.4, "u"), ("m", 2L, 9.99, "u"),   // bin 0.0
+      ("m", 3L, 10.0, "u"),                        // bin 10.0 (boundary)
+      ("m", 4L, 25.0, "v"), ("m", 5L, 29.9, "v"),  // bin 20.0
+      ("m", 6L, -0.5, "u"),                        // bin -10.0 (negative floor)
+      ("x", 7L, 5.0, "u")))                        // other metric excluded
+    val out = d.histogram("m", 10.0).collect()
+      .map(r => r.getAs[Double]("bin_lo") -> r.getAs[Long]("n")).toMap
+    assert(out == Map(0.0 -> 2L, 10.0 -> 1L, 20.0 -> 2L, -10.0 -> 1L))
+  }
+
   test("ewma fails with a diagnostic when a series exceeds the point cap") {
     val d = db((0L until 64L).map(i => ("m", i, i.toDouble, "u")))
     val e = intercept[Exception] {
