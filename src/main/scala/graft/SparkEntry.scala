@@ -59,6 +59,7 @@ object SparkEntry {
     "ts_topk_series" -> ((s, d) =>
       Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildTopK(5)),
     "ts_histogram" -> ((s, d) => Db.fromEvents(s, d).histogram("click", 10.0)),
+    "ts_m4" -> ((s, d) => Db.fromEvents(s, d).m4("view", Day)),
     // daily avg answered from an HOURLY materialized rollup — the oracle
     // is the raw-data SQL, so the hash match IS the associativity proof
     "ts_rollup_avg" -> ((s, d) => {
@@ -120,6 +121,13 @@ object SparkEntry {
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
     "sample_mix" -> ((s, d) => graft.operators.Sampling.sourceMix(s, d)),
+    "sample_weighted" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Sampling.weightedSample(
+        graft.operators.TextAnalysis.quality(s, d)
+          .select(col("doc_id"), col("quality_score")),
+        col("doc_id"), col("quality_score"))
+    }),
 
     // ---- Multimodal plumbing ----
     "mm_meta" -> ((s, d) => graft.operators.Multimodal.extractMeta(s, d)),
@@ -349,6 +357,27 @@ object SparkEntry {
          |SELECT metric, floor(value / 10.0) * 10.0 AS bin_lo, COUNT(*) AS n
          |FROM ev WHERE metric = 'click'
          |GROUP BY 1, 2""".stripMargin,
+    // M4 downsampling: first/last/min/max point per (series, bucket),
+    // four row_number roles with total-order tiebreaks, a multi-role
+    // point emitted once — identical rank semantics in both engines
+    "ts_m4" ->
+      s"""$Ev
+         |, b AS (
+         |  SELECT metric, tag_user, tag_k, ${bucket(Day)} AS bucket_start, ts, value
+         |  FROM ev WHERE metric = 'view'
+         |)
+         |SELECT metric, ts, value, tag_user, tag_k, bucket_start FROM (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY metric, tag_user, tag_k, bucket_start
+         |      ORDER BY ts, value) AS rf,
+         |    row_number() OVER (PARTITION BY metric, tag_user, tag_k, bucket_start
+         |      ORDER BY ts DESC, value DESC) AS rl,
+         |    row_number() OVER (PARTITION BY metric, tag_user, tag_k, bucket_start
+         |      ORDER BY value, ts) AS rmin,
+         |    row_number() OVER (PARTITION BY metric, tag_user, tag_k, bucket_start
+         |      ORDER BY value DESC, ts DESC) AS rmax
+         |  FROM b)
+         |WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1""".stripMargin,
     // forward fill via ASOF: the latest aggregated bucket at b <= dense
     // bucket IS the carried-forward value; ASOF always matches inside
     // the series span (lo is itself a real bucket)
@@ -649,6 +678,14 @@ object SparkEntry {
         |  WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
         |  WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
         |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20' END""".stripMargin,
+    // per-row weighted keep: same md5 bucket, threshold = the row's own
+    // weight rendered as the 2-hex-char bucket string on both engines
+    "sample_weighted" ->
+      s"""WITH q AS ($TextQualitySql)
+         |SELECT doc_id, quality_score FROM q
+         |WHERE quality_score >= 1.0
+         |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+         |      < lpad(lower(hex(CAST(round(quality_score * 256) AS BIGINT))), 2, '0')""".stripMargin,
     "sample_stratified" ->
       """SELECT vec_id, label, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT vec_id, label, row_number() OVER (

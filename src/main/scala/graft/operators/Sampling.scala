@@ -58,6 +58,23 @@ object Sampling {
   def sampleFraction(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.where(bucketBelow(hashBucket(key), fraction))
 
+  /** Per-ROW weighted deterministic sampling (importance sampling for
+    * pretraining corpus shaping — e.g. keep documents with probability
+    * equal to their quality score): each row is kept iff its
+    * content-stable hash bucket falls below `weight` (a [0,1] column)
+    * of the 256 buckets. The per-row threshold is the weight rendered
+    * as the same two-hex-char string the bucket uses —
+    * `lpad(lower(hex(round(weight·256))), 2)` — so the comparison is
+    * pure string arithmetic every engine evaluates identically, like
+    * [[assignSplit]]. Same contract: reproducible across engines,
+    * reruns, partitionings, and appends; rates quantize to 1/256. A
+    * weight ≥ 1 keeps unconditionally ("100" has no 2-char bound, as
+    * in [[bucketBelow]]).
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.where(weight >= 1.0 ||
+      hashBucket(key) < lpad(lower(hex(round(weight * 256, 0).cast("long"))), 2, "0"))
+
   /** documents → (doc_id, split) assignment. */
   def docSplit(spark: SparkSession, dir: String,
                trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {

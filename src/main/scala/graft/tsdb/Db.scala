@@ -134,6 +134,33 @@ final class Db(val frame: DataFrame) {
         (floor(col("value") / lit(width)) * lit(width)).as("bin_lo"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
 
+  /** M4 downsampling per (series × `widthNs` bucket): the ≤4 points a
+    * pixel-column needs to render a line chart EXACTLY — first, last,
+    * min, max (the M4 aggregation of Jugel et al., PVLDB 7(10):
+    * error-free line visualization at 4 points per pixel). One shuffle
+    * on the series key; the four role ranks are window row_numbers over
+    * the SAME partitioning (Catalyst plans one exchange, four in-
+    * partition sorts), with total-order tiebreaks ((ts, value) /
+    * (value, ts)) so the kept point set is engine-reproducible. A point
+    * holding several roles is emitted once — output ≤ 4 rows per
+    * (series, bucket) regardless of corpus size, which is what makes
+    * dashboard rendering over 100 TB a constant-size transfer.
+    */
+  def m4(metric: String, widthNs: Long, filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = col("metric") +: tagColumns.map(col) :+ col("bucket_start")
+    val w = Window.partitionBy(keys: _*)
+    scan(metric, filterExpr)
+      .withColumn("bucket_start", expr(s"ts div ${widthNs}L") * lit(widthNs))
+      .withColumn("r_first", row_number().over(w.orderBy(col("ts"), col("value"))))
+      .withColumn("r_last", row_number().over(w.orderBy(col("ts").desc, col("value").desc)))
+      .withColumn("r_min", row_number().over(w.orderBy(col("value"), col("ts"))))
+      .withColumn("r_max", row_number().over(w.orderBy(col("value").desc, col("ts").desc)))
+      .where(col("r_first") === 1 || col("r_last") === 1 ||
+        col("r_min") === 1 || col("r_max") === 1)
+      .drop("r_first", "r_last", "r_min", "r_max")
+  }
+
   /** Counter increase per (series × bucket): the sum of the POSITIVE
     * deltas between consecutive points of a series inside each
     * `widthNs` bucket — PromQL-`increase()` semantics without

@@ -41,6 +41,31 @@ class SamplingSpec extends SparkSpec {
     assert(splits.keySet == Set("train", "val"))
   }
 
+  test("weighted sample keeps per-row bucket < weight threshold; extremes behave") {
+    import spark.implicits._
+    // weights 0 and 1 are exact: never / always kept
+    val ext = Seq((1L, 0.0), (2L, 1.0), (3L, 1.0), (4L, 0.0))
+      .toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(ext, col("doc_id"), col("w"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // realized rate over many rows tracks a constant weight (±bucket
+    // quantization + hash variance), and membership is deterministic
+    val many = (0L until 2000L).map(i => (i, 0.3)).toDF("doc_id", "w")
+    val r1 = Sampling.weightedSample(many, col("doc_id"), col("w"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r2 = Sampling.weightedSample(many, col("doc_id"), col("w"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1 == r2)
+    val rate = r1.size.toDouble / 2000
+    assert(math.abs(rate - 0.3) < 0.05, s"rate=$rate")
+    // a row's keep decision depends only on (key, weight): restriction
+    // to a sub-corpus never flips membership (append stability)
+    val sub = Sampling.weightedSample(many.where(col("doc_id") % 2 === 0),
+      col("doc_id"), col("w")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sub == r1.filter(_ % 2 == 0))
+  }
+
   test("stratified sample keeps at most perLabel rows per label, deterministically") {
     val out = Sampling.stratifiedSample(spark, sfDir, perLabel = 5)
     val perLabel = out.groupBy("label").count().collect()

@@ -65,6 +65,24 @@ class TsdbOpsSpec extends SparkSpec {
       ("v", 0L, 100.0, 100.0)))
   }
 
+  test("m4 keeps exactly first/last/min/max per series-bucket, multi-role points once") {
+    val day = 86_400_000_000_000L
+    val d = db(Seq(
+      ("m", 10L, 5.0, "u"),            // first AND min of bucket 0
+      ("m", 20L, 9.0, "u"),            // max
+      ("m", 30L, 7.0, "u"),            // interior — dropped
+      ("m", 40L, 6.0, "u"),            // last
+      ("m", day + 1L, 3.0, "u"),       // sole point of bucket 1: all four roles
+      ("m", 15L, 100.0, "v")))         // other series, independent
+    val out = d.m4("m", day).collect()
+      .map(r => (r.getAs[String]("tag_user"), r.getAs[Long]("bucket_start"),
+        r.getAs[Long]("ts"), r.getAs[Double]("value"))).toSet
+    assert(out == Set(
+      ("u", 0L, 10L, 5.0), ("u", 0L, 20L, 9.0), ("u", 0L, 40L, 6.0),
+      ("u", day, day + 1L, 3.0),
+      ("v", 0L, 15L, 100.0)))
+  }
+
   test("histogram bins by floor(value/width)*width with exact counts") {
     val d = db(Seq(
       ("m", 1L, 0.4, "u"), ("m", 2L, 9.99, "u"),   // bin 0.0
