@@ -151,16 +151,19 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_embedding", "dedup_embedding_lsh", "dedup_cluster",
     "dedup_pipeline", "dedup_simhash_pairs", "dedup_pipeline_simhash",
+    "dedup_pipeline_embedding",
     "ann_bruteforce", "ann_ivf", "ann_ivf_kmeans",
-    "ann_lsh", "ann_lsh_multiprobe", "ann_pq", "ann_ivfpq", "q5_multijoin",
-    "text_decontaminate", "text_repetition",
+    "ann_lsh", "ann_lsh_multiprobe", "ann_pq", "ann_ivfpq", "ann_range",
+    "q5_multijoin",
+    "text_decontaminate", "text_repetition", "text_vocab_topk",
+    "sample_weighted",
     // TSDB core representatives: aggregation, per-series window, scan,
     // plus the round-4 window/as-of family
     // ts_rollup_avg is NOT here: its build and query phases are timed
     // separately by [[rollupScaleExtra]] (a single number grades the
     // one-time materialization, not the operator's query cost)
     "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_increase", "ts_ewma",
-    "ts_asof", "ts_quantile", "ts_gapfill")
+    "ts_asof", "ts_quantile", "ts_gapfill", "ts_histogram", "ts_m4")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost

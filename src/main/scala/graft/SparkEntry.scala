@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_cluster" -> ((s, d) => graft.operators.Dedup.cluster(s, d)),
     "dedup_pipeline" -> ((s, d) => graft.operators.Dedup.pipeline(s, d)),
     "dedup_pipeline_simhash" -> ((s, d) => graft.operators.Dedup.pipelineSimhash(s, d)),
+    "dedup_pipeline_embedding" -> ((s, d) => graft.operators.Dedup.pipelineEmbedding(s, d)),
 
     // ---- Similarity search (embeddings) ----
     "ann_bruteforce" -> ((s, d) => graft.operators.Similarity.bruteForceTopK(s, d)),
@@ -599,6 +600,33 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, CAST(1 AS BIGINT) AS cluster_size FROM documents d
         |  WHERE d.doc_id NOT IN (SELECT id FROM c)
+        |UNION ALL
+        |SELECT c.id AS doc_id, s.cluster_size FROM c JOIN sizes s ON c.comp = s.comp
+        |  WHERE c.id = c.comp""".stripMargin,
+    // same closure/keeper re-derivation over the golden embedding-LSH
+    // pairs; the planted corpus is embeddings ∪ clones at +10^6 (the
+    // cloneOffset for every shipped sf — ids ≪ 10^6)
+    "dedup_pipeline_embedding" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT vec_a AS doc_a, vec_b AS doc_b
+        |  FROM read_parquet('/root/repo/golden/dedup_embedding_lsh/*.parquet')
+        |), ids AS (
+        |  SELECT vec_id AS doc_id FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000 FROM embeddings
+        |), e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p
+        |), r AS (
+        |  SELECT src AS id, src AS comp FROM e
+        |  UNION
+        |  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id
+        |), c AS (
+        |  SELECT id, min(comp) AS comp FROM r GROUP BY id
+        |), sizes AS (
+        |  SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp
+        |)
+        |SELECT i.doc_id, CAST(1 AS BIGINT) AS cluster_size FROM ids i
+        |  WHERE i.doc_id NOT IN (SELECT id FROM c)
         |UNION ALL
         |SELECT c.id AS doc_id, s.cluster_size FROM c JOIN sizes s ON c.comp = s.comp
         |  WHERE c.id = c.comp""".stripMargin,

@@ -711,6 +711,22 @@ object Dedup {
     pipelineOverPairs(d, simhashPairsFrame(d, hamMax))
   }
 
+  /** The dedup composition over EMBEDDING near-dup pairs — semantic
+    * dedup end-to-end: planted-corpus LSH pairs at a near-duplicate
+    * threshold ([[embeddingNearDup]], corpus-sized banding) →
+    * connected components → kept corpus. The third pair source through
+    * the one [[pipelineOverPairs]] composition (minhash / simhash /
+    * embedding), which is the point: a 100 TB pipeline swaps similarity
+    * signals without touching the clustering or keeper semantics.
+    */
+  def pipelineEmbedding(spark: SparkSession, dir: String,
+                        threshold: Double = 0.9): DataFrame = {
+    val ids = withPlantedNearDups(spark, dir).select(col("vec_id").as("doc_id"))
+    val pairs = embeddingNearDup(spark, dir, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    pipelineOverPairs(ids, pairs)
+  }
+
   /** The generic composition: any `(doc_a, doc_b)` near-dup pair frame
     * → connected components → kept corpus (see [[pipelineFrame]] for
     * the broadcast-gate contract).

@@ -118,6 +118,24 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("pipelineEmbedding: planted clone pairs collapse to lower-id keepers") {
+    val out = Dedup.pipelineEmbedding(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val ids = out.map(_._1)
+    assert(ids.length == ids.distinct.length, "every kept id exactly once")
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // each recalled {v, clone} pair keeps ONE doc; a missed pair keeps
+    // both as singletons (recall > 0.99 by banding construction), so
+    // the kept corpus sits at ~n of the 2n planted rows
+    assert(out.length >= n && out.length <= (n * 1.05).toLong,
+      s"kept ${out.length} of planted ${2 * n}")
+    val size2 = out.filter(_._2 == 2L).map(_._1)
+    assert(size2.nonEmpty, "expected clone-pair clusters")
+    // canonical keeper is the component min = the ORIGINAL id (clones
+    // live at +cloneOffset, above every corpus id)
+    assert(size2.forall(_ < 1000000L), "size-2 keepers must be originals")
+  }
+
   test("pipeline paired-id broadcast is size-gated: plan flips, results identical (high-dup corpus)") {
     import spark.implicits._
     // 40 docs, 15 of them in 3 exact-dup clusters of 5 → 37.5% paired,
