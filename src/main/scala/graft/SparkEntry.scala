@@ -54,6 +54,8 @@ object SparkEntry {
     "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
     "ts_quantile" -> ((s, d) =>
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
+    "ts_stddev" -> ((s, d) =>
+      Db.fromEvents(s, d).stddev("error", "k").granularity(Day).build()),
     "ts_gapfill" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
     "ts_topk_series" -> ((s, d) =>
@@ -92,6 +94,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => graft.operators.TextAnalysis.repetition(s, d)),
     "text_decontaminate" -> ((s, d) => graft.operators.TextAnalysis.decontaminate(s, d)),
     "text_filter_chain" -> ((s, d) => graft.operators.TextAnalysis.filterChain(s, d)),
+    "text_pii_scrub" -> ((s, d) => graft.operators.TextAnalysis.piiScrub(s, d)),
     "text_vocab_topk" -> ((s, d) => graft.operators.TextAnalysis.vocabTopK(s, d)),
 
     // ---- Deduplication (documents) ----
@@ -117,6 +120,7 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => graft.operators.Similarity.pqTopK(s, d)),
     "ann_ivfpq" -> ((s, d) => graft.operators.Similarity.ivfPqTopK(s, d)),
     "ann_range" -> ((s, d) => graft.operators.Similarity.rangeSearch(s, d)),
+    "ann_knn_join" -> ((s, d) => graft.operators.Similarity.knnJoin(s, d)),
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
@@ -284,6 +288,12 @@ object SparkEntry {
     "ts_ingest_avg" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
     "ts_quantile" -> tsAgg("view", "user",
       "round(quantile_cont(value, 0.95), 6) AS value"),
+    // same op chain as AggKind.Stddev: exact decimal Σv and Σv², then
+    // double square/divide/sqrt — bit-stable on both engines
+    "ts_stddev" -> tsAgg("error", "k",
+      "round(sqrt(greatest((CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) " +
+        "- CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) " +
+        "/ COUNT(*), 0)), 6) AS value"),
     // deliberately the RAW-points aggregation: the Spark side answers
     // from hourly rollup partials, and matching this hash proves the
     // re-aggregation is exact
@@ -498,6 +508,28 @@ object SparkEntry {
          |WHERE q.quality_score >= 0.65 AND r.top_bigram_frac <= 0.05
          |  AND r.dup_trigram_frac <= 0.05 AND r.distinct_word_frac >= 0.4
          |  AND l.lang_pred = 'en'""".stripMargin,
+    // PII scrub: the corpus is digit-free, so PII is PLANTED from
+    // doc_id with the same derivation on both engines; counts are on
+    // the pre-scrub text, the hash on the email→phone→ip scrub chain.
+    // Patterns stay in the Java-regex ∩ RE2 common subset.
+    "text_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or admin-'
+        |         || CAST(doc_id AS VARCHAR) || '@mail.test.org call +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |         || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\+\d[\d-]{6,}\d')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d[\d-]{6,}\d', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS scrub_hash
+        |FROM aug""".stripMargin,
     // vocabulary: corpus word-count with a (cnt desc, token) total
     // order so the top-k cut is deterministic on both engines
     "text_vocab_topk" ->
@@ -753,6 +785,23 @@ object SparkEntry {
         |         * sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))), 6) AS cos
         |  FROM q, e WHERE vec_id <> q_id)
         |SELECT q_id, vec_id, cos FROM c WHERE cos >= 0.2""".stripMargin,
+    // kNN JOIN: the whole label-0 query SET against the corpus, k=5 —
+    // same exact cosine + (cos desc, vec_id) rank as ann_bruteforce
+    "ann_knn_join" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE label = 0),
+        |c AS (
+        |  SELECT q_id, vec_id,
+        |    round(
+        |      list_reduce(list_transform(list_zip(qv, v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))), 6) AS cos
+        |  FROM q, e WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        |WHERE rnk <= 5""".stripMargin,
     // PRE-filter semantics: the label predicate restricts the corpus
     // BEFORE ranking; queries themselves are unrestricted
     "ann_filtered" ->

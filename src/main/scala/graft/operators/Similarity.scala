@@ -121,6 +121,50 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Exact k-NN JOIN: every vector of a query SET (here: `label ==
+    * qLabel`) annotated with its k nearest corpus neighbors — the
+    * set-to-corpus shape (cluster labeling, retrieval-augmented
+    * curation, embedding-propagated quality scores), as opposed to the
+    * handful-of-probes shape of [[bruteForceTopK]].
+    *
+    * Executed as `blocks` broadcast passes over the corpus: each query
+    * block is broadcast, scored with the codegen'd dot kernel, reduced
+    * to per-block/per-partition heads, and the union ranks once at
+    * (queries × k) cardinality. With blocks = ⌈|Q| / what fits in a
+    * broadcast⌉ this is the standard blocked nested-loop kNN-join: the
+    * corpus streams from parquet exactly `blocks` times, nothing
+    * shuffles at corpus cardinality, and driver memory holds one query
+    * block at a time. Results are block-count-invariant (spec-asserted:
+    * blocks=3 ≡ blocks=1) because the per-query top-k is a total order.
+    * For sub-linear scans compose the same query frame with the IVF
+    * probe ([[ivfTopK]]) instead — this entry is the exact baseline.
+    */
+  def knnJoin(spark: SparkSession, dir: String, qLabel: Int = 0,
+              k: Int = 5, blocks: Int = 1): DataFrame = {
+    require(blocks >= 1, "blocks must be >= 1")
+    val e = vecs(spark, dir)
+    val q = e.where(col("label") === qLabel)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val perBlock = (0 until blocks).map { b =>
+      val qb = q.where(pmod(col("q_id"), lit(blocks)) === b)
+      val scored = e.as("e")
+        .join(broadcast(qb.as("q")), col("e.vec_id") =!= col("q.q_id"))
+        .select(col("q_id"), col("vec_id"), cosAB.as("cos"))
+      // per-partition head pruning inside the block keeps the union at
+      // blocks × partitions × k rows before the single global rank
+      val byQP = Window.partitionBy(col("q_id"), col("pid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("pid", spark_partition_id())
+        .withColumn("prnk", row_number().over(byQP))
+        .where(col("prnk") <= k)
+        .drop("pid", "prnk")
+    }
+    val byQ = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    perBlock.reduce(_ unionAll _)
+      .withColumn("rnk", rank().over(byQ).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   // ------------------------------------------------------------------- IVF
   /** Driver-resident coarse centroids: (cent_id, components-as-double),
     * ascending cent_id. Coarse quantizers are tiny by construction

@@ -181,6 +181,56 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  // PII patterns, deliberately restricted to syntax with identical
+  // semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+  // classes, bounded repetition, non-capturing groups, ASCII \b.
+  private[operators] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[operators] val PhoneRe = """\+\d[\d-]{6,}\d"""
+  private[operators] val Ipv4Re  = """\b(?:\d{1,3}\.){3}\d{1,3}\b"""
+
+  /** PII detection + redaction: count and scrub emails, phone numbers
+    * and IPv4 addresses — the privacy-hygiene pass every training-data
+    * pipeline runs before tokenization. Pure projection (count + chained
+    * `regexp_replace` per row), so it composes with [[filterChain]] at
+    * full scan throughput: no shuffle, no join, column-pruned scan.
+    *
+    * The shipped synthetic corpus is digit-free, so the entry PLANTS
+    * deterministic PII derived from `doc_id` (same derivation in the
+    * DuckDB oracle) — the hash comparison then genuinely exercises
+    * regex-engine parity and replacement order instead of passing on an
+    * all-zero no-op. On a real corpus, call [[piiScrubFrame]] on the raw
+    * text column.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or admin-"),
+        col("doc_id").cast("string"), lit("@mail.test.org call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string")).as("text"))
+    piiScrubFrame(planted)
+  }
+
+  /** The scrub over an arbitrary `(doc_id, text)` frame: match counts on
+    * the ORIGINAL text plus an md5 of the redacted text (emails first,
+    * then phones, then IPs — order is part of the contract since
+    * replacements can overlap).
+    */
+  def piiScrubFrame(d: DataFrame): DataFrame = d.select(
+    col("doc_id"),
+    regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+    regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+    regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+    md5(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>")).as("scrub_hash"))
+
   def decontaminate(spark: SparkSession, dir: String,
                     evalMod: Int = 50): DataFrame =
     decontaminateFrame(docs(spark, dir), evalMod)

@@ -16,6 +16,12 @@ object AggKind {
   case object Max   extends AggKind
   case object Count extends AggKind
   final case class Quantile(q: Double) extends AggKind
+  /** Population standard deviation per bucket — like [[Quantile]] it goes
+    * beyond the reference surface (the anomaly-band shape: avg ± k·stddev).
+    * Computed from exact DECIMAL sums of `v` and `v²` so the result is
+    * partition-order-independent, unlike a naive float `stddev_pop`.
+    */
+  case object Stddev extends AggKind
 }
 
 /** Spark-native analog of the reference Database (talna `src/db.rs`).
@@ -55,6 +61,9 @@ final class Db(val frame: DataFrame) {
     require(q > 0 && q < 1, "quantile must be in (0,1)")
     AggBuilder(this, AggKind.Quantile(q), Db.validated(metric), groupBy)
   }
+  /** Bucketed population stddev (anomaly bands: avg ± k·σ per group). */
+  def stddev(metric: String, groupBy: String): AggBuilder =
+    AggBuilder(this, AggKind.Stddev, Db.validated(metric), groupBy)
 
   /** Tag-key → column. Missing keys become a typed NULL column so that
     * Eq/Wildcard predicates coalesce to false and group-bys skip every
@@ -404,6 +413,17 @@ final case class AggBuilder(
       // same definition DuckDB's quantile_cont computes; rounded because
       // the interpolation arithmetic is float, not decimal
       case AggKind.Quantile(q) => round(expr(s"percentile(value, ${q}d)"), 6)
+      // σ_pop = sqrt((Σv² − (Σv)²/n) / n) with Σv, Σv² as exact decimals:
+      // the only float ops are the final square/divide/sqrt over two
+      // exact sums, so the value is identical under any partitioning
+      // (and to an oracle running the same op chain). decimal(18,6)² =
+      // decimal(37,12) stays within the 38-digit cap before summing.
+      case AggKind.Stddev =>
+        val sq = sum(col("value").cast("decimal(18,6)") *
+          col("value").cast("decimal(18,6)")).cast("double")
+        val s = decSum.cast("double")
+        val cnt = count(lit(1))
+        round(sqrt(greatest((sq - (s * s) / cnt) / cnt, lit(0.0))), 6)
     }).as("value")
     base.groupBy(grpCol.as("grp"), bucketStart).agg(n, valueCol)
   }

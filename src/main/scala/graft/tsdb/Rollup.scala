@@ -53,6 +53,9 @@ final class Rollup(val frame: DataFrame, val widthNs: Long) {
     kind match {
       case AggKind.Quantile(_) => throw new IllegalArgumentException(
         "quantiles are not decomposable into rollup partials; use Db.quantile over raw points")
+      case AggKind.Stddev => throw new IllegalArgumentException(
+        "stddev needs a sum-of-squares partial the rollup layout does not store; " +
+          "use Db.stddev over raw points")
       case _ => ()
     }
     val grpCol = tagCol(groupBy)
@@ -69,7 +72,8 @@ final class Rollup(val frame: DataFrame, val widthNs: Long) {
       case AggKind.Min   => functions.min(col("min_value"))
       case AggKind.Max   => functions.max(col("max_value"))
       case AggKind.Count => functions.sum(col("n")).cast("double")
-      case AggKind.Quantile(_) => throw new IllegalStateException("unreachable")
+      case AggKind.Quantile(_) | AggKind.Stddev =>
+        throw new IllegalStateException("unreachable")
     }).as("value")
     base.groupBy(grpCol.as("grp"), bucket).agg(n, valueCol)
   }

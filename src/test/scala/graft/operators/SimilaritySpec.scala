@@ -32,6 +32,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out == full)
   }
 
+  test("knn join: block-count-invariant, self-excluded, k per query over the label set") {
+    val one = Similarity.knnJoin(spark, sfDir, qLabel = 0, k = 5, blocks = 1)
+    val three = Similarity.knnJoin(spark, sfDir, qLabel = 0, k = 5, blocks = 3)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos"), r.getAs[Long]("rnk"))
+    assert(one.collect().map(key).toSet == three.collect().map(key).toSet)
+    val rows = one.collect()
+    val nQ = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(org.apache.spark.sql.functions.col("label") === 0).count()
+    assert(rows.map(_.getAs[Long]("q_id")).distinct.length.toLong == nQ)
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
+    assert(rows.groupBy(_.getAs[Long]("q_id")).values.forall(_.length == 5))
+  }
+
   test("filtered topk: pre-filter semantics — true top-k of the matching subset") {
     val out = Similarity.filteredTopK(spark, sfDir, numQueries = 3, k = 5).collect()
     assert(out.nonEmpty)

@@ -61,6 +61,28 @@ class TextOpsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("pii scrub counts and redacts emails, phones, ipv4 in order") {
+    val out = TextAnalysis.piiScrubFrame(docsDf(Seq(
+      (0L, "mail bob.smith+x@corp.example.org now"),
+      (1L, "call +1-555-0173 or +44-20-7946-0958 stop"),
+      (2L, "host 192.168.0.1 and 10.0.255.7"),
+      (3L, "clean text only"),
+      (4L, "a@b.io from 127.0.0.1 dial +1-555-9999"))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_email") == 1 && out(0L).getAs[Long]("n_phone") == 0)
+    assert(out(1L).getAs[Long]("n_phone") == 2)
+    assert(out(2L).getAs[Long]("n_ip") == 2)
+    assert(out(3L).getAs[Long]("n_email") == 0 && out(3L).getAs[Long]("n_ip") == 0)
+    val multi = out(4L)
+    assert(multi.getAs[Long]("n_email") == 1 && multi.getAs[Long]("n_ip") == 1
+      && multi.getAs[Long]("n_phone") == 1)
+    // the hash is of the fully-redacted text
+    import org.apache.spark.sql.functions.md5
+    val expected = spark.sql(
+      "SELECT md5('<EMAIL> from <IP> dial <PHONE>') AS h").head.getString(0)
+    assert(multi.getAs[String]("scrub_hash") == expected)
+  }
+
   test("vocab top-k matches a driver-side word count with (cnt desc, token) order") {
     val out = TextAnalysis.vocabTopK(spark, sfDir, k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))

@@ -140,6 +140,36 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n") == 4)
   }
 
+  test("stddev is population σ, exact and partition-order-independent") {
+    val d = db(Seq(
+      ("m", 1L, 2.0, "u"), ("m", 2L, 4.0, "u"),
+      ("m", 3L, 4.0, "u"), ("m", 4L, 4.0, "u"),
+      ("m", 5L, 5.0, "u"), ("m", 6L, 5.0, "u"),
+      ("m", 7L, 7.0, "u"), ("m", 8L, 9.0, "u"),   // σ_pop([2,4,4,4,5,5,7,9]) = 2
+      ("m", 9L, 3.0, "v")))                        // single point: σ = 0
+    val out = d.stddev("m", "user").granularity(Duration.days(1)).build().collect()
+    val byGrp = out.map(r => r.getString(0) -> r.getAs[Double]("value")).toMap
+    assert(byGrp("u") == 2.0)
+    assert(byGrp("v") == 0.0)
+    // identical value no matter how the points are partitioned (decimal sums)
+    val shuffled = new Db(d.frame.repartition(7))
+      .stddev("m", "user").granularity(Duration.days(1)).build().collect()
+    assert(shuffled.map(r => r.getString(0) -> r.getAs[Double]("value")).toMap == byGrp)
+  }
+
+  test("rollup rejects stddev (no sum-of-squares partial)") {
+    val d = db(Seq(("m", 1L, 2.0, "u")))
+    val r = new Rollup(
+      d.frame.groupBy(col("metric"), expr("ts div 3600000000000 * 3600000000000").as("bucket_start"), col("tag_user"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(28,6)")).as("sum_value"),
+          min("value").as("min_value"), max("value").as("max_value")),
+      Duration.hours(1))
+    val ex = intercept[IllegalArgumentException] {
+      r.agg(AggKind.Stddev, "m", "user", Duration.days(1))
+    }
+    assert(ex.getMessage.contains("stddev"))
+  }
+
   test("gapfill densifies the series span and forward-fills values") {
     val day = Duration.days(1)
     val d = db(Seq(
