@@ -101,10 +101,13 @@ object Bench {
     val lshCounts = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
                     else lshCountsJson(spark, sfDir)
     println(s"# lsh_counts: $lshCounts")
+    val minhash100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) "{}"
+                     else minhash100Json(spark, sfDir)
+    println(s"# minhash100: $minhash100")
     val full =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"ingest":$ingest,"scale10":$scale10,"scale100":$scale100,""" +
-      s""""skew":$skew,"lsh_counts":$lshCounts,""" +
+      s""""skew":$skew,"lsh_counts":$lshCounts,"minhash100":$minhash100,""" +
       s""""fmt":"scale entries are [base_sec,xN_sec,ratio]; lsh_counts entries are [candidates,verified]","sf":"$sfDir"}"""
     // partial dev runs (query subset / skipped sections) must never
     // clobber the committed full-run record
@@ -154,8 +157,10 @@ object Bench {
     "dedup_pipeline_embedding",
     "ann_bruteforce", "ann_ivf", "ann_ivf_kmeans",
     "ann_lsh", "ann_lsh_multiprobe", "ann_pq", "ann_ivfpq", "ann_range",
+    "ann_knn_join",
     "q5_multijoin",
     "text_decontaminate", "text_repetition", "text_vocab_topk",
+    "text_pii_scrub",
     "sample_weighted",
     // TSDB core representatives: aggregation, per-series window, scan,
     // plus the round-4 window/as-of family
@@ -163,7 +168,8 @@ object Bench {
     // separately by [[rollupScaleExtra]] (a single number grades the
     // one-time materialization, not the operator's query cost)
     "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_increase", "ts_ewma",
-    "ts_asof", "ts_quantile", "ts_gapfill", "ts_histogram", "ts_m4")
+    "ts_asof", "ts_quantile", "ts_gapfill", "ts_histogram", "ts_m4",
+    "ts_stddev")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
@@ -287,6 +293,46 @@ object Bench {
       s""""$op":$inner"""
     }.mkString("{", ",", "}")
   }
+
+  /** The dedup_minhash 100× record the timed curve cannot afford: the
+    * full verify is workload-quadratic (true-dup replica clusters), so
+    * the leg is a MEASURED BOUND instead of a silent skip — candidate
+    * generation timed in full, verification timed on a deterministic
+    * 1-in-16 pair-hash sample ([[graft.operators.Dedup
+    * .minhashSampleVerifyStats]]), and the estimated full wall
+    * reconstructed as `cand_sec + (sample_sec − cand_sec) × mod` (the
+    * sample run re-generates candidates, so its wall minus the
+    * measured generation cost is the verify share; per-candidate cost
+    * is i.i.d. under a pair-hash sample, making the scale-up
+    * unbiased).
+    */
+  private def minhash100Json(spark: SparkSession, sfDir: String): String =
+    try {
+      val dir100 = ScaleData.ensure(spark, sfDir, 100,
+        tables = Seq("documents", "embeddings", "events"))
+      val mod = 16
+      def sec(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+      // warm once at 10× so codegen/JIT noise doesn't land in cand_sec
+      graft.operators.Dedup.minhashCandidates(spark,
+        ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)).count()
+      val t0 = System.nanoTime()
+      val cands = graft.operators.Dedup.minhashCandidates(spark, dir100).count()
+      val candSec = sec(t0)
+      val t1 = System.nanoTime()
+      val (sampled, verified) =
+        graft.operators.Dedup.minhashSampleVerifyStats(spark, dir100, mod)
+      val sampleSec = sec(t1)
+      val estFull = candSec + math.max(sampleSec - candSec, 0.0) * mod
+      s"""{"candidates":$cands,"cand_sec":${fmt(candSec, 2)},""" +
+        s""""sample_mod":$mod,"sampled":$sampled,"verified":$verified,""" +
+        s""""sample_sec":${fmt(sampleSec, 2)},"est_full_sec":${fmt(estFull, 2)}}"""
+    } catch {
+      case e: Throwable =>
+        val msg = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(120)
+          .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
+        s"""{"error":"$msg"}"""
+    }
 
   private def scaleJson(rows: Seq[(String, Double, Double, Double)],
                         extra: String = ""): String = {

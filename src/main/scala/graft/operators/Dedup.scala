@@ -138,14 +138,30 @@ object Dedup {
     GraftFunctions.register(docsDf.sparkSession)
     val base = minhashBase(docsDf, numHashes)
     val cand = minhashCandFrame(docsDf, numHashes, bands, salt, hotMin)
-    // verify-side joins must HASH, never sort-merge: shingle-set rows
-    // are KBs each, and sorting the candidate×shingles intermediate
-    // spills once the corpus outgrows the auto-broadcast threshold.
-    // Default: broadcast the (doc_id, shingles) side while the corpus
-    // fits executor memory; `broadcastVerify = false` switches to
-    // shuffle-hash joins (per-partition hash build on the fat side) for
-    // beyond-memory corpora — same contract as
-    // [[embeddingCosineLshFrame]].
+    minhashVerify(base, cand, threshold, broadcastVerify)
+  }
+
+  /** The verify join over a candidate-pair frame. Joins must HASH,
+    * never sort-merge: shingle-set rows are KBs each, and sorting the
+    * candidate×shingles intermediate spills once the corpus outgrows
+    * the auto-broadcast threshold. Default: broadcast the
+    * (doc_id, shingles) side while the corpus fits executor memory;
+    * `broadcastVerify = false` switches to shuffle-hash joins
+    * (per-partition hash build on the fat side) for beyond-memory
+    * corpora — same contract as [[embeddingCosineLshFrame]].
+    */
+  private def minhashVerify(base: DataFrame, cand: DataFrame,
+                            threshold: Double,
+                            broadcastVerify: Boolean): DataFrame =
+    minhashVerifyScored(base, cand, broadcastVerify)
+      .where(col("jaccard") >= threshold)
+
+  /** The verify join WITHOUT the threshold cut — every candidate with
+    * its exact Jaccard, so callers can count candidates and survivors
+    * in one aggregate pass.
+    */
+  private def minhashVerifyScored(base: DataFrame, cand: DataFrame,
+                                  broadcastVerify: Boolean): DataFrame = {
     val sh0 = base.select(col("doc_id"), col("shingles"))
     val sh = if (broadcastVerify) broadcast(sh0) else sh0.hint("shuffle_hash")
     cand
@@ -153,7 +169,56 @@ object Dedup {
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+  }
+
+  /** Verification of a deterministic 1-in-`sampleMod` hash-sample of
+    * the minhash candidate stream — the MEASURED bound for corpora
+    * whose full verify is workload-quadratic (true-dup clusters make
+    * candidates ∝ Σ cluster², and each candidate's set-intersection is
+    * what the 100× timed leg cannot afford). Per-candidate verify cost
+    * is i.i.d. across the xxhash64 sample, so
+    * `total ≈ sample_sec × sampleMod` is an unbiased estimate of the
+    * full verify wall — the number the bench records next to the full
+    * candidate count, replacing a leg that would otherwise be a silent
+    * skip. The sample is by PAIR hash, not by document, so hot
+    * clusters are sampled proportionally to their candidate volume.
+    */
+  def minhashSampledVerify(docsDf: DataFrame, sampleMod: Int = 16,
+                           numHashes: Int = 32, bands: Int = 16,
+                           threshold: Double = 0.5, salt: Int = 1,
+                           hotMin: Long = 128,
+                           broadcastVerify: Boolean = true): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    GraftFunctions.register(docsDf.sparkSession)
+    val base = minhashBase(docsDf, numHashes)
+    val cand = minhashCandFrame(docsDf, numHashes, bands, salt, hotMin)
+      .where(pmod(xxhash64(col("doc_a"), col("doc_b")), lit(sampleMod)) === 0)
+    minhashVerify(base, cand, threshold, broadcastVerify)
+  }
+
+  /** The candidate stream over the shipped corpus (bench hook). */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    minhashCandFrame(parallelize(docs(spark, dir)))
+
+  /** One-action (sampled, verified) counts for a 1-in-`sampleMod`
+    * pair-hash sample of the candidate stream: the verify join runs
+    * WITHOUT the threshold cut and both counts come from a single
+    * aggregate, so the measured wall is exactly "candidate generation
+    * + sampled verify".
+    */
+  def minhashSampleVerifyStats(spark: SparkSession, dir: String,
+                               sampleMod: Int,
+                               threshold: Double = 0.5): (Long, Long) = {
+    val d = parallelize(docs(spark, dir))
+    GraftFunctions.register(spark)
+    val base = minhashBase(d, 32)
+    val cand = minhashCandFrame(d)
+      .where(pmod(xxhash64(col("doc_a"), col("doc_b")), lit(sampleMod)) === 0)
+    val r = minhashVerifyScored(base, cand, broadcastVerify = true)
+      .agg(count(lit(1)).as("sampled"),
+        sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("verified"))
+      .collect()(0)
+    (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
   private def minhashBase(docsDf: DataFrame, numHashes: Int): DataFrame =

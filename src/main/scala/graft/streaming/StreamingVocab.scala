@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental corpus vocabulary: running token counts maintained as
+  * per-token state while documents stream in — the streaming face of
+  * [[graft.operators.TextAnalysis.vocabTopK]] (vocabulary/tokenizer
+  * statistics that stay current as a crawl lands, instead of a
+  * batch recount per snapshot).
+  *
+  * Each micro-batch is pre-aggregated per token BEFORE touching state
+  * (`groupByKey` over exploded tokens hands ALL of a token's batch
+  * occurrences to one state call), so state-store traffic per batch is
+  * one read-modify-write per DISTINCT token in the batch — the same
+  * map-side-combine argument as the batch word count, applied to the
+  * state store. State is one long per distinct corpus token, sharded
+  * across executors; emission is Update-mode (a token's row appears in
+  * a batch's output only when its count changed), so the downstream
+  * sink sees a changelog whose latest row per token IS the current
+  * vocabulary — counts are monotone, so "latest" = max (spec-asserted
+  * equal to the batch count after replaying the corpus).
+  *
+  * Top-k over the changelog's compacted state is a batch query over
+  * (distinct tokens) rows — vocabulary-sized, not corpus-sized.
+  */
+object StreamingVocab {
+
+  case class Tok(token: String)
+  case class TokCount(token: String, cnt: Long)
+
+  /** Running per-token counts over a streaming `(…, text)` frame.
+    * Update-mode changelog: one row per (batch × distinct token in the
+    * batch) carrying the NEW running total.
+    */
+  def tokenCounts(docs: DataFrame): Dataset[TokCount] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .as[Tok]
+      .groupByKey(_.token)
+      .flatMapGroupsWithState[Long, TokCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (token: String, it: Iterator[Tok], state: GroupState[Long]) =>
+          var add = 0L
+          while (it.hasNext) { it.next(); add += 1 }
+          if (add == 0) Iterator.empty
+          else {
+            val total = (if (state.exists) state.get else 0L) + add
+            state.update(total)
+            Iterator(TokCount(token, total))
+          }
+      }
+  }
+
+  /** File-landing stream over a directory of document parquet files,
+    * one file per micro-batch — the ingest posture of a crawler
+    * dropping shards into object storage.
+    */
+  def docsStream(spark: SparkSession, landingDir: String): DataFrame = {
+    val schema = spark.read.parquet(landingDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+  }
+}

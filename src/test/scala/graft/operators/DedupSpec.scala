@@ -29,6 +29,31 @@ class DedupSpec extends SparkSpec {
     assert(truth.subsetOf(mh), s"missed: ${truth.diff(mh)}")
   }
 
+  test("sampled minhash verify: exact hash-sample of the full verified pairs") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64, col}
+    val mod = 4
+    val full = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same deterministic pair-hash predicate as the operator, applied
+    // to the FULL verified set
+    import spark.implicits._
+    val expected = full.toSeq.toDF("doc_a", "doc_b")
+      .where(pmod(xxhash64(col("doc_a"), col("doc_b")),
+        org.apache.spark.sql.functions.lit(mod)) === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sampled = Dedup.minhashSampledVerify(docs, sampleMod = mod).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampled == expected)
+    assert(sampled.nonEmpty && sampled.size < full.size)
+    // the one-action stats agree with the frame counts
+    val (s, v) = Dedup.minhashSampleVerifyStats(spark, sfDir, mod)
+    assert(v == sampled.size.toLong)
+    assert(s >= v)
+    // unsampled candidates vastly outnumber the 1-in-mod sample
+    assert(Dedup.minhashCandidates(spark, sfDir).count() > s)
+  }
+
   test("salted minhash returns exactly the unsalted pairs, even with a planted skew cluster") {
     // plant a pathological duplicate cluster: one doc replicated 30x —
     // its band buckets would funnel O(c^2) pairs through single tasks

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingVocabSpec extends SparkSpec {
+
+  test("streamed running vocab equals the batch word count; top-k matches vocabTopK") {
+    val base = "/root/repo/out/test_stream_vocab"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val landing = s"$base/landing"
+
+    // land the corpus as several files → several micro-batches, so the
+    // running counts genuinely accumulate across state-store updates
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(4).write.parquet(landing)
+
+    val q = StreamingVocab.tokenCounts(StreamingVocab.docsStream(spark, landing))
+      .writeStream.format("memory").queryName("stream_vocab")
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+
+    val changelog = spark.table("stream_vocab")
+    // counts are monotone: latest per token == max per token
+    val finalCounts = changelog.groupBy("token").agg(max("cnt").as("cnt"))
+    val gotMap = finalCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotMap == batch)
+
+    // multiple micro-batches actually ran: some token must have been
+    // emitted with more than one running total
+    val emissions = changelog.groupBy("token").agg(countDistinct("cnt").as("d"))
+      .agg(max("d")).collect()(0).getLong(0)
+    assert(emissions > 1, "expected multi-batch accumulation, got a single batch")
+
+    // derived top-k (cnt desc, token) equals the batch operator
+    val gotTop = finalCounts.orderBy(col("cnt").desc, col("token")).limit(100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batchTop = TextAnalysis.vocabTopK(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotTop == batchTop)
+  }
+}
