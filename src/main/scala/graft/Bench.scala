@@ -161,7 +161,7 @@ object Bench {
     "q5_multijoin",
     "text_decontaminate", "text_repetition", "text_vocab_topk",
     "text_pii_scrub",
-    "sample_weighted",
+    "sample_weighted", "sample_pack",
     // TSDB core representatives: aggregation, per-series window, scan,
     // plus the round-4 window/as-of family
     // ts_rollup_avg is NOT here: its build and query phases are timed
@@ -218,8 +218,9 @@ object Bench {
   private val scale100SkipProse: String =
     "q5_multijoin: fact-fact SMJ sorts 60M rows in one JVM heap (spill) — cluster-sharded by design, " +
     "layout answer is bucketFacts/q3Bucketed; " +
-    "dedup_minhash: 155s in the r03 one-off at 16g — letter-rotation period 26 makes ~4-way TRUE dup " +
-    "clusters whose verification is quadratic in cluster size (the workload, not the plan); " +
+    "dedup_minhash: timed leg excluded (true-dup replica clusters make the verify superlinear in " +
+    "candidates), but the minhash100 key records the MEASURED bound: full candidate count + timed " +
+    "1-in-16 sampled verify -> est_full_sec (14.6s in the r06 record, superseding the r03 155s one-off); " +
     "dedup_ngram_jaccard: linear but ~39s in the r03 one-off, excluded to bound round wall-clock; " +
     "dedup_embedding: documented-quadratic exhaustive oracle for the LSH variant"
 

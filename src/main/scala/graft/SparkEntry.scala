@@ -82,6 +82,7 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => graft.operators.Analytics.q1(s, d)),
     "q3_join" -> ((s, d) => graft.operators.Analytics.q3(s, d)),
     "q5_multijoin" -> ((s, d) => graft.operators.Analytics.q5(s, d)),
+    "q_rollup_cube" -> ((s, d) => graft.operators.Analytics.rollupCube(s, d)),
     "q_topk_window" -> ((s, d) => graft.operators.Analytics.topkPerBrand(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
 
@@ -121,11 +122,13 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, d) => graft.operators.Similarity.ivfPqTopK(s, d)),
     "ann_range" -> ((s, d) => graft.operators.Similarity.rangeSearch(s, d)),
     "ann_knn_join" -> ((s, d) => graft.operators.Similarity.knnJoin(s, d)),
+    "ann_knn_join_ivf" -> ((s, d) => graft.operators.Similarity.knnJoinIvf(s, d)),
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
     "sample_mix" -> ((s, d) => graft.operators.Sampling.sourceMix(s, d)),
+    "sample_pack" -> ((s, d) => graft.operators.Sampling.packDocs(s, d)),
     "sample_weighted" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       graft.operators.Sampling.weightedSample(
@@ -449,6 +452,15 @@ object SparkEntry {
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    // one Expand + one hash aggregate on the Spark side; GROUPING marks
+    // subtotal rows apart from genuine NULL group keys on both engines
+    "q_rollup_cube" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)""".stripMargin,
     "q_topk_window" ->
       """SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rnk FROM (
         |  SELECT p_brand, p_partkey,
@@ -746,6 +758,26 @@ object SparkEntry {
          |WHERE quality_score >= 1.0
          |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
          |      < lpad(lower(hex(CAST(round(quality_score * 256) AS BIGINT))), 2, '0')""".stripMargin,
+    // sequence packing: same ws-token count as text_tokens, same
+    // per-source cumsum window, exact integer division on both engines
+    "sample_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    -- CAST: DuckDB window SUM(BIGINT) is HUGEINT, which would
+        |    -- drift the compared dtypes to float downstream
+        |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cum_before // 1024 AS BIGINT) AS seq_first,
+        |  CAST(greatest((cum_before + n_tokens - 1) // 1024,
+        |           cum_before // 1024) AS BIGINT) AS seq_last,
+        |  CAST(cum_before % 1024 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
     "sample_stratified" ->
       """SELECT vec_id, label, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT vec_id, label, row_number() OVER (
@@ -837,6 +869,35 @@ object SparkEntry {
         |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS list_id FROM (
         |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
         |  FROM (SELECT * FROM ac WHERE vec_id < 5)) WHERE crnk <= 4),
+        |c AS (
+        |  SELECT q.q_id, a.vec_id,
+        |    round(list_reduce(list_transform(list_zip(q.qv, a.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a2, b2) -> a2 + b2)
+        |      / (q.qnrm * a.nrm), 6) AS cos
+        |  FROM assigned a JOIN probes q ON a.list_id = q.list_id AND a.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        |WHERE rnk <= 5""".stripMargin,
+    // the kNN JOIN through the IVF probe: identical assignment/probe
+    // re-derivation as ann_ivf, with the query side = the label-0 SET
+    "ann_knn_join_ivf" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |ac AS (
+        |  SELECT n.vec_id, n.label, n.v, n.nrm, cent_id,
+        |    round(list_reduce(list_transform(list_zip(n.v, cv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / (n.nrm * cnrm), 6) AS ccos
+        |  FROM n, cent),
+        |assigned AS (SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+        |  FROM ac) WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS list_id FROM (
+        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+        |  FROM (SELECT * FROM ac WHERE label = 0)) WHERE crnk <= 4),
         |c AS (
         |  SELECT q.q_id, a.vec_id,
         |    round(list_reduce(list_transform(list_zip(q.qv, a.v),

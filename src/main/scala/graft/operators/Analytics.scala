@@ -238,6 +238,25 @@ object Analytics {
     * running sum — the classic distributed sessionization shape; one
     * shuffle on user_id, no state on the driver).
     */
+  /** ROLLUP cube over orders: totals per (year × priority), per year,
+    * and grand total in ONE aggregate — the OLAP drill-down shape
+    * dashboards ask for. Spark rewrites a rollup into a single Expand +
+    * hash aggregate (every grouping set shares the one scan and one
+    * shuffle — never one job per grouping set), so the 100 TB cost is
+    * the same as the plain (year, priority) aggregate plus two
+    * vocabulary-sized merge levels. Decimal-exact sums; `grouping_id`
+    * disambiguates a genuine NULL group key from a rollup subtotal row
+    * (the standard SQL marker, identical in DuckDB).
+    */
+  def rollupCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(28,6))")).cast("double").as("sum_price"),
+        grouping_id().as("gid"))
+
   def sessionize(spark: SparkSession, dir: String, gapNs: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")

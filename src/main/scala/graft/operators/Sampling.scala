@@ -103,6 +103,50 @@ object Sampling {
     docs.where(keep).select(col("doc_id"), col("source"))
   }
 
+  /** Sequence packing (concat-and-chunk) for LLM pretraining: within
+    * each source shard, documents are concatenated in stable doc_id
+    * order and cut into fixed `budget`-token training sequences, with
+    * documents straddling cut points split across consecutive
+    * sequences — the standard pack-then-chunk dataloader layout,
+    * computed as METADATA (which sequence(s) a document feeds and at
+    * what offset) so the actual token assembly stays a later
+    * map-partition pass.
+    *
+    * One window cumsum per source: `cum_before = Σ n_tokens` over
+    * (source, doc_id asc) — so the shuffle key is the SOURCE shard,
+    * the parallel grain a 100 TB pipeline actually packs at (a single
+    * global order would serialize the corpus through one sort; packing
+    * within shards is what production dataloaders do). Sequence ids
+    * are (source, seq_no) with `seq_first = ⌊cum_before / budget⌋`,
+    * `seq_last = ⌊(cum_before + n_tokens − 1) / budget⌋`, `offset =
+    * cum_before mod budget` — all integer arithmetic on exact long
+    * sums, so the layout is engine-reproducible and append-stable
+    * per shard.
+    */
+  def packSequences(docsDf: DataFrame, budget: Long = 1024): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = graft.functions.TextFunctions.wsTokenCount(col("text"))
+    docsDf
+      .select(col("doc_id"), col("source"), n.as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        // exact LONG division (not float floor): safe past 2^53 tokens
+        expr(s"cum_before div ${budget}L").as("seq_first"),
+        // an (impossible-here) empty document stays in its starting
+        // sequence rather than computing the floor of a negative
+        greatest(expr(s"(cum_before + n_tokens - 1) div ${budget}L"),
+          expr(s"cum_before div ${budget}L")).as("seq_last"),
+        (col("cum_before") % budget).as("seq_offset"))
+  }
+
+  /** documents → packing metadata (driver entry). */
+  def packDocs(spark: SparkSession, dir: String, budget: Long = 1024): DataFrame =
+    packSequences(spark.read.parquet(s"$dir/documents.parquet"), budget)
+
   /** Stratified deterministic top-`perLabel` sample of `embeddings` per
     * label: rows ranked inside each label by (hash, id) — a content-
     * stable shuffle — and the first `perLabel` kept. One shuffle on the

@@ -266,6 +266,25 @@ object Similarity {
     ivfSearch(index, e.where(col("vec_id") < numQueries), numQueries, k, nprobe)
   }
 
+  /** The sub-linear variant of [[knnJoin]]: the whole label-set query
+    * frame probes the MATERIALIZED inverted lists (nprobe/nlist of the
+    * corpus read per query batch, partition-pruned) instead of
+    * scanning the corpus once per broadcast block. Same probe/rank
+    * machinery as [[ivfTopK]] — a k-NN join here is nothing but the
+    * IVF search with a set-valued query frame, which is exactly the
+    * compositionality argument for doing ANN relationally. Returned
+    * cosines are exact ([[ivfSearch]] re-scores survivors with the
+    * full-precision kernel); recall vs the exact [[knnJoin]] is
+    * spec-floored.
+    */
+  def knnJoinIvf(spark: SparkSession, dir: String, qLabel: Int = 0,
+                 k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = vecs(spark, dir)
+    val index = IvfIndex.ensure(spark, dir, "first", nlist, iters = 0,
+      train = () => firstVectorCentroids(e, nlist), corpus = e)
+    ivfSearch(index, e.where(col("label") === qLabel), 0, k, nprobe)
+  }
+
   /** IVF ANN over trained k-means centroids — the recall-bearing variant
     * (rows-only: the centroid training is not practically
     * SQL-expressible; verified by a recall@k spec vs [[bruteForceTopK]]).

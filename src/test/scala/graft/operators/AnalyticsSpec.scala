@@ -81,6 +81,29 @@ class AnalyticsSpec extends SparkSpec {
       s"customer join must be un-hinted:\n${custJoins.mkString("\n")}")
   }
 
+  test("rollup cube: one expand + one aggregate exchange; subtotals re-add exactly") {
+    val cube = Analytics.rollupCube(spark, sfDir)
+    val plan = cube.queryExecution.executedPlan.toString
+    // ONE Expand feeding ONE aggregate exchange: all grouping sets share
+    // a single scan + shuffle (never a job per grouping set)
+    assert("Expand".r.findAllIn(plan).length >= 1)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    val rows = cube.collect()
+    val detail = rows.filter(_.getAs[Long]("gid") == 0L)
+    val perYear = rows.filter(_.getAs[Long]("gid") == 1L)
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1)
+    assert(grand(0).getAs[Long]("n_orders") == detail.map(_.getAs[Long]("n_orders")).sum)
+    // per-year subtotals equal the sum of their detail rows (counts are
+    // exact; sums are decimal-exact so doubles compare equal)
+    perYear.foreach { y =>
+      val ds = detail.filter(_.getAs[Long]("o_year") == y.getAs[Long]("o_year"))
+      assert(y.getAs[Long]("n_orders") == ds.map(_.getAs[Long]("n_orders")).sum)
+      assert(math.abs(y.getAs[Double]("sum_price") -
+        ds.map(_.getAs[Double]("sum_price")).sum) < 1e-4)
+    }
+  }
+
   test("topk returns at most k per brand with contiguous ranks") {
     val out = Analytics.topkPerBrand(spark, sfDir, 3)
     val per = out.groupBy("p_brand").count().agg(max("count")).collect()(0).getLong(0)

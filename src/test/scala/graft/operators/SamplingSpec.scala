@@ -19,6 +19,41 @@ class SamplingSpec extends SparkSpec {
     assert(a.values.forall(Set("train", "val", "test")))
   }
 
+  test("sequence packing: per-source chunk layout is gapless, ordered, budget-exact") {
+    val budget = 64L
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Sampling.packSequences(docs, budget).collect()
+    assert(out.length.toLong == docs.count())
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        // offsets and seq ids are exactly the running concat-and-chunk
+        assert(r.getAs[Long]("seq_offset") == cum % budget)
+        assert(r.getAs[Long]("seq_first") == cum / budget)
+        assert(r.getAs[Long]("seq_last") == math.max((cum + n - 1) / budget, cum / budget))
+        // a doc spans exactly the sequences its token range covers
+        assert(r.getAs[Long]("seq_last") >= r.getAs[Long]("seq_first"))
+        cum += n
+      }
+      // every sequence number up to the last is fed by some document
+      val fed = sorted.flatMap(r =>
+        r.getAs[Long]("seq_first") to r.getAs[Long]("seq_last")).toSet
+      assert(fed == (0L to (cum - 1) / budget).toSet)
+    }
+    // packing is per-source: a single-source restriction reproduces its layout
+    val src = out.head.getAs[String]("source")
+    val only = Sampling.packSequences(docs.where(col("source") === src), budget)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seq_first"), r.getAs[Long]("seq_offset"))).toMap
+    bySource(src).foreach { r =>
+      assert(only(r.getAs[Long]("doc_id")) ==
+        (r.getAs[Long]("seq_first"), r.getAs[Long]("seq_offset")))
+    }
+  }
+
   test("membership is content-stable: appending rows never reassigns existing ones") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val full = Sampling.sampleFraction(docs, col("doc_id"), 0.25)

@@ -46,6 +46,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.groupBy(_.getAs[Long]("q_id")).values.forall(_.length == 5))
   }
 
+  test("ivf knn join: exact cosines, recall floor vs the exact join") {
+    val exact = Similarity.knnJoin(spark, sfDir, qLabel = 0, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivfRows = Similarity.knnJoinIvf(spark, sfDir, qLabel = 0, k = 5).collect()
+    val ivf = ivfRows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    // every returned cosine is the exact full-precision score: compare
+    // against the exhaustive per-pair cosines from bruteForce at full k
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count().toInt
+    val allCos = Similarity.knnJoin(spark, sfDir, qLabel = 0, k = n).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    ivfRows.foreach { r =>
+      assert(allCos((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+        == r.getAs[Double]("cos"))
+    }
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // measured 0.496 at sf0.001 with nprobe/nlist = 4/16 (reading 1/4 of
+    // the lists): the synthetic corpus is near-flat in cosine (max
+    // pairwise ≈ 0.48, same characteristic the PQ recall note documents),
+    // so neighbors spread across lists almost uniformly — the floor
+    // pins the measured behavior; real clustered embeddings sit far
+    // higher, and nprobe is the knob
+    assert(recall >= 0.45, s"ivf knn-join recall@5 $recall below floor")
+  }
+
   test("filtered topk: pre-filter semantics — true top-k of the matching subset") {
     val out = Similarity.filteredTopK(spark, sfDir, numQueries = 3, k = 5).collect()
     assert(out.nonEmpty)
