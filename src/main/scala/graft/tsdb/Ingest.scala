@@ -130,6 +130,11 @@ object Ingest {
         (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"): _*)
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,6)")).as("sum_value"),
+        // Σv² partial (decimal(18,6)² = decimal(37,12), exact): makes
+        // population stddev decomposable at query time — anomaly bands
+        // answered from partials instead of a raw 100 TB re-scan
+        sum(col("value").cast("decimal(18,6)") *
+          col("value").cast("decimal(18,6)")).as("sum_sq"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
   }
@@ -185,6 +190,7 @@ object Ingest {
       .groupBy(col("metric") +: tags :+ col("bucket_start"): _*)
       .agg(sum(col("n")).as("n"),
         sum(col("sum_value")).as("sum_value"),
+        sum(col("sum_sq")).as("sum_sq"),
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
     val tmp = path + ".compact"
@@ -249,7 +255,8 @@ object Ingest {
   /** Bump when the canonical frame layout changes (e.g. tag semantics),
     * so cached layouts from older code are never silently reused.
     */
-  private val LayoutVersion = 3
+  // v4: rollup partials carry the Σv² column (stddev decomposability)
+  private val LayoutVersion = 4
 
   /** Content fingerprint of a source dir: md5 over every file's relative
     * path, size, and mtime. Keying cached layouts on it (not just the

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, functions}
 import org.apache.spark.sql.functions._
 
 /** A materialized rollup layout: per (metric × tagset × fixed-width
-  * bucket) partial aggregates `(n, sum_value, min_value, max_value)`,
+  * bucket) partial aggregates `(n, sum_value, sum_sq, min_value,
+  * max_value)`,
   * written once at ingest by [[Ingest.writeRollup]] — the continuous-
   * aggregate feature every production metrics store grows (the
   * reference's embedded engine re-scans raw points per query;
@@ -16,6 +17,8 @@ import org.apache.spark.sql.functions._
   * combine — all associative, so results are bit-identical to running
   * the same aggregation over the raw points (spec-asserted, and the
   * driver oracle for `ts_rollup_avg` is literally the raw-data SQL).
+  * The `sum_sq` partial (layout v4) extends the same argument to
+  * population stddev — anomaly bands answered from partials.
   * Quantiles are NOT decomposable into these partials and stay on the
   * raw path ([[Db.quantile]]).
   */
@@ -41,6 +44,10 @@ final class Rollup(val frame: DataFrame, val widthNs: Long) {
   def count(metric: String, groupBy: String, width: Long,
             filterExpr: String = "*"): DataFrame =
     agg(AggKind.Count, metric, groupBy, width, filterExpr)
+  /** Population stddev from partials (needs the v4 `sum_sq` column). */
+  def stddev(metric: String, groupBy: String, width: Long,
+             filterExpr: String = "*"): DataFrame =
+    agg(AggKind.Stddev, metric, groupBy, width, filterExpr)
 
   /** Re-aggregate the partials at `width` (a multiple of the rollup
     * width). Output schema matches [[AggBuilder.build]]:
@@ -53,9 +60,10 @@ final class Rollup(val frame: DataFrame, val widthNs: Long) {
     kind match {
       case AggKind.Quantile(_) => throw new IllegalArgumentException(
         "quantiles are not decomposable into rollup partials; use Db.quantile over raw points")
-      case AggKind.Stddev => throw new IllegalArgumentException(
-        "stddev needs a sum-of-squares partial the rollup layout does not store; " +
-          "use Db.stddev over raw points")
+      case AggKind.Stddev if !frame.columns.contains("sum_sq") =>
+        throw new IllegalArgumentException(
+          "this rollup layout predates the sum_sq partial (LayoutVersion < 4); " +
+            "rebuild with Ingest.writeRollup or use Db.stddev over raw points")
       case _ => ()
     }
     val grpCol = tagCol(groupBy)
@@ -72,7 +80,15 @@ final class Rollup(val frame: DataFrame, val widthNs: Long) {
       case AggKind.Min   => functions.min(col("min_value"))
       case AggKind.Max   => functions.max(col("max_value"))
       case AggKind.Count => functions.sum(col("n")).cast("double")
-      case AggKind.Quantile(_) | AggKind.Stddev =>
+      // IDENTICAL op chain to AggKind.Stddev over raw points: both Σv
+      // and Σv² re-aggregate exactly (decimal adds are associative), so
+      // the partial-merged σ is bit-equal to the raw-scan σ
+      case AggKind.Stddev =>
+        val sq = functions.sum(col("sum_sq")).cast("double")
+        val sv = decSum.cast("double")
+        val cnt = functions.sum(col("n"))
+        round(sqrt(greatest((sq - (sv * sv) / cnt) / cnt, lit(0.0))), 6)
+      case AggKind.Quantile(_) =>
         throw new IllegalStateException("unreachable")
     }).as("value")
     base.groupBy(grpCol.as("grp"), bucket).agg(n, valueCol)

@@ -157,7 +157,24 @@ class TsdbOpsSpec extends SparkSpec {
     assert(shuffled.map(r => r.getString(0) -> r.getAs[Double]("value")).toMap == byGrp)
   }
 
-  test("rollup rejects stddev (no sum-of-squares partial)") {
+  test("rollup stddev from sum_sq partials is bit-equal to the raw-points stddev") {
+    val hour = Duration.hours(1)
+    val day = Duration.days(1)
+    // points spread across several hourly partials inside one day
+    val d = db((0 until 48).map(i =>
+      ("m", i * hour + 7L, (i % 7) * 1.5 + 0.25, if (i % 2 == 0) "u" else "v")))
+    val path = s"/root/repo/out/test_rollup_stddev_${System.nanoTime()}"
+    Ingest.writeRollup(d, path, hour)
+    val r = Ingest.openRollup(spark, path, hour)
+    val got = r.stddev("m", "user", day).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getAs[Double]("value")).toMap
+    val raw = d.stddev("m", "user").granularity(day).build().collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getAs[Double]("value")).toMap
+    assert(raw.nonEmpty && got == raw)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
+  test("rollup stddev on a pre-v4 layout (no sum_sq) fails with a clear message") {
     val d = db(Seq(("m", 1L, 2.0, "u")))
     val r = new Rollup(
       d.frame.groupBy(col("metric"), expr("ts div 3600000000000 * 3600000000000").as("bucket_start"), col("tag_user"))
@@ -167,7 +184,7 @@ class TsdbOpsSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException] {
       r.agg(AggKind.Stddev, "m", "user", Duration.days(1))
     }
-    assert(ex.getMessage.contains("stddev"))
+    assert(ex.getMessage.contains("sum_sq"))
   }
 
   test("gapfill densifies the series span and forward-fills values") {
@@ -220,7 +237,8 @@ class TsdbOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     for ((kind, name) <- Seq[(AggKind, String)](
       (AggKind.Avg, "avg"), (AggKind.Sum, "sum"), (AggKind.Min, "min"),
-      (AggKind.Max, "max"), (AggKind.Count, "count"))) {
+      (AggKind.Max, "max"), (AggKind.Count, "count"),
+      (AggKind.Stddev, "stddev"))) {
       val direct = AggBuilder(db, kind, "purchase", "user")
         .granularity(Duration.days(1)).build()
       val rolled = rollup.agg(kind, "purchase", "user", Duration.days(1))
