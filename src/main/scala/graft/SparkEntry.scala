@@ -56,6 +56,7 @@ object SparkEntry {
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
     "ts_stddev" -> ((s, d) =>
       Db.fromEvents(s, d).stddev("error", "k").granularity(Day).build()),
+    "ts_zscore" -> ((s, d) => Db.fromEvents(s, d).zscore("error", "user")),
     "ts_gapfill" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
     "ts_topk_series" -> ((s, d) =>
@@ -291,6 +292,23 @@ object SparkEntry {
     "ts_ingest_avg" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
     "ts_quantile" -> tsAgg("view", "user",
       "round(quantile_cont(value, 0.95), 6) AS value"),
+    // per-point z within (group × bucket): exact decimal window sums,
+    // then the identical IEEE chain (no rounding — the rate/ewma
+    // recipe) with `+ 0.0` signed-zero canonicalization; σ=0 → NULL
+    "ts_zscore" ->
+      s"""$Ev, p AS (
+         |  SELECT tag_user AS grp, ts, value FROM ev
+         |  WHERE metric = 'error' AND tag_user IS NOT NULL),
+         |w AS (
+         |  SELECT grp, (ts // ${Day}) * ${Day} AS bucket_start, ts, value,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER win AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS sq,
+         |    COUNT(*) OVER win AS n
+         |  FROM p WINDOW win AS (PARTITION BY grp, ts // ${Day}))
+         |SELECT grp, bucket_start, ts, value,
+         |  CASE WHEN sqrt(greatest((sq - s*s/n)/n, 0)) = 0 THEN NULL
+         |       ELSE (value - s/n) / sqrt(greatest((sq - s*s/n)/n, 0)) + 0.0 END AS z
+         |FROM w""".stripMargin,
     // same op chain as AggKind.Stddev: exact decimal Σv and Σv², then
     // double square/divide/sqrt — bit-stable on both engines
     "ts_stddev" -> tsAgg("error", "k",

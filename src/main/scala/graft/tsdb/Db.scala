@@ -207,6 +207,39 @@ final class Db(val frame: DataFrame) {
     * DuckDB oracle mirrors the identical IEEE arithmetic with
     * `list_reduce` over window prefix arrays (bit-stable).
     */
+  /** Per-point z-score within its (group × bucket): `(v − μ)/σ` with
+    * μ, σ from the SAME exact-decimal Σv/Σv² chain as
+    * [[AggKind.Stddev]] — the anomaly-detection read of the stddev
+    * band ("which points sit k sigmas out, and where"). Window
+    * formulation, not an agg + self-join: ONE shuffle on
+    * (group, bucket) serves both the stats and the per-point
+    * enrichment, and every arithmetic step after the exact sums is the
+    * identical IEEE chain on both engines (no rounding — the rate/ewma
+    * bit-stability recipe), with `+ 0.0` canonicalizing the signed
+    * zero when v = μ. Constant buckets (σ = 0) yield NULL, not a
+    * division blow-up.
+    */
+  def zscore(metric: String, groupBy: String,
+             widthNs: Long = Duration.days(1),
+             filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grpCol = tagCol(groupBy)
+    val w = Window.partitionBy(grpCol, expr(s"ts div ${widthNs}L"))
+    import org.apache.spark.sql.{functions => F}
+    val s = F.sum(col("value").cast("decimal(28,6)")).over(w).cast("double")
+    val sq = F.sum(col("value").cast("decimal(18,6)") *
+      col("value").cast("decimal(18,6)")).over(w).cast("double")
+    val cnt = F.count(lit(1)).over(w)
+    val sigma = sqrt(greatest((sq - (s * s) / cnt) / cnt, lit(0.0)))
+    scan(metric, filterExpr)
+      .where(grpCol.isNotNull)
+      .select(grpCol.as("grp"),
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"),
+        col("ts"), col("value"),
+        when(sigma === 0.0, lit(null).cast("double"))
+          .otherwise((col("value") - s / cnt) / sigma + lit(0.0)).as("z"))
+  }
+
   def ewma(metric: String, alpha: Double = 0.3,
            filterExpr: String = "*",
            maxPointsPerSeries: Long = 10000000L): DataFrame = {

@@ -157,6 +157,25 @@ class TsdbOpsSpec extends SparkSpec {
     assert(shuffled.map(r => r.getString(0) -> r.getAs[Double]("value")).toMap == byGrp)
   }
 
+  test("zscore standardizes within (group, bucket); constant buckets yield NULL") {
+    val d = db(Seq(
+      ("m", 1L, 2.0, "u"), ("m", 2L, 4.0, "u"),
+      ("m", 3L, 4.0, "u"), ("m", 4L, 4.0, "u"),
+      ("m", 5L, 5.0, "u"), ("m", 6L, 5.0, "u"),
+      ("m", 7L, 7.0, "u"), ("m", 8L, 9.0, "u"),   // μ=5, σ=2
+      ("m", 9L, 3.0, "v"), ("m", 10L, 3.0, "v"))) // constant bucket → NULL
+    val out = d.zscore("m", "user").collect()
+    val byTs = out.map(r => r.getLong(2) ->
+      Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)).toMap
+    assert(byTs(1L).contains(-1.5) && byTs(2L).contains(-0.5))
+    assert(byTs(7L).contains(1.0) && byTs(8L).contains(2.0))
+    assert(byTs(5L).contains(0.0) && !(1.0 / byTs(5L).get).isNegInfinity) // +0.0, not -0.0
+    assert(byTs(9L).isEmpty && byTs(10L).isEmpty)
+    // one exchange serves both the stats and the per-point projection
+    val plan = d.zscore("m", "user").queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("rollup stddev from sum_sq partials is bit-equal to the raw-points stddev") {
     val hour = Duration.hours(1)
     val day = Duration.days(1)
