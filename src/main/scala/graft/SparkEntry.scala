@@ -70,6 +70,14 @@ object SparkEntry {
         s, graft.tsdb.Ingest.ensureRollup(s, d, Duration.hours(1)), Duration.hours(1))
       rollup.avg("purchase", "user", Day)
     }),
+    // per-point z with bucket stats from the hourly PARTIALS broadcast
+    // onto the unshuffled point scan; the oracle is ts_zscore's
+    // raw-window SQL — the hash match proves the partial path exact
+    "ts_zscore_rollup" -> ((s, d) => {
+      val rollup = graft.tsdb.Ingest.openRollup(
+        s, graft.tsdb.Ingest.ensureRollup(s, d, Duration.hours(1)), Duration.hours(1))
+      rollup.zscoreOver(Db.fromEvents(s, d), "error", "user", Day)
+    }),
     // full round-trip through the graft on-disk layout: write once
     // (partitioned by metric, ts-sorted), reopen, query — proves the
     // ingest path yields identical results with dir pruning + pushdown
@@ -245,6 +253,21 @@ object SparkEntry {
        |WHERE metric = '$metric' AND tag_$grp IS NOT NULL AND ($where)
        |GROUP BY 1, 2""".stripMargin
 
+  private val ZscoreSql =
+    s"""$Ev, p AS (
+         |  SELECT tag_user AS grp, ts, value FROM ev
+         |  WHERE metric = 'error' AND tag_user IS NOT NULL),
+         |w AS (
+         |  SELECT grp, (ts // ${Day}) * ${Day} AS bucket_start, ts, value,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER win AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS sq,
+         |    COUNT(*) OVER win AS n
+         |  FROM p WINDOW win AS (PARTITION BY grp, ts // ${Day}))
+         |SELECT grp, bucket_start, ts, value,
+         |  CASE WHEN sqrt(greatest((sq - s*s/n)/n, 0)) = 0 THEN NULL
+         |       ELSE (value - s/n) / sqrt(greatest((sq - s*s/n)/n, 0)) + 0.0 END AS z
+         |FROM w""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ts_avg"   -> tsAgg("purchase", "user", AvgV),
     "ts_sum"   -> tsAgg("click", "user", SumV),
@@ -295,20 +318,11 @@ object SparkEntry {
     // per-point z within (group × bucket): exact decimal window sums,
     // then the identical IEEE chain (no rounding — the rate/ewma
     // recipe) with `+ 0.0` signed-zero canonicalization; σ=0 → NULL
-    "ts_zscore" ->
-      s"""$Ev, p AS (
-         |  SELECT tag_user AS grp, ts, value FROM ev
-         |  WHERE metric = 'error' AND tag_user IS NOT NULL),
-         |w AS (
-         |  SELECT grp, (ts // ${Day}) * ${Day} AS bucket_start, ts, value,
-         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER win AS DOUBLE) AS s,
-         |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS sq,
-         |    COUNT(*) OVER win AS n
-         |  FROM p WINDOW win AS (PARTITION BY grp, ts // ${Day}))
-         |SELECT grp, bucket_start, ts, value,
-         |  CASE WHEN sqrt(greatest((sq - s*s/n)/n, 0)) = 0 THEN NULL
-         |       ELSE (value - s/n) / sqrt(greatest((sq - s*s/n)/n, 0)) + 0.0 END AS z
-         |FROM w""".stripMargin,
+    "ts_zscore" -> ZscoreSql,
+    // IDENTICAL raw-window SQL for the rollup-backed variant: matching
+    // this hash proves the broadcast-stats partial path is exact
+    "ts_zscore_rollup" -> ZscoreSql,
+    
     // same op chain as AggKind.Stddev: exact decimal Σv and Σv², then
     // double square/divide/sqrt — bit-stable on both engines
     "ts_stddev" -> tsAgg("error", "k",

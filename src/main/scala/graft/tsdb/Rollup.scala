@@ -49,6 +49,47 @@ final class Rollup(val frame: DataFrame, val widthNs: Long) {
              filterExpr: String = "*"): DataFrame =
     agg(AggKind.Stddev, metric, groupBy, width, filterExpr)
 
+  /** Per-point z-score with the bucket stats answered from PARTIALS:
+    * the (group × bucket) Σv/Σv²/n re-aggregate from this rollup
+    * (vocabulary-sized) and are BROADCAST onto the raw point scan — so
+    * unlike [[Db.zscore]]'s window formulation, the points themselves
+    * never shuffle or sort: at 100 TB the plan is a streaming scan +
+    * broadcast hash join (spec-asserted zero exchanges on the point
+    * side). The arithmetic chain after the exact decimal sums is
+    * IDENTICAL to [[Db.zscore]], and both sum paths are exact, so the
+    * two formulations are bit-equal (spec-asserted).
+    */
+  def zscoreOver(db: Db, metric: String, groupBy: String, width: Long,
+                 filterExpr: String = "*"): DataFrame = {
+    require(width % widthNs == 0,
+      s"query width $width is not a multiple of the rollup width $widthNs")
+    require(frame.columns.contains("sum_sq"),
+      "zscoreOver needs the v4 sum_sq partial; rebuild with Ingest.writeRollup")
+    val grpCol = tagCol(groupBy)
+    val stats = frame
+      .where(col("metric") === lit(Db.validated(metric)))
+      .where(FilterParser.compileString(filterExpr, tagCol))
+      .where(grpCol.isNotNull)
+      .groupBy(grpCol.as("grp"),
+        (expr(s"bucket_start div ${width}L") * lit(width)).as("bucket_start"))
+      .agg(functions.sum(col("n")).as("cnt"),
+        functions.sum(col("sum_value")).as("s_dec"),
+        functions.sum(col("sum_sq")).as("sq_dec"))
+    val s = col("s_dec").cast("double")
+    val sq = col("sq_dec").cast("double")
+    val cnt = col("cnt")
+    val sigma = sqrt(greatest((sq - (s * s) / cnt) / cnt, lit(0.0)))
+    db.scan(metric, filterExpr)
+      .where(db.tagCol(groupBy).isNotNull)
+      .select(db.tagCol(groupBy).as("grp"),
+        (expr(s"ts div ${width}L") * lit(width)).as("bucket_start"),
+        col("ts"), col("value"))
+      .join(functions.broadcast(stats), Seq("grp", "bucket_start"))
+      .select(col("grp"), col("bucket_start"), col("ts"), col("value"),
+        when(sigma === 0.0, lit(null).cast("double"))
+          .otherwise((col("value") - s / cnt) / sigma + lit(0.0)).as("z"))
+  }
+
   /** Re-aggregate the partials at `width` (a multiple of the rollup
     * width). Output schema matches [[AggBuilder.build]]:
     * `grp, bucket_start, n, value`.

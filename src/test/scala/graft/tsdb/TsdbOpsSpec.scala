@@ -193,6 +193,29 @@ class TsdbOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
+  test("rollup-backed zscore is bit-equal to the window zscore; points never shuffle") {
+    val hour = Duration.hours(1)
+    val day = Duration.days(1)
+    val d = Db.fromEvents(spark, sfDir)
+    val path = s"/root/repo/out/test_rollup_zscore_${System.nanoTime()}"
+    Ingest.writeRollup(d, path, hour)
+    val r = Ingest.openRollup(spark, path, hour)
+    val over = r.zscoreOver(d, "purchase", "user", day)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        Option(x.getAs[java.lang.Double]("z")).map(_.toDouble))).toSeq.sorted(
+        Ordering.by((t: (String, Long, Long, Double, Option[Double])) => (t._1, t._2, t._3, t._4)))
+    assert(key(over) == key(d.zscore("purchase", "user", day)))
+    // ONE exchange total (the vocabulary-sized stats aggregate); the
+    // raw points stream through a broadcast hash join unshuffled.
+    // AQE's toString prints Final + Initial copies — count the final.
+    val plan = over.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("rollup stddev on a pre-v4 layout (no sum_sq) fails with a clear message") {
     val d = db(Seq(("m", 1L, 2.0, "u")))
     val r = new Rollup(
