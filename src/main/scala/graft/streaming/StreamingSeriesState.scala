@@ -26,6 +26,8 @@ object StreamingSeriesState {
   case class SState(lastTs: Long, lastValue: Double, ewma: Double)
   case class POut(series: String, ts: Long, value: Double,
                   increase: Double, ewma: Double)
+  case class ZState(n: Long, sum: BigDecimal, sumSq: BigDecimal)
+  case class ZOut(series: String, ts: Long, value: Double, z: Option[Double])
 
   /** Enrich a canonical (series, ts, value) stream. */
   def enrich(points: DataFrame, alpha: Double = 0.3): Dataset[POut] = {
@@ -48,6 +50,46 @@ object StreamingSeriesState {
             st = SState(math.max(st.lastTs, p.ts), p.value, e)
             has = true
             POut(series, p.ts, p.value, inc, e)
+          }
+          if (pts.nonEmpty) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Rolling per-series anomaly score: each arriving point's z against
+    * the series' full history INCLUDING itself — the streaming face of
+    * [[graft.tsdb.Db.zscore]] with an expanding (prefix) window
+    * instead of a bucket. State per series is (n, Σv, Σv²) as EXACT
+    * scaled BigDecimals quantized exactly like the batch decimal casts
+    * (HALF_UP at scale 6; products at scale 12), so the streamed z is
+    * BIT-equal to a batch cumulative-window formulation running the
+    * same IEEE chain (spec-asserted) — the alerting posture ("how
+    * anomalous is this point vs everything seen so far") with O(1)
+    * state per series.
+    */
+  def enrichZ(points: DataFrame): Dataset[ZOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.as[Pt]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[ZState, ZOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[Pt], state: GroupState[ZState]) =>
+          val pts = it.toSeq.sortBy(p => (p.ts, p.value))
+          var st = if (state.exists) state.get
+                   else ZState(0L, BigDecimal(0).setScale(6), BigDecimal(0).setScale(12))
+          val out = pts.map { p =>
+            val q = BigDecimal(p.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            st = ZState(st.n + 1L, st.sum + q, st.sumSq + q * q)
+            val n = st.n.toDouble
+            val s = st.sum.toDouble
+            val sq = st.sumSq.toDouble
+            val sigma = math.sqrt(math.max((sq - (s * s) / n) / n, 0.0))
+            // n == 1: no deviation baseline — and the q² double-rounding
+            // residual could otherwise make σ a denormal-tiny positive
+            val z = if (st.n == 1L || sigma == 0.0) None
+                    else Some((p.value - s / n) / sigma + 0.0)
+            ZOut(series, p.ts, p.value, z)
           }
           if (pts.nonEmpty) state.update(st)
           out.iterator

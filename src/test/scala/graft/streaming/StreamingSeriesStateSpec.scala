@@ -9,6 +9,47 @@ class StreamingSeriesStateSpec extends SparkSpec {
   private def seriesKey = concat_ws("|",
     col("tag_user"), coalesce(col("tag_k"), lit("∅"))).as("series")
 
+  test("streamed rolling z-score is bit-equal to the batch cumulative-window chain") {
+    import org.apache.spark.sql.expressions.Window
+    val stream = StreamingAgg.eventsStream(spark, sfDir)
+      .where(col("event_type") === "view")
+      .select(concat_ws("|", col("user_id").cast("string")).as("series"),
+        col("ts"), col("value"))
+    val q = StreamingSeriesState.enrichZ(stream)
+      .writeStream.format("memory").queryName("series_z")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("series_z").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+
+    // batch cumulative (expanding) window running the IDENTICAL chain
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = sum(col("value").cast("decimal(28,6)")).over(w).cast("double")
+    val sq = sum(col("value").cast("decimal(18,6)") *
+      col("value").cast("decimal(18,6)")).over(w).cast("double")
+    val cnt = count(lit(1)).over(w)
+    val sigma = sqrt(greatest((sq - (s * s) / cnt) / cnt, lit(0.0)))
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("event_type") === "view")
+      .select(concat_ws("|", col("user_id").cast("string")).as("series"),
+        col("ts"), col("value"))
+      .select(col("series"), col("ts"), col("value"),
+        when(cnt === 1L || sigma === 0.0, lit(null).cast("double"))
+          .otherwise((col("value") - s / cnt) / sigma + lit(0.0)).as("z"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(got.nonEmpty && got == batch)
+    // early points genuinely score against a short history: the first
+    // point of every series has no deviation baseline (z is NULL there)
+    val firsts = got.groupBy(_._1).values.map(_.head)
+    assert(firsts.forall(_._4.isEmpty))
+  }
+
   test("streamed per-series ewma is bit-equal to the batch fold; increase sums match per bucket") {
     val stream = StreamingAgg.eventsStream(spark, sfDir)
     val q = StreamingSeriesState.enrichEvents(stream, "click")
