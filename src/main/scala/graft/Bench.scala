@@ -169,7 +169,7 @@ object Bench {
     // one-time materialization, not the operator's query cost)
     "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_increase", "ts_ewma",
     "ts_asof", "ts_quantile", "ts_gapfill", "ts_histogram", "ts_m4",
-    "ts_stddev", "ts_zscore")
+    "ts_stddev", "ts_zscore", "ts_zscore_rollup")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost

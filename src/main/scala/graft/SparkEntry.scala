@@ -132,6 +132,7 @@ object SparkEntry {
     "ann_range" -> ((s, d) => graft.operators.Similarity.rangeSearch(s, d)),
     "ann_knn_join" -> ((s, d) => graft.operators.Similarity.knnJoin(s, d)),
     "ann_knn_join_ivf" -> ((s, d) => graft.operators.Similarity.knnJoinIvf(s, d)),
+    "ann_recall_eval" -> ((s, d) => graft.operators.Similarity.recallEval(s, d)),
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
@@ -910,6 +911,52 @@ object SparkEntry {
         |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
         |WHERE rnk <= 5""".stripMargin,
+    // recall@5 of the IVF probe vs the exact ranking, per query: the
+    // ann_ivf CTEs + a brute-force CTE + a count join; hits are exact
+    // ints and k is a constant, so recall is the same IEEE division
+    "ann_recall_eval" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |ac AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cent_id,
+        |    round(list_reduce(list_transform(list_zip(n.v, cv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / (n.nrm * cnrm), 6) AS ccos
+        |  FROM n, cent),
+        |assigned AS (SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+        |  FROM ac) WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS list_id FROM (
+        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+        |  FROM (SELECT * FROM ac WHERE vec_id < 5)) WHERE crnk <= 4),
+        |ivf AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, a.vec_id,
+        |    round(list_reduce(list_transform(list_zip(q.qv, a.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a2, b2) -> a2 + b2)
+        |      / (q.qnrm * a.nrm), 6) AS cos,
+        |    rank() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_reduce(list_transform(list_zip(q.qv, a.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a2, b2) -> a2 + b2)
+        |        / (q.qnrm * a.nrm), 6) DESC, a.vec_id) AS rnk
+        |  FROM assigned a JOIN probes q ON a.list_id = q.list_id AND a.vec_id <> q.q_id)
+        |  WHERE rnk <= 5),
+        |q2 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |bf AS (SELECT q_id, vec_id FROM (
+        |  SELECT q2.q_id, n.vec_id,
+        |    rank() OVER (PARTITION BY q2.q_id ORDER BY
+        |      round(list_reduce(list_transform(list_zip(q2.qv, n.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |        / (q2.qnrm * n.nrm), 6) DESC, n.vec_id) AS rnk
+        |  FROM q2, n WHERE n.vec_id <> q2.q_id)
+        |  WHERE rnk <= 5)
+        |SELECT bf.q_id,
+        |  CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall
+        |FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
+        |GROUP BY bf.q_id""".stripMargin,
     // the kNN JOIN through the IVF probe: identical assignment/probe
     // re-derivation as ann_ivf, with the query side = the label-0 SET
     "ann_knn_join_ivf" ->

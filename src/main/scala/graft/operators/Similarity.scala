@@ -285,6 +285,33 @@ object Similarity {
     ivfSearch(index, e.where(col("label") === qLabel), 0, k, nprobe)
   }
 
+  /** Index-quality monitoring AS A QUERY: per-query recall@k of the
+    * IVF probe against the exact ranking — the health metric a
+    * production ANN deployment tracks continuously (recall decay is
+    * how you notice the coarse quantizer no longer fits the data
+    * distribution after drift/appends). Pure composition: both sides
+    * are DataFrames, the join is at (queries × k) cardinality, and the
+    * whole evaluation is SQL-expressible — so the driver gate checks
+    * it end-to-end, unlike eval harnesses bolted outside the engine.
+    */
+  def recallEval(spark: SparkSession, dir: String,
+                 numQueries: Int = 5, k: Int = 5,
+                 nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, numQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    val approx = ivfTopK(spark, dir, numQueries, k, nlist, nprobe)
+      .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+    exact
+      .join(approx, col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"),
+        "left")
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("a_vid").isNotNull, 1L).otherwise(0L)).as("hits"))
+      // k is a plan constant and hits is exact, so the ratio is the
+      // same IEEE division on both engines
+      .select(col("q_id"), col("hits"),
+        (col("hits").cast("double") / lit(k)).as("recall"))
+  }
+
   /** IVF ANN over trained k-means centroids — the recall-bearing variant
     * (rows-only: the centroid training is not practically
     * SQL-expressible; verified by a recall@k spec vs [[bruteForceTopK]]).

@@ -71,6 +71,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.45, s"ivf knn-join recall@5 $recall below floor")
   }
 
+  test("recall eval: one row per query, hits consistent with the two rankings") {
+    val out = Similarity.recallEval(spark, sfDir).collect()
+    assert(out.length == 5)
+    val bf = Similarity.bruteForceTopK(spark, sfDir, 5, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir, 5, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val hits = r.getAs[Long]("hits")
+      assert(hits == bf.filter(_._1 == q).count(ivf.contains))
+      assert(r.getAs[Double]("recall") == hits.toDouble / 5)
+    }
+  }
+
   test("filtered topk: pre-filter semantics — true top-k of the matching subset") {
     val out = Similarity.filteredTopK(spark, sfDir, numQueries = 3, k = 5).collect()
     assert(out.nonEmpty)
