@@ -213,6 +213,9 @@ class TsdbOpsSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // the beyond-memory contract: un-broadcast stats give identical rows
+    val shuffled = r.zscoreOver(d, "purchase", "user", day, broadcastStats = false)
+    assert(key(shuffled) == key(over))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
