@@ -123,10 +123,17 @@ object Sampling {
     * sums, so the layout is engine-reproducible and append-stable
     * per shard.
     */
-  def packSequences(docsDf: DataFrame, budget: Long = 1024): DataFrame = {
+  def packSequences(docsDf: DataFrame, budget: Long = 1024,
+                    shardCol: Column = col("source")): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    // `shardCol` is the packing grain AND the parallelism: with few
+    // coarse sources, pass a composite (e.g. `concat(col("source"),
+    // lit("/"), expr("doc_id div 100000"))`) so a 100 TB corpus packs
+    // across thousands of shards instead of serializing per source —
+    // packing boundaries are arbitrary by construction, so any
+    // deterministic sharding is as valid as the per-source one
+    val w = Window.partitionBy(shardCol).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val n = graft.functions.TextFunctions.wsTokenCount(col("text"))
     docsDf

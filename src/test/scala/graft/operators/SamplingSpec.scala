@@ -52,6 +52,18 @@ class SamplingSpec extends SparkSpec {
       assert(only(r.getAs[Long]("doc_id")) ==
         (r.getAs[Long]("seq_first"), r.getAs[Long]("seq_offset")))
     }
+    // finer shard grain (source × doc_id-range): still one row per doc,
+    // and every shard's first document starts a fresh sequence at 0
+    val sub = Sampling.packSequences(docs, budget,
+      shardCol = concat(col("source"), lit("/"), expr("doc_id div 64")))
+      .collect()
+    assert(sub.length == out.length)
+    val firstPerShard = docs.select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy { case (s2, id) => (s2, id / 64) }.values.map(_.map(_._2).min).toSet
+    sub.filter(r => firstPerShard.contains(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[Long]("seq_first") == 0L && r.getAs[Long]("seq_offset") == 0L)
+    }
   }
 
   test("membership is content-stable: appending rows never reassigns existing ones") {
