@@ -179,6 +179,10 @@ object Bench {
     */
   private def scale100Entries: Seq[Entry] = Seq[Entry](
     "dedup_exact" -> SparkEntry.queries("dedup_exact"),
+    // rejoined the timed curve late in round 6: the r03 "quadratic
+    // verify" exclusion predated the single-pass graft_jaccard kernel —
+    // measured 7.7 s warm best-of-2 at 100× (819,328 verified pairs)
+    "dedup_minhash" -> SparkEntry.queries("dedup_minhash"),
     "dedup_embedding_lsh" -> SparkEntry.queries("dedup_embedding_lsh"),
     // the END-TO-END dedup composition at 100×: SimHash pairs keep the
     // verify constant per candidate, so the pipeline stays linear where
@@ -212,15 +216,16 @@ object Bench {
     * [[main]] and recorded in SURVEY §5d.
     */
   private val scale100Skips: String =
-    """{"q5_multijoin":"1jvm-smj-sort-spill","dedup_minhash":"true-dup-clusters-quadratic-verify",""" +
+    """{"q5_multijoin":"1jvm-smj-sort-spill",""" +
     """"dedup_ngram_jaccard":"linear-but-39s","dedup_embedding":"quadratic-oracle"}"""
 
   private val scale100SkipProse: String =
     "q5_multijoin: fact-fact SMJ sorts 60M rows in one JVM heap (spill) — cluster-sharded by design, " +
     "layout answer is bucketFacts/q3Bucketed; " +
-    "dedup_minhash: timed leg excluded (true-dup replica clusters make the verify superlinear in " +
-    "candidates), but the minhash100 key records the MEASURED bound: full candidate count + timed " +
-    "1-in-16 sampled verify -> est_full_sec (14.6s in the r06 record, superseding the r03 155s one-off); " +
+    "dedup_minhash REJOINED the timed curve late in round 6 (the r03 'quadratic verify' exclusion " +
+    "predated the single-pass graft_jaccard kernel; measured 7.7s warm at 100x) — the minhash100 " +
+    "sampled-bound key remains as the methodology for corpora where the full verify truly is " +
+    "unaffordable, cross-validated against the now-timed leg; " +
     "dedup_ngram_jaccard: linear but ~39s in the r03 one-off, excluded to bound round wall-clock; " +
     "dedup_embedding: documented-quadratic exhaustive oracle for the LSH variant"
 
@@ -266,10 +271,8 @@ object Bench {
     * pair volume (the 10×/100× corpora are jittered replicas, so every
     * document/vector sits in a replica cluster and candidates grow
     * ∝ Σ cluster², i.e. superlinearly, by WORKLOAD construction).
-    * dedup_minhash's 100× counts are skipped with its timed leg (the
-    * quadratic set-intersection verify is why the leg itself is
-    * skipped); candidate counting without verification is cheap but a
-    * count nobody can tie to a timed run proves nothing.
+    * dedup_minhash's 100× counts joined when its timed leg rejoined
+    * the curve (late round 6) — every count here ties to a timed run.
     */
   private def lshCountsJson(spark: SparkSession, sfDir: String): String = {
     val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)
@@ -283,7 +286,8 @@ object Bench {
         s"[$c,$v]"
       } catch { case _: Throwable => "[-1,-1]" }
     val ops = Seq(
-      "dedup_minhash" -> Seq("base" -> sfDir, "x10" -> dir10),
+      // x100 leg added when dedup_minhash rejoined the timed 100× curve
+      "dedup_minhash" -> (Seq("base" -> sfDir, "x10" -> dir10) ++ legs100),
       "dedup_embedding_lsh" ->
         (Seq("base" -> sfDir, "x10" -> dir10) ++ legs100),
       "dedup_simhash_pairs" ->
@@ -299,13 +303,20 @@ object Bench {
     * full verify is workload-quadratic (true-dup replica clusters), so
     * the leg is a MEASURED BOUND instead of a silent skip — candidate
     * generation timed in full, verification timed on a deterministic
-    * 1-in-16 pair-hash sample ([[graft.operators.Dedup
-    * .minhashSampleVerifyStats]]), and the estimated full wall
-    * reconstructed as `cand_sec + (sample_sec − cand_sec) × mod` (the
-    * sample run re-generates candidates, so its wall minus the
-    * measured generation cost is the verify share; per-candidate cost
-    * is i.i.d. under a pair-hash sample, making the scale-up
-    * unbiased).
+    * 1-in-16 pair-hash sample. Base (shingles) and candidates are
+    * materialized to parquet and timed as their own walls; the verify
+    * join is then timed at TWO sample rates (1/16 and 1/8) against
+    * the same frames, and the two-point fit separates the join's
+    * fixed cost (the one-time broadcast build of the shingle map —
+    * which dominates a sampled run) from the per-pair probe cost that
+    * actually scales: `var = (w8 − w16) × 16`, `fixed = 2·w16 − w8`,
+    * `est_full = base + cand + fixed + var`. Naive single-rate
+    * estimators were measured wildly conservative here (×16-ing the
+    * broadcast build gave 105 s) and the earlier
+    * `(sample_sec − cand_sec) × 16` differencing swung 14.6–53.2 s on
+    * run noise; the two-rate fit differences the exact quantity being
+    * extrapolated. Per-pair probe cost is i.i.d. under a pair-hash
+    * sample, so scaling `var` is unbiased.
     */
   private def minhash100Json(spark: SparkSession, sfDir: String): String =
     try {
@@ -316,17 +327,39 @@ object Bench {
       // warm once at 10× so codegen/JIT noise doesn't land in cand_sec
       graft.operators.Dedup.minhashCandidates(spark,
         ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)).count()
+      val work = graft.Conf.resolveWorkDir(spark, "")
+      val tmpB = work + "/bench_minhash100_base"
+      val tmpC = work + "/bench_minhash100_cand"
       val t0 = System.nanoTime()
-      val cands = graft.operators.Dedup.minhashCandidates(spark, dir100).count()
-      val candSec = sec(t0)
+      graft.operators.Dedup.minhashShingleBase(spark, dir100)
+        .write.mode("overwrite").parquet(tmpB)
+      val baseSec = sec(t0)
       val t1 = System.nanoTime()
-      val (sampled, verified) =
-        graft.operators.Dedup.minhashSampleVerifyStats(spark, dir100, mod)
-      val sampleSec = sec(t1)
-      val estFull = candSec + math.max(sampleSec - candSec, 0.0) * mod
-      s"""{"candidates":$cands,"cand_sec":${fmt(candSec, 2)},""" +
+      graft.operators.Dedup.minhashCandidates(spark, dir100)
+        .write.mode("overwrite").parquet(tmpC)
+      val candSec = sec(t1)
+      val baseFrame = spark.read.parquet(tmpB)
+      val candFrame = spark.read.parquet(tmpC)
+      val cands = candFrame.count()
+      // warm the join once (codegen + broadcast), then time both rates
+      graft.operators.Dedup
+        .minhashSampleVerifyStatsFrames(baseFrame, candFrame, mod * 4)
+      val t2 = System.nanoTime()
+      val (sampled, verified) = graft.operators.Dedup
+        .minhashSampleVerifyStatsFrames(baseFrame, candFrame, mod)
+      val w16 = sec(t2)
+      val t3 = System.nanoTime()
+      graft.operators.Dedup
+        .minhashSampleVerifyStatsFrames(baseFrame, candFrame, mod / 2)
+      val w8 = sec(t3)
+      val varSec = math.max(w8 - w16, 0.0) * mod
+      val fixedSec = math.max(2 * w16 - w8, 0.0)
+      val estFull = baseSec + candSec + fixedSec + varSec
+      s"""{"candidates":$cands,"base_sec":${fmt(baseSec, 2)},""" +
+        s""""cand_sec":${fmt(candSec, 2)},""" +
         s""""sample_mod":$mod,"sampled":$sampled,"verified":$verified,""" +
-        s""""sample_sec":${fmt(sampleSec, 2)},"est_full_sec":${fmt(estFull, 2)}}"""
+        s""""join16_sec":${fmt(w16, 2)},"join8_sec":${fmt(w8, 2)},""" +
+        s""""est_full_sec":${fmt(estFull, 2)}}"""
     } catch {
       case e: Throwable =>
         val msg = (e.getClass.getSimpleName + ": " +

@@ -209,12 +209,31 @@ object Dedup {
   def minhashSampleVerifyStats(spark: SparkSession, dir: String,
                                sampleMod: Int,
                                threshold: Double = 0.5): (Long, Long) = {
-    val d = parallelize(docs(spark, dir))
-    GraftFunctions.register(spark)
-    val base = minhashBase(d, 32)
-    val cand = minhashCandFrame(d)
+    val cand = minhashCandFrame(parallelize(docs(spark, dir)))
+    minhashSampleVerifyStatsFrames(minhashShingleBase(spark, dir), cand,
+      sampleMod, threshold)
+  }
+
+  /** The (doc_id, shingles) side of the verify join, exposed so a
+    * benchmark can materialize it once and time the join phase alone.
+    */
+  def minhashShingleBase(spark: SparkSession, dir: String): DataFrame =
+    minhashBase(parallelize(docs(spark, dir)), 32)
+      .select(col("doc_id"), col("shingles"))
+
+  /** [[minhashSampleVerifyStats]] over pre-materialized base and
+    * candidate frames — the sampled verify JOIN timed alone, with the
+    * one-time shingle computation and candidate generation measured as
+    * their own walls (no differencing of noisy measurements, and no
+    * one-time cost leaking into the ×mod extrapolation).
+    */
+  def minhashSampleVerifyStatsFrames(base: DataFrame, cand: DataFrame,
+                                     sampleMod: Int,
+                                     threshold: Double = 0.5): (Long, Long) = {
+    GraftFunctions.register(base.sparkSession)
+    val sample = cand
       .where(pmod(xxhash64(col("doc_a"), col("doc_b")), lit(sampleMod)) === 0)
-    val r = minhashVerifyScored(base, cand, broadcastVerify = true)
+    val r = minhashVerifyScored(base, sample, broadcastVerify = true)
       .agg(count(lit(1)).as("sampled"),
         sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("verified"))
       .collect()(0)
