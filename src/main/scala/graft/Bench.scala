@@ -84,9 +84,13 @@ object Bench {
                   else scaleRows(spark, sfDir, 10, scale10Entries,
                     ScaleData.AllTables)
     val scale10 = if (s10rows.isEmpty) "{}"
-                  else scaleJson(s10rows,
-                    extra = rollupScaleExtra(spark, sfDir,
-                      ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)))
+                  else {
+                    val dir10 =
+                      ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)
+                    scaleJson(s10rows,
+                      extra = rollupScaleExtra(spark, sfDir, dir10) + "," +
+                        knnWorkJson(spark, sfDir, dir10))
+                  }
     println(s"# scale10: $scale10")
     val scale100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) "{}"
                    else scaleJson(
@@ -95,6 +99,9 @@ object Bench {
                      extra = s""""skipped":$scale100Skips""")
     println(s"# scale100: $scale100")
     println(s"# scale100 skip reasons: $scale100SkipProse")
+    val lshPhases = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) "{}"
+                    else lshPhasesJson(spark, sfDir)
+    println(s"# lsh_phases: $lshPhases")
     val skew = if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW")) "{}"
                else skewBench(spark, sfDir)
     println(s"# skew: $skew")
@@ -108,7 +115,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"ingest":$ingest,"scale10":$scale10,"scale100":$scale100,""" +
       s""""skew":$skew,"lsh_counts":$lshCounts,"minhash100":$minhash100,""" +
-      s""""fmt":"scale entries are [base_sec,xN_sec,ratio]; lsh_counts entries are [candidates,verified]","sf":"$sfDir"}"""
+      s""""lsh_phases":$lshPhases,""" +
+      s""""fmt":"scale entries are [base_sec,xN_sec,ratio]; lsh_counts entries are [candidates,verified]; telemetry spans each leg's warm+timed runs","sf":"$sfDir"}"""
     // partial dev runs (query subset / skipped sections) must never
     // clobber the committed full-run record
     val record =
@@ -124,10 +132,10 @@ object Bench {
     // the ratio map degrades to the dedup/ann heavy family.
     val qs2 = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    def ratioJson(rows: Seq[(String, Double, Double, Double)]) = rows
-      .map { case (n, _, _, r) => "\"" + n + "\":" + fmt(r, 1) }
+    def ratioJson(rows: Seq[ScaleRow]) = rows
+      .map(r => "\"" + r.name + "\":" + fmt(r.ratio, 1))
       .mkString("{", ",", "}")
-    def line(rows: Seq[(String, Double, Double, Double)]) =
+    def line(rows: Seq[ScaleRow]) =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs2,""" +
       s""""ingest_pps":$ingestCompact,"scale10_ratio":${ratioJson(rows)},""" +
       s""""detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
@@ -136,7 +144,7 @@ object Bench {
     println(Seq(
         line(s10rows),
         line(s10rows.filter(r =>
-          r._1.startsWith("dedup") || r._1.startsWith("ann"))),
+          r.name.startsWith("dedup") || r.name.startsWith("ann"))),
         line(Nil))
       .find(_.length <= 1900).getOrElse(line(Nil)))
     spark.stop()
@@ -157,7 +165,10 @@ object Bench {
     "dedup_pipeline_embedding",
     "ann_bruteforce", "ann_ivf", "ann_ivf_kmeans",
     "ann_lsh", "ann_lsh_multiprobe", "ann_pq", "ann_ivfpq", "ann_range",
-    "ann_knn_join",
+    // both k-NN join variants side by side: the exact blocked-broadcast
+    // join (work = n_queries × n_corpus, see knn_work) and the IVF probe
+    // whose sub-linear ratio is the scale path's evidence
+    "ann_knn_join", "ann_knn_join_ivf",
     "q5_multijoin",
     "text_decontaminate", "text_repetition", "text_vocab_topk",
     "text_pii_scrub",
@@ -180,8 +191,10 @@ object Bench {
   private def scale100Entries: Seq[Entry] = Seq[Entry](
     "dedup_exact" -> SparkEntry.queries("dedup_exact"),
     // rejoined the timed curve late in round 6: the r03 "quadratic
-    // verify" exclusion predated the single-pass graft_jaccard kernel —
-    // measured 7.7 s warm best-of-2 at 100× (819,328 verified pairs)
+    // verify" exclusion predated the single-pass graft_jaccard kernel.
+    // Walls are host-band-sensitive (local probe 7.7 s, driver r06
+    // 94.4 s on identical candidate counts) — the per-leg telemetry
+    // and lsh_counts are what make a given run's number attributable
     "dedup_minhash" -> SparkEntry.queries("dedup_minhash"),
     "dedup_embedding_lsh" -> SparkEntry.queries("dedup_embedding_lsh"),
     // the END-TO-END dedup composition at 100×: SimHash pairs keep the
@@ -223,24 +236,89 @@ object Bench {
     "q5_multijoin: fact-fact SMJ sorts 60M rows in one JVM heap (spill) — cluster-sharded by design, " +
     "layout answer is bucketFacts/q3Bucketed; " +
     "dedup_minhash REJOINED the timed curve late in round 6 (the r03 'quadratic verify' exclusion " +
-    "predated the single-pass graft_jaccard kernel; measured 7.7s warm at 100x) — the minhash100 " +
+    "predated the single-pass graft_jaccard kernel) — the minhash100 " +
     "sampled-bound key remains as the methodology for corpora where the full verify truly is " +
     "unaffordable, cross-validated against the now-timed leg; " +
     "dedup_ngram_jaccard: linear but ~39s in the r03 one-off, excluded to bound round wall-clock; " +
     "dedup_embedding: documented-quadratic exhaustive oracle for the LSH variant"
 
+  /** Rolling task-time tally for leg telemetry. The listener bus posts
+    * events asynchronously, so a leg's tail tasks can land after the
+    * snapshot — treat the sums as floors; the attribution signal is the
+    * order of magnitude (wall ≫ task_ms/cores ⇒ the JVM was stalled,
+    * task_ms grew ⇒ the work itself did).
+    */
+  private final class TaskTally extends org.apache.spark.scheduler.SparkListener {
+    val sum = new java.util.concurrent.atomic.AtomicLong(0)
+    val max = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val d = t.taskInfo.duration
+      sum.addAndGet(d)
+      max.getAndUpdate(m => math.max(m, d))
+    }
+    def reset(): Unit = { sum.set(0); max.set(0) }
+  }
+
+  /** Resource telemetry around one scale leg (warm + timed runs): the
+    * round-6 driver run measured 195 s on a leg whose committed record
+    * said 21 s — IDENTICAL candidate counts, so the gap was host
+    * resource pressure, and that diagnosis lived only in prose. These
+    * fields make a wall gap attributable from the artifact alone:
+    * gc_ms (heap pressure inside the leg), peak_heap_mb (heap pools,
+    * peaks reset per leg), proc_cpu_ms (wall ≫ cpu/cores ⇒ starved or
+    * IO-blocked; cpu ≈ cores×wall ⇒ the work grew), sys_load (host
+    * 1-min load at leg end — EXTERNAL contention shows here while
+    * proc_cpu stays low), task_ms/max_task_ms (executor work floor).
+    */
+  private def legTelemetry(tally: TaskTally)(f: => Double): (Double, String) = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    pools.foreach(_.resetPeakUsage())
+    val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMs = gcs.map(_.getCollectionTime).sum
+    val os = ManagementFactory.getOperatingSystemMXBean
+    def cpuMs = os match {
+      case x: com.sun.management.OperatingSystemMXBean =>
+        x.getProcessCpuTime / 1000000L
+      case _ => -1L
+    }
+    val gc0 = gcMs
+    val cpu0 = cpuMs
+    tally.reset()
+    val sec = f
+    val peakMb = pools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+    val tel = s"""{"gc_ms":${gcMs - gc0},"peak_heap_mb":$peakMb,""" +
+      s""""proc_cpu_ms":${cpuMs - cpu0},"sys_load":${fmt(os.getSystemLoadAverage, 1)},""" +
+      s""""task_ms":${tally.sum.get},"max_task_ms":${tally.max.get}}"""
+    (sec, tel)
+  }
+
+  private final case class ScaleLeg(sec: Double, err: Option[String], tel: String)
+  private final case class ScaleRow(name: String, base: ScaleLeg, xN: ScaleLeg) {
+    def ratio: Double =
+      if (base.sec > 0 && xN.sec > 0) xN.sec / base.sec else -1.0
+  }
+
   /** One scaling section as data: per query, warm + timed at the base
     * sf, then warm + timed at the `factor`× dir. The warm run is the
     * fix for the round-3 curve's cold-start noise (ann_bruteforce
     * "ratio 0.26" was codegen/JIT on the base leg, not the query).
-    * Returns (name, base_sec, xN_sec, ratio) rows.
+    * A failed leg records its exception STRING next to the -1 — the
+    * r06 sample_pack 10× leg threw on every run and the artifact
+    * carried a bare [-1,-1] with empty errors, a silent skip the
+    * no-silent-caps policy exists to prevent.
     */
   private def scaleRows(spark: SparkSession, sfDir: String, factor: Int,
                         entries: Seq[Entry], tables: Seq[String])
-      : Seq[(String, Double, Double, Double)] = {
+      : Seq[ScaleRow] = {
     val dirN = ScaleData.ensure(spark, sfDir, factor, tables = tables)
-    entries.map { case (name, fn) =>
-      def run(dir: String): Double = {
+    val tally = new TaskTally
+    spark.sparkContext.addSparkListener(tally)
+    val rows = entries.map { case (name, fn) =>
+      def leg(dir: String): ScaleLeg = {
         def once(): Double = {
           val t0 = System.nanoTime()
           fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -252,16 +330,23 @@ object Bench {
         // r05 embedding-LSH 100× leg recorded 165 s where steady
         // state measures ~21 s — a first-run artifact, since fixed
         // numbers track ~the probe's warm floor)
-        val t = try { once(); math.min(once(), once()) }
-                catch { case _: Throwable => -1.0 }
+        var err: Option[String] = None
+        val (sec, tel) = legTelemetry(tally) {
+          try { once(); math.min(once(), once()) }
+          catch { case e: Throwable =>
+            err = Some((e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")).take(160)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " "))
+            -1.0
+          }
+        }
         System.gc()
-        t
+        ScaleLeg(sec, err, tel)
       }
-      val base = run(sfDir)
-      val xN = run(dirN)
-      val ratio = if (base > 0 && xN > 0) xN / base else -1.0
-      (name, base, xN, ratio)
+      ScaleRow(name, leg(sfDir), leg(dirN))
     }
+    spark.sparkContext.removeSparkListener(tally)
+    rows
   }
 
   /** Candidate/verified pair counts for the LSH-family scale queries
@@ -368,13 +453,90 @@ object Bench {
         s"""{"error":"$msg"}"""
     }
 
-  private def scaleJson(rows: Seq[(String, Double, Double, Double)],
+  private def scaleJson(rows: Seq[ScaleRow],
                         extra: String = ""): String = {
-    val parts = rows.map { case (name, base, xN, ratio) =>
-      s""""$name":[${fmt(base, 2)},${fmt(xN, 2)},${fmt(ratio, 2)}]"""
+    val parts = rows.map { r =>
+      s""""${r.name}":[${fmt(r.base.sec, 2)},${fmt(r.xN.sec, 2)},${fmt(r.ratio, 2)}]"""
     }
-    (parts ++ Option(extra).filter(_.nonEmpty)).mkString("{", ",", "}")
+    // a -1 leg always has its exception string here (never a bare -1)
+    val errs = rows.flatMap(r =>
+      r.base.err.map(e => s""""${r.name}_base":"$e"""") ++
+        r.xN.err.map(e => s""""${r.name}_xN":"$e""""))
+      .mkString("{", ",", "}")
+    val tel = rows.map(r =>
+      s""""${r.name}":{"base":${r.base.tel},"xN":${r.xN.tel}}""")
+      .mkString("{", ",", "}")
+    (parts ++ Seq(s""""errors":$errs""", s""""telemetry":$tel""") ++
+      Option(extra).filter(_.nonEmpty)).mkString("{", ",", "}")
   }
+
+  /** The work-scaling context for the k-NN join scale legs: the join's
+    * work is n_queries × n_corpus, so a 10× corpus with 10× queries is
+    * 100× WORK and a ~10× wall is strongly sub-linear in work — record
+    * the counts next to the leg so wall/work is computable from the
+    * artifact instead of defended in prose.
+    */
+  private def knnWorkJson(spark: SparkSession, sfDir: String,
+                          dir10: String): String = {
+    import org.apache.spark.sql.functions.col
+    def leg(dir: String): String = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      s"[${e.where(col("label") === 0).count()},${e.count()}]"
+    }
+    s""""knn_work":{"base":${leg(sfDir)},"x10":${leg(dir10)}}"""
+  }
+
+  /** Probe-style phase walls for the 100× embedding-LSH leg, recorded
+    * IN the artifact: candidate generation (banded signatures +
+    * self-join, materialized to parquet and timed as its own wall) and
+    * the verify join over those materialized candidates. With the
+    * in-curve wall and `lsh_counts` these decompose a slow 100× run —
+    * if cand_sec+verify_sec ≈ the in-curve wall the plan is the cost;
+    * if the in-curve wall is far above the sum, the gap is host
+    * pressure between phases (GC/page-cache), per the telemetry.
+    * One-time walls (cold, after a 10× warm pass for codegen/JIT),
+    * comparable to the minhash100 base/cand methodology.
+    */
+  private def lshPhasesJson(spark: SparkSession, sfDir: String): String =
+    try {
+      val dir100 = ScaleData.ensure(spark, sfDir, 100,
+        tables = Seq("documents", "embeddings", "events"))
+      val dir10 = ScaleData.ensure(spark, sfDir, 10,
+        tables = ScaleData.AllTables)
+      def sec(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+      def planFor(dir: String) = {
+        val n = 2L * spark.read.parquet(s"$dir/embeddings.parquet").count()
+        graft.operators.Dedup.lshPlanSized(0.9, n)
+      }
+      // warm kernels/codegen at 10× so the 100× walls measure the work
+      val plan10 = planFor(dir10)
+      graft.operators.Dedup.embeddingCandFrame(
+        graft.operators.Dedup.withPlantedNearDups(spark, dir10),
+        plan10._1, plan10._2).count()
+      val plan = planFor(dir100)
+      val e = graft.operators.Dedup.withPlantedNearDups(spark, dir100)
+      val tmpC = graft.Conf.resolveWorkDir(spark, "") + "/bench_emb100_cand"
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.embeddingCandFrame(e, plan._1, plan._2)
+        .write.mode("overwrite").parquet(tmpC)
+      val candSec = sec(t0)
+      val cand = spark.read.parquet(tmpC)
+      val nCand = cand.count()
+      val t1 = System.nanoTime()
+      val verified = graft.operators.Dedup
+        .embeddingVerifyFrame(e, cand, 0.9).count()
+      val verifySec = sec(t1)
+      System.gc()
+      s"""{"dedup_embedding_lsh_x100":{"cand_sec":${fmt(candSec, 2)},""" +
+        s""""verify_sec":${fmt(verifySec, 2)},"candidates":$nCand,""" +
+        s""""verified":$verified}}"""
+    } catch {
+      case e: Throwable =>
+        val msg = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(120)
+          .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
+        s"""{"error":"$msg"}"""
+    }
 
   /** `ts_rollup_avg`'s scale legs with BUILD and QUERY separated: the
     * operator's whole point is one-time materialization + sub-scan

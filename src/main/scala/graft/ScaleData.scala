@@ -36,7 +36,11 @@ object ScaleData {
   /** Bump when the perturbation scheme changes, so cached scale dirs
     * from older generators are never reused.
     */
-  private val GenVersion = 3
+  // v4: documents replication preserves ALL columns (source/lang/
+  // n_chars pass through) — the v3 (doc_id, text)-only projection made
+  // every operator that reads another documents column (sample_pack
+  // partitions by `source`) throw at 10×/100×, recorded as a silent -1
+  private val GenVersion = 4
 
   val AllTables: Seq[String] = Seq("documents", "embeddings", "lineitem",
     "orders", "customer", "supplier", "events", "nation", "region")
@@ -77,8 +81,12 @@ object ScaleData {
     table match {
       case "documents" => out(replicate(src("documents"), factor) { (d, i) =>
         val to = letters.drop(i * 7 % 26) + letters.take(i * 7 % 26)
-        d.select((col("doc_id") + i * Stride).as("doc_id"),
-          translate(col("text"), letters, to).as("text"))
+        // every non-perturbed column passes through unchanged: the
+        // scaled table must keep the base table's full schema (letter
+        // substitution preserves text length, so n_chars stays true)
+        val rest = d.columns.filterNot(Set("doc_id", "text")).map(col).toSeq
+        d.select((col("doc_id") + i * Stride).as("doc_id") +:
+          translate(col("text"), letters, to).as("text") +: rest: _*)
       })
 
       case "embeddings" => out(replicate(src("embeddings"), factor) { (e, i) =>

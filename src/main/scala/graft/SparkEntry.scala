@@ -63,12 +63,24 @@ object SparkEntry {
       Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildTopK(5)),
     "ts_histogram" -> ((s, d) => Db.fromEvents(s, d).histogram("click", 10.0)),
     "ts_m4" -> ((s, d) => Db.fromEvents(s, d).m4("view", Day)),
+    "ts_active_series" -> ((s, d) => Db.fromEvents(s, d).activeSeries("view", Day)),
     // daily avg answered from an HOURLY materialized rollup — the oracle
     // is the raw-data SQL, so the hash match IS the associativity proof
     "ts_rollup_avg" -> ((s, d) => {
       val rollup = graft.tsdb.Ingest.openRollup(
         s, graft.tsdb.Ingest.ensureRollup(s, d, Duration.hours(1)), Duration.hours(1))
       rollup.avg("purchase", "user", Day)
+    }),
+    // the same daily avg answered from a rollup built by the STREAMING
+    // landing path (micro-batched foreachBatch, batch-id-staged
+    // exactly-once dirs): matching the raw-points oracle proves the
+    // whole streamed landing exact end-to-end — the first streaming
+    // component under the driver gate
+    "ts_rollup_streamed" -> ((s, d) => {
+      val path = graft.streaming.StreamingRollup.ensureStreamed(
+        s, d, Duration.hours(1))
+      graft.tsdb.Ingest.openRollup(s, path, Duration.hours(1))
+        .avg("purchase", "user", Day)
     }),
     // per-point z with bucket stats from the hourly PARTIALS broadcast
     // onto the unshuffled point scan; the oracle is ts_zscore's
@@ -92,6 +104,8 @@ object SparkEntry {
     "q3_join" -> ((s, d) => graft.operators.Analytics.q3(s, d)),
     "q5_multijoin" -> ((s, d) => graft.operators.Analytics.q5(s, d)),
     "q_rollup_cube" -> ((s, d) => graft.operators.Analytics.rollupCube(s, d)),
+    "q_cube" -> ((s, d) => graft.operators.Analytics.cubeAgg(s, d)),
+    "q_grouping_sets" -> ((s, d) => graft.operators.Analytics.groupingSetsAgg(s, d)),
     "q_topk_window" -> ((s, d) => graft.operators.Analytics.topkPerBrand(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
 
@@ -106,6 +120,7 @@ object SparkEntry {
     "text_filter_chain" -> ((s, d) => graft.operators.TextAnalysis.filterChain(s, d)),
     "text_pii_scrub" -> ((s, d) => graft.operators.TextAnalysis.piiScrub(s, d)),
     "text_vocab_topk" -> ((s, d) => graft.operators.TextAnalysis.vocabTopK(s, d)),
+    "text_doc_freq" -> ((s, d) => graft.operators.TextAnalysis.docFreq(s, d)),
 
     // ---- Deduplication (documents) ----
     "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
@@ -334,6 +349,20 @@ object SparkEntry {
     // from hourly rollup partials, and matching this hash proves the
     // re-aggregation is exact
     "ts_rollup_avg" -> tsAgg("purchase", "user", AvgV),
+    // SAME raw-points oracle for the STREAMED rollup: the Spark side
+    // answers from batch-id-staged partials landed by the streaming
+    // path — the hash match is the exactly-once landing proof
+    "ts_rollup_streamed" -> tsAgg("purchase", "user", AvgV),
+    // distinct active series per bucket: series id = tag values joined
+    // with explicit NULL markers (concat_ws would skip nulls and
+    // collide tagsets); tag order is the sorted column order (k, user)
+    "ts_active_series" ->
+      s"""$Ev
+         |SELECT ${bucket(Day)} AS bucket_start,
+         |  COUNT(DISTINCT coalesce(tag_k, '-') || '|' || coalesce(tag_user, '-')) AS n_series,
+         |  COUNT(*) AS n_points
+         |FROM ev WHERE metric = 'view'
+         |GROUP BY 1""".stripMargin,
     // same (ts, value) ordering and strict Δt>0 row filter as Db.rate;
     // the rate is the RAW IEEE division (identical op chain on both
     // engines is bit-stable; decimal round() is not) with `+ 0.0`
@@ -494,6 +523,23 @@ object SparkEntry {
         |  CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid
         |FROM orders
         |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)""".stripMargin,
+    // CUBE: all four grouping sets, same single-Expand plan on Spark
+    "q_cube" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (year(o_orderdate), o_orderpriority)""".stripMargin,
+    // custom sets: the detail grid + a per-priority margin only —
+    // Expand replication = number of SETS (2), not 2^keys
+    "q_grouping_sets" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority), (o_orderpriority))""".stripMargin,
     "q_topk_window" ->
       """SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rnk FROM (
         |  SELECT p_brand, p_partkey,
@@ -575,6 +621,21 @@ object SparkEntry {
         |    '\+\d[\d-]{6,}\d', '<PHONE>', 'g'),
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS scrub_hash
         |FROM aug""".stripMargin,
+    // corpus-frequency commonness: everything exact BIGINT until ONE
+    // final IEEE chain (Σcnt / total) / n_tokens — identical op order
+    // on both engines, no logarithms in the contract
+    "text_doc_freq" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |v AS (SELECT token, COUNT(*) AS cnt FROM tt GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS total FROM tt)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(cnt) AS BIGINT) AS tf_sum,
+        |  CAST(SUM(cnt) AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS commonness
+        |FROM tt JOIN v USING (token)
+        |GROUP BY doc_id""".stripMargin,
     // vocabulary: corpus word-count with a (cnt desc, token) total
     // order so the top-k cut is deterministic on both engines
     "text_vocab_topk" ->
@@ -792,20 +853,22 @@ object SparkEntry {
          |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
          |      < lpad(lower(hex(CAST(round(quality_score * 256) AS BIGINT))), 2, '0')""".stripMargin,
     // sequence packing: same ws-token count as text_tokens, same
-    // per-source cumsum window, exact integer division on both engines
+    // per-shard cumsum window, exact integer division on both engines;
+    // `shard` = the packing-grain key (the default grain is per-source,
+    // so shard == source here — a composite grain would differ)
     "sample_pack" ->
       """WITH t AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id, source, source AS shard,
         |    CAST(length(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
-        |  SELECT doc_id, source, n_tokens,
+        |  SELECT doc_id, source, shard, n_tokens,
         |    -- CAST: DuckDB window SUM(BIGINT) is HUGEINT, which would
         |    -- drift the compared dtypes to float downstream
-        |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
         |  FROM t)
-        |SELECT doc_id, source, n_tokens,
+        |SELECT doc_id, source, shard, n_tokens,
         |  CAST(cum_before // 1024 AS BIGINT) AS seq_first,
         |  CAST(greatest((cum_before + n_tokens - 1) // 1024,
         |           cum_before // 1024) AS BIGINT) AS seq_last,

@@ -257,6 +257,47 @@ object Analytics {
         sum(expr("CAST(o_totalprice AS DECIMAL(28,6))")).cast("double").as("sum_price"),
         grouping_id().as("gid"))
 
+  /** CUBE over orders — every grouping set of (year × priority):
+    * detail, per-year, per-priority, grand total, still in ONE
+    * aggregate. Spark plans CUBE exactly like ROLLUP: one Expand + one
+    * hash aggregate (all four sets share the single scan and the
+    * single shuffle — never one job per set; spec-asserted like
+    * [[rollupCube]]), so the marginal cost of the extra per-priority
+    * set is its vocabulary-sized output rows.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(28,6))")).cast("double").as("sum_price"),
+        grouping_id().as("gid"))
+
+  /** Custom GROUPING SETS — the generalization ROLLUP/CUBE are special
+    * cases of: here ((year, priority), (priority)) — the detail grid
+    * plus a per-priority margin WITHOUT paying for the per-year or
+    * grand-total sets a CUBE would compute. Same plan shape: one
+    * Expand (replication factor = the number of SETS, not 2^keys) +
+    * one hash aggregate, one scan, one shuffle.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    // grouping keys pre-projected to plain attributes: groupingSets
+    // matches set members to grouping columns by expression identity,
+    // and an aliased expression in `cols` vs its unaliased twin in a
+    // set would register as a THIRD grouping column (measured: gid ran
+    // 0..7 instead of 0..3)
+    t(spark, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("o_year"), col("o_orderpriority")), Seq(col("o_orderpriority"))),
+        col("o_year"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(28,6))")).cast("double").as("sum_price"),
+        grouping_id().as("gid"))
+
   def sessionize(spark: SparkSession, dir: String, gapNs: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")

@@ -208,10 +208,11 @@ object Dedup {
     */
   def minhashSampleVerifyStats(spark: SparkSession, dir: String,
                                sampleMod: Int,
-                               threshold: Double = 0.5): (Long, Long) = {
+                               threshold: Double = 0.5,
+                               broadcastVerify: Boolean = true): (Long, Long) = {
     val cand = minhashCandFrame(parallelize(docs(spark, dir)))
     minhashSampleVerifyStatsFrames(minhashShingleBase(spark, dir), cand,
-      sampleMod, threshold)
+      sampleMod, threshold, broadcastVerify)
   }
 
   /** The (doc_id, shingles) side of the verify join, exposed so a
@@ -229,11 +230,17 @@ object Dedup {
     */
   def minhashSampleVerifyStatsFrames(base: DataFrame, cand: DataFrame,
                                      sampleMod: Int,
-                                     threshold: Double = 0.5): (Long, Long) = {
+                                     threshold: Double = 0.5,
+                                     broadcastVerify: Boolean = true): (Long, Long) = {
+    // the sampled bound is PRECISELY the methodology for corpora whose
+    // full verify is unaffordable — the same beyond-memory regime where
+    // broadcasting the whole (doc_id, shingles) map can OOM executors,
+    // so the bound path honors the broadcastVerify escape hatch like
+    // every other verify join
     GraftFunctions.register(base.sparkSession)
     val sample = cand
       .where(pmod(xxhash64(col("doc_a"), col("doc_b")), lit(sampleMod)) === 0)
-    val r = minhashVerifyScored(base, sample, broadcastVerify = true)
+    val r = minhashVerifyScored(base, sample, broadcastVerify)
       .agg(count(lit(1)).as("sampled"),
         sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("verified"))
       .collect()(0)
@@ -514,15 +521,25 @@ object Dedup {
     val (rowsPerBand, bands) =
       planOverride.getOrElse(lshPlan(threshold, targetRecall, maxPlanes))
     val cand = embeddingCandFrame(e, rowsPerBand, bands, salt, hotMin)
-    // payload fetch for candidates: the side is only (vec_id, v, nrm) —
-    // broadcast it while the corpus fits executor memory (tens of
-    // millions of 64-dim vectors), making both fetches map-side with no
-    // shuffle of the candidate stream. Beyond that, `broadcastVerify =
-    // false` switches to shuffle-HASH joins: the post-join-1 rows carry
-    // a vector each, and a sort-merge join would sort that fat
-    // intermediate — measured 10-30× slower and spill-prone. Catalyst
-    // can't see this from size estimates (the frame is a union with
-    // generated columns), hence the explicit hints.
+    embeddingVerifyFrame(e, cand, threshold, broadcastVerify)
+  }
+
+  /** The cosine verify join over a pre-built candidate-pair frame —
+    * exposed so a benchmark can materialize the candidates once and
+    * time the verify phase as its own wall (the Probe decomposition,
+    * in-artifact). Payload fetch: the side is only (vec_id, v, nrm) —
+    * broadcast it while the corpus fits executor memory (tens of
+    * millions of 64-dim vectors), making both fetches map-side with no
+    * shuffle of the candidate stream. Beyond that, `broadcastVerify =
+    * false` switches to shuffle-HASH joins: the post-join-1 rows carry
+    * a vector each, and a sort-merge join would sort that fat
+    * intermediate — measured 10-30× slower and spill-prone. Catalyst
+    * can't see this from size estimates (the frame is a union with
+    * generated columns), hence the explicit hints.
+    */
+  private[graft] def embeddingVerifyFrame(e: DataFrame, cand: DataFrame,
+                                          threshold: Double,
+                                          broadcastVerify: Boolean = true): DataFrame = {
     val side0 = e.select(col("vec_id"), col("v"), col("nrm"))
     val side = if (broadcastVerify) broadcast(side0) else side0.hint("shuffle_hash")
     cand

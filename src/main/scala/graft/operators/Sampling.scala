@@ -133,14 +133,23 @@ object Sampling {
     // across thousands of shards instead of serializing per source —
     // packing boundaries are arbitrary by construction, so any
     // deterministic sharding is as valid as the per-source one
-    val w = Window.partitionBy(shardCol).orderBy(col("doc_id"))
+    // partitioned on the EMITTED shard column (not the raw expression):
+    // the window key and the output's sequence-id namespace are then the
+    // same value by construction
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val n = graft.functions.TextFunctions.wsTokenCount(col("text"))
     docsDf
-      .select(col("doc_id"), col("source"), n.as("n_tokens"))
+      // the shard key travels with the output: sequence numbering
+      // restarts at 0 per shard, so a sequence's identity is
+      // (shard, seq_no) — without the shard column a composite grain
+      // (e.g. source × doc_id-range) makes (source, seq_first)
+      // ambiguous for downstream token assembly
+      .select(col("doc_id"), col("source"), shardCol.cast("string").as("shard"),
+        n.as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
-        col("doc_id"), col("source"), col("n_tokens"),
+        col("doc_id"), col("source"), col("shard"), col("n_tokens"),
         // exact LONG division (not float floor): safe past 2^53 tokens
         expr(s"cum_before div ${budget}L").as("seq_first"),
         // an (impossible-here) empty document stays in its starting

@@ -181,6 +181,41 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Per-document corpus-frequency score — the LM-lite rarity signal
+    * quality filters use where a real language model is unavailable:
+    * `commonness = mean over the doc's tokens of P(token in corpus)`.
+    * Unusually low = rare/garbled vocabulary; unusually high =
+    * boilerplate. Two passes over one scan shape: (1) the corpus word
+    * count (reduce volume = the VOCABULARY, map-side combined), joined
+    * back onto the exploded token stream — broadcast while the
+    * vocabulary fits executor memory, `broadcastVocab = false` switches
+    * to a shuffle join on the token for open-vocabulary corpora (the
+    * dedup-verify contract) — then (2) re-aggregate per document
+    * (tokens of a doc are co-located from the scan, so the partial
+    * aggregate reduces to ~one row per doc per partition before the
+    * doc_id shuffle). Everything is exact BIGINT until one final IEEE
+    * chain `(Σcnt / total) / n_tokens` — engine-reproducible, no
+    * logarithms (libm-vs-JVM 1-ulp risk) in the contract.
+    */
+  def docFreq(spark: SparkSession, dir: String,
+              broadcastVocab: Boolean = true): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val vocab0 = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val vocab = if (broadcastVocab) broadcast(vocab0) else vocab0.hint("shuffle_hash")
+    // one global total: a 1-row aggregate, cross-joined (broadcast) onto
+    // the per-doc rows — never a driver-side collect in the plan
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(vocab, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("tf_sum"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("tf_sum"),
+        (col("tf_sum").cast("double") / col("total").cast("double")
+          / col("n_tokens").cast("double")).as("commonness"))
+  }
+
   // PII patterns, deliberately restricted to syntax with identical
   // semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
   // classes, bounded repetition, non-capturing groups, ASCII \b.

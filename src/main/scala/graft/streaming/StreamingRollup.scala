@@ -51,4 +51,43 @@ object StreamingRollup {
       .start()
     q.awaitTermination()
   }
+
+  /** Write-once cached STREAMED rollup for a source events dir — the
+    * driver-checkable entry point: the layout is built by draining the
+    * events table through the streaming path above (micro-batched,
+    * checkpointed, batch-id-staged exactly-once landing), then served
+    * like any rollup. A query answered from it matching the raw-points
+    * oracle proves the whole streaming landing — canonicalization,
+    * per-batch partials, crash-safe staging, query-time merge — exact,
+    * not just spec-replayed. Content-fingerprinted like
+    * [[graft.tsdb.Ingest.ensureRollup]]; a crash between the stream
+    * and the `_DONE` marker replays idempotently off the checkpoint.
+    * The streaming file source watches a DIRECTORY; a single-file
+    * events table gets a symlinked landing dir.
+    */
+  def ensureStreamed(spark: SparkSession, sfDir: String,
+                     widthNs: Long): String = {
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = Ingest.contentFingerprint(s"$sfDir/events.parquet")
+    val path = s"$base/graft_rollup_streamed_w${widthNs}_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = java.nio.file.Paths.get(path, "_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      val evPath = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        .toAbsolutePath.normalize()
+      val eventsDir =
+        if (java.nio.file.Files.isDirectory(evPath)) evPath.toString
+        else {
+          val landing = java.nio.file.Paths.get(s"$path.landing")
+          java.nio.file.Files.createDirectories(landing)
+          val link = landing.resolve("events.parquet")
+          if (!java.nio.file.Files.exists(link))
+            java.nio.file.Files.createSymbolicLink(link, evPath)
+          landing.toString
+        }
+      rollupAvailable(spark, eventsDir, path, s"$path.ckpt", widthNs)
+      java.nio.file.Files.createFile(done)
+    }
+    path
+  }
 }

@@ -143,6 +143,30 @@ final class Db(val frame: DataFrame) {
         (floor(col("value") / lit(width)) * lit(width)).as("bin_lo"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
 
+  /** Active-series cardinality per `widthNs` bucket: how many distinct
+    * series (full tagset) of `metric` reported at least one point in
+    * each bucket, plus the bucket's point count — the series-churn /
+    * cardinality-explosion dashboard metric, and the over-time
+    * extension of the reference's TagSets introspection (talna
+    * `src/tag_sets.rs` enumerates the CURRENT series of a metric; this
+    * answers "how many were live, when"). One aggregate: Spark plans
+    * the distinct as a two-phase partial aggregate over (bucket ×
+    * series id) with map-side combine, so the reduce-side volume is
+    * live series × buckets, never points; output rows = buckets. The
+    * series id is a canonical string with an explicit per-tag NULL
+    * marker — `concat_ws` would SKIP nulls and collide (a, NULL) with
+    * (a) — built identically by any SQL engine.
+    */
+  def activeSeries(metric: String, widthNs: Long,
+                   filterExpr: String = "*"): DataFrame = {
+    val parts = tagColumns.map(c => coalesce(col(c), lit("-")))
+    val sid = concat(parts.flatMap(p => Seq(p, lit("|"))).dropRight(1): _*)
+    scan(metric, filterExpr)
+      .groupBy((expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"))
+      .agg(countDistinct(sid).as("n_series"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_points"))
+  }
+
   /** M4 downsampling per (series × `widthNs` bucket): the ≤4 points a
     * pixel-column needs to render a line chart EXACTLY — first, last,
     * min, max (the M4 aggregation of Jugel et al., PVLDB 7(10):

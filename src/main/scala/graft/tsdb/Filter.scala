@@ -55,9 +55,14 @@ object FilterParser {
           case "OR"                 => out += TOr
           case WildcardRe(k, v)     => out += Leaf(k, v, wildcard = true)
           case IdentRe(k, v)        => out += Leaf(k, v, wildcard = false)
+          // error span parity with the reference lexer (talna
+          // src/query/parser/span.rs): the bad token's character
+          // offset, so a malformed term in a long filter string is
+          // locatable without scanning for the quoted text
           case word => throw new IllegalArgumentException(
-            s"invalid filter term: '$word' (expected key:value with key in " +
-              "[a-zA-Z_-], value in [a-zA-Z0-9_.-], optional trailing '*')")
+            s"invalid filter term at offset $j0: '$word' (expected key:value " +
+              "with key in [a-zA-Z_-], value in [a-zA-Z0-9_.-], " +
+              "optional trailing '*')")
         }
       }
     }

@@ -104,6 +104,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cube and custom grouping sets share the one-Expand one-exchange plan") {
+    val cube = Analytics.cubeAgg(spark, sfDir)
+    val pc = cube.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(pc).length >= 1)
+    assert("Exchange hashpartitioning".r.findAllIn(pc).length == 1, pc)
+    val gs = Analytics.groupingSetsAgg(spark, sfDir)
+    val pg = gs.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(pg).length >= 1)
+    assert("Exchange hashpartitioning".r.findAllIn(pg).length == 1, pg)
+
+    val cubeRows = gid(cube)
+    val rollupRows = gid(Analytics.rollupCube(spark, sfDir))
+    // CUBE ⊇ ROLLUP: the rollup's three set families are in the cube
+    // verbatim, plus the per-priority margin (gid=2) rollup lacks
+    Seq(0L, 1L, 3L).foreach(g => assert(cubeRows(g) == rollupRows(g)))
+    assert(cubeRows.contains(2L) && !rollupRows.contains(2L))
+    // custom sets = EXACTLY detail + per-priority margin: no per-year
+    // subtotals, no grand total — the point of not paying for a CUBE
+    val gsRows = gid(gs)
+    assert(gsRows.keySet == Set(0L, 2L))
+    assert(gsRows(0L) == cubeRows(0L) && gsRows(2L) == cubeRows(2L))
+    // per-priority margins re-add to the detail counts exactly
+    val detailByPrio = gs.collect().filter(_.getAs[Long]("gid") == 0L)
+      .groupBy(_.getAs[String]("o_orderpriority"))
+      .view.mapValues(_.map(_.getAs[Long]("n_orders")).sum).toMap
+    gs.collect().filter(_.getAs[Long]("gid") == 2L).foreach { m =>
+      assert(m.getAs[Long]("n_orders") ==
+        detailByPrio(m.getAs[String]("o_orderpriority")))
+    }
+  }
+
+  private def gid(df: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+    df.collect().groupBy(_.getAs[Long]("gid"))
+      .view.mapValues(_.map(_.toString).toSet).toMap
+
   test("topk returns at most k per brand with contiguous ranks") {
     val out = Analytics.topkPerBrand(spark, sfDir, 3)
     val per = out.groupBy("p_brand").count().agg(max("count")).collect()(0).getLong(0)

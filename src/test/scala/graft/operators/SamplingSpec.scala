@@ -52,6 +52,9 @@ class SamplingSpec extends SparkSpec {
       assert(only(r.getAs[Long]("doc_id")) ==
         (r.getAs[Long]("seq_first"), r.getAs[Long]("seq_offset")))
     }
+    // the shard key travels with the output; at the default grain it
+    // equals the source, so (shard, seq_no) is the sequence identity
+    assert(out.forall(r => r.getAs[String]("shard") == r.getAs[String]("source")))
     // finer shard grain (source × doc_id-range): still one row per doc,
     // and every shard's first document starts a fresh sequence at 0
     val sub = Sampling.packSequences(docs, budget,
@@ -63,6 +66,17 @@ class SamplingSpec extends SparkSpec {
       .groupBy { case (s2, id) => (s2, id / 64) }.values.map(_.map(_._2).min).toSet
     sub.filter(r => firstPerShard.contains(r.getAs[Long]("doc_id"))).foreach { r =>
       assert(r.getAs[Long]("seq_first") == 0L && r.getAs[Long]("seq_offset") == 0L)
+    }
+    // composite-grain shard values disambiguate sequence numbering:
+    // (source, seq_first) collides across sub-shards, (shard, seq_first)
+    // never does — the shard column is what keeps packing metadata
+    // consumable by downstream token assembly at any grain
+    assert(sub.forall(r => r.getAs[String]("shard") ==
+      s"${r.getAs[String]("source")}/${r.getAs[Long]("doc_id") / 64}"))
+    val perSeq = sub.groupBy(r =>
+      (r.getAs[String]("shard"), r.getAs[Long]("seq_first")))
+    perSeq.foreach { case ((_, _), rows) =>
+      assert(rows.map(_.getAs[Long]("seq_offset")).distinct.length == rows.length)
     }
   }
 

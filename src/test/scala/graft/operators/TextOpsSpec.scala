@@ -83,6 +83,32 @@ class TextOpsSpec extends SparkSpec {
     assert(multi.getAs[String]("scrub_hash") == expected)
   }
 
+  test("docFreq commonness is the mean corpus token probability; join modes agree") {
+    val out = TextAnalysis.docFreq(spark, sfDir).collect()
+    assert(out.length.toLong ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+    // recompute the contract on the driver from the raw text
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty)).toMap
+    val counts = texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = texts.values.map(_.length.toLong).sum
+    out.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      val tf = toks.map(counts).sum
+      assert(r.getAs[Long]("tf_sum") == tf)
+      assert(r.getAs[Double]("commonness") ==
+        tf.toDouble / total.toDouble / toks.length.toDouble)
+    }
+    // a token's own doc contributes to its count, so commonness ≥ 1/total
+    assert(out.forall(_.getAs[Double]("commonness") >= 1.0 / total))
+    // the beyond-memory shuffle-join path is result-identical
+    val shuffled = TextAnalysis.docFreq(spark, sfDir, broadcastVocab = false)
+      .collect().map(_.toString).sorted
+    assert(shuffled.sameElements(out.map(_.toString).sorted))
+  }
+
   test("vocab top-k matches a driver-side word count with (cnt desc, token) order") {
     val out = TextAnalysis.vocabTopK(spark, sfDir, k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))

@@ -45,4 +45,23 @@ class StreamingRollupSpec extends SparkSpec {
     Seq("dest", "ckpt", "landing").foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
   }
+
+  test("ensureStreamed builds once, caches, and answers like the batch aggregation") {
+    val p1 = StreamingRollup.ensureStreamed(spark, sfDir, Duration.hours(1))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p1, "_DONE")))
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p1, "_DONE"))
+    // second call serves the cached layout (same path, no rebuild)
+    val p2 = StreamingRollup.ensureStreamed(spark, sfDir, Duration.hours(1))
+    assert(p2 == p1)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p1, "_DONE")) == mtime)
+    val direct = AggBuilder(Db.fromEvents(spark, sfDir), AggKind.Avg,
+      "purchase", "user").granularity(Duration.days(1)).build()
+      .collect().map(_.toString).sorted
+    val streamed = Ingest.openRollup(spark, p1, Duration.hours(1))
+      .avg("purchase", "user", Duration.days(1))
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(direct))
+  }
 }

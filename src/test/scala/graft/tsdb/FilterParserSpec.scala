@@ -35,6 +35,19 @@ class FilterParserSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](FilterParser.parse("a:b:c")) // lexer.rs: no ':' in values
   }
 
+  test("lex errors carry the bad token's character offset (reference span parity)") {
+    // reference reports byte-offset spans in filter-DSL errors
+    // (talna src/query/parser/span.rs); a malformed MID-string term must
+    // be locatable by position, not by hunting for the quoted text
+    val input = "env:prod AND :orphan OR svc:db"
+    val e = intercept[IllegalArgumentException](FilterParser.parse(input))
+    assert(e.getMessage.contains("at offset 13"), e.getMessage)
+    assert(e.getMessage.contains("':orphan'"), e.getMessage)
+    assert(input.substring(13).startsWith(":orphan")) // the offset is real
+    val e0 = intercept[IllegalArgumentException](FilterParser.parse("bad!"))
+    assert(e0.getMessage.contains("at offset 0"), e0.getMessage)
+  }
+
   test("charset parity: accepts exactly the reference lexer grammar") {
     // reference (talna src/query/lexer.rs:22-26):
     //   Identifier [a-zA-Z_-]+:[a-zA-Z0-9_\-.]+

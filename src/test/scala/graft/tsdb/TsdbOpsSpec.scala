@@ -83,6 +83,31 @@ class TsdbOpsSpec extends SparkSpec {
       ("v", 0L, 15L, 100.0)))
   }
 
+  test("activeSeries counts distinct tagsets per bucket, NULL tags distinct from absent") {
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000
+    val d = new Db(Seq(
+      // bucket 0: three points, two distinct series ((u=1,k=a) ×2, (u=1,k=NULL))
+      ("m", 1L, 1.0, "1", "a"),
+      ("m", 2L, 2.0, "1", "a"),
+      ("m", 3L, 3.0, "1", null),
+      // bucket 1: one series; (u=NULL,k=NULL) must not collide with (u=1,k=NULL)
+      ("m", h + 1L, 4.0, null, null),
+      ("m", h + 2L, 5.0, null, null))
+      .toDF("metric", "ts", "value", "tag_user", "tag_k"))
+    val out = d.activeSeries("m", h).collect()
+      .map(r => r.getAs[Long]("bucket_start") ->
+        (r.getAs[Long]("n_series"), r.getAs[Long]("n_points"))).toMap
+    assert(out == Map(0L -> (2L, 3L), h -> (1L, 2L)))
+    // corpus sanity: n_series per bucket never exceeds the metric's
+    // total distinct tagsets, and the point counts re-add to the scan
+    val db = Db.fromEvents(spark, sfDir)
+    val buckets = db.activeSeries("view", 86400L * 1000 * 1000 * 1000).collect()
+    val total = db.series("view").count()
+    assert(buckets.forall(_.getAs[Long]("n_series") <= total))
+    assert(buckets.map(_.getAs[Long]("n_points")).sum == db.scan("view").count())
+  }
+
   test("histogram bins by floor(value/width)*width with exact counts") {
     val d = db(Seq(
       ("m", 1L, 0.4, "u"), ("m", 2L, 9.99, "u"),   // bin 0.0
