@@ -140,6 +140,11 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => graft.operators.Similarity.lshTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => graft.operators.Similarity.lshMultiProbeTopK(s, d)),
     "ann_ivf" -> ((s, d) => graft.operators.Similarity.ivfTopK(s, d)),
+    // the same search through an index populated ENTIRELY by the
+    // streaming exactly-once append path — checked against the same
+    // independent SQL oracle as ann_ivf, so the hash match proves the
+    // streamed index indistinguishable from the batch build
+    "ann_ivf_streamed" -> ((s, d) => graft.operators.Similarity.ivfStreamedTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => graft.operators.Similarity.ivfKmeansTopK(s, d)),
     "ann_filtered" -> ((s, d) => graft.operators.Similarity.filteredTopK(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.Similarity.pqTopK(s, d)),
@@ -283,6 +288,38 @@ object SparkEntry {
          |  CASE WHEN sqrt(greatest((sq - s*s/n)/n, 0)) = 0 THEN NULL
          |       ELSE (value - s/n) / sqrt(greatest((sq - s*s/n)/n, 0)) + 0.0 END AS z
          |FROM w""".stripMargin
+
+  // the IVF probe re-derived independently in SQL (first-16 centroids,
+  // rank-1 assignment, nprobe=4 probes for vec_id < 5, k=5) — shared by
+  // ann_ivf and ann_ivf_streamed, whose layouts are identical by
+  // construction (fixed coarse quantizer)
+  private val AnnIvfSql =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+      |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |ac AS (
+      |  SELECT n.vec_id, n.v, n.nrm, cent_id,
+      |    round(list_reduce(list_transform(list_zip(n.v, cv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+      |      / (n.nrm * cnrm), 6) AS ccos
+      |  FROM n, cent),
+      |assigned AS (SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+      |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+      |  FROM ac) WHERE crnk = 1),
+      |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS list_id FROM (
+      |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+      |  FROM (SELECT * FROM ac WHERE vec_id < 5)) WHERE crnk <= 4),
+      |c AS (
+      |  SELECT q.q_id, a.vec_id,
+      |    round(list_reduce(list_transform(list_zip(q.qv, a.v),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a2, b2) -> a2 + b2)
+      |      / (q.qnrm * a.nrm), 6) AS cos
+      |  FROM assigned a JOIN probes q ON a.list_id = q.list_id AND a.vec_id <> q.q_id)
+      |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+      |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+      |WHERE rnk <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ts_avg"   -> tsAgg("purchase", "user", AvgV),
@@ -947,33 +984,11 @@ object SparkEntry {
         |SELECT q_id, vec_id, label, cos, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
         |WHERE rnk <= 10""".stripMargin,
-    "ann_ivf" ->
-      """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
-        |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-        |ac AS (
-        |  SELECT n.vec_id, n.v, n.nrm, cent_id,
-        |    round(list_reduce(list_transform(list_zip(n.v, cv),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
-        |      / (n.nrm * cnrm), 6) AS ccos
-        |  FROM n, cent),
-        |assigned AS (SELECT vec_id, v, nrm, cent_id AS list_id FROM (
-        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
-        |  FROM ac) WHERE crnk = 1),
-        |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS list_id FROM (
-        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
-        |  FROM (SELECT * FROM ac WHERE vec_id < 5)) WHERE crnk <= 4),
-        |c AS (
-        |  SELECT q.q_id, a.vec_id,
-        |    round(list_reduce(list_transform(list_zip(q.qv, a.v),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a2, b2) -> a2 + b2)
-        |      / (q.qnrm * a.nrm), 6) AS cos
-        |  FROM assigned a JOIN probes q ON a.list_id = q.list_id AND a.vec_id <> q.q_id)
-        |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
-        |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
-        |WHERE rnk <= 5""".stripMargin,
+    "ann_ivf" -> AnnIvfSql,
+    // IDENTICAL independent re-derivation for the STREAMED index: the
+    // stored centroids and assignment are the same by construction, so
+    // matching this hash proves the streaming append path end-to-end
+    "ann_ivf_streamed" -> AnnIvfSql,
     // recall@5 of the IVF probe vs the exact ranking, per query: the
     // ann_ivf CTEs + a brute-force CTE + a count join; hits are exact
     // ints and k is a constant, so recall is the same IEEE division

@@ -114,6 +114,61 @@ object IvfIndex {
       .parquet(s"${index.path}/assign_batches/batch_id=$batchId")
   }
 
+  /** An index whose inverted lists were populated ENTIRELY by the
+    * streaming maintenance path: centroids stored offline, an EMPTY
+    * base layout, then the corpus drained as a file-source stream
+    * whose every micro-batch lands through [[appendBatch]] (batch-id-
+    * keyed overwrite dirs, `_SUCCESS`-pruned at open — the
+    * exactly-once contract). Because the coarse quantizer is fixed,
+    * the end state is indistinguishable from a full batch build —
+    * which is what lets a DRIVER query through this index hash-match
+    * the same oracle as the batch index, turning the streaming-IVF
+    * replay spec into an end-to-end exactness proof. Write-once cached
+    * per (source content, nlist) like [[ensure]]; a crash before the
+    * `_DONE` marker replays idempotently off the stream checkpoint.
+    */
+  def ensureStreamedIndex(spark: SparkSession, dir: String, nlist: Int,
+                          train: () => Similarity.Centroids,
+                          corpus: => DataFrame, base: String = ""): Index = {
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$dir/embeddings.parquet")
+    val root = graft.Conf.resolveWorkDir(spark, base)
+    val path = s"$root/ivf_streamed_v1_${Integer.toHexString(dir.hashCode)}_" +
+      s"${fp}_n$nlist"
+    cache.computeIfAbsent(path, _ => {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_DONE"))) {
+        val cents = train()
+        import spark.implicits._
+        cents.map { case (id, cv) => (id, cv.toSeq) }.toDF("cent_id", "cv")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+        // empty base: every vector must arrive through the stream
+        Similarity.assignFrame(corpus.limit(0), cents)
+          .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/assign")
+        val idx = Index(path, cents)
+        // several part files → several micro-batches: the multi-batch
+        // append path is what this layout exists to exercise
+        val landing = s"$path.landing"
+        corpus.coalesce(4).write.mode("overwrite").parquet(landing)
+        val schema = spark.read.parquet(landing).schema
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            appendBatch(idx, batch, batchId)
+          }
+          .option("checkpointLocation", s"$path.ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        java.nio.file.Files.write(java.nio.file.Paths.get(path, "_DONE"),
+          Array.empty[Byte])
+      }
+      val cents = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+      Index(path, cents)
+    })
+  }
+
   /** Present iff an append has mutated the layout past its
     * fingerprinted source corpus.
     */

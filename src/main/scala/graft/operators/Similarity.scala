@@ -277,6 +277,25 @@ object Similarity {
     * full-precision kernel); recall vs the exact [[knnJoin]] is
     * spec-floored.
     */
+  /** [[ivfTopK]] against an index populated ENTIRELY by the streaming
+    * maintenance path ([[IvfIndex.ensureStreamedIndex]]: empty base
+    * layout + the corpus drained as micro-batched exactly-once
+    * appends against the stored centroids). Same centroids, same
+    * assignment kernel, same probe — so the ranking is identical to
+    * the batch index's by construction, and the driver checks it
+    * against the SAME independent SQL oracle as `ann_ivf`: the hash
+    * match proves the streaming append path (batch staging, replay
+    * overwrite, `_SUCCESS` pruning, open-time union) end-to-end.
+    */
+  def ivfStreamedTopK(spark: SparkSession, dir: String,
+                      numQueries: Int = 5, k: Int = 5,
+                      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = vecs(spark, dir)
+    val index = IvfIndex.ensureStreamedIndex(spark, dir, nlist,
+      train = () => firstVectorCentroids(e, nlist), corpus = e)
+    ivfSearch(index, e.where(col("vec_id") < numQueries), numQueries, k, nprobe)
+  }
+
   def knnJoinIvf(spark: SparkSession, dir: String, qLabel: Int = 0,
                  k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = vecs(spark, dir)

@@ -72,6 +72,14 @@ class StreamingIvfSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("ivfStreamedTopK: the fully-streamed index ranks identically to the batch index") {
+    val streamed = Similarity.ivfStreamedTopK(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val batch = Similarity.ivfTopK(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("foreachBatch-appended IVF-PQ index equals the full build, replay-idempotent") {
     import scala.jdk.CollectionConverters._
     val base = "/root/repo/out/test_stream_ivfpq"
