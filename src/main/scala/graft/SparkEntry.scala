@@ -64,6 +64,10 @@ object SparkEntry {
     "ts_histogram" -> ((s, d) => Db.fromEvents(s, d).histogram("click", 10.0)),
     "ts_m4" -> ((s, d) => Db.fromEvents(s, d).m4("view", Day)),
     "ts_active_series" -> ((s, d) => Db.fromEvents(s, d).activeSeries("view", Day)),
+    "ts_sma" -> ((s, d) => Db.fromEvents(s, d).sma("purchase")),
+    // per-group daily buckets PLUS the all-groups margin in one Expand
+    "ts_grouping_sets" -> ((s, d) =>
+      Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildWithMargin()),
     // daily avg answered from an HOURLY materialized rollup — the oracle
     // is the raw-data SQL, so the hash match IS the associativity proof
     "ts_rollup_avg" -> ((s, d) => {
@@ -108,6 +112,8 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, d) => graft.operators.Analytics.groupingSetsAgg(s, d)),
     "q_topk_window" -> ((s, d) => graft.operators.Analytics.topkPerBrand(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
+    "q_window_running" -> ((s, d) => graft.operators.Analytics.runningTotal(s, d)),
+    "q_funnel" -> ((s, d) => graft.operators.Analytics.funnel(s, d)),
 
     // ---- Text analysis (documents) ----
     "text_tokens" -> ((s, d) => graft.operators.TextAnalysis.tokens(s, d)),
@@ -128,6 +134,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => graft.operators.Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => graft.operators.Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
+    "dedup_containment" -> ((s, d) => graft.operators.Dedup.containment(s, d)),
     "dedup_embedding" -> ((s, d) => graft.operators.Dedup.embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => graft.operators.Dedup.embeddingNearDup(s, d)),
     "dedup_cluster" -> ((s, d) => graft.operators.Dedup.cluster(s, d)),
@@ -156,6 +163,7 @@ object SparkEntry {
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
+    "sample_shuffle" -> ((s, d) => graft.operators.Sampling.shuffleDocs(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
     "sample_mix" -> ((s, d) => graft.operators.Sampling.sourceMix(s, d)),
     "sample_pack" -> ((s, d) => graft.operators.Sampling.packDocs(s, d)),
@@ -400,6 +408,25 @@ object SparkEntry {
          |  COUNT(*) AS n_points
          |FROM ev WHERE metric = 'view'
          |GROUP BY 1""".stripMargin,
+    // trailing 5-point moving average: same frame, same (ts, value)
+    // ordering, same round(decimal-sum/count) op chain on both engines
+    "ts_sma" ->
+      s"""$Ev
+         |SELECT metric, ts, value, tag_user, tag_k,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         |    / COUNT(*) OVER w, 6) AS sma
+         |FROM ev WHERE metric = 'purchase'
+         |WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value
+         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // per-group buckets + the all-groups margin from ONE grouping-sets
+    // pass; GROUPING() distinguishes margin rows from NULL group keys
+    "ts_grouping_sets" ->
+      s"""$Ev
+         |SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |  COUNT(*) AS n, $AvgV,
+         |  CAST(GROUPING(tag_user, ${bucket(Day)}) AS BIGINT) AS gid
+         |FROM ev WHERE metric = 'purchase' AND tag_user IS NOT NULL
+         |GROUP BY GROUPING SETS ((tag_user, ${bucket(Day)}), (${bucket(Day)}))""".stripMargin,
     // same (ts, value) ordering and strict Δt>0 row filter as Db.rate;
     // the rate is the RAW IEEE division (identical op chain on both
     // engines is bit-stable; decimal round() is not) with `+ 0.0`
@@ -577,6 +604,33 @@ object SparkEntry {
         |  CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid
         |FROM orders
         |GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority), (o_orderpriority))""".stripMargin,
+    // cumulative frame per customer; DECIMAL running sum cast once at
+    // the end; o_orderkey tiebreaks same-day orders on both engines
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE) AS running_spend,
+        |  COUNT(*) OVER w AS running_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // signup→purchase conversion per signup-day cohort; conversion
+    // counted once per user within 7 days of the FIRST signup
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+        |), s AS (
+        |  SELECT user_id, min(ts) AS t0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), c AS (
+        |  SELECT DISTINCT e.user_id FROM ev e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts >= s.t0 AND e.ts <= s.t0 + 604800000000000
+        |)
+        |SELECT (t0 // 86400000000000) * 86400000000000 AS cohort_day,
+        |  COUNT(*) AS n_signups,
+        |  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |GROUP BY 1""".stripMargin,
     "q_topk_window" ->
       """SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rnk FROM (
         |  SELECT p_brand, p_partkey,
@@ -823,6 +877,43 @@ object SparkEntry {
         |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
         |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.3""".stripMargin,
+    // posting-list containment: same word-3-shingle construction as
+    // text_decontaminate, stop-gram df cut (<= 20), shared-gram counts
+    // per pair, score = shared / min(|A|,|B|) over the post-cut sets;
+    // threshold compares the ROUNDED score (boundary-stable)
+    "dedup_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(wl) - 2, 1)),
+        |    i -> array_to_string(list_slice(wl, i, i + 2), ' ')))) AS gram
+        |  FROM w
+        |), rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 20),
+        |g AS (SELECT doc_id, gram FROM g0 JOIN rare USING (gram)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+        |sh AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, containment FROM (
+        |  SELECT doc_a, doc_b, n_shared,
+        |    round(CAST(n_shared AS DOUBLE)
+        |      / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+        |  FROM sh JOIN sz sa ON sh.doc_a = sa.doc_id
+        |          JOIN sz sb ON sh.doc_b = sb.doc_id)
+        |WHERE containment >= 0.5""".stripMargin,
+    // deterministic sharded shuffle order: shard = leading hex char of
+    // the salted md5, pos = rank of (hash, id) within the shard — the
+    // same md5-bucket family as sample_split, identical on both engines
+    "sample_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#graft') AS hv
+        |  FROM documents)
+        |SELECT doc_id, substring(hv, 1, 1) AS shard,
+        |  row_number() OVER (PARTITION BY substring(hv, 1, 1)
+        |    ORDER BY hv, doc_id) AS pos
+        |FROM h""".stripMargin,
     // transitive closure over the SAME pair set as dedup_ngram_jaccard:
     // min reachable id per node == component id (graph symmetrized)
     "dedup_cluster" ->

@@ -310,4 +310,55 @@ object Analytics {
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("new_sess")
   }
+
+  /** Per-customer running spend: cumulative order total and order count
+    * in (date, key) order — the customer-lifetime-value curve, the
+    * canonical cumulative-frame window. One shuffle on the customer
+    * key, one codegen'd running frame; parallelism is #customers (the
+    * biggest single partition is one customer's order history — tiny),
+    * never a global sort. The cumulative sum is an exact DECIMAL
+    * (partition-order-independent) cast once at the end; `o_orderkey`
+    * tiebreaks same-day orders so every prefix is engine-deterministic.
+    */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      sum(col("o_totalprice").cast("decimal(28,6)")).over(w)
+        .cast("double").as("running_spend"),
+      count(lit(1)).over(w).as("running_n"))
+  }
+
+  /** Signup → purchase conversion funnel over the events stream: per
+    * signup-day cohort, how many users signed up and how many made
+    * their first purchase within `windowNs` of their FIRST signup.
+    * Two user-sized aggregates (reduce volume = users, never events)
+    * joined on the user key — the purchase side filters events against
+    * each user's signup instant, so the join input is the purchase
+    * subset, not the full stream. Conversion is counted once per user
+    * (a user with N qualifying purchases still converts once), making
+    * the output rows = cohort days.
+    */
+  def funnel(spark: SparkSession, dir: String,
+             windowNs: Long = 7L * 86400L * 1000000000L): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), (expr("ts div 1000L") * lit(1000L)).as("ts"),
+        col("event_type"))
+    val dayNs = 86400L * 1000000000L
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val converted = ev.where(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .where(col("ts") >= col("t0") && col("ts") <= col("t0") + lit(windowNs))
+      .select(col("user_id"), col("t0")).distinct()
+    signups.join(converted.withColumnRenamed("user_id", "cuid")
+        .select(col("cuid").as("user_id"), col("t0"), lit(1L).as("conv")),
+        Seq("user_id", "t0"), "left")
+      .groupBy((expr(s"t0 div ${dayNs}L") * lit(dayNs)).as("cohort_day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_converted"))
+  }
 }

@@ -365,6 +365,51 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------------ containment
+  /** Asymmetric shingle-containment pairs — the doc-in-doc detector
+    * exact/Jaccard dedup misses: a short document quoted wholesale
+    * inside a long one has low Jaccard (the union is large) but
+    * containment `|A∩B| / min(|A|,|B|)` ≈ 1. The standard
+    * quote/boilerplate-inclusion and train-test leakage measure
+    * (CCNet/Dolma-style suffix-containment family).
+    *
+    * Scale shape: a POSTING-LIST self-join, not blocking — explode
+    * distinct word shingles, cut grams whose document frequency
+    * exceeds `maxDf` (stop-grams carry no discriminative signal and
+    * would square the join: per-gram pair cost is bounded by maxDf²),
+    * join postings on gram equality, count shared grams per pair, then
+    * one join back to per-doc gram counts. Everything is hash
+    * aggregates + equi-joins on the gram key — no cartesian, no
+    * driver-side state; the df cut is the documented coverage bound
+    * (pairs sharing ONLY ubiquitous grams are not reported). Sizes and
+    * the containment denominator are over the post-cut gram sets, so
+    * the score is self-consistent with the discovered intersection.
+    * The threshold compares the ROUNDED score (boundary-stable across
+    * engines, the filter_chain convention).
+    */
+  def containment(spark: SparkSession, dir: String,
+                  threshold: Double = 0.5, maxDf: Long = 20): DataFrame = {
+    val g0 = parallelize(docs(spark, dir))
+      .select(col("doc_id"), explode(wordShingles).as("gram"))
+    val rare = g0.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+      .select(col("gram"))
+    val g = g0.join(rare, "gram")
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = g.as("a")
+      .join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / least(col("na"), col("nb")).cast("double"), 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   // ----------------------------------------------------- embedding near-dup
   private def embFrame(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)

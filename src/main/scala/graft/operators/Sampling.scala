@@ -163,6 +163,37 @@ object Sampling {
   def packDocs(spark: SparkSession, dir: String, budget: Long = 1024): DataFrame =
     packSequences(spark.read.parquet(s"$dir/documents.parquet"), budget)
 
+  /** Deterministic global shuffle for training-order assignment: every
+    * row gets a (shard, pos) — shard from the leading `shardChars` hex
+    * chars of its salted content hash, position by rank of the full
+    * hash within the shard. Epoch reshuffles are a salt change, never a
+    * data move. The scale shape is the point: ONE shuffle on the shard
+    * key and a per-shard rank — a global `ORDER BY random()` would
+    * serialize 100 TB through a total sort, while here the global order
+    * is (shard, pos) by CONSTRUCTION (the hash prefix partitions the
+    * hash space into disjoint lexicographic ranges, so concatenating
+    * shards in shard order IS the global hash order). 16^shardChars
+    * shards: 1 char = 16 (test scale), 3 chars = 4096 (the 100 TB
+    * grain, bounded skew since md5 is uniform). Engine-reproducible
+    * like every md5-bucket op here; appends perturb only the positions
+    * behind them within each shard.
+    */
+  def shuffleOrder(df: DataFrame, key: Column,
+                   shardChars: Int = 1, salt: String = "graft"): DataFrame = {
+    require(shardChars >= 1 && shardChars <= 8, "shardChars must be in [1,8]")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(key.cast("string"), lit("#" + salt)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))
+    df.select(key.as("doc_id"), h.as("hv"))
+      .withColumn("shard", substring(col("hv"), 1, shardChars))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** documents → deterministic shuffle order (driver entry). */
+  def shuffleDocs(spark: SparkSession, dir: String): DataFrame =
+    shuffleOrder(spark.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
+
   /** Stratified deterministic top-`perLabel` sample of `embeddings` per
     * label: rows ranked inside each label by (hash, id) — a content-
     * stable shuffle — and the first `perLabel` kept. One shuffle on the

@@ -220,6 +220,29 @@ final class Db(val frame: DataFrame) {
         col("delta").cast("decimal(28,6)")).cast("double").as("value"))
   }
 
+  /** Per-point trailing simple moving average over the last `nPoints`
+    * points of each series (the dashboard `rollingavg()` modifier and
+    * EWMA's fixed-window sibling): one shuffle on the series key, one
+    * codegen'd window frame `ROWS BETWEEN n-1 PRECEDING AND CURRENT
+    * ROW` — never a self-join, never a per-series driver loop. The
+    * frame sum is an exact DECIMAL (partition-order-independent), the
+    * divide is the bucket-avg op chain (`round(sum/count, 6)`), and
+    * the (ts, value) ordering makes the frame contents deterministic
+    * under duplicate timestamps, like [[rate]].
+    */
+  def sma(metric: String, nPoints: Int = 5,
+          filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nPoints >= 1, "nPoints must be >= 1")
+    val w = Window.partitionBy(tagColumns.map(col): _*)
+      .orderBy(col("ts"), col("value"))
+      .rowsBetween(-(nPoints - 1).toLong, Window.currentRow)
+    scan(metric, filterExpr)
+      .withColumn("sma",
+        round(sum(col("value").cast("decimal(28,6)")).over(w).cast("double")
+          / count(lit(1)).over(w), 6))
+  }
+
   /** Per-point exponential smoothing of every series of a metric (the
     * dashboard `ewma()` modifier): `y_0 = x_0; y_i = (1-α)·y_{i-1} +
     * α·x_i` in (ts, value) order. A left fold is inherently
@@ -453,14 +476,13 @@ final case class AggBuilder(
   /** Inject a fixed clock (tests); production uses [[Time.timestamp]]. */
   def withClock(c: () => Long): AggBuilder = copy(clock = c)
 
-  def build(): DataFrame = {
-    val grpCol = db.tagCol(groupBy)
-    val base = db.scan(metric, filterExpr, minTs, maxTs)
-      .where(grpCol.isNotNull) // reference skips series lacking the group tag (agg/builder.rs:121)
-    val bucketStart = (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start")
-    val n = count(lit(1)).as("n")
+  /** The aggregate value column for [[kind]] — shared by [[build]] and
+    * [[buildWithMargin]] so every formulation runs the identical
+    * exact-decimal op chain.
+    */
+  private def aggValueCol: Column = {
     val decSum = sum(col("value").cast("decimal(28,6)"))
-    val valueCol = (kind match {
+    (kind match {
       case AggKind.Avg   => round(decSum.cast("double") / count(lit(1)), 6)
       case AggKind.Sum   => decSum.cast("double")
       case AggKind.Min   => min(col("value"))
@@ -482,7 +504,40 @@ final case class AggBuilder(
         val cnt = count(lit(1))
         round(sqrt(greatest((sq - (s * s) / cnt) / cnt, lit(0.0))), 6)
     }).as("value")
-    base.groupBy(grpCol.as("grp"), bucketStart).agg(n, valueCol)
+  }
+
+  def build(): DataFrame = {
+    val grpCol = db.tagCol(groupBy)
+    val base = db.scan(metric, filterExpr, minTs, maxTs)
+      .where(grpCol.isNotNull) // reference skips series lacking the group tag (agg/builder.rs:121)
+    val bucketStart = (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start")
+    base.groupBy(grpCol.as("grp"), bucketStart).agg(count(lit(1)).as("n"), aggValueCol)
+  }
+
+  /** Like [[build]], also emitting the per-bucket margin across ALL
+    * groups in the SAME pass — GROUPING SETS ((grp, bucket), (bucket))
+    * — the "per-host series plus the fleet-wide line" dashboard query.
+    * Computed as ONE Expand (replication factor 2 — the number of
+    * sets, not 2^keys) + ONE hash aggregate + ONE shuffle; two
+    * separate aggregations would scan and shuffle the points twice.
+    * Margin rows carry `grp = NULL, gid = 1` (`grouping_id`
+    * distinguishes a subtotal from a genuine NULL group key). Grouping
+    * keys are pre-projected to plain attributes — an aliased
+    * expression in the grouping columns vs its unaliased twin inside a
+    * set registers as a third grouping column (the q_grouping_sets
+    * lesson, Analytics.scala).
+    */
+  def buildWithMargin(): DataFrame = {
+    val grpCol = db.tagCol(groupBy)
+    val pre = db.scan(metric, filterExpr, minTs, maxTs)
+      .where(grpCol.isNotNull)
+      .select(grpCol.as("grp"),
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"),
+        col("value"))
+    pre.groupingSets(
+        Seq(Seq(col("grp"), col("bucket_start")), Seq(col("bucket_start"))),
+        col("grp"), col("bucket_start"))
+      .agg(count(lit(1)).as("n"), aggValueCol, grouping_id().as("gid"))
   }
 
   /** Like [[build]], also emitting the bucket's upper bound and middle
