@@ -239,8 +239,8 @@ final class Db(val frame: DataFrame) {
       .rowsBetween(-(nPoints - 1).toLong, Window.currentRow)
     scan(metric, filterExpr)
       .withColumn("sma",
-        round(sum(col("value").cast("decimal(28,6)")).over(w).cast("double")
-          / count(lit(1)).over(w), 6))
+        round(org.apache.spark.sql.functions.sum(col("value").cast("decimal(28,6)")).over(w).cast("double")
+          / org.apache.spark.sql.functions.count(lit(1)).over(w), 6))
   }
 
   /** Per-point exponential smoothing of every series of a metric (the
