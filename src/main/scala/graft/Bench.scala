@@ -29,7 +29,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // static conf, default 100: a 42-query suite generates far more
       // codegen'd classes than that, and LRU eviction forces janino to

@@ -299,9 +299,8 @@ object Analytics {
         grouping_id().as("gid"))
 
   def sessionize(spark: SparkSession, dir: String, gapNs: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), (expr("ts div 1000L") * lit(1000L)).as("ts"), col("event_type"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"), col("event_type"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     ev.withColumn("new_sess",
         when(col("ts") - lag(col("ts"), 1).over(w) > gapNs || lag(col("ts"), 1).over(w).isNull, 1)
@@ -343,9 +342,8 @@ object Analytics {
     */
   def funnel(spark: SparkSession, dir: String,
              windowNs: Long = 7L * 86400L * 1000000000L): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), (expr("ts div 1000L") * lit(1000L)).as("ts"),
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"),
         col("event_type"))
     val dayNs = 86400L * 1000000000L
     val signups = ev.where(col("event_type") === "signup")

@@ -35,6 +35,29 @@ object IvfIndex {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
+  /** Build-once memoization that NEVER runs `build` inside a
+    * `ConcurrentHashMap.computeIfAbsent` mapping function. The streamed
+    * build runs a Structured Streaming query whose micro-batch thread
+    * calls [[invalidate]] → `cache.remove(path)` on the same key; under
+    * `computeIfAbsent` that remove blocks on the bin lock held by the
+    * in-flight mapping function, which is itself blocked in
+    * `awaitTermination()` — a deadlock (round-7 `ann_ivf_streamed`
+    * hang). A plain monitor around the build keeps concurrent ensures
+    * single-flight while leaving the map free for same-key removes.
+    */
+  private def cached[I](c: java.util.concurrent.ConcurrentHashMap[String, I],
+                        path: String)(build: => I): I = {
+    val hit = c.get(path)
+    if (hit != null) hit
+    else buildLock.synchronized {
+      val again = c.get(path)
+      if (again != null) again
+      else { val v = build; c.put(path, v); v }
+    }
+  }
+
+  private object buildLock
+
   /** Build-or-open the index for `dir`'s embeddings. `train` runs only
     * on a build; `corpus` must carry (vec_id, v, nrm).
     */
@@ -46,7 +69,7 @@ object IvfIndex {
     val root = graft.Conf.resolveWorkDir(spark, base)
     val path = s"$root/ivf_v1_${Integer.toHexString(dir.hashCode)}_${fp}_" +
       s"${variant}_n${nlist}_i$iters"
-    cache.computeIfAbsent(path, _ => {
+    cached(cache, path) {
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(path, "assign", "_SUCCESS"))
           || java.nio.file.Files.exists(appendedMarker(path))) {
@@ -66,7 +89,7 @@ object IvfIndex {
       val cents = spark.read.parquet(s"$path/centroids").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
       Index(path, cents)
-    })
+    }
   }
 
   /** Incremental index maintenance: assign a batch of new vectors
@@ -134,7 +157,7 @@ object IvfIndex {
     val root = graft.Conf.resolveWorkDir(spark, base)
     val path = s"$root/ivf_streamed_v1_${Integer.toHexString(dir.hashCode)}_" +
       s"${fp}_n$nlist"
-    cache.computeIfAbsent(path, _ => {
+    cached(cache, path) {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_DONE"))) {
         val cents = train()
         import spark.implicits._
@@ -159,14 +182,14 @@ object IvfIndex {
           .option("checkpointLocation", s"$path.ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        graft.streaming.StreamAwait.drain(q)
         java.nio.file.Files.write(java.nio.file.Paths.get(path, "_DONE"),
           Array.empty[Byte])
       }
       val cents = spark.read.parquet(s"$path/centroids").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
       Index(path, cents)
-    })
+    }
   }
 
   /** Present iff an append has mutated the layout past its
@@ -195,11 +218,23 @@ object IvfIndex {
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$path/assign_batches"))
 
-  /** The base layout unioned with every COMPLETE batch append. */
+  /** The base layout unioned with every COMPLETE batch append. A
+    * streamed-built index has an EMPTY base (`corpus.limit(0)` +
+    * `partitionBy` writes `_SUCCESS` and zero part files — no footer,
+    * no inferrable schema), so a part-less base is skipped and the
+    * layout is the batch union alone.
+    */
   private def withBatches(spark: SparkSession, path: String,
-                          base: DataFrame): DataFrame =
-    completeBatchDirs(path).foldLeft(base)((acc, d) =>
-      acc.unionByName(spark.read.parquet(d)))
+                          base: => DataFrame): DataFrame = {
+    val hasBase = Option(new java.io.File(s"$path/assign").listFiles())
+      .toSeq.flatten.exists(f =>
+        f.isDirectory && f.getName.startsWith("list_id="))
+    val dirs = completeBatchDirs(path)
+    val frames = (if (hasBase) Seq(base) else Seq.empty) ++
+      dirs.map(spark.read.parquet(_))
+    require(frames.nonEmpty, s"IVF layout at $path has no data")
+    frames.reduce(_.unionByName(_))
+  }
 
   /** The assignment layout as (vec_id, v, nrm, list_id). The partition
     * column is directory-inferred (int) — cast back to the centroid id
@@ -237,7 +272,7 @@ object IvfIndex {
     // different PQ geometry never silently reuses the old codes
     val path = s"$root/ivfpq_v1_${Integer.toHexString(dir.hashCode)}_${fp}_" +
       s"${variant}_n${nlist}_i${iters}_m${m}_t$trainSample"
-    pqCache.computeIfAbsent(path, _ => {
+    cached(pqCache, path) {
       import spark.implicits._
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(path, "assign", "_SUCCESS"))
@@ -262,7 +297,7 @@ object IvfIndex {
       PqIndex(path, cents,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(
           b.getSeq[Double](2).toArray), b.getInt(0), b.getInt(1))
-    })
+    }
   }
 
   /** Online IVF-PQ maintenance: assign a batch of new (vec_id, v, nrm)

@@ -26,7 +26,7 @@ object StatefulSessionize {
     import spark.implicits._
     events
       .select(col("user_id").cast("long"),
-        (expr("ts div 1000L") * lit(1000L)).as("ts"), col("event_type"))
+        graft.tsdb.Db.tsNs(events.schema).as("ts"), col("event_type"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessOut](

@@ -15,10 +15,10 @@ import org.apache.spark.sql.types._
   */
 object StreamingAgg {
 
-  /** Raw events schema (ts as long ns, matching nanosAsLong ingestion). */
+  /** Raw events schema (ts as timestamp[µs], read as TIMESTAMP_NTZ). */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -28,12 +28,10 @@ object StreamingAgg {
     * target only event files — a whole-SF directory would project other
     * tables' files to all-null rows.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
     // a glob (not a bare file path) lets the source derive its basePath
     // from the parent directory while selecting only event files
     spark.readStream.schema(EventsSchema).parquet(s"$dir/events*")
-  }
 
   /** Canonicalize + watermark + tumbling-window average per
     * (metric, tag_user). `width` is the bucket width.
@@ -43,7 +41,13 @@ object StreamingAgg {
     events
       .select(
         col("event_type").as("metric"),
-        timestamp_micros(expr("ts div 1000L")).as("ts"),
+        // NTZ→TIMESTAMP is an identity on the stored micros under the
+        // session's pinned UTC timezone; legacy int64-ns inputs are
+        // likewise truncated to µs instants
+        (events.schema("ts").dataType match {
+          case LongType => timestamp_micros(expr("ts div 1000L"))
+          case _        => col("ts").cast("timestamp")
+        }).as("ts"),
         col("value"),
         col("user_id").cast("string").as("tag_user"))
       .withWatermark("ts", watermark)

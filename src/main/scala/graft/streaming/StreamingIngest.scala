@@ -31,7 +31,6 @@ object StreamingIngest {
   def ingestAvailable(spark: SparkSession, eventsDir: String, dest: String,
                       checkpoint: String,
                       propsTags: Seq[String] = Seq("k")): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     val tagCols = propsTags.map(k =>
       nullif(regexp_extract(col("props"), "\"" + k + "\":\\s*(\\d+)", 1), lit(""))
@@ -41,7 +40,7 @@ object StreamingIngest {
       .parquet(eventsDir)
       .select(Seq(
         col("event_type").as("metric"),
-        (expr("ts div 1000L") * lit(1000L)).as("ts"),
+        Db.tsNs(schema).as("ts"),
         col("value"),
         col("user_id").cast("string").as(Db.TagPrefix + "user")) ++ tagCols: _*)
       // same write-boundary guard as the batch path (Ingest.write):
@@ -55,6 +54,6 @@ object StreamingIngest {
       .partitionBy("metric")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    StreamAwait.drain(q)
   }
 }

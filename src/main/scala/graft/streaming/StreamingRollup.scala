@@ -29,7 +29,6 @@ object StreamingRollup {
   def rollupAvailable(spark: SparkSession, eventsDir: String, dest: String,
                       checkpoint: String, widthNs: Long,
                       propsTags: Seq[String] = Seq("k")): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     val tagCols = propsTags.map(k =>
       nullif(regexp_extract(col("props"), "\"" + k + "\":\\s*(\\d+)", 1), lit(""))
@@ -39,7 +38,7 @@ object StreamingRollup {
       .parquet(eventsDir)
       .select(Seq(
         col("event_type").as("metric"),
-        (expr("ts div 1000L") * lit(1000L)).as("ts"),
+        Db.tsNs(schema).as("ts"),
         col("value"),
         col("user_id").cast("string").as(Db.TagPrefix + "user")) ++ tagCols: _*)
     val q = canonical.writeStream
@@ -49,7 +48,7 @@ object StreamingRollup {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    StreamAwait.drain(q)
   }
 
   /** Write-once cached STREAMED rollup for a source events dir — the

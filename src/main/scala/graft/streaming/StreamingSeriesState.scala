@@ -109,6 +109,6 @@ object StreamingSeriesState {
         concat_ws("|", col("user_id").cast("string"),
           coalesce(nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1),
             lit("")), lit("∅"))).as("series"),
-        (expr("ts div 1000L") * lit(1000L)).as("ts"),
+        graft.tsdb.Db.tsNs(events.schema).as("ts"),
         col("value")), alpha)
 }

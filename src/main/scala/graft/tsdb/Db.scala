@@ -402,20 +402,33 @@ object Db {
     */
   def fromEvents(spark: SparkSession, sfDir: String,
                  propsTags: Seq[String] = Seq("k")): Db = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // ts arrives as int64 nanoseconds; truncate to µs precision so results
-    // are comparable with engines whose TIMESTAMP is µs (e.g. DuckDB).
     val tagCols = propsTags.map(k =>
       nullif(regexp_extract(col("props"), "\"" + k + "\":\\s*(\\d+)", 1), lit(""))
         .as(TagPrefix + k))
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(Seq(
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val df = raw.select(Seq(
         col("event_type").as("metric"),
-        (expr("ts div 1000L") * lit(1000L)).as("ts"),
+        tsNs(raw.schema).as("ts"),
         col("value"),
         col("user_id").cast("string").as(TagPrefix + "user")) ++ tagCols: _*)
     new Db(df)
   }
+
+  /** ns-epoch long `ts` for an events frame, tolerant of both on-disk
+    * encodings the driver has shipped: int64 nanoseconds (read as
+    * BIGINT) and timestamp[µs] (read as TIMESTAMP_NTZ on Spark 4).
+    * Both paths land on µs-truncated ns, so bucket math and oracles
+    * (`epoch_ns(ts)` in DuckDB) agree bit-exactly. The NTZ→TIMESTAMP
+    * cast is an identity on the stored micros because every graft
+    * session pins `spark.sql.session.timeZone=UTC`.
+    */
+  private[graft] def tsNs(schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("ts div 1000L") * lit(1000L)
+      case _ =>
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
 
   /** [[fromEvents]] with props tag keys discovered from a driver-side
     * sample of the `props` column — the open-tagset analog of the
@@ -520,8 +533,10 @@ final case class AggBuilder(
     * Computed as ONE Expand (replication factor 2 — the number of
     * sets, not 2^keys) + ONE hash aggregate + ONE shuffle; two
     * separate aggregations would scan and shuffle the points twice.
-    * Margin rows carry `grp = NULL, gid = 1` (`grouping_id`
-    * distinguishes a subtotal from a genuine NULL group key). Grouping
+    * Margin rows carry `grp = NULL, gid = 2` — `grouping_id()` puts
+    * the FIRST grouping column (grp) in the most-significant bit, so
+    * `grouping(grp) = 1` ⇒ gid 2, distinguishing a subtotal from a
+    * genuine NULL group key. Grouping
     * keys are pre-projected to plain attributes — an aliased
     * expression in the grouping columns vs its unaliased twin inside a
     * set registers as a third grouping column (the q_grouping_sets

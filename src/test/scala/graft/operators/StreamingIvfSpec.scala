@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.Trigger
   * is fixed; new vectors land in its cells". The end state must be
   * indistinguishable from having built the index over the full corpus.
   */
-class StreamingIvfSpec extends SparkSpec {
+class StreamingIvfSpec extends SparkSpec with graft.TimedSpec {
 
   test("foreachBatch-appended IVF index equals the full batch build") {
     import scala.jdk.CollectionConverters._

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-class StatefulSessionizeSpec extends SparkSpec {
+class StatefulSessionizeSpec extends SparkSpec with graft.TimedSpec {
 
   test("stateful streaming sessionize matches the batch window sessionize") {
     val stream = StreamingAgg.eventsStream(spark, sfDir)

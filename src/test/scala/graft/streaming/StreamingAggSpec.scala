@@ -3,7 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-class StreamingAggSpec extends SparkSpec {
+class StreamingAggSpec extends SparkSpec with graft.TimedSpec {
 
   test("streaming windowed avg matches the batch aggregation") {
     val stream = StreamingAgg.eventsStream(spark, sfDir)
@@ -16,7 +16,7 @@ class StreamingAggSpec extends SparkSpec {
 
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_type").as("metric"),
-        timestamp_micros(expr("ts div 1000L")).as("ts"),
+        col("ts").cast("timestamp").as("ts"),
         col("value"), col("user_id").cast("string").as("grp"))
       .groupBy(col("metric"), col("grp"), window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("value"))

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-class StreamingDedupSpec extends SparkSpec {
+class StreamingDedupSpec extends SparkSpec with graft.TimedSpec {
 
   test("streaming dedup emits one row per fingerprint, parity with batch exact dedup") {
     import spark.implicits._

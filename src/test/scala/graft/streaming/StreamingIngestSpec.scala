@@ -4,7 +4,7 @@ import graft.SparkSpec
 import graft.tsdb.{Db, Ingest}
 import org.apache.spark.sql.functions._
 
-class StreamingIngestSpec extends SparkSpec {
+class StreamingIngestSpec extends SparkSpec with graft.TimedSpec {
 
   test("streaming ingest produces a layout interchangeable with batch fromEvents") {
     val base = java.nio.file.Files.createTempDirectory("graft_sing").toString

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.tsdb.{AggBuilder, AggKind, Db, Duration, Ingest}
 
-class StreamingRollupSpec extends SparkSpec {
+class StreamingRollupSpec extends SparkSpec with graft.TimedSpec {
 
   test("streaming-maintained rollup answers identically to the raw batch aggregation") {
     val base = "/root/repo/out/test_stream_rollup"

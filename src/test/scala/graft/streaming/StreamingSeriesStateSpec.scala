@@ -4,7 +4,7 @@ import graft.SparkSpec
 import graft.tsdb.{Db, Duration}
 import org.apache.spark.sql.functions._
 
-class StreamingSeriesStateSpec extends SparkSpec {
+class StreamingSeriesStateSpec extends SparkSpec with graft.TimedSpec {
 
   private def seriesKey = concat_ws("|",
     col("tag_user"), coalesce(col("tag_k"), lit("∅"))).as("series")
@@ -14,7 +14,7 @@ class StreamingSeriesStateSpec extends SparkSpec {
     val stream = StreamingAgg.eventsStream(spark, sfDir)
       .where(col("event_type") === "view")
       .select(concat_ws("|", col("user_id").cast("string")).as("series"),
-        col("ts"), col("value"))
+        Db.tsNs(StreamingAgg.EventsSchema).as("ts"), col("value"))
     val q = StreamingSeriesState.enrichZ(stream)
       .writeStream.format("memory").queryName("series_z")
       .outputMode("append").start()
@@ -32,10 +32,11 @@ class StreamingSeriesStateSpec extends SparkSpec {
       col("value").cast("decimal(18,6)")).over(w).cast("double")
     val cnt = count(lit(1)).over(w)
     val sigma = sqrt(greatest((sq - (s * s) / cnt) / cnt, lit(0.0)))
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = batchRaw
       .where(col("event_type") === "view")
       .select(concat_ws("|", col("user_id").cast("string")).as("series"),
-        col("ts"), col("value"))
+        Db.tsNs(batchRaw.schema).as("ts"), col("value"))
       .select(col("series"), col("ts"), col("value"),
         when(cnt === 1L || sigma === 0.0, lit(null).cast("double"))
           .otherwise((col("value") - s / cnt) / sigma + lit(0.0)).as("z"))

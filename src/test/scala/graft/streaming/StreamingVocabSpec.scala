@@ -5,7 +5,7 @@ import graft.operators.TextAnalysis
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-class StreamingVocabSpec extends SparkSpec {
+class StreamingVocabSpec extends SparkSpec with graft.TimedSpec {
 
   test("streamed running vocab equals the batch word count; top-k matches vocabTopK") {
     val base = "/root/repo/out/test_stream_vocab"

@@ -6,11 +6,10 @@ import org.apache.spark.sql.functions._
 class DbSpec extends SparkSpec {
   lazy val db: Db = Db.fromEvents(spark, sfDir)
 
-  test("fromEvents works on a session without nanosAsLong preconfigured") {
+  test("fromEvents works on a fresh session (no special confs)") {
     // the driver smoke-checks entry() on its own session; fromEvents
-    // must set the legacy conf at runtime
+    // must not depend on session state beyond the UTC timezone
     val s2 = spark.newSession()
-    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     val db2 = Db.fromEvents(s2, sfDir)
     assert(db2.frame.count() > 0)
     assert(graft.SparkEntry.entry(s2).count() > 0)
