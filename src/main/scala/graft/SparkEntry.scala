@@ -114,6 +114,8 @@ object SparkEntry {
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
     "q_window_running" -> ((s, d) => graft.operators.Analytics.runningTotal(s, d)),
     "q_funnel" -> ((s, d) => graft.operators.Analytics.funnel(s, d)),
+    "q_retention" -> ((s, d) => graft.operators.Analytics.retention(s, d)),
+    "q_session_stats" -> ((s, d) => graft.operators.Analytics.sessionStats(s, d)),
 
     // ---- Text analysis (documents) ----
     "text_tokens" -> ((s, d) => graft.operators.TextAnalysis.tokens(s, d)),
@@ -631,6 +633,50 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM s LEFT JOIN c ON s.user_id = c.user_id
         |GROUP BY 1""".stripMargin,
+    // retention triangle: distinct users active k weeks after their
+    // first signup, per signup-week cohort (k < 8)
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+        |), s AS (
+        |  SELECT user_id, min(ts) AS t0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), hits AS (
+        |  SELECT DISTINCT (s.t0 // 604800000000000) * 604800000000000 AS cohort_week,
+        |    (e.ts - s.t0) // 604800000000000 AS week_offset, e.user_id
+        |  FROM ev e JOIN s USING (user_id)
+        |  WHERE e.ts >= s.t0 AND (e.ts - s.t0) // 604800000000000 < 8
+        |)
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM hits GROUP BY 1, 2""".stripMargin,
+    // per-day session metrics over the sessionize chain: sessions
+    // starting that day, their event totals and mean duration
+    "q_session_stats" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |), sess AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+        |    ts
+        |  FROM s
+        |), per AS (
+        |  SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts,
+        |    COUNT(*) AS n_ev
+        |  FROM sess GROUP BY 1, 2
+        |)
+        |SELECT (start_ts // 86400000000000) * 86400000000000 AS day,
+        |  COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(SUM(n_ev) AS DOUBLE) / COUNT(*) AS avg_events,
+        |  CAST(SUM(end_ts - start_ts) AS DOUBLE) / COUNT(*) AS avg_dur_ns
+        |FROM per GROUP BY 1""".stripMargin,
     "q_topk_window" ->
       """SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rnk FROM (
         |  SELECT p_brand, p_partkey,

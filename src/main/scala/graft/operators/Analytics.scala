@@ -359,4 +359,56 @@ object Analytics {
       .agg(count(lit(1)).as("n_signups"),
         sum(coalesce(col("conv"), lit(0L))).as("n_converted"))
   }
+
+  /** Cohort retention matrix over the events stream: for each signup
+    * week, how many distinct users were active again `k` weeks after
+    * their FIRST signup (k = 0..maxWeeks-1) — the classic retention
+    * triangle, [[funnel]]'s many-period generalization. Reduce volume
+    * is users (one user-sized signup aggregate), the activity join
+    * streams events past it once, and the distinct is keyed by
+    * (cohort, offset, user) — never a per-cell pass over the stream.
+    * All-integer outputs, hash-stable by construction.
+    */
+  def retention(spark: SparkSession, dir: String,
+                maxWeeks: Int = 8): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+      col("event_type"))
+    val weekNs = 7L * 86400L * 1000000000L
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    ev.join(signups, "user_id")
+      .where(col("ts") >= col("t0"))
+      .select((expr(s"t0 div ${weekNs}L") * lit(weekNs)).as("cohort_week"),
+        expr(s"(ts - t0) div ${weekNs}L").as("week_offset"), col("user_id"))
+      .where(col("week_offset") < maxWeeks)
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-day session metrics over the [[sessionize]] chain: session
+    * count, total events, events-per-session, and mean session duration
+    * for sessions STARTING that day. The (user, session) rollup reuses
+    * the sessionize window's user partitioning (Spark satisfies the
+    * grouping's clustered-distribution from the child's
+    * hashpartitioning(user_id) — no extra shuffle), so the only new
+    * exchange is the tiny per-day aggregate. Sums are integers
+    * (order-independent); the two ratios divide once at the end —
+    * bit-stable against the identical SQL chain.
+    */
+  def sessionStats(spark: SparkSession, dir: String,
+                   gapNs: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    sessionize(spark, dir, gapNs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_ev"))
+      .groupBy((expr(s"start_ts div ${dayNs}L") * lit(dayNs)).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        (sum(col("n_ev")).cast("double") / count(lit(1))).as("avg_events"),
+        (sum(col("end_ts") - col("start_ts")).cast("double") / count(lit(1)))
+          .as("avg_dur_ns"))
+  }
 }

@@ -153,4 +153,40 @@ class AnalyticsSpec extends SparkSpec {
     val rowsTotal = out.count()
     assert(rowsTotal == spark.read.parquet(s"$sfDir/events.parquet").count())
   }
+
+  test("retention: offset-0 cell equals the cohort's signup count") {
+    val ret = Analytics.retention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ret.nonEmpty)
+    // the signup event itself is activity at offset 0, so cell (c, 0)
+    // counts every distinct signer-upper of cohort week c
+    val weekNs = 7L * 86400L * 1000000000L
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cohorts = raw
+      .select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+        col("event_type"))
+      .where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min("ts").as("t0"))
+      .groupBy((expr(s"t0 div ${weekNs}L") * lit(weekNs)).as("w"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cohorts.foreach { case (w, n) =>
+      assert(ret.get((w, 0L)).contains(n), s"cohort $w: ${ret.get((w, 0L))} != $n")
+    }
+    // retention never exceeds the cohort size at any offset
+    ret.foreach { case ((w, _), n) => assert(n <= cohorts(w)) }
+  }
+
+  test("session stats: per-day session counts and event totals are conserved") {
+    val stats = Analytics.sessionStats(spark, sfDir)
+    val sess = Analytics.sessionize(spark, sfDir)
+    val nSessions = sess.select("user_id", "session_id").distinct().count()
+    val nEvents = sess.count()
+    val agg = stats.agg(sum("n_sessions"), sum("n_events")).collect()(0)
+    assert(agg.getLong(0) == nSessions, "every session starts on exactly one day")
+    assert(agg.getLong(1) == nEvents, "every event belongs to exactly one session")
+    stats.collect().foreach { r =>
+      assert(r.getAs[Double]("avg_events") >= 1.0)
+      assert(r.getAs[Double]("avg_dur_ns") >= 0.0)
+    }
+  }
 }
