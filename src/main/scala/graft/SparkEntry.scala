@@ -116,6 +116,7 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => graft.operators.Analytics.funnel(s, d)),
     "q_retention" -> ((s, d) => graft.operators.Analytics.retention(s, d)),
     "q_session_stats" -> ((s, d) => graft.operators.Analytics.sessionStats(s, d)),
+    "q_active_users" -> ((s, d) => graft.operators.Analytics.activeUsers(s, d)),
 
     // ---- Text analysis (documents) ----
     "text_tokens" -> ((s, d) => graft.operators.TextAnalysis.tokens(s, d)),
@@ -649,6 +650,24 @@ object SparkEntry {
         |)
         |SELECT cohort_week, week_offset, COUNT(*) AS n_users
         |FROM hits GROUP BY 1, 2""".stripMargin,
+    // DAU + exact trailing-7d WAU from the compact (day, user) frame;
+    // each day-user row covers its next 7 days (bounded expansion)
+    "q_active_users" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts FROM events
+        |), du AS (
+        |  SELECT DISTINCT (ts // 86400000000000) * 86400000000000 AS day, user_id
+        |  FROM ev
+        |), dau AS (
+        |  SELECT day, COUNT(*) AS dau FROM du GROUP BY 1
+        |), cov AS (
+        |  SELECT DISTINCT du.day + g.k * 86400000000000 AS day, du.user_id
+        |  FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) g
+        |), wau AS (
+        |  SELECT day, COUNT(*) AS wau FROM cov GROUP BY 1
+        |)
+        |SELECT d.day, d.dau, w.wau
+        |FROM dau d JOIN wau w USING (day)""".stripMargin,
     // per-day session metrics over the sessionize chain: sessions
     // starting that day, their event totals and mean duration
     "q_session_stats" ->

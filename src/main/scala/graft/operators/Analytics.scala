@@ -387,6 +387,38 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Daily + trailing-window active users (DAU/WAU): for each day with
+    * events, the distinct users active that day and within the trailing
+    * `windowDays` days. Exact, without a sliding distinct over raw
+    * events: the stream first collapses to the compact (day, user)
+    * frame (≤ users × days rows — orders of magnitude under the event
+    * count), each row then covers its next `windowDays` days via a
+    * BOUNDED explode (factor = windowDays, a constant), and the
+    * trailing count is a plain distinct-aggregate per covered day.
+    * Two shuffles over the compact frame; at 100 TB the same shape
+    * holds because the expansion factor never grows with data. Days
+    * are reported only when they have events (inner join of the two
+    * aggregates). All-integer outputs — hash-stable.
+    */
+  def activeUsers(spark: SparkSession, dir: String,
+                  windowDays: Int = 7): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val dayUser = raw
+      .select(graft.tsdb.Db.tsNs(raw.schema).as("ts"), col("user_id"))
+      .select((expr(s"ts div ${dayNs}L") * lit(dayNs)).as("day"), col("user_id"))
+      .distinct()
+    val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val cov = dayUser
+      .select(col("day"), col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"))
+      .select((col("day") + col("k").cast("long") * lit(dayNs)).as("day"),
+        col("user_id"))
+      .distinct()
+    val wau = cov.groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+  }
+
   /** Per-day session metrics over the [[sessionize]] chain: session
     * count, total events, events-per-session, and mean session duration
     * for sessions STARTING that day. The (user, session) rollup reuses

@@ -176,6 +176,29 @@ class AnalyticsSpec extends SparkSpec {
     ret.foreach { case ((w, _), n) => assert(n <= cohorts(w)) }
   }
 
+  test("active users: dau/wau equal the naive per-day and trailing-window distincts") {
+    val dayNs = 86400L * 1000000000L
+    val out = Analytics.activeUsers(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    assert(out.nonEmpty)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val byDay = raw
+      .select(graft.tsdb.Db.tsNs(raw.schema).as("ts"), col("user_id"))
+      .select((expr(s"ts div ${dayNs}L") * lit(dayNs)).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.keySet == byDay.keySet, "one output row per day with events")
+    out.foreach { case (d, (dau, wau)) =>
+      assert(dau == byDay(d).size)
+      val naive = (0 until 7).flatMap(k => byDay.getOrElse(d - k * dayNs,
+        Set.empty[Long])).toSet.size
+      assert(wau == naive, s"day $d: wau $wau != naive $naive")
+      assert(wau >= dau)
+    }
+  }
+
   test("session stats: per-day session counts and event totals are conserved") {
     val stats = Analytics.sessionStats(spark, sfDir)
     val sess = Analytics.sessionize(spark, sfDir)
