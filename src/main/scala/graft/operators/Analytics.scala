@@ -395,28 +395,32 @@ object Analytics {
     * count), each row then covers its next `windowDays` days via a
     * BOUNDED explode (factor = windowDays, a constant), and the
     * trailing count is a plain distinct-aggregate per covered day.
-    * Two shuffles over the compact frame; at 100 TB the same shape
-    * holds because the expansion factor never grows with data. Days
-    * are reported only when they have events (inner join of the two
-    * aggregates). All-integer outputs — hash-stable.
+    * ONE scan, two shuffles: each coverage row carries whether it is
+    * the origin day, so a single (day, user) aggregate (max(origin))
+    * feeds both counts — DAU = origin rows, WAU = all rows — instead
+    * of a second scan+distinct for the DAU branch (Spark does not
+    * reuse the common subplan across the two aggregates, and a
+    * doubled fact scan is exactly what 100 TB cannot afford). Days
+    * are reported only when they have events (`dau > 0`).
+    * All-integer outputs — hash-stable.
     */
   def activeUsers(spark: SparkSession, dir: String,
                   windowDays: Int = 7): DataFrame = {
     val dayNs = 86400L * 1000000000L
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val dayUser = raw
+    raw
       .select(graft.tsdb.Db.tsNs(raw.schema).as("ts"), col("user_id"))
-      .select((expr(s"ts div ${dayNs}L") * lit(dayNs)).as("day"), col("user_id"))
-      .distinct()
-    val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val cov = dayUser
-      .select(col("day"), col("user_id"),
+      .select((expr(s"ts div ${dayNs}L") * lit(dayNs)).as("day"), col("user_id"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("k"))
       .select((col("day") + col("k").cast("long") * lit(dayNs)).as("day"),
-        col("user_id"))
-      .distinct()
-    val wau = cov.groupBy(col("day")).agg(count(lit(1)).as("wau"))
-    dau.join(wau, "day")
+        col("user_id"), (col("k") === 0).as("origin"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(max(col("origin")).as("is_origin"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("is_origin"), 1L).otherwise(0L)).as("dau"),
+        count(lit(1)).as("wau"))
+      .where(col("dau") > 0)
   }
 
   /** Per-day session metrics over the [[sessionize]] chain: session
