@@ -117,6 +117,7 @@ object SparkEntry {
     "q_retention" -> ((s, d) => graft.operators.Analytics.retention(s, d)),
     "q_session_stats" -> ((s, d) => graft.operators.Analytics.sessionStats(s, d)),
     "q_active_users" -> ((s, d) => graft.operators.Analytics.activeUsers(s, d)),
+    "q_funnel_steps" -> ((s, d) => graft.operators.Analytics.funnelSteps(s, d)),
 
     // ---- Text analysis (documents) ----
     "text_tokens" -> ((s, d) => graft.operators.TextAnalysis.tokens(s, d)),
@@ -650,6 +651,36 @@ object SparkEntry {
         |)
         |SELECT cohort_week, week_offset, COUNT(*) AS n_users
         |FROM hits GROUP BY 1, 2""".stripMargin,
+    // ordered 3-step funnel: each step's FIRST instant strictly after
+    // the previous step's, all within 7d of the first signup
+    "q_funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+        |), s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s1 AS (
+        |  SELECT e.user_id, s0.t0, min(e.ts) AS t1
+        |  FROM ev e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'view'
+        |    AND e.ts > s0.t0 AND e.ts <= s0.t0 + 604800000000000
+        |  GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT e.user_id, s1.t0, min(e.ts) AS t2
+        |  FROM ev e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > s1.t1 AND e.ts <= s1.t0 + 604800000000000
+        |  GROUP BY 1, 2
+        |)
+        |SELECT (t0 // 86400000000000) * 86400000000000 AS cohort_day,
+        |  CAST(0 AS BIGINT) AS step_idx, 'signup' AS step, COUNT(*) AS n_users
+        |FROM s0 GROUP BY 1
+        |UNION ALL
+        |SELECT (t0 // 86400000000000) * 86400000000000,
+        |  CAST(1 AS BIGINT), 'view', COUNT(*) FROM s1 GROUP BY 1
+        |UNION ALL
+        |SELECT (t0 // 86400000000000) * 86400000000000,
+        |  CAST(2 AS BIGINT), 'purchase', COUNT(*) FROM s2 GROUP BY 1""".stripMargin,
     // DAU + exact trailing-7d WAU from the compact (day, user) frame;
     // each day-user row covers its next 7 days (bounded expansion)
     "q_active_users" ->

@@ -387,6 +387,45 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** N-step ORDERED funnel — [[funnel]]'s generalization to a step
+    * sequence (default signup → view → purchase): per first-signup-day
+    * cohort, how many users reached step i with each step's FIRST
+    * qualifying instant strictly after the previous step's, all within
+    * `windowNs` of the first signup. One user-sized frame threads
+    * through the chain; each step is a pushdown-filtered slice of the
+    * events scan joined to it (reduce volume = users, never events —
+    * the same bound as [[funnel]]) and the per-step min-aggregate
+    * reuses the join's user partitioning. Counts are monotone
+    * non-increasing across steps by construction.
+    */
+  def funnelSteps(spark: SparkSession, dir: String,
+                  steps: Seq[String] = Seq("signup", "view", "purchase"),
+                  windowNs: Long = 7L * 86400L * 1000000000L): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps needs at least one step")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+      col("event_type"))
+    val dayNs = 86400L * 1000000000L
+    val first = ev.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    // chains(i): the user-sized frame of users whose chain reached step
+    // i, with t_prev = that step's first qualifying instant
+    val chains = steps.drop(1).scanLeft(
+      first.withColumn("t_prev", col("t0"))) { (acc, step) =>
+      ev.where(col("event_type") === step)
+        .join(acc, "user_id")
+        .where(col("ts") > col("t_prev") && col("ts") <= col("t0") + lit(windowNs))
+        .groupBy(col("user_id"), col("t0"))
+        .agg(min(col("ts")).as("t_prev"))
+    }
+    chains.zipWithIndex.map { case (c, i) =>
+      c.groupBy((expr(s"t0 div ${dayNs}L") * lit(dayNs)).as("cohort_day"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_day"), lit(i.toLong).as("step_idx"),
+          lit(steps(i)).as("step"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Daily + trailing-window active users (DAU/WAU): for each day with
     * events, the distinct users active that day and within the trailing
     * `windowDays` days. Exact, without a sliding distinct over raw

@@ -176,6 +176,28 @@ class AnalyticsSpec extends SparkSpec {
     ret.foreach { case ((w, _), n) => assert(n <= cohorts(w)) }
   }
 
+  test("funnel steps: totals shrink monotonically and step 0 equals the funnel cohort") {
+    val out = Analytics.funnelSteps(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_users")).toMap
+    assert(out.nonEmpty)
+    val perStep = out.groupBy(_._1._2).view
+      .mapValues(_.values.sum).toMap
+    (1L until 3L).foreach { i =>
+      assert(perStep.getOrElse(i, 0L) <= perStep(i - 1),
+        s"step $i total ${perStep.get(i)} exceeds step ${i - 1} ${perStep(i - 1)}")
+    }
+    // per cohort too: a later step never beats an earlier one
+    out.foreach { case ((day, i), n) =>
+      if (i > 0) assert(n <= out.getOrElse((day, i - 1), 0L))
+    }
+    // step 0 is exactly the funnel's signup cohort
+    val funnelCohorts = Analytics.funnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_signups")).toMap
+    funnelCohorts.foreach { case (day, n) =>
+      assert(out.get((day, 0L)).contains(n))
+    }
+  }
+
   test("active users: dau/wau equal the naive per-day and trailing-window distincts") {
     val dayNs = 86400L * 1000000000L
     val out = Analytics.activeUsers(spark, sfDir).collect()
