@@ -118,6 +118,7 @@ object SparkEntry {
     "q_session_stats" -> ((s, d) => graft.operators.Analytics.sessionStats(s, d)),
     "q_active_users" -> ((s, d) => graft.operators.Analytics.activeUsers(s, d)),
     "q_funnel_steps" -> ((s, d) => graft.operators.Analytics.funnelSteps(s, d)),
+    "q_session_window" -> ((s, d) => graft.operators.Analytics.sessionWindows(s, d)),
 
     // ---- Text analysis (documents) ----
     "text_tokens" -> ((s, d) => graft.operators.TextAnalysis.tokens(s, d)),
@@ -651,6 +652,26 @@ object SparkEntry {
         |)
         |SELECT cohort_week, week_offset, COUNT(*) AS n_users
         |FROM hits GROUP BY 1, 2""".stripMargin,
+    // built-in session_window sessions re-derived from the lag chain:
+    // one row per session, end = last event + gap
+    "q_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s
+        |)
+        |SELECT user_id, min(ts) AS start_ts,
+        |  max(ts) + 1800000000000 AS end_ts, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     // ordered 3-step funnel: each step's FIRST instant strictly after
     // the previous step's, all within 7d of the first signup
     "q_funnel_steps" ->

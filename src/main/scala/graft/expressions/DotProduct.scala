@@ -130,7 +130,8 @@ object GraftFunctions {
     (FunctionIdentifier("graft_rep_stats"),
       new ExpressionInfo(classOf[RepStats].getName, null, "graft_rep_stats",
         "_FUNC_(text) - [n_words, n_distinct_words, top_bigram_count, " +
-          "n_distinct_trigrams] over split(trim(text), ' +') in one pass.", ""),
+          "n_distinct_trigrams] over split(trim(text), ' +') in one pass.",
+        "", "", "", "", "", "", "built-in"),
       (cs: Seq[Expression]) => { arity("graft_rep_stats", 1, cs); RepStats(cs.head) }),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
@@ -159,7 +160,8 @@ object GraftFunctions {
           "graft_word_shingles / graft_char_grams emit): the intersection " +
           "is counted first-match-only, but the union term uses the raw " +
           "array sizes, so duplicate elements shrink the result vs " +
-          "distinct-set Jaccard.", ""),
+          "distinct-set Jaccard.",
+        "", "", "", "", "", "", "built-in"),
       (cs: Seq[Expression]) => { arity("graft_jaccard", 2, cs); JaccardSim(cs.head, cs(1)) }),
     (FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),

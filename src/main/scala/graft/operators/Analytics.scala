@@ -387,6 +387,32 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Gap-based sessions via Spark's BUILT-IN `session_window` aggregate
+    * — the engine-native alternative to the [[sessionize]] lag/sum
+    * window chain, and the one that also runs unchanged under
+    * Structured Streaming (merging session state across micro-batches).
+    * One hash aggregate keyed (user, session window): no ordered window
+    * pass, no running sum — Spark merges overlapping gap intervals
+    * inside the aggregate. Emits one row per session with its bounds
+    * (end = last event + gap, the session_window contract) and event
+    * count; the DuckDB oracle re-derives the identical sessions from
+    * the lag chain, proving the two formulations equivalent.
+    */
+  def sessionWindows(spark: SparkSession, dir: String,
+                     gapNs: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw
+      .select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts_ns"))
+      .select(col("user_id"), timestamp_micros(expr("ts_ns div 1000L")).as("ts"))
+    ev.groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapNs / 1000000000L} seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        (unix_micros(col("w.start")) * lit(1000L)).as("start_ts"),
+        (unix_micros(col("w.end")) * lit(1000L)).as("end_ts"),
+        col("n_events"))
+  }
+
   /** N-step ORDERED funnel — [[funnel]]'s generalization to a step
     * sequence (default signup → view → purchase): per first-signup-day
     * cohort, how many users reached step i with each step's FIRST

@@ -185,7 +185,7 @@ object Ingest {
     */
   def compactRollup(spark: SparkSession, path: String): Unit = {
     val frame = spark.read.parquet(path)
-    val tags = frame.columns.filter(_.startsWith(Db.TagPrefix)).sorted.map(col)
+    val tags = frame.columns.filter(_.startsWith(Db.TagPrefix)).sorted.toSeq.map(col)
     val compacted = frame
       .groupBy(col("metric") +: tags :+ col("bucket_start"): _*)
       .agg(sum(col("n")).as("n"),

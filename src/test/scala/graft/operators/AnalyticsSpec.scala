@@ -176,6 +176,17 @@ class AnalyticsSpec extends SparkSpec {
     ret.foreach { case ((w, _), n) => assert(n <= cohorts(w)) }
   }
 
+  test("session_window sessions match the lag-chain sessionize per user") {
+    val sw = Analytics.sessionWindows(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("n_events").as("ev"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lag = Analytics.sessionize(spark, sfDir)
+      .groupBy("user_id").agg(max("session_id").as("n"), count(lit(1)).as("ev"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sw.nonEmpty && sw == lag,
+      "built-in session_window and the window-function chain must agree")
+  }
+
   test("funnel steps: totals shrink monotonically and step 0 equals the funnel cohort") {
     val out = Analytics.funnelSteps(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_users")).toMap
