@@ -179,7 +179,11 @@ object Bench {
     // one-time materialization, not the operator's query cost)
     "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_increase", "ts_ewma",
     "ts_asof", "ts_quantile", "ts_gapfill", "ts_histogram", "ts_m4",
-    "ts_stddev", "ts_zscore", "ts_zscore_rollup")
+    "ts_stddev", "ts_zscore", "ts_zscore_rollup",
+    // round-8 events analytics: user-sized reduce shapes (funnel chain,
+    // bounded-explode DAU/WAU, session_window single aggregate) whose
+    // ratios evidence the "users, never events" scaling claim
+    "q_active_users", "q_funnel_steps", "q_session_window")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
