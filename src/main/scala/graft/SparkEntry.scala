@@ -54,6 +54,12 @@ object SparkEntry {
     "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
     "ts_quantile" -> ((s, d) =>
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
+    // rows-only driver check (no oracleSql): the GK sketch returns a
+    // genuine data point, not an interpolated value — cross-engine
+    // bit-parity is impossible by design; the rank-error band vs the
+    // exact quantile is spec-asserted instead
+    "ts_quantile_approx" -> ((s, d) =>
+      Db.fromEvents(s, d).quantileApprox("view", "user", 0.95).granularity(Day).build()),
     "ts_stddev" -> ((s, d) =>
       Db.fromEvents(s, d).stddev("error", "k").granularity(Day).build()),
     "ts_zscore" -> ((s, d) => Db.fromEvents(s, d).zscore("error", "user")),

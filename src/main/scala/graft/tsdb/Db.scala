@@ -16,6 +16,16 @@ object AggKind {
   case object Max   extends AggKind
   case object Count extends AggKind
   final case class Quantile(q: Double) extends AggKind
+  /** Sketch-based quantile (Greenwald-Khanna, rank error ≤ 1/accuracy)
+    * — the 100 TB path: [[Quantile]]'s exact `percentile` buffers every
+    * group value in the aggregation state, which a hot series at scale
+    * cannot afford; the GK summary is bounded-size per group and merges
+    * associatively map-side. Returns an actual data point (no
+    * interpolation), so it is NOT bit-comparable to an engine's
+    * interpolating quantile — driver-checked rows-only, spec-checked
+    * against the exact quantile's rank-error band.
+    */
+  final case class QuantileApprox(q: Double, accuracy: Int) extends AggKind
   /** Population standard deviation per bucket — like [[Quantile]] it goes
     * beyond the reference surface (the anomaly-band shape: avg ± k·stddev).
     * Computed from exact DECIMAL sums of `v` and `v²` so the result is
@@ -64,6 +74,15 @@ final class Db(val frame: DataFrame) {
   /** Bucketed population stddev (anomaly bands: avg ± k·σ per group). */
   def stddev(metric: String, groupBy: String): AggBuilder =
     AggBuilder(this, AggKind.Stddev, Db.validated(metric), groupBy)
+  /** Bucketed SKETCH quantile — [[quantile]]'s bounded-memory sibling
+    * for groups too hot to buffer (see [[AggKind.QuantileApprox]]).
+    */
+  def quantileApprox(metric: String, groupBy: String, q: Double,
+                     accuracy: Int = 10000): AggBuilder = {
+    require(q > 0 && q < 1, "quantile must be in (0,1)")
+    require(accuracy >= 1, "accuracy must be >= 1")
+    AggBuilder(this, AggKind.QuantileApprox(q, accuracy), Db.validated(metric), groupBy)
+  }
 
   /** Tag-key → column. Missing keys become a typed NULL column so that
     * Eq/Wildcard predicates coalesce to false and group-bys skip every
@@ -505,6 +524,10 @@ final case class AggBuilder(
       // same definition DuckDB's quantile_cont computes; rounded because
       // the interpolation arithmetic is float, not decimal
       case AggKind.Quantile(q) => round(expr(s"percentile(value, ${q}d)"), 6)
+      // GK sketch: bounded state per group, associative merge — the
+      // scale path; emits a genuine data point, unrounded
+      case AggKind.QuantileApprox(q, acc) =>
+        expr(s"approx_percentile(value, ${q}d, $acc)")
       // σ_pop = sqrt((Σv² − (Σv)²/n) / n) with Σv, Σv² as exact decimals:
       // the only float ops are the final square/divide/sqrt over two
       // exact sums, so the value is identical under any partitioning

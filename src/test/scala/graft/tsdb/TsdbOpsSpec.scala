@@ -402,4 +402,30 @@ class TsdbOpsSpec extends SparkSpec {
     val cs = c.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(qs == cs)
   }
+
+  test("approx quantile is a genuine data point within the GK rank-error slack") {
+    val d = Db.fromEvents(spark, sfDir)
+    val w = Duration.days(1)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    val approx = d.quantileApprox("view", "user", 0.95).granularity(w).build()
+      .collect().map(r => key(r) -> r.getDouble(3)).toMap
+    val grouped = d.scan("view").where(col("tag_user").isNotNull)
+      .select(col("tag_user"), (expr(s"ts div ${w}L") * lit(w)).as("b"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.nonEmpty && approx.keySet == grouped.keySet)
+    approx.foreach { case (k, v) =>
+      val vs = grouped(k)
+      val n = vs.length
+      val firstRank = vs.indexWhere(_ == v) + 1
+      assert(firstRank >= 1, s"group $k: approx $v is not an actual data point")
+      val lastRank = vs.lastIndexWhere(_ == v) + 1
+      // GK contract: some rank of v lies within ceil(n/accuracy)+1 of the
+      // target rank ceil(q*n) (the +1 absorbs the ceil-rank convention)
+      val target = math.ceil(0.95 * n).toInt
+      val slack = math.ceil(n / 10000.0).toInt + 1
+      assert(firstRank - slack <= target && target <= lastRank + slack,
+        s"group $k: approx $v spans ranks [$firstRank,$lastRank], target $target ± $slack (n=$n)")
+    }
+  }
 }
