@@ -55,4 +55,33 @@ object StreamingAgg {
       .agg(count(lit(1)).as("n"), avg(col("value")).as("value"))
       .select(col("metric"), col("tag_user").as("grp"),
         col("window.start").as("bucket_start"), col("n"), col("value"))
+
+  /** Streaming bucketed SKETCH quantile — the unbounded-source face of
+    * `Db.quantileApprox`: per (metric, tag_user, window), a
+    * Greenwald-Khanna `approx_percentile` whose aggregation state is a
+    * bounded-size summary (never the window's raw values) merged
+    * associatively across micro-batches — the only quantile shape whose
+    * streaming state survives a hot series. GK compression decisions
+    * depend on merge order, so streamed and batch sketches need not be
+    * bit-equal; both honor the same rank-error contract, which is what
+    * the spec asserts.
+    */
+  def bucketedQuantile(events: DataFrame, q: Double = 0.95,
+                       accuracy: Int = 10000, width: String = "1 day",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .select(
+        col("event_type").as("metric"),
+        (events.schema("ts").dataType match {
+          case LongType => timestamp_micros(expr("ts div 1000L"))
+          case _        => col("ts").cast("timestamp")
+        }).as("ts"),
+        col("value"),
+        col("user_id").cast("string").as("tag_user"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("metric"), col("tag_user"), window(col("ts"), width))
+      .agg(count(lit(1)).as("n"),
+        expr(s"approx_percentile(value, ${q}d, $accuracy)").as("value"))
+      .select(col("metric"), col("tag_user").as("grp"),
+        col("window.start").as("bucket_start"), col("n"), col("value"))
 }

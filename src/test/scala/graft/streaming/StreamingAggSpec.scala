@@ -29,4 +29,40 @@ class StreamingAggSpec extends SparkSpec with graft.TimedSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(g == b)
   }
+
+  test("streaming sketch quantile honors the GK rank-error contract per window") {
+    val stream = StreamingAgg.eventsStream(spark, sfDir)
+      .where(col("event_type") === "view")
+    val q = StreamingAgg.bucketedQuantile(stream)
+      .writeStream.format("memory").queryName("stream_q")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_q").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2).getTime) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+
+    val grouped = spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("event_type") === "view")
+      .select(col("event_type").as("metric"), col("ts").cast("timestamp").as("ts"),
+        col("value"), col("user_id").cast("string").as("grp"))
+      .groupBy(col("metric"), col("grp"), window(col("ts"), "1 day"))
+      .agg(collect_list(col("value")).as("vs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getStruct(2).getTimestamp(0).getTime) ->
+        r.getSeq[Double](3).sorted).toMap
+    assert(got.keySet == grouped.keySet)
+    got.foreach { case (k, (n, v)) =>
+      val vs = grouped(k)
+      assert(n == vs.length)
+      val firstRank = vs.indexWhere(_ == v) + 1
+      assert(firstRank >= 1, s"window $k: $v is not an actual data point")
+      val lastRank = vs.lastIndexWhere(_ == v) + 1
+      val target = math.ceil(0.95 * vs.length).toInt
+      val slack = math.ceil(vs.length / 10000.0).toInt + 1
+      assert(firstRank - slack <= target && target <= lastRank + slack,
+        s"window $k: $v ranks [$firstRank,$lastRank], target $target ± $slack")
+    }
+  }
 }
