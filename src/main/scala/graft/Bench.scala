@@ -180,6 +180,10 @@ object Bench {
     "ts_avg", "ts_latest", "ts_raw", "ts_rate", "ts_increase", "ts_ewma",
     "ts_asof", "ts_quantile", "ts_gapfill", "ts_histogram", "ts_m4",
     "ts_stddev", "ts_zscore", "ts_zscore_rollup",
+    // round-8 additions: the five-sum aggregate (deriv) and the
+    // two-level correlation fold (corr) — both should track ts_avg's
+    // near-linear curve since neither adds a window pass
+    "ts_deriv", "ts_corr",
     // round-8 events analytics: user-sized reduce shapes (funnel chain,
     // bounded-explode DAU/WAU, session_window single aggregate) whose
     // ratios evidence the "users, never events" scaling claim

@@ -74,6 +74,11 @@ object SparkEntry {
     // per-group daily buckets PLUS the all-groups margin in one Expand
     "ts_grouping_sets" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildWithMargin()),
+    "ts_resets" -> ((s, d) => Db.fromEvents(s, d).resets("click", Day)),
+    "ts_changes" -> ((s, d) => Db.fromEvents(s, d).changes("view", Day)),
+    "ts_deriv" -> ((s, d) => Db.fromEvents(s, d).deriv("view", Day)),
+    "ts_corr" -> ((s, d) =>
+      Db.fromEvents(s, d).corrAligned("click", "purchase", "user", Day)),
     // daily avg answered from an HOURLY materialized rollup — the oracle
     // is the raw-data SQL, so the hash match IS the associativity proof
     "ts_rollup_avg" -> ((s, d) => {
@@ -125,9 +130,11 @@ object SparkEntry {
     "q_active_users" -> ((s, d) => graft.operators.Analytics.activeUsers(s, d)),
     "q_funnel_steps" -> ((s, d) => graft.operators.Analytics.funnelSteps(s, d)),
     "q_session_window" -> ((s, d) => graft.operators.Analytics.sessionWindows(s, d)),
+    "q_pivot" -> ((s, d) => graft.operators.Analytics.pivotDaily(s, d)),
 
     // ---- Text analysis (documents) ----
     "text_tokens" -> ((s, d) => graft.operators.TextAnalysis.tokens(s, d)),
+    "text_len_hist" -> ((s, d) => graft.operators.TextAnalysis.lenHist(s, d)),
     "text_langid" -> ((s, d) => graft.operators.TextAnalysis.langid(s, d)),
     "text_langid_eval" -> ((s, d) => graft.operators.TextAnalysis.langidEval(s, d)),
     "text_quality" -> ((s, d) => graft.operators.TextAnalysis.quality(s, d)),
@@ -171,6 +178,7 @@ object SparkEntry {
     "ann_knn_join" -> ((s, d) => graft.operators.Similarity.knnJoin(s, d)),
     "ann_knn_join_ivf" -> ((s, d) => graft.operators.Similarity.knnJoinIvf(s, d)),
     "ann_recall_eval" -> ((s, d) => graft.operators.Similarity.recallEval(s, d)),
+    "ann_knn_classify" -> ((s, d) => graft.operators.Similarity.knnClassify(s, d)),
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
@@ -468,6 +476,99 @@ object SparkEntry {
          |  CAST(SUM(CAST(delta AS DECIMAL(28,6))) AS DOUBLE) AS value
          |FROM d WHERE prev_ts IS NOT NULL AND prev_ts < ts
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // counter resets (PromQL resets()): consecutive-pair value DROPS per
+    // (series, bucket of the later point); integer outputs, same
+    // (ts, value) pair ordering and strict Δt>0 filter as ts_increase
+    "ts_resets" ->
+      s"""$Ev
+         |, d AS (
+         |  SELECT metric, tag_user, tag_k, ts, value,
+         |    lag(ts) OVER w AS prev_ts,
+         |    lag(value) OVER w AS prev_value
+         |  FROM ev WHERE metric = 'click'
+         |  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
+         |)
+         |SELECT metric, tag_user, tag_k, ${bucket(Day)} AS bucket_start,
+         |  CAST(SUM(CASE WHEN value < prev_value THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+         |  COUNT(*) AS n_pairs
+         |FROM d WHERE prev_ts IS NOT NULL AND prev_ts < ts
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // value changes (PromQL changes()): consecutive pairs whose value
+    // differs — the flap detector; same pair frame as ts_resets
+    "ts_changes" ->
+      s"""$Ev
+         |, d AS (
+         |  SELECT metric, tag_user, tag_k, ts, value,
+         |    lag(ts) OVER w AS prev_ts,
+         |    lag(value) OVER w AS prev_value
+         |  FROM ev WHERE metric = 'view'
+         |  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
+         |)
+         |SELECT metric, tag_user, tag_k, ${bucket(Day)} AS bucket_start,
+         |  CAST(SUM(CASE WHEN value <> prev_value THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+         |  COUNT(*) AS n_pairs
+         |FROM d WHERE prev_ts IS NOT NULL AND prev_ts < ts
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // least-squares slope per (series, bucket) — PromQL deriv(): all
+    // five regression sums are EXACT decimals (t = ns into the bucket,
+    // decimal(14,0); products within the 38-digit cap), so the closed
+    // form is one identical IEEE chain over exact inputs on both
+    // engines; single-point buckets → NULL
+    "ts_deriv" ->
+      s"""$Ev
+         |, d AS (
+         |  SELECT metric, tag_user, tag_k, ${bucket(Day)} AS bucket_start,
+         |    -- DECIMAL(19,_) forces int128 storage so the t*t / t*v
+         |    -- multiplies can't overflow DuckDB's int64 fast path; the
+         |    -- VALUES are identical to Spark's decimal(14,0)/(18,6)
+         |    CAST(ts - ${bucket(Day)} AS DECIMAL(19,0)) AS t,
+         |    CAST(value AS DECIMAL(19,6)) AS v
+         |  FROM ev WHERE metric = 'view'
+         |)
+         |SELECT metric, tag_user, tag_k, bucket_start, COUNT(*) AS n,
+         |  CASE WHEN COUNT(*) * CAST(SUM(t*t) AS DOUBLE)
+         |            - CAST(SUM(t) AS DOUBLE) * CAST(SUM(t) AS DOUBLE) = 0.0
+         |       THEN NULL
+         |       ELSE (COUNT(*) * CAST(SUM(t*v) AS DOUBLE)
+         |             - CAST(SUM(t) AS DOUBLE) * CAST(SUM(v) AS DOUBLE))
+         |            / (COUNT(*) * CAST(SUM(t*t) AS DOUBLE)
+         |               - CAST(SUM(t) AS DOUBLE) * CAST(SUM(t) AS DOUBLE))
+         |            * 1e9 + 0.0
+         |  END AS slope_per_s
+         |FROM d GROUP BY 1, 2, 3, 4""".stripMargin,
+    // cross-metric Pearson r per group over aligned per-bucket TOTALS
+    // (exact decimals end-to-end — a rounded-double average cast back
+    // to decimal would re-enter the engine-divergent half-boundary
+    // minefield); |r| capped at 1, zero-variance groups → NULL
+    "ts_corr" ->
+      s"""$Ev
+         |, p AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |    CAST(SUM(CASE WHEN metric = 'click'
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DECIMAL(18,6)) AS x,
+         |    CAST(SUM(CASE WHEN metric = 'purchase'
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DECIMAL(18,6)) AS y
+         |  FROM ev WHERE metric IN ('click', 'purchase')
+         |    AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT grp, COUNT(*) AS n,
+         |  CASE WHEN COUNT(*) * CAST(SUM(x*x) AS DOUBLE)
+         |            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) <= 0.0
+         |         OR COUNT(*) * CAST(SUM(y*y) AS DOUBLE)
+         |            - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) <= 0.0
+         |       THEN NULL
+         |       ELSE least(greatest(
+         |         (COUNT(*) * CAST(SUM(x*y) AS DOUBLE)
+         |          - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+         |         / (sqrt(COUNT(*) * CAST(SUM(x*x) AS DOUBLE)
+         |                 - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+         |            * sqrt(COUNT(*) * CAST(SUM(y*y) AS DOUBLE)
+         |                   - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)))
+         |         + 0.0, -1.0), 1.0)
+         |  END AS r
+         |FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+         |GROUP BY 1""".stripMargin,
     // per-point EWMA: list_reduce over the window prefix array is the
     // same left fold (seeded with the first element) as the graft_ewma
     // kernel, with the identical IEEE op chain — DOUBLE casts defeat
@@ -776,8 +877,31 @@ object SparkEntry {
         |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM s""".stripMargin,
+    // day × event-type PIVOT matrix: one conditional-count aggregate
+    // per declared type; absent combinations are 0, not NULL
+    "q_pivot" ->
+      """WITH ev AS (
+        |  SELECT epoch_ns(ts) AS ts, event_type FROM events
+        |)
+        |SELECT (ts // 86400000000000) * 86400000000000 AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM ev GROUP BY 1""".stripMargin,
 
     // ---- Text analysis ----
+    // sequence-length histogram: docs and token totals per token bin
+    "text_len_hist" ->
+      """WITH d AS (
+        |  SELECT CAST(length(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |)
+        |SELECT (n_tok // 32) * 32 AS bin_lo,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(length(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_ws_tokens,
@@ -1181,6 +1305,33 @@ object SparkEntry {
         |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
         |WHERE rnk <= 5""".stripMargin,
+    // k-NN majority-vote classification: same cosine/rank chain as
+    // ann_knn_join, then a (count desc, label) argmax over the votes —
+    // a total order, so the prediction is engine-deterministic
+    "ann_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS true_label
+        |      FROM e WHERE vec_id % 20 = 0),
+        |c AS (
+        |  SELECT q_id, true_label, vec_id, label AS n_label,
+        |    round(
+        |      list_reduce(list_transform(list_zip(qv, v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))), 6) AS cos
+        |  FROM q, e WHERE vec_id <> q_id),
+        |t AS (SELECT * FROM (
+        |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM c) WHERE rnk <= 5),
+        |vt AS (SELECT q_id, true_label, n_label, COUNT(*) AS n_votes
+        |       FROM t GROUP BY 1, 2, 3)
+        |SELECT q_id, true_label, n_label AS pred_label,
+        |  CAST(n_votes AS BIGINT) AS n_votes,
+        |  n_label = true_label AS correct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY n_votes DESC, n_label) AS vr FROM vt)
+        |WHERE vr = 1""".stripMargin,
     // PRE-filter semantics: the label predicate restricts the corpus
     // BEFORE ranking; queries themselves are unrestricted
     "ann_filtered" ->

@@ -512,4 +512,28 @@ object Analytics {
         (sum(col("end_ts") - col("start_ts")).cast("double") / count(lit(1)))
           .as("avg_dur_ns"))
   }
+
+  /** Day × event-type activity matrix via Spark's relational PIVOT —
+    * the wide dashboard table (one row per day, one count column per
+    * event type). The pivot values are DECLARED (the five event types),
+    * not discovered: an undeclared pivot runs a blocking distinct scan
+    * first and caps at `spark.sql.pivotMaxValues`; declared, this plans
+    * as ONE hash aggregate over (day) with five conditional counts —
+    * single scan, single exchange, output rows = days. Absent
+    * combinations surface as 0 (not NULL), matching conditional-count
+    * SQL semantics on any engine.
+    */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val piv = raw
+      .select(graft.tsdb.Db.tsNs(raw.schema).as("ts"), col("event_type"))
+      .select((expr(s"ts div ${dayNs}L") * lit(dayNs)).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    piv.select(col("day") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
 }

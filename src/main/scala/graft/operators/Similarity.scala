@@ -165,6 +165,45 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
+  /** k-NN majority-vote label classification: predict each query
+    * vector's label from its k nearest neighbors' labels (self
+    * excluded) — the embedding-space quality/topic classifier a
+    * training pipeline runs when labeled seeds exist but no trained
+    * model does. Every sampled query (vec_id ≡ 0 mod `queryMod`, the
+    * held-out eval frame) gets `(true_label, pred_label, n_votes,
+    * correct)`.
+    *
+    * Same scale shape as [[bruteForceTopK]]: broadcast query side,
+    * two-phase top-k (parallelism = partitions, not queries), then two
+    * k-bounded aggregates (votes, argmax) over queries × k rows —
+    * never corpus-sized. The vote argmax orders by (count desc, label)
+    * — a total order, so the prediction is engine-deterministic even
+    * on vote ties. At 100 TB the exact scan swaps for the IVF probe
+    * ([[ivfTopK]]) with the vote stage unchanged.
+    */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5,
+                  queryMod: Int = 20): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.where(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("true_label"))
+    val scored = e.as("e")
+      .join(broadcast(q.as("q")), col("e.vec_id") =!= col("q.q_id"))
+      .select(col("q_id"), col("true_label"),
+        col("e.vec_id").as("vec_id"), col("e.label").as("n_label"),
+        cosAB.as("cos"))
+    val votes = topKPerQuery(scored, k)
+      .groupBy(col("q_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val byVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("n_label"))
+    votes.withColumn("vr", row_number().over(byVote))
+      .where(col("vr") === 1)
+      .select(col("q_id"), col("true_label"),
+        col("n_label").as("pred_label"), col("n_votes"),
+        (col("n_label") === col("true_label")).as("correct"))
+  }
+
   // ------------------------------------------------------------------- IVF
   /** Driver-resident coarse centroids: (cent_id, components-as-double),
     * ascending cent_id. Coarse quantizers are tiny by construction

@@ -23,6 +23,19 @@ object TextAnalysis {
       bpeTokenCount(col("text")).as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"))
 
+  /** Sequence-length histogram: document counts and token totals per
+    * `binWidth`-token bin — the distribution a packing/truncation stage
+    * reads before choosing a context length (what fraction of corpus
+    * tokens live in documents longer than the cut?). One scan, one
+    * bounded hash aggregate (rows = max_len / binWidth, independent of
+    * corpus size); integer outputs are trivially engine-exact.
+    */
+  def lenHist(spark: SparkSession, dir: String, binWidth: Long = 32L): DataFrame =
+    docs(spark, dir)
+      .select(wsTokenCount(col("text")).as("n_tok"))
+      .groupBy((expr(s"n_tok div ${binWidth}L") * lit(binWidth)).as("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
   def langid(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),

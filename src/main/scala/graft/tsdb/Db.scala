@@ -369,6 +369,142 @@ final class Db(val frame: DataFrame) {
         col("asof_value"), col("asof_ts"))
   }
 
+  /** Shared shape of [[resets]]/[[changes]]: per-series consecutive
+    * pairs ((ts, value) order, strict Δt>0 like [[rate]]/[[increase]]),
+    * a boolean event predicate on (prev_value, value), counted per
+    * (series × `widthNs` bucket of the LATER point). One shuffle on the
+    * series key, codegen'd lag, integer output — bit-stable by
+    * construction (no float arithmetic survives to the result).
+    */
+  private def pairEventCount(metric: String, widthNs: Long,
+                             filterExpr: String, outCol: String,
+                             pred: (Column, Column) => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(tagColumns.map(col): _*)
+      .orderBy(col("ts"), col("value"))
+    scan(metric, filterExpr)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .where(col("prev_ts").isNotNull && col("prev_ts") < col("ts"))
+      .groupBy(col("metric") +: tagColumns.map(col) :+
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"): _*)
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          when(pred(col("prev_value"), col("value")), 1L).otherwise(0L)).as(outCol),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_pairs"))
+  }
+
+  /** Counter resets per (series × bucket): how often the value DROPPED
+    * between consecutive points — PromQL `resets()`. The monitoring
+    * read of [[increase]]'s clamp: increase hides resets, this counts
+    * them (a restarting process shows up as a nonzero resets line).
+    */
+  def resets(metric: String, widthNs: Long,
+             filterExpr: String = "*"): DataFrame =
+    pairEventCount(metric, widthNs, filterExpr, "resets", (p, v) => v < p)
+
+  /** Value changes per (series × bucket): consecutive pairs whose value
+    * differs — PromQL `changes()`, the flap/churn detector for
+    * gauge-like series.
+    */
+  def changes(metric: String, widthNs: Long,
+              filterExpr: String = "*"): DataFrame =
+    pairEventCount(metric, widthNs, filterExpr, "changes",
+      (p, v) => org.apache.spark.sql.functions.not(v <=> p))
+
+  /** Per-(series × bucket) least-squares slope in value/second — PromQL
+    * `deriv()`: the trend line a single [[rate]] pair can't give (rate
+    * is point-to-point; deriv regresses over EVERY point in the
+    * bucket). One hash aggregate with map-side combine — no window, no
+    * self-join; state per group is five sums.
+    *
+    * Bit-stability recipe ([[AggKind.Stddev]]'s): all five sums are
+    * EXACT decimals — t = NANOSECONDS into the bucket as decimal(14,0)
+    * (widthNs-bounded, so no division anywhere on the decimal side),
+    * value as decimal(18,6), their products within the 38-digit cap —
+    * so partial-merge order cannot change them; the closed-form slope
+    * (in value/ns, scaled to /s by one final float multiply) is then
+    * one identical IEEE chain over exact inputs on any engine.
+    * Single-point buckets (denominator 0) yield NULL.
+    */
+  def deriv(metric: String, widthNs: Long,
+            filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    require(widthNs <= 99999999999999L,
+      "deriv bucket width must fit decimal(14,0) nanoseconds (~27 hours)")
+    val t = (col("ts") - expr(s"ts div ${widthNs}L") * lit(widthNs))
+      .cast("decimal(14,0)")
+    val v = col("value").cast("decimal(18,6)")
+    scan(metric, filterExpr)
+      .groupBy(col("metric") +: tagColumns.map(col) :+
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"): _*)
+      .agg(F.count(lit(1)).as("n"),
+        F.sum(t).cast("double").as("st"),
+        F.sum(t * t).cast("double").as("stt"),
+        F.sum(v).cast("double").as("sv"),
+        F.sum(t * v).cast("double").as("stv"))
+      .withColumn("slope_per_s",
+        when(col("n") * col("stt") - col("st") * col("st") === 0.0,
+          lit(null).cast("double"))
+          .otherwise((col("n") * col("stv") - col("st") * col("sv"))
+            / (col("n") * col("stt") - col("st") * col("st")) * lit(1e9)
+            + lit(0.0)))
+      .drop("st", "stt", "sv", "stv")
+  }
+
+  /** Pearson correlation between two metrics per `groupBy` tag, across
+    * their aligned per-bucket TOTALS — "do click totals move with
+    * purchase totals, per user?". ONE scan (metric IN (a, b)) and ONE
+    * shuffle: the (group, bucket) aggregate computes both sums as
+    * conditional aggregates side by side (no self-join, no pivot
+    * exchange), then a second tiny aggregate (rows = groups × buckets,
+    * never points) folds the correlation. Buckets carrying only one of
+    * the two metrics are skipped (alignment is inner, like any paired
+    * correlation).
+    *
+    * Bucket sums (not averages) are the aligned signal deliberately:
+    * they stay EXACT decimals end-to-end (a rounded-double average
+    * cast back to decimal re-enters the engine-divergent half-boundary
+    * minefield the ts_rate fix removed), so every correlation input is
+    * partition-order-independent — same recipe as [[deriv]]; |r| is
+    * capped at 1 against last-bit float drift, zero-variance groups
+    * yield NULL.
+    */
+  def corrAligned(metricA: String, metricB: String, groupBy: String,
+                  widthNs: Long): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val a = Db.validated(metricA); val b = Db.validated(metricB)
+    val grpCol = tagCol(groupBy)
+    val dec = col("value").cast("decimal(28,6)")
+    def sumOf(m: String) =
+      F.sum(when(col("metric") === lit(m), dec)).cast("decimal(18,6)")
+    val pairs = frame
+      .where(col("metric") === lit(a) || col("metric") === lit(b))
+      .where(grpCol.isNotNull)
+      .groupBy(grpCol.as("grp"),
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"))
+      .agg(sumOf(a).as("x"), sumOf(b).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val x = col("x"); val y = col("y")
+    val stats = pairs.groupBy(col("grp"))
+      .agg(F.count(lit(1)).as("n"),
+        F.sum(x).cast("double").as("sx"),
+        F.sum(y).cast("double").as("sy"),
+        F.sum(x * x).cast("double").as("sxx"),
+        F.sum(y * y).cast("double").as("syy"),
+        F.sum(x * y).cast("double").as("sxy"))
+    val varx = stats("n") * col("sxx") - col("sx") * col("sx")
+    val vary = stats("n") * col("syy") - col("sy") * col("sy")
+    stats
+      .withColumn("r",
+        when(varx <= 0.0 || vary <= 0.0, lit(null).cast("double"))
+          .otherwise(least(greatest(
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              / (sqrt(varx) * sqrt(vary)) + lit(0.0),
+            lit(-1.0)), lit(1.0))))
+      .drop("sx", "sy", "sxx", "syy", "sxy")
+  }
+
   // ------------------------------------------------------- introspection
   // The reference enumerates a metric's tag keys/values and series via
   // its TagIndex/TagSets partitions (talna `src/tag_index.rs`,

@@ -111,6 +111,9 @@ final class Rollup(val frame: DataFrame, val widthNs: Long) {
     kind match {
       case AggKind.Quantile(_) => throw new IllegalArgumentException(
         "quantiles are not decomposable into rollup partials; use Db.quantile over raw points")
+      case AggKind.QuantileApprox(_, _) => throw new IllegalArgumentException(
+        "this rollup layout stores no quantile sketch partials; " +
+          "use Db.quantileApprox over raw points")
       case AggKind.Stddev if !frame.columns.contains("sum_sq") =>
         throw new IllegalArgumentException(
           "this rollup layout predates the sum_sq partial (LayoutVersion < 4); " +
@@ -139,7 +142,7 @@ final class Rollup(val frame: DataFrame, val widthNs: Long) {
         val sv = decSum.cast("double")
         val cnt = functions.sum(col("n"))
         round(sqrt(greatest((sq - (sv * sv) / cnt) / cnt, lit(0.0))), 6)
-      case AggKind.Quantile(_) =>
+      case AggKind.Quantile(_) | AggKind.QuantileApprox(_, _) =>
         throw new IllegalStateException("unreachable")
     }).as("value")
     base.groupBy(grpCol.as("grp"), bucket).agg(n, valueCol)

@@ -245,4 +245,42 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_dur_ns") >= 0.0)
     }
   }
+
+  test("pivotDaily: declared-value pivot matches the long-form counts, absent cells are 0") {
+    val dayNs = 86_400_000_000_000L
+    val wide = Analytics.pivotDaily(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("day") -> Seq("click", "error", "purchase", "signup", "view")
+        .map(t => t -> r.getAs[Long](s"n_$t")).toMap).toMap
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val long = raw
+      .select(graft.tsdb.Db.tsNs(raw.schema).as("ts"), col("event_type"))
+      .groupBy((expr(s"ts div ${dayNs}L") * lit(dayNs)).as("day"), col("event_type"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(wide.keySet == long.keys.map(_._1).toSet, "one wide row per active day")
+    // the per-cell compare includes absent cells (getOrElse 0): a NULL
+    // or dropped cell would fail here; sf0.001 happens to fill every
+    // cell, so no standalone zero-cell assertion (data-dependent)
+    wide.foreach { case (d, cells) =>
+      cells.foreach { case (t, n) =>
+        assert(n == long.getOrElse((d, t), 0L), s"day $d type $t")
+      }
+    }
+  }
+
+  test("pivotDaily: a declared type absent from the data is a 0 column, not NULL or dropped") {
+    import spark.implicits._
+    val dir = s"/root/repo/out/test_pivot_${System.nanoTime()}"
+    Seq((0L, "click"), (5L, "click"), (86_400_000_000_000L, "view"))
+      .toDF("ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Analytics.pivotDaily(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"),
+          r.getAs[Long]("n_view")))).toMap
+    assert(rows == Map(
+      0L -> ((2L, 0L, 0L)),
+      86_400_000_000_000L -> ((0L, 0L, 1L))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -369,4 +369,43 @@ class SimilaritySpec extends SparkSpec {
     val plan = Similarity.bruteForceTopK(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"))
   }
+
+  test("knnClassify: one prediction per sampled query, votes bounded by k") {
+    // NOTE: the testdata corpus's labels are random w.r.t. embedding
+    // geometry (measured ~chance accuracy at sf0.001 AND sf0.01), so
+    // only the mechanics are assertable here; classification power is
+    // proved on the clustered corpus in the next spec
+    val k = 5
+    val out = Similarity.knnClassify(spark, sfDir, k = k).collect()
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nQueries = e.where(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.lit(20)) === 0).count()
+    assert(out.length == nQueries, "exactly one row per sampled query")
+    out.foreach { r =>
+      val votes = r.getAs[Long]("n_votes")
+      assert(votes >= 1 && votes <= k)
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")))
+    }
+  }
+
+  test("knnClassify: perfect accuracy on a label-clustered corpus") {
+    import spark.implicits._
+    val dir = s"/root/repo/out/test_knn_classify_${System.nanoTime()}"
+    // three orthogonal clusters of 20 vectors: cosine within a cluster
+    // ≈ 1, across clusters ≈ 0 — every neighborhood is pure
+    val rows = for (lab <- 0 until 3; i <- 0 until 20) yield {
+      val base = Array.fill(4)(0.001f)
+      base(lab) = 1.0f + 0.01f * i
+      ((lab * 20 + i).toLong, base.toSeq, lab)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.knnClassify(spark, dir, k = 5, queryMod = 7).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("correct")),
+      "a pure neighborhood must vote the true label")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

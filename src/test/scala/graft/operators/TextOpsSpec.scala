@@ -166,4 +166,18 @@ class TextOpsSpec extends SparkSpec {
     assert(correct.toDouble / m.values.sum > 1.5 * chance,
       s"diagonal ${correct}/${m.values.sum}, chance $chance")
   }
+
+  test("lenHist: bins partition the corpus, doc and token totals are conserved") {
+    val hist = TextAnalysis.lenHist(spark, sfDir, binWidth = 32L).collect()
+      .map(r => r.getAs[Long]("bin_lo") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    val toks = TextAnalysis.tokens(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_ws_tokens"))
+    assert(hist.values.map(_._1).sum == toks.length, "every doc in exactly one bin")
+    assert(hist.values.map(_._2).sum == toks.sum, "token totals conserved")
+    val expected = toks.groupBy(n => (n / 32) * 32)
+      .view.mapValues(g => (g.length.toLong, g.sum)).toMap
+    assert(hist == expected)
+    hist.keys.foreach(b => assert(b % 32 == 0 && b >= 0))
+  }
 }

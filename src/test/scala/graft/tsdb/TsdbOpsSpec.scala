@@ -428,4 +428,78 @@ class TsdbOpsSpec extends SparkSpec {
         s"group $k: approx $v spans ranks [$firstRank,$lastRank], target $target ± $slack (n=$n)")
     }
   }
+
+  test("resets counts value drops per bucket; changes counts value flips") {
+    val day = 86_400_000_000_000L
+    val d = db(Seq(
+      ("m", 0L, 10.0, "u"),
+      ("m", 10_000_000_000L, 15.0, "u"),  // up: no reset, change
+      ("m", 20_000_000_000L, 3.0, "u"),   // DROP: reset + change
+      ("m", 30_000_000_000L, 3.0, "u"),   // flat: neither
+      ("m", day + 5L, 1.0, "u"),          // drop, lands in day-2 bucket
+      ("m", 0L, 5.0, "v"),
+      ("m", 1_000_000_000L, 4.0, "v")))   // independent series: one drop
+    val re = d.resets("m", day).collect()
+      .map(r => (r.getAs[String]("tag_user"), r.getAs[Long]("bucket_start")) ->
+        (r.getAs[Long]("resets"), r.getAs[Long]("n_pairs"))).toMap
+    assert(re == Map(("u", 0L) -> (1L, 3L), ("u", day) -> (1L, 1L),
+      ("v", 0L) -> (1L, 1L)))
+    val ch = d.changes("m", day).collect()
+      .map(r => (r.getAs[String]("tag_user"), r.getAs[Long]("bucket_start")) ->
+        r.getAs[Long]("changes")).toMap
+    assert(ch == Map(("u", 0L) -> 2L, ("u", day) -> 1L, ("v", 0L) -> 1L))
+  }
+
+  test("deriv fits the least-squares slope per bucket; single-point buckets are NULL") {
+    val day = 86_400_000_000_000L
+    val d = db(Seq(
+      ("m", 0L, 0.0, "u"),
+      ("m", 10_000_000_000L, 10.0, "u"),   // perfect 1.0/s line...
+      ("m", 20_000_000_000L, 20.0, "u"),   // ...through three points
+      ("m", day + 1L, 7.0, "u")))          // alone in its bucket → NULL
+    val out = d.deriv("m", day).collect()
+      .map(r => r.getAs[Long]("bucket_start") ->
+        Option(r.getAs[java.lang.Double]("slope_per_s"))).toMap
+    assert(out(0L).exists(s => math.abs(s - 1.0) < 1e-12))
+    assert(out(day).isEmpty)
+  }
+
+  test("corrAligned pairs bucket totals per group; |r|=1 on exact lines, NULL on zero variance") {
+    val day = 86_400_000_000_000L
+    val rows = Seq(
+      // user u: totals x=[1,2,3], y=[2,4,6] across 3 day buckets → r = 1
+      ("a", 0L, 1.0, "u"), ("b", 1L, 2.0, "u"),
+      ("a", day, 2.0, "u"), ("b", day + 1, 4.0, "u"),
+      ("a", 2 * day, 3.0, "u"), ("b", 2 * day + 1, 6.0, "u"),
+      // user v: x=[1,2], y=[5,3] → r = -1
+      ("a", 0L, 1.0, "v"), ("b", 1L, 5.0, "v"),
+      ("a", day, 2.0, "v"), ("b", day + 1, 3.0, "v"),
+      // user w: single aligned bucket → zero variance → NULL
+      ("a", 0L, 9.0, "w"), ("b", 1L, 9.0, "w"),
+      // user z: never aligned (only metric a) → no pairs → absent
+      ("a", 0L, 4.0, "z"))
+    val d = db(rows)
+    val out = d.corrAligned("a", "b", "user", day).collect()
+      .map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("r"))))).toMap
+    assert(out("u")._1 == 3L && out("u")._2.exists(r => math.abs(r - 1.0) < 1e-12))
+    assert(out("v")._1 == 2L && out("v")._2.exists(r => math.abs(r + 1.0) < 1e-12))
+    assert(out("w") == ((1L, None)))
+    assert(!out.contains("z"))
+  }
+
+  test("rollup rejects BOTH quantile kinds up-front (no partials exist for them)") {
+    val hour = Duration.hours(1)
+    val d = db(Seq(("m", 0L, 1.0, "u")))
+    val path = s"/root/repo/out/test_rollup_qreject_${System.nanoTime()}"
+    Ingest.writeRollup(d, path, hour)
+    val r = Ingest.openRollup(spark, path, hour)
+    val e1 = intercept[IllegalArgumentException](
+      r.agg(AggKind.Quantile(0.5), "m", "user", Duration.days(1)))
+    assert(e1.getMessage.contains("not decomposable"))
+    val e2 = intercept[IllegalArgumentException](
+      r.agg(AggKind.QuantileApprox(0.5, 100), "m", "user", Duration.days(1)))
+    assert(e2.getMessage.contains("no quantile sketch partials"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
 }
