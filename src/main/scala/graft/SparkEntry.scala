@@ -68,6 +68,9 @@ object SparkEntry {
     "ts_topk_series" -> ((s, d) =>
       Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildTopK(5)),
     "ts_histogram" -> ((s, d) => Db.fromEvents(s, d).histogram("click", 10.0)),
+    "ts_hist_quantile" -> ((s, d) =>
+      Db.fromEvents(s, d).histogramQuantile("view", Day, 10.0, 0.95)),
+    "ts_topk_movers" -> ((s, d) => Db.fromEvents(s, d).topMovers("click", "user", Day)),
     "ts_m4" -> ((s, d) => Db.fromEvents(s, d).m4("view", Day)),
     "ts_active_series" -> ((s, d) => Db.fromEvents(s, d).activeSeries("view", Day)),
     "ts_sma" -> ((s, d) => Db.fromEvents(s, d).sma("purchase")),
@@ -77,6 +80,8 @@ object SparkEntry {
     "ts_resets" -> ((s, d) => Db.fromEvents(s, d).resets("click", Day)),
     "ts_changes" -> ((s, d) => Db.fromEvents(s, d).changes("view", Day)),
     "ts_deriv" -> ((s, d) => Db.fromEvents(s, d).deriv("view", Day)),
+    "ts_predict" -> ((s, d) =>
+      Db.fromEvents(s, d).predictLinear("view", Day, Duration.hours(4))),
     "ts_corr" -> ((s, d) =>
       Db.fromEvents(s, d).corrAligned("click", "purchase", "user", Day)),
     // daily avg answered from an HOURLY materialized rollup — the oracle
@@ -536,6 +541,29 @@ object SparkEntry {
          |            * 1e9 + 0.0
          |  END AS slope_per_s
          |FROM d GROUP BY 1, 2, 3, 4""".stripMargin,
+    // linear forecast at bucket end + 4h from the same exact regression
+    // sums as ts_deriv; intercept + extrapolation is one shared IEEE
+    // chain (m computed once in a CTE — pure float, same value)
+    "ts_predict" ->
+      s"""$Ev
+         |, d AS (
+         |  SELECT metric, tag_user, tag_k, ${bucket(Day)} AS bucket_start,
+         |    CAST(ts - ${bucket(Day)} AS DECIMAL(19,0)) AS t,
+         |    CAST(value AS DECIMAL(19,6)) AS v
+         |  FROM ev WHERE metric = 'view'
+         |), s AS (
+         |  SELECT metric, tag_user, tag_k, bucket_start, COUNT(*) AS n,
+         |    CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(t*t) AS DOUBLE) AS stt,
+         |    CAST(SUM(v) AS DOUBLE) AS sv, CAST(SUM(t*v) AS DOUBLE) AS stv
+         |  FROM d GROUP BY 1, 2, 3, 4
+         |), m AS (
+         |  SELECT *, CASE WHEN n * stt - st * st = 0.0 THEN NULL
+         |    ELSE (n * stv - st * sv) / (n * stt - st * st) END AS m
+         |  FROM s
+         |)
+         |SELECT metric, tag_user, tag_k, bucket_start, n,
+         |  (sv - m * st) / n + m * 100800000000000.0 + 0.0 AS predicted
+         |FROM m""".stripMargin,
     // cross-metric Pearson r per group over aligned per-bucket TOTALS
     // (exact decimals end-to-end — a rounded-double average cast back
     // to decimal would re-enter the engine-divergent half-boundary
@@ -609,6 +637,46 @@ object SparkEntry {
          |SELECT metric, floor(value / 10.0) * 10.0 AS bin_lo, COUNT(*) AS n
          |FROM ev WHERE metric = 'click'
          |GROUP BY 1, 2""".stripMargin,
+    // PromQL histogram_quantile: per time bucket, linear interpolation
+    // inside the first bin whose cumulative count reaches q·total;
+    // counts stay integers until ONE final IEEE chain on both engines
+    "ts_hist_quantile" ->
+      s"""$Ev
+         |, h AS (
+         |  SELECT ${bucket(Day)} AS bucket_start,
+         |    floor(value / 10.0) * 10.0 AS bin_lo, COUNT(*) AS n
+         |  FROM ev WHERE metric = 'view' GROUP BY 1, 2
+         |), c AS (
+         |  SELECT *, CAST(SUM(n) OVER (PARTITION BY bucket_start ORDER BY bin_lo
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(SUM(n) OVER (PARTITION BY bucket_start) AS BIGINT) AS total
+         |  FROM h
+         |)
+         |SELECT bucket_start, total,
+         |  -- e-notation literals are DOUBLE in DuckDB; plain 0.95/10.0
+         |  -- would run DECIMAL arithmetic and drift off Spark's chain
+         |  bin_lo + 10e0 * (0.95e0 * total - (cum - n)) / n + 0e0 AS est_q
+         |FROM c WHERE cum - n < 0.95e0 * total AND cum >= 0.95e0 * total""".stripMargin,
+    // biggest bucket-over-bucket movers: exact decimal bucket sums,
+    // per-group lag, (|Δ| desc, grp, bucket) total-order global top-10
+    "ts_topk_movers" ->
+      s"""$Ev
+         |, b AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start, $SumV
+         |  FROM ev WHERE metric = 'click' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT grp, bucket_start, value,
+         |    lag(value) OVER (PARTITION BY grp ORDER BY bucket_start) AS prev_value
+         |  FROM b
+         |)
+         |SELECT grp, bucket_start, value, prev_value,
+         |  value - prev_value + 0.0 AS delta, CAST(rnk AS BIGINT) AS rnk
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    ORDER BY abs(value - prev_value + 0.0) DESC, grp, bucket_start) AS rnk
+         |  FROM dl WHERE prev_value IS NOT NULL)
+         |WHERE rnk <= 10""".stripMargin,
     // M4 downsampling: first/last/min/max point per (series, bucket),
     // four row_number roles with total-order tiebreaks, a multi-role
     // point emitted once — identical rank semantics in both engines

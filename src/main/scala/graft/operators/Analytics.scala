@@ -517,11 +517,12 @@ object Analytics {
     * the wide dashboard table (one row per day, one count column per
     * event type). The pivot values are DECLARED (the five event types),
     * not discovered: an undeclared pivot runs a blocking distinct scan
-    * first and caps at `spark.sql.pivotMaxValues`; declared, this plans
-    * as ONE hash aggregate over (day) with five conditional counts —
-    * single scan, single exchange, output rows = days. Absent
-    * combinations surface as 0 (not NULL), matching conditional-count
-    * SQL semantics on any engine.
+    * first and caps at `spark.sql.pivotMaxValues`. Declared, the plan
+    * (explain-audited) is two stacked two-phase aggregates — the
+    * map-side partial collapses the scan to (day × type) rows BEFORE
+    * either exchange, so both shuffles carry ≤ days × 5 rows at any
+    * corpus size. Absent combinations surface as 0 (not NULL),
+    * matching conditional-count SQL semantics on any engine.
     */
   def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
     val dayNs = 86400L * 1000000000L

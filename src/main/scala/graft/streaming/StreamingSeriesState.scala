@@ -56,6 +56,47 @@ object StreamingSeriesState {
       }
   }
 
+  case class FState(lastTs: Long, lastValue: Double,
+                    resets: Long, changes: Long)
+  case class FOut(series: String, ts: Long, value: Double,
+                  resets: Long, changes: Long)
+
+  /** Per-series running flap counters at ingest: each arriving point is
+    * enriched with the series' CUMULATIVE reset count (value drops) and
+    * change count (value flips) — the streaming face of
+    * [[graft.tsdb.Db.resets]]/[[graft.tsdb.Db.changes]] with an
+    * expanding window instead of buckets. Pair semantics match the
+    * batch ops exactly: a series' first point and duplicate-timestamp
+    * arrivals count no pair (the batch strict-Δt>0 filter), so after an
+    * in-order replay the final per-series counters equal the batch
+    * ops' bucket totals (spec-asserted across a multi-batch replay).
+    * State is one (lastTs, lastValue, resets, changes) record per
+    * series — O(1), integer, shardable.
+    */
+  def enrichFlaps(points: DataFrame): Dataset[FOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.as[Pt]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[FState, FOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[Pt], state: GroupState[FState]) =>
+          val pts = it.toSeq.sortBy(p => (p.ts, p.value))
+          var has = state.exists
+          var st = if (has) state.get else FState(Long.MinValue, 0.0, 0L, 0L)
+          val out = pts.map { p =>
+            val paired = has && p.ts > st.lastTs
+            val r = st.resets + (if (paired && p.value < st.lastValue) 1L else 0L)
+            val c = st.changes + (if (paired && p.value != st.lastValue) 1L else 0L)
+            st = FState(math.max(st.lastTs, p.ts), p.value, r, c)
+            has = true
+            FOut(series, p.ts, p.value, r, c)
+          }
+          if (pts.nonEmpty) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Rolling per-series anomaly score: each arriving point's z against
     * the series' full history INCLUDING itself — the streaming face of
     * [[graft.tsdb.Db.zscore]] with an expanding (prefix) window

@@ -162,6 +162,79 @@ final class Db(val frame: DataFrame) {
         (floor(col("value") / lit(width)) * lit(width)).as("bin_lo"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
 
+  /** Quantile-over-time estimated FROM HISTOGRAM BINS — PromQL
+    * `histogram_quantile()`: per `widthNs` time bucket, bin the values
+    * at `binWidth`, then linearly interpolate the q-quantile inside the
+    * first bin whose cumulative count reaches `q·total`. This is the
+    * latency-p95 dashboard line at 100 TB scale: state per time bucket
+    * is value_range/binWidth integers (vs [[AggBuilder]]'s exact
+    * percentile buffering every point), and the histogram aggregate
+    * map-side combines. One exchange (bucket × bin aggregate), one
+    * window over the bin-sized frame, bounded output (one row per time
+    * bucket). Counts stay integers until ONE final IEEE interpolation
+    * chain, identical on any engine; the estimate is
+    * exact-rank-correct at bin granularity (the sketch-accuracy
+    * contract every Prometheus deployment accepts).
+    */
+  def histogramQuantile(metric: String, widthNs: Long, binWidth: Double,
+                        q: Double, filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q > 0 && q < 1, "quantile must be in (0,1)")
+    require(binWidth > 0, "binWidth must be positive")
+    val h = scan(metric, filterExpr)
+      .groupBy((expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"),
+        (floor(col("value") / lit(binWidth)) * lit(binWidth)).as("bin_lo"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val byBucket = Window.partitionBy(col("bucket_start"))
+    val cum = org.apache.spark.sql.functions.sum(col("n"))
+      .over(byBucket.orderBy(col("bin_lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val total = org.apache.spark.sql.functions.sum(col("n")).over(byBucket)
+    h.withColumn("cum", cum).withColumn("total", total)
+      .where(col("cum") - col("n") < lit(q) * col("total") &&
+        col("cum") >= lit(q) * col("total"))
+      .select(col("bucket_start"), col("total"),
+        (col("bin_lo") + lit(binWidth) *
+          (lit(q) * col("total") - (col("cum") - col("n"))) / col("n")
+          + lit(0.0)).as("est_q"))
+  }
+
+  /** Top-N bucket-over-bucket movers: the (series group, bucket) pairs
+    * whose aggregate total changed most vs the group's PREVIOUS bucket
+    * — "what moved the most today" triage. Composes the exact bucketed
+    * sum (one point-volume shuffle), a per-group lag over the
+    * group×bucket-sized frame, and a global top-N over that bounded
+    * frame (never the points) with a (|Δ| desc, grp, bucket) total
+    * order so the kept set is engine-deterministic. The global rank is
+    * two-phase (per-partition head prune, then the final rank over
+    * ≤ partitions × n survivors — the ANN top-k recipe), so no stage
+    * ever sorts the whole frame on one task.
+    */
+  def topMovers(metric: String, groupBy: String, widthNs: Long,
+                n: Int = 10, filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "n must be >= 1")
+    val buckets = AggBuilder(this, AggKind.Sum, Db.validated(metric), groupBy)
+      .filter(filterExpr).granularity(widthNs).build()
+    val byGrp = Window.partitionBy(col("grp")).orderBy(col("bucket_start"))
+    val byPart = Window.partitionBy(col("pid"))
+      .orderBy(abs(col("delta")).desc, col("grp"), col("bucket_start"))
+    val global = Window.orderBy(
+      abs(col("delta")).desc, col("grp"), col("bucket_start"))
+    buckets
+      .withColumn("prev_value", lag(col("value"), 1).over(byGrp))
+      .where(col("prev_value").isNotNull)
+      .withColumn("delta", col("value") - col("prev_value") + lit(0.0))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prnk", row_number().over(byPart))
+      .where(col("prnk") <= n)
+      .drop("pid", "prnk")
+      .withColumn("rnk", row_number().over(global).cast("long"))
+      .where(col("rnk") <= n)
+      .select(col("grp"), col("bucket_start"), col("value"),
+        col("prev_value"), col("delta"), col("rnk"))
+  }
+
   /** Active-series cardinality per `widthNs` bucket: how many distinct
     * series (full tagset) of `metric` reported at least one point in
     * each bucket, plus the bucket's point count — the series-churn /
@@ -427,11 +500,15 @@ final class Db(val frame: DataFrame) {
     * one identical IEEE chain over exact inputs on any engine.
     * Single-point buckets (denominator 0) yield NULL.
     */
-  def deriv(metric: String, widthNs: Long,
-            filterExpr: String = "*"): DataFrame = {
+  /** The five exact-decimal regression sums per (series × bucket) —
+    * [[deriv]] and [[predictLinear]]'s shared aggregate (one hash
+    * aggregate, map-side combine; see deriv's bit-stability note).
+    */
+  private def regSums(metric: String, widthNs: Long,
+                      filterExpr: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     require(widthNs <= 99999999999999L,
-      "deriv bucket width must fit decimal(14,0) nanoseconds (~27 hours)")
+      "regression bucket width must fit decimal(14,0) nanoseconds (~27 hours)")
     val t = (col("ts") - expr(s"ts div ${widthNs}L") * lit(widthNs))
       .cast("decimal(14,0)")
     val v = col("value").cast("decimal(18,6)")
@@ -443,12 +520,39 @@ final class Db(val frame: DataFrame) {
         F.sum(t * t).cast("double").as("stt"),
         F.sum(v).cast("double").as("sv"),
         F.sum(t * v).cast("double").as("stv"))
-      .withColumn("slope_per_s",
-        when(col("n") * col("stt") - col("st") * col("st") === 0.0,
-          lit(null).cast("double"))
-          .otherwise((col("n") * col("stv") - col("st") * col("sv"))
-            / (col("n") * col("stt") - col("st") * col("st")) * lit(1e9)
-            + lit(0.0)))
+  }
+
+  /** NULL-when-degenerate least-squares slope in value/NANOSECOND from
+    * the [[regSums]] columns; the one shared float chain.
+    */
+  private def slopePerNs: Column =
+    when(col("n") * col("stt") - col("st") * col("st") === 0.0,
+      lit(null).cast("double"))
+      .otherwise((col("n") * col("stv") - col("st") * col("sv"))
+        / (col("n") * col("stt") - col("st") * col("st")))
+
+  def deriv(metric: String, widthNs: Long,
+            filterExpr: String = "*"): DataFrame =
+    regSums(metric, widthNs, filterExpr)
+      .withColumn("slope_per_s", slopePerNs * lit(1e9) + lit(0.0))
+      .drop("st", "stt", "sv", "stv")
+
+  /** Per-(series × bucket) linear forecast — PromQL `predict_linear()`:
+    * the value the bucket's least-squares line reaches `aheadNs` after
+    * the bucket END (capacity-planning's "disk full in 4 hours?"
+    * primitive). Same ONE-aggregate shape and exact-sum inputs as
+    * [[deriv]]; intercept `(Σv − m·Σt)/n` and extrapolation
+    * `b + m·(width + ahead)` are one identical IEEE chain on both
+    * engines (`+ 0.0` canonicalizes the signed zero). Degenerate
+    * (single-point) buckets → NULL.
+    */
+  def predictLinear(metric: String, widthNs: Long, aheadNs: Long,
+                    filterExpr: String = "*"): DataFrame = {
+    val m = slopePerNs
+    val b = (col("sv") - m * col("st")) / col("n")
+    regSums(metric, widthNs, filterExpr)
+      .withColumn("predicted",
+        b + m * lit((widthNs + aheadNs).toDouble) + lit(0.0))
       .drop("st", "stt", "sv", "stv")
   }
 

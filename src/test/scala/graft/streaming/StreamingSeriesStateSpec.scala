@@ -90,4 +90,40 @@ class StreamingSeriesStateSpec extends SparkSpec with graft.TimedSpec {
       assert(gotI(k) == 0.0, s"pairless bucket $k must contribute zero")
     }
   }
+
+  test("streamed flap counters end at the batch resets/changes totals per series") {
+    val stream = StreamingAgg.eventsStream(spark, sfDir)
+      .where(col("event_type") === "click")
+      .select(concat_ws("|", col("user_id").cast("string"),
+        coalesce(nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1),
+          lit("")), lit("∅"))).as("series"),
+        Db.tsNs(StreamingAgg.EventsSchema).as("ts"), col("value"))
+    val q = StreamingSeriesState.enrichFlaps(stream)
+      .writeStream.format("memory").queryName("series_flaps")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // counters are cumulative in (ts, value) fold order — the final
+    // counters per series sit on the fold-last point
+    val fin = spark.table("series_flaps").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view
+      .mapValues(rows => { val l = rows.maxBy(t => (t._2, t._3)); (l._4, l._5) })
+      .toMap
+    val day = Duration.days(1)
+    val db = Db.fromEvents(spark, sfDir)
+    def totals(df: org.apache.spark.sql.DataFrame, c: String) = df
+      .select(seriesKey, col(c)).groupBy(col("series"))
+      .agg(sum(col(c)).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchR = totals(db.resets("click", day), "resets")
+    val batchC = totals(db.changes("click", day), "changes")
+    assert(fin.nonEmpty && batchR.nonEmpty)
+    fin.foreach { case (s, (r, c)) =>
+      assert(batchR.getOrElse(s, 0L) == r, s"series $s resets")
+      assert(batchC.getOrElse(s, 0L) == c, s"series $s changes")
+    }
+    // every batch series with pairs appears in the stream output too
+    assert(batchR.keySet.subsetOf(fin.keySet))
+  }
 }

@@ -464,6 +464,54 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out(day).isEmpty)
   }
 
+  test("histogramQuantile interpolates the bin reaching q·total, per time bucket") {
+    val day = 86_400_000_000_000L
+    // bucket 1: values 0..99 → ten bins of 10; p95 target rank 95 falls
+    // 5/10 into the [90,100) bin → 95.0
+    val rows = (0 until 100).map(i => ("m", i.toLong, i.toDouble, "u")) ++
+      // bucket 2: all values in one bin → est inside [40,50)
+      Seq(("m", day + 1L, 42.0, "u"), ("m", day + 2L, 43.0, "u"))
+    val out = db(rows).histogramQuantile("m", day, 10.0, 0.95).collect()
+      .map(r => r.getAs[Long]("bucket_start") ->
+        ((r.getAs[Long]("total"), r.getAs[Double]("est_q")))).toMap
+    assert(out(0L)._1 == 100L && math.abs(out(0L)._2 - 95.0) < 1e-9)
+    assert(out(day)._1 == 2L &&
+      out(day)._2 >= 40.0 && out(day)._2 < 50.0)
+    assert(out.size == 2, "exactly one row per time bucket")
+  }
+
+  test("topMovers ranks bucket-over-bucket deltas by magnitude with a total-order tiebreak") {
+    val day = 86_400_000_000_000L
+    val d = db(Seq(
+      ("m", 0L, 10.0, "u"), ("m", day, 50.0, "u"),       // u: Δ +40
+      ("m", 2 * day, 45.0, "u"),                          // u: Δ -5
+      ("m", 0L, 100.0, "v"), ("m", day, 10.0, "v"),       // v: Δ -90 (biggest)
+      ("m", 0L, 7.0, "w")))                               // w: no pair
+    val out = d.topMovers("m", "user", day, n = 2).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("grp"),
+        r.getAs[Double]("delta")))
+      .sortBy(_._1)
+    assert(out.length == 2)
+    assert(out(0) == ((1L, "v", -90.0)))
+    assert(out(1) == ((2L, "u", 40.0)))
+  }
+
+  test("predictLinear extrapolates the bucket's line to bucket end + ahead") {
+    val day = 86_400_000_000_000L
+    val d = db(Seq(
+      ("m", 0L, 2.0, "u"),
+      ("m", 10_000_000_000L, 12.0, "u"),   // v = 2 + 1.0/s · t —
+      ("m", 20_000_000_000L, 22.0, "u"),   // a perfect line
+      ("m", day + 1L, 7.0, "u")))          // single point → NULL
+    val ahead = 4L * 3600 * 1_000_000_000L
+    val out = d.predictLinear("m", day, ahead).collect()
+      .map(r => r.getAs[Long]("bucket_start") ->
+        Option(r.getAs[java.lang.Double]("predicted"))).toMap
+    // line reaches 2 + (86400 + 14400) s · 1.0/s at bucket end + 4h
+    assert(out(0L).exists(p => math.abs(p - 100802.0) < 1e-6))
+    assert(out(day).isEmpty)
+  }
+
   test("corrAligned pairs bucket totals per group; |r|=1 on exact lines, NULL on zero variance") {
     val day = 86_400_000_000_000L
     val rows = Seq(
