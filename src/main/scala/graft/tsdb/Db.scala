@@ -207,8 +207,12 @@ final class Db(val frame: DataFrame) {
     * frame (never the points) with a (|Δ| desc, grp, bucket) total
     * order so the kept set is engine-deterministic. The global rank is
     * two-phase (per-partition head prune, then the final rank over
-    * ≤ partitions × n survivors — the ANN top-k recipe), so no stage
-    * ever sorts the whole frame on one task.
+    * ≤ partitions × n survivors — the ANN top-k recipe): Spark's
+    * `InferWindowGroupLimit` does NOT fire for an empty-partition
+    * window (plan-verified), so the manual pid phase is what keeps the
+    * full frame off a single task; the pid stage's uncast rank filter
+    * DOES get the WindowGroupLimit top-n heap (a cast around the rank
+    * defeats the rule's pattern match — also plan-verified).
     */
   def topMovers(metric: String, groupBy: String, widthNs: Long,
                 n: Int = 10, filterExpr: String = "*"): DataFrame = {
@@ -229,10 +233,10 @@ final class Db(val frame: DataFrame) {
       .withColumn("prnk", row_number().over(byPart))
       .where(col("prnk") <= n)
       .drop("pid", "prnk")
-      .withColumn("rnk", row_number().over(global).cast("long"))
+      .withColumn("rnk", row_number().over(global))
       .where(col("rnk") <= n)
       .select(col("grp"), col("bucket_start"), col("value"),
-        col("prev_value"), col("delta"), col("rnk"))
+        col("prev_value"), col("delta"), col("rnk").cast("long").as("rnk"))
   }
 
   /** Active-series cardinality per `widthNs` bucket: how many distinct
