@@ -102,6 +102,15 @@ object SparkEntry {
       graft.tsdb.Ingest.openRollup(s, path, Duration.hours(1))
         .avg("purchase", "user", Day)
     }),
+    // per-point increase/ewma answered from a layout landed by the
+    // STATEFUL streaming path (flatMapGroupsWithState, batch-id-staged
+    // exactly-once dirs): matching the raw-events oracle proves the
+    // state-store fold exact end-to-end — the third streamed driver
+    // entry, and the first stateful one
+    "ts_ewma_streamed" -> ((s, d) => {
+      val path = graft.streaming.StreamingSeriesState.ensureStreamed(s, d, "click")
+      graft.streaming.StreamingSeriesState.openStreamed(s, path)
+    }),
     // per-point z with bucket stats from the hourly PARTIALS broadcast
     // onto the unshuffled point scan; the oracle is ts_zscore's
     // raw-window SQL — the hash match proves the partial path exact
@@ -611,6 +620,31 @@ object SparkEntry {
          |  FROM ev WHERE metric = 'view'
          |)
          |SELECT metric, tag_user, tag_k, ts, value,
+         |  list_reduce(pref, (a, b) ->
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * a
+         |      + CAST(0.3 AS DOUBLE) * b) AS ewma
+         |FROM s""".stripMargin,
+    // the STREAMED per-series enrichment layout vs an independent
+    // raw-events re-derivation: the ewma fold is the list_reduce prefix
+    // fold, the per-point increase is the pair chain with 0 for first
+    // points and duplicate timestamps — hash match proves the stateful
+    // streaming landing exact
+    "ts_ewma_streamed" ->
+      s"""$Ev
+         |, e2 AS (
+         |  SELECT tag_user || '|' || coalesce(tag_k, '∅') AS series, ts, value
+         |  FROM ev WHERE metric = 'click'
+         |), s AS (
+         |  SELECT series, ts, value,
+         |    lag(ts) OVER w AS prev_ts, lag(value) OVER w AS prev_value,
+         |    array_agg(value) OVER (PARTITION BY series ORDER BY ts, value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+         |  FROM e2
+         |  WINDOW w AS (PARTITION BY series ORDER BY ts, value)
+         |)
+         |SELECT series, ts, value,
+         |  CASE WHEN prev_ts IS NULL OR prev_ts >= ts THEN 0e0
+         |       ELSE greatest(value - prev_value, 0e0) END AS increase,
          |  list_reduce(pref, (a, b) ->
          |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * a
          |      + CAST(0.3 AS DOUBLE) * b) AS ewma

@@ -152,4 +152,65 @@ object StreamingSeriesState {
             lit("")), lit("∅"))).as("series"),
         graft.tsdb.Db.tsNs(events.schema).as("ts"),
         col("value")), alpha)
+
+  /** Write-once cached STREAMED per-series enrichment layout — the
+    * third streamed driver entry point (after the rollup landing and
+    * the IVF append) and the first STATEFUL one: events drain through
+    * the checkpointed `flatMapGroupsWithState` path above and every
+    * enriched micro-batch lands in its own `batch_id=<id>` overwrite
+    * directory (the rollup landing's exactly-once staging — a replayed
+    * batch rewrites its dir; an incomplete dir is pruned at open). A
+    * query over this layout matching the raw-events SQL oracle proves
+    * the whole stateful streaming path — canonicalization, state-store
+    * fold order, per-batch landing — exact end-to-end, not just
+    * spec-replayed. Content-fingerprinted; a crash between stream and
+    * `_DONE` marker replays idempotently off the checkpoint.
+    */
+  def ensureStreamed(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     metric: String, alpha: Double = 0.3): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
+    val path = s"$base/graft_series_streamed_${metric}_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      val evPath = Paths.get(s"$sfDir/events.parquet").toAbsolutePath.normalize()
+      val eventsDir =
+        if (Files.isDirectory(evPath)) evPath.toString
+        else {
+          val landing = Paths.get(s"$path.landing")
+          Files.createDirectories(landing)
+          val link = landing.resolve("events.parquet")
+          if (!Files.exists(link)) Files.createSymbolicLink(link, evPath)
+          landing.toString
+        }
+      val schema = spark.read.parquet(eventsDir).schema
+      val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      val q = enrichEvents(stream, metric, alpha).writeStream
+        .foreachBatch { (batch: Dataset[POut], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }
+        .option("checkpointLocation", s"$path.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      StreamAwait.drain(q)
+      Files.createFile(done)
+    }
+    path
+  }
+
+  /** Open a layout written by [[ensureStreamed]], pruning batch dirs
+    * without a `_SUCCESS` marker (the read half of exactly-once).
+    */
+  def openStreamed(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val staged = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    val complete = staged.filter(f => new java.io.File(f, "_SUCCESS").exists())
+    require(complete.nonEmpty, s"no complete batch under streamed layout $path")
+    spark.read.option("basePath", path)
+      .parquet(complete.map(_.getAbsolutePath).sorted: _*)
+      .drop("batch_id")
+  }
 }

@@ -126,4 +126,29 @@ class StreamingSeriesStateSpec extends SparkSpec with graft.TimedSpec {
     // every batch series with pairs appears in the stream output too
     assert(batchR.keySet.subsetOf(fin.keySet))
   }
+
+  test("ensureStreamed lands the stateful enrichment exactly once and reopens bit-equal") {
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("ts"),
+        r.getAs[Double]("value"), r.getAs[Double]("increase"),
+        r.getAs[Double]("ewma"))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    val path = StreamingSeriesState.ensureStreamed(spark, sfDir, "click")
+    val opened = rows(StreamingSeriesState.openStreamed(spark, path))
+    // reference: the same stateful stream drained into a memory sink
+    val stream = StreamingAgg.eventsStream(spark, sfDir)
+    val q = StreamingSeriesState.enrichEvents(stream, "click")
+      .writeStream.format("memory").queryName("ewma_streamed_ref")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ref = rows(spark.table("ewma_streamed_ref"))
+    assert(opened.nonEmpty && opened == ref)
+    // idempotent rebuild: dropping _DONE re-enters the build, which
+    // replays off the checkpoint (AvailableNow sees no new files) and
+    // must leave the layout identical — the exactly-once read-back
+    Files.delete(Paths.get(path, "_DONE"))
+    val path2 = StreamingSeriesState.ensureStreamed(spark, sfDir, "click")
+    assert(path2 == path)
+    assert(rows(StreamingSeriesState.openStreamed(spark, path)) == opened)
+  }
 }
