@@ -100,6 +100,67 @@ class TsdbFuzzSpec extends SparkSpec {
     }
   }
 
+  test("resets/changes/deriv match Scala references on random series") {
+    (1 to 3).foreach { trial =>
+      val db = randomDb(150 + rnd.nextInt(400), 1 + rnd.nextInt(5),
+        Duration.days(2))
+      val w = Duration.hours(1 + rnd.nextInt(23))
+      val rows = db.frame.collect()
+        .map(r => (r.getString(3), r.getLong(1), r.getDouble(2)))
+      val bySeries = rows.groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(identity).toSeq).toMap
+      // Scala reference over strict-Δt>0 consecutive pairs, keyed by the
+      // LATER point's bucket
+      case class Ref(resets: Long = 0, changes: Long = 0, pairs: Long = 0)
+      val ref = scala.collection.mutable.Map.empty[(String, Long), Ref]
+      bySeries.foreach { case (u, pts) =>
+        pts.zip(pts.drop(1)).foreach { case ((t0, v0), (t1, v1)) =>
+          if (t0 < t1) {
+            val b = (t1 / w) * w
+            val r = ref.getOrElse((u, b), Ref())
+            ref((u, b)) = Ref(
+              r.resets + (if (v1 < v0) 1 else 0),
+              r.changes + (if (v1 != v0) 1 else 0),
+              r.pairs + 1)
+          }
+        }
+      }
+      val gotR = db.resets("m", w).collect()
+        .map(r => (r.getAs[String]("tag_user"), r.getAs[Long]("bucket_start")) ->
+          ((r.getAs[Long]("resets"), r.getAs[Long]("n_pairs")))).toMap
+      val gotC = db.changes("m", w).collect()
+        .map(r => (r.getAs[String]("tag_user"), r.getAs[Long]("bucket_start")) ->
+          r.getAs[Long]("changes")).toMap
+      assert(gotR.keySet == ref.keySet && gotC.keySet == ref.keySet,
+        s"trial $trial bucket sets")
+      ref.foreach { case (k, v) =>
+        assert(gotR(k) == ((v.resets, v.pairs)), s"trial $trial resets $k")
+        assert(gotC(k) == v.changes, s"trial $trial changes $k")
+      }
+      // deriv: double-arithmetic least squares within 1e-6 relative
+      val derivRef = rows.groupBy(t => (t._1, (t._2 / w) * w)).view.mapValues { ps =>
+        val n = ps.length.toDouble
+        val ts = ps.map(p => (p._2 - (p._2 / w) * w).toDouble)
+        val vs = ps.map(_._3)
+        val st = ts.sum; val stt = ts.map(t => t * t).sum
+        val sv = vs.sum; val stv = ts.zip(vs).map(p => p._1 * p._2).sum
+        val den = n * stt - st * st
+        if (den == 0.0) None else Some((n * stv - st * sv) / den * 1e9)
+      }.toMap
+      db.deriv("m", w).collect().foreach { r =>
+        val k = (r.getAs[String]("tag_user"), r.getAs[Long]("bucket_start"))
+        val got = Option(r.getAs[java.lang.Double]("slope_per_s")).map(_.toDouble)
+        (got, derivRef(k)) match {
+          case (None, None) => ()
+          case (Some(g), Some(e)) =>
+            assert(math.abs(g - e) <= 1e-6 * math.max(1.0, math.abs(e)),
+              s"trial $trial deriv $k: $g vs $e")
+          case other => fail(s"trial $trial deriv $k mismatch: $other")
+        }
+      }
+    }
+  }
+
   test("plan: the rollup query partition-prunes the metric directory") {
     val dir = "/root/repo/out/test_rollup_plan"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
