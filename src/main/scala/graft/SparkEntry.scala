@@ -171,6 +171,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => graft.operators.Dedup.embeddingNearDup(s, d)),
     "dedup_cluster" -> ((s, d) => graft.operators.Dedup.cluster(s, d)),
     "dedup_pipeline" -> ((s, d) => graft.operators.Dedup.pipeline(s, d)),
+    "dedup_pipeline_quality" -> ((s, d) => graft.operators.Dedup.pipelineQuality(s, d)),
     "dedup_pipeline_simhash" -> ((s, d) => graft.operators.Dedup.pipelineSimhash(s, d)),
     "dedup_pipeline_embedding" -> ((s, d) => graft.operators.Dedup.pipelineEmbedding(s, d)),
 
@@ -258,6 +259,34 @@ object SparkEntry {
       |   length(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS fr,
       |   length(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS es
       |  FROM documents)""".stripMargin
+
+  /** Recursive connected components over the n-gram-Jaccard pair set —
+    * shared by the dedup_cluster and dedup_pipeline_quality oracles so
+    * the two can never diverge on the pair/closure definition.
+    */
+  private val NgramClusterCtes =
+    """WITH RECURSIVE gr AS (
+      |  SELECT doc_id, substr(text, 1, 16) AS blk,
+      |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+      |      i -> substr(text, CAST(i AS INT), 3))) AS grams
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |        / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
+      |    FROM gr a JOIN gr b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.3
+      |), e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION ALL SELECT doc_b, doc_a FROM p
+      |), r AS (
+      |  SELECT src AS id, src AS comp FROM e
+      |  UNION
+      |  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id
+      |), c AS (
+      |  SELECT id, min(comp) AS comp FROM r GROUP BY id
+      |)""".stripMargin
 
   private val TextQualitySql =
     """SELECT doc_id,
@@ -1266,32 +1295,32 @@ object SparkEntry {
     // transitive closure over the SAME pair set as dedup_ngram_jaccard:
     // min reachable id per node == component id (graph symmetrized)
     "dedup_cluster" ->
-      """WITH RECURSIVE gr AS (
-        |  SELECT doc_id, substr(text, 1, 16) AS blk,
-        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
-        |      i -> substr(text, CAST(i AS INT), 3))) AS grams
-        |  FROM documents
-        |), p AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |      round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |        / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
-        |    FROM gr a JOIN gr b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.3
-        |), e AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM p
-        |  UNION ALL SELECT doc_b, doc_a FROM p
-        |), r AS (
-        |  SELECT src AS id, src AS comp FROM e
-        |  UNION
-        |  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id
-        |), c AS (
-        |  SELECT id, min(comp) AS comp FROM r GROUP BY id
-        |)
+      s"""$NgramClusterCtes
         |SELECT c.id AS doc_id, c.comp AS cluster_id,
         |       s.cluster_size, (c.id = c.comp) AS is_keeper
         |FROM c JOIN (SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp) s
         |  ON c.comp = s.comp""".stripMargin,
+    // quality-ranked keeper: components re-derived recursively, the
+    // quality score re-derived from text, the SAME (score desc, id)
+    // per-cluster argmax, singletons via NOT IN the paired set
+    "dedup_pipeline_quality" ->
+      s"""$NgramClusterCtes,
+        |q AS (SELECT doc_id, quality_score FROM ($TextQualitySql)),
+        |sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp),
+        |kept AS (
+        |  SELECT doc_id, cluster_size, quality_score FROM (
+        |    SELECT c.id AS doc_id, s.cluster_size, q.quality_score,
+        |      row_number() OVER (PARTITION BY c.comp
+        |        ORDER BY q.quality_score DESC, c.id) AS rn
+        |    FROM c JOIN sizes s ON c.comp = s.comp
+        |           JOIN q ON q.doc_id = c.id)
+        |  WHERE rn = 1
+        |)
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS cluster_size, q.quality_score
+        |FROM documents d JOIN q ON q.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT id FROM c)
+        |UNION ALL
+        |SELECT doc_id, cluster_size, quality_score FROM kept""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

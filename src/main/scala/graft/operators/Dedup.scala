@@ -873,6 +873,53 @@ object Dedup {
     pipelineOverPairs(ids, pairs)
   }
 
+  /** [[pipelineOverPairs]] with a QUALITY-RANKED keeper: each duplicate
+    * cluster keeps its highest-scoring document ((score desc, doc_id)
+    * total order — deterministic on score ties) instead of the
+    * canonical min-id — the FineWeb/CCNet-style pipeline choice where
+    * dedup composes with the quality signal ("of the near-duplicates,
+    * keep the best one"). `scores` is any (doc_id, quality_score)
+    * frame; unpaired documents pass through with cluster_size 1. Same
+    * scale shape as the canonical pipeline: the score join and keeper
+    * window run over the PAIRED subset only (labels-sized), never the
+    * corpus; the corpus-sized operations remain the pair pass and one
+    * anti-join (broadcast-gated, see [[pipelineFrame]]).
+    */
+  def pipelineQualityKeeper(docsDf: DataFrame, pairs: DataFrame,
+                            scores: DataFrame,
+                            broadcastMaxIds: Long = 4_000_000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = clusterPairs(pairs).transform(materialize)
+    val pairedCount = clusters.count()
+    val byCluster = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val kept = clusters.join(scores, "doc_id")
+      .withColumn("rn", row_number().over(byCluster))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_size"), col("quality_score"))
+    val pairedIds = clusters.select(col("doc_id").as("paired_id"))
+    val build =
+      if (pairedCount <= broadcastMaxIds) broadcast(pairedIds) else pairedIds
+    docsDf.select(col("doc_id"))
+      .join(build, col("doc_id") === col("paired_id"), "left_anti")
+      .join(scores, "doc_id")
+      .select(col("doc_id"), lit(1L).as("cluster_size"), col("quality_score"))
+      .unionByName(kept)
+  }
+
+  /** [[pipelineQualityKeeper]] over the n-gram-Jaccard pairs and the
+    * [[TextAnalysis.quality]] score — the SQL-oracle-able
+    * instantiation (DuckDB re-derives components recursively, the
+    * score, and the same per-cluster argmax).
+    */
+  def pipelineQuality(spark: SparkSession, dir: String,
+                      threshold: Double = 0.3): DataFrame =
+    pipelineQualityKeeper(
+      parallelize(docs(spark, dir)),
+      ngramJaccard(spark, dir, threshold),
+      TextAnalysis.quality(spark, dir)
+        .select(col("doc_id"), col("quality_score")))
+
   /** The generic composition: any `(doc_a, doc_b)` near-dup pair frame
     * → connected components → kept corpus (see [[pipelineFrame]] for
     * the broadcast-gate contract).

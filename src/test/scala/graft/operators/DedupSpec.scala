@@ -163,4 +163,28 @@ class DedupSpec extends SparkSpec {
     assert(unsalted.nonEmpty)
     assert(pairs(4) == unsalted)
   }
+
+  test("quality keeper keeps the best-scoring member of every cluster, same kept count") {
+    val quality = Dedup.pipelineQuality(spark, sfDir)
+    // same partition of the corpus as the canonical keeper over the SAME
+    // pair set: one keeper per cluster + singletons — only the CHOICE of
+    // keeper differs, never the kept-corpus size
+    assert(quality.count() == Dedup.pipelineOverPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(org.apache.spark.sql.functions.col("doc_id")),
+      Dedup.ngramJaccard(spark, sfDir, 0.3)).count())
+    // every kept doc carries the MAX quality score of its cluster
+    val clusters = Dedup.cluster(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> cluster_id
+    val scores = graft.operators.TextAnalysis.quality(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    val bestByCluster = clusters.groupBy(_._2).view
+      .mapValues(_.keys.map(scores).max).toMap
+    val keptPaired = quality.collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("quality_score")))
+      .filter(k => clusters.contains(k._1))
+    assert(keptPaired.nonEmpty)
+    keptPaired.foreach { case (id, s) =>
+      assert(s == bestByCluster(clusters(id)), s"doc $id is not the best of its cluster")
+    }
+  }
 }
