@@ -170,7 +170,7 @@ object Bench {
     "ann_knn_join", "ann_knn_join_ivf",
     "q5_multijoin",
     "text_decontaminate", "text_repetition", "text_vocab_topk",
-    "text_pii_scrub",
+    "text_pii_scrub", "text_chunk_dedup", "text_dup_ngrams",
     "sample_weighted", "sample_pack",
     // TSDB core representatives: aggregation, per-series window, scan,
     // plus the round-4 window/as-of family

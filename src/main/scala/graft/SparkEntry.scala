@@ -159,6 +159,8 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, d) => graft.operators.TextAnalysis.piiScrub(s, d)),
     "text_vocab_topk" -> ((s, d) => graft.operators.TextAnalysis.vocabTopK(s, d)),
     "text_doc_freq" -> ((s, d) => graft.operators.TextAnalysis.docFreq(s, d)),
+    "text_chunk_dedup" -> ((s, d) => graft.operators.TextAnalysis.chunkDedup(s, d)),
+    "text_dup_ngrams" -> ((s, d) => graft.operators.TextAnalysis.dupNgrams(s, d)),
 
     // ---- Deduplication (documents) ----
     "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
@@ -1104,6 +1106,52 @@ object SparkEntry {
         |  CAST(SUM(cnt) AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS commonness
         |FROM tt JOIN v USING (token)
+        |GROUP BY doc_id""".stripMargin,
+    // fixed-20-token chunk dedup: corpus-first occurrence survives
+    // (total order (doc_id, pos)); boilerplate planted on doc_id%5=0
+    // chunk-0-aligned so the dedup fires across documents. Aligned
+    // unnests zip pos with chunk; md5 of the ORDER BY pos reassembly
+    // pins the surviving text, COALESCE('') matches Spark's empty
+    // array_join when a doc keeps nothing.
+    "text_chunk_dedup" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN '${graft.operators.TextAnalysis.ChunkDedupBoiler} ' || text
+        |    ELSE text END AS text FROM documents
+        |), w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM aug),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, (len(wl) + 19) // 20 - 1)) AS pos,
+        |    unnest(list_transform(generate_series(0, (len(wl) + 19) // 20 - 1),
+        |      i -> array_to_string(list_slice(wl, i * 20 + 1, i * 20 + 20), ' '))) AS chunk
+        |  FROM w
+        |), k AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1 AS kept
+        |  FROM c)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), ''))
+        |    AS kept_hash
+        |FROM k GROUP BY doc_id""".stripMargin,
+    // duplicated-3-gram fraction: gram construction identical to the
+    // text_decontaminate oracle (windows of 3, whole list when
+    // shorter) but keeping INSTANCES; everything integer until the one
+    // final IEEE division
+    "text_dup_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(wl) - 2, 1)),
+        |    i -> array_to_string(list_slice(wl, i, i + 2), ' '))) AS gram
+        |  FROM w
+        |), v AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        |FROM g JOIN v USING (gram)
         |GROUP BY doc_id""".stripMargin,
     // vocabulary: corpus word-count with a (cnt desc, token) total
     // order so the top-k cut is deterministic on both engines

@@ -359,4 +359,125 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Exactly `ChunkDedupBoilerTokens` whitespace tokens — the planted
+    * cross-document boilerplate for [[chunkDedup]] (the shipped corpus
+    * has no newline-delimited paragraphs and an effectively
+    * collision-free 20-token chunk space, so without planting the
+    * dedup would be a no-op and prove nothing).
+    */
+  val ChunkDedupBoiler: String =
+    "click here to accept all cookies and subscribe to our newsletter " +
+      "for the latest updates because terms of service apply"
+  private[operators] val ChunkDedupBoilerTokens = 20
+
+  /** Paragraph-level exact dedup over fixed `chunkTokens`-token windows
+    * — the CCNet / RefinedWeb "remove duplicated paragraphs
+    * corpus-wide" pass, adapted to fixed-size chunks because the
+    * synthetic corpus has no paragraph breaks. Every document is split
+    * into consecutive `chunkTokens`-token chunks; a chunk instance
+    * survives iff it is the corpus-FIRST occurrence of that exact text
+    * (total order `(doc_id, pos)` — deterministic, append-stable for a
+    * doc_id-ordered corpus). Output per document: chunk counts and an
+    * md5 of the surviving text, so the gate pins the reassembly too.
+    *
+    * Shape at 100 TB: ONE shuffle of the corpus text keyed on the
+    * chunk (the window partition key), then a codegen'd `row_number`
+    * — never a self-join of the corpus against itself, never
+    * driver-side state. The per-doc reassembly re-shuffles only the
+    * surviving rows on `doc_id`. For petabyte corpora where shuffling
+    * raw chunk text dominates, key the window on `xxhash64(chunk)`
+    * instead (8-byte shuffle keys, false merges need a 64-bit
+    * collision); kept exact here because the gate hashes values.
+    *
+    * Docs with `doc_id % boilerMod == 0` get [[ChunkDedupBoiler]]
+    * prepended (chunk-0-aligned) on BOTH engines, so the dedup
+    * genuinely fires across documents instead of passing vacuously.
+    */
+  def chunkDedup(spark: SparkSession, dir: String,
+                 chunkTokens: Int = ChunkDedupBoilerTokens,
+                 boilerMod: Int = 5): DataFrame = {
+    val planted = docs(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % boilerMod === 0,
+        concat(lit(ChunkDedupBoiler), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    chunkDedupFrame(planted, chunkTokens)
+  }
+
+  /** [[chunkDedup]] over an arbitrary `(doc_id, text)` frame. */
+  def chunkDedupFrame(d: DataFrame, chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    val k = chunkTokens
+    // consecutive k-token windows; the final partial window is a chunk
+    // (sequence is never descending: split("", " ") = [""], so n >= 1)
+    val chunks = d.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"""transform(
+           |  sequence(0, int((size(split(text, ' ')) + ${k - 1}) div $k) - 1),
+           |  i -> array_join(slice(split(text, ' '), i * $k + 1, $k), ' '))"""
+          .stripMargin)).as(Seq("pos", "chunk")))
+    val first = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("pos"))
+    chunks
+      .withColumn("kept", row_number().over(first) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        // order-insensitive aggregate + array_sort on (pos, chunk)
+        // structs = deterministic reassembly without an ordered
+        // collect; collect_list drops the NULL (un-kept) entries
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ")).as("kept_hash"))
+  }
+
+  /** Per-document duplicated-n-gram fraction — the repetition-across-
+    * the-corpus quality signal from "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al., 2022), at n-gram rather than
+    * suffix-array granularity: for each document, the fraction of its
+    * word-3-gram INSTANCES whose gram text occurs more than once in
+    * the whole corpus. High `dup_frac` = boilerplate-heavy document a
+    * substring-dedup pass would shrink. Gram construction matches
+    * [[decontaminateFrame]] (windows of 3, whole list when shorter)
+    * but keeps every instance — duplication, not membership, is the
+    * signal.
+    *
+    * Same two-pass shape (and the same scale contract) as [[docFreq]]:
+    * the corpus gram count is map-side combined down to the gram
+    * VOCABULARY before its shuffle, joined back broadcast while it
+    * fits (`broadcastVocab = false` = shuffle-hash join for
+    * open-vocabulary corpora), then one per-doc re-aggregate. All
+    * integers until the single final IEEE division.
+    */
+  def dupNgrams(spark: SparkSession, dir: String,
+                broadcastVocab: Boolean = true): DataFrame =
+    dupNgramsFrame(docs(spark, dir), broadcastVocab)
+
+  /** [[dupNgrams]] over an arbitrary `(doc_id, text)` frame. */
+  def dupNgramsFrame(d: DataFrame,
+                     broadcastVocab: Boolean = true): DataFrame = {
+    val grams = expr(
+      """transform(
+        |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+        |  i -> array_join(slice(split(text, ' '), i, 3), ' '))""".stripMargin)
+    val inst = d.select(col("doc_id"), explode(grams).as("gram"))
+    val vocab0 = inst.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    val vocab = if (broadcastVocab) broadcast(vocab0)
+                else vocab0.hint("shuffle_hash")
+    inst.join(vocab, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+  }
 }

@@ -180,4 +180,70 @@ class TextOpsSpec extends SparkSpec {
     assert(hist == expected)
     hist.keys.foreach(b => assert(b % 32 == 0 && b >= 0))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("chunkDedup keeps the corpus-first occurrence of each chunk, reassembly pinned by md5") {
+    val out = TextAnalysis.chunkDedupFrame(docsDf(Seq(
+      (0L, "a b c d e f g"),       // chunks: "a b c", "d e f", "g" — all first
+      (1L, "a b c x y z"),         // "a b c" dup of d0#0; "x y z" kept
+      (2L, "x y z"),               // dup of d1#1 — keeps NOTHING
+      (3L, "d e f d e f"),         // both chunks dup of d0#1
+      (4L, "p q r p q r p"))),     // within-doc dup: pos1 dropped, tail "p" kept
+      chunkTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("kept_hash")))).toMap
+    assert(out(0L) == ((3L, 3L, md5hex("a b c d e f g"))))
+    assert(out(1L) == ((2L, 1L, md5hex("x y z"))))
+    assert(out(2L) == ((1L, 0L, md5hex(""))))
+    assert(out(3L) == ((2L, 0L, md5hex(""))))
+    assert(out(4L) == ((3L, 2L, md5hex("p q r p"))))
+  }
+
+  test("chunkDedup over the corpus: planted boilerplate dedups to one survivor, kept total = distinct chunks") {
+    import spark.implicits._
+    val out = TextAnalysis.chunkDedup(spark, sfDir).cache()
+    val docsN = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.count() == docsN)
+    // each distinct chunk text survives exactly once corpus-wide
+    val planted = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(TextAnalysis.ChunkDedupBoiler), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val distinctChunks = planted.select(explode(expr(
+      """transform(sequence(0, int((size(split(text, ' ')) + 19) div 20) - 1),
+        |  i -> array_join(slice(split(text, ' '), i * 20 + 1, 20), ' '))""".stripMargin))
+      .as("c")).distinct().count()
+    assert(out.agg(sum("n_kept")).as[Long].head() == distinctChunks)
+    // all but the first planted doc lose at least the boiler chunk
+    val nPlanted = (0L until docsN by 5L).size
+    val lost = out.where(col("doc_id") % 5 === 0 && col("n_kept") < col("n_chunks")).count()
+    assert(lost >= nPlanted - 1)
+    assert(TextAnalysis.ChunkDedupBoiler.split(" ").length
+      == TextAnalysis.ChunkDedupBoilerTokens)
+    out.unpersist()
+  }
+
+  test("dupNgrams counts corpus-duplicated 3-gram instances; join modes agree") {
+    val d = docsDf(Seq(
+      (0L, "a b c d"),  // grams "a b c","b c d"
+      (1L, "a b c"),    // gram "a b c" — shared with d0
+      (2L, "x"),        // short doc: whole-list gram "x"
+      (3L, "x")))       // shared single-token gram
+    val out = TextAnalysis.dupNgramsFrame(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(out(0L) == ((2L, 1L, 0.5)))
+    assert(out(1L) == ((1L, 1L, 1.0)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+    val bc = TextAnalysis.dupNgramsFrame(d, broadcastVocab = true).collect().toSet
+    val sh = TextAnalysis.dupNgramsFrame(d, broadcastVocab = false).collect().toSet
+    assert(bc == sh)
+  }
 }
