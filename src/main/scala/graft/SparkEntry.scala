@@ -50,6 +50,7 @@ object SparkEntry {
     "ts_meta_series" -> ((s, d) => Db.fromEvents(s, d).series("purchase")),
     "ts_rate" -> ((s, d) => Db.fromEvents(s, d).rate("click")),
     "ts_increase" -> ((s, d) => Db.fromEvents(s, d).increase("click", Day)),
+    "ts_irate" -> ((s, d) => Db.fromEvents(s, d).irate("click", Week)),
     "ts_ewma" -> ((s, d) => Db.fromEvents(s, d).ewma("view")),
     "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
     "ts_quantile" -> ((s, d) =>
@@ -521,6 +522,28 @@ object SparkEntry {
          |  CAST(SUM(CAST(delta AS DECIMAL(28,6))) AS DOUBLE) AS value
          |FROM d WHERE prev_ts IS NOT NULL AND prev_ts < ts
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // instantaneous rate (PromQL irate()): the LAST consecutive pair of
+    // each (series, bucket), reset-aware (a drop contributes the raw
+    // new value); same strict Δt>0 filter and raw-IEEE `+ 0.0` chain
+    // as ts_rate
+    "ts_irate" ->
+      s"""$Ev
+         |, d AS (
+         |  SELECT metric, tag_user, tag_k, ts, value,
+         |    ${bucket(Week)} AS bucket_start,
+         |    lag(ts) OVER w AS prev_ts,
+         |    lag(value) OVER w AS prev_value,
+         |    row_number() OVER (PARTITION BY tag_user, tag_k, ${bucket(Week)}
+         |      ORDER BY ts DESC, value DESC) AS rn
+         |  FROM ev WHERE metric = 'click'
+         |  WINDOW w AS (PARTITION BY tag_user, tag_k, ${bucket(Week)}
+         |    ORDER BY ts, value)
+         |)
+         |SELECT metric, tag_user, tag_k, bucket_start,
+         |  (CASE WHEN value >= prev_value THEN value - prev_value
+         |        ELSE value END)
+         |    / ((ts - prev_ts) / 1e9) + 0.0 AS value
+         |FROM d WHERE rn = 1 AND prev_ts IS NOT NULL AND prev_ts < ts""".stripMargin,
     // counter resets (PromQL resets()): consecutive-pair value DROPS per
     // (series, bucket of the later point); integer outputs, same
     // (ts, value) pair ordering and strict Δt>0 filter as ts_increase

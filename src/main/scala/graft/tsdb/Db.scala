@@ -316,6 +316,42 @@ final class Db(val frame: DataFrame) {
         col("delta").cast("decimal(28,6)")).cast("double").as("value"))
   }
 
+  /** Instantaneous rate per (series × bucket) — PromQL `irate()`: the
+    * per-second rate of the LAST consecutive pair inside each
+    * `widthNs` bucket, counter-reset-aware (a value drop contributes
+    * the raw new value, PromQL's reset correction) — the spiky-counter
+    * companion to [[rate]] (every pair) and [[increase]] (bucket sum).
+    * Same single series-key shuffle; both window passes (the ASC lag
+    * pairing and the DESC last-row rank) share one partitioning, so
+    * the exchange is reused and only a second in-partition sort is
+    * added. Buckets whose last pair is degenerate (one point, or a
+    * duplicate-timestamp pair) emit nothing, like [[rate]]'s strict
+    * Δt > 0 contract. The division is the RAW IEEE chain with `+ 0.0`
+    * signed-zero canonicalization — bit-stable across engines, no
+    * decimal rounding ([[rate]]'s recipe).
+    */
+  def irate(metric: String, widthNs: Long,
+            filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketCol = (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start")
+    val seriesBucket = tagColumns.map(col) :+ col("bucket_start")
+    val pairs = Window.partitionBy(seriesBucket: _*)
+      .orderBy(col("ts"), col("value"))
+    val lastRow = Window.partitionBy(seriesBucket: _*)
+      .orderBy(col("ts").desc, col("value").desc)
+    scan(metric, filterExpr)
+      .withColumn("bucket_start", bucketCol)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(pairs))
+      .withColumn("prev_value", lag(col("value"), 1).over(pairs))
+      .withColumn("rn", row_number().over(lastRow))
+      .where(col("rn") === 1 &&
+        col("prev_ts").isNotNull && col("prev_ts") < col("ts"))
+      .select(col("metric") +: tagColumns.map(col) :+ col("bucket_start") :+
+        ((when(col("value") >= col("prev_value"),
+          col("value") - col("prev_value")).otherwise(col("value"))
+          / ((col("ts") - col("prev_ts")) / lit(1e9))) + lit(0.0)).as("value"): _*)
+  }
+
   /** Per-point trailing simple moving average over the last `nPoints`
     * points of each series (the dashboard `rollingavg()` modifier and
     * EWMA's fixed-window sibling): one shuffle on the series key, one

@@ -450,6 +450,23 @@ class TsdbOpsSpec extends SparkSpec {
     assert(ch == Map(("u", 0L) -> 2L, ("u", day) -> 1L, ("v", 0L) -> 1L))
   }
 
+  test("irate rates the LAST in-bucket pair, reset-aware; degenerate last pairs emit nothing") {
+    val day = 86_400_000_000_000L
+    val d = db(Seq(
+      ("m", 0L, 10.0, "u"),
+      ("m", 10_000_000_000L, 15.0, "u"),     // earlier pair — ignored
+      ("m", 30_000_000_000L, 3.0, "u"),      // LAST pair: drop → raw 3.0 over 20 s
+      ("m", day + 5_000_000_000L, 2.0, "u"), // alone in day-2 bucket → nothing
+      ("m", 0L, 1.0, "v"),
+      ("m", 5_000_000_000L, 2.0, "v"),       // (2-1)/5
+      ("m", 0L, 1.0, "w"),
+      ("m", 0L, 5.0, "w")))                  // zero-Δt last pair → dropped
+    val out = d.irate("m", day).collect()
+      .map(r => (r.getAs[String]("tag_user"), r.getAs[Long]("bucket_start")) ->
+        r.getAs[Double]("value")).toMap
+    assert(out == Map(("u", 0L) -> 0.15, ("v", 0L) -> 0.2))
+  }
+
   test("deriv fits the least-squares slope per bucket; single-point buckets are NULL") {
     val day = 86_400_000_000_000L
     val d = db(Seq(
