@@ -165,6 +165,14 @@ object SparkEntry {
 
     // ---- Deduplication (documents) ----
     "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
+    // exact dedup through the STREAMING path: a landing zone with
+    // planted duplicate arrivals is drained through a watermarked
+    // dropDuplicatesWithinWatermark stream into batch-id-staged dirs;
+    // one row per fingerprint with n_kept = 1 everywhere iff the keyed
+    // state dropped every re-arrival and lost no original — the fourth
+    // streamed driver entry
+    "dedup_exact_streamed" -> ((s, d) =>
+      graft.streaming.StreamingDedup.streamedFingerprints(s, d)),
     "dedup_minhash" -> ((s, d) => graft.operators.Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => graft.operators.Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => graft.operators.Dedup.simhashPairs(s, d)),
@@ -1314,6 +1322,15 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+    // the streamed landing keeps exactly one copy per fingerprint: the
+    // planted clones share their originals' texts, so the expected
+    // surviving set is the corpus's distinct fingerprints with
+    // n_kept = 1 — any lost original or surviving duplicate breaks the
+    // hash
+    "dedup_exact_streamed" ->
+      """SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |       CAST(1 AS BIGINT) AS n_kept
+        |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, substr(text, 1, 16) AS blk,

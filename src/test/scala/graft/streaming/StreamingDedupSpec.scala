@@ -37,4 +37,17 @@ class StreamingDedupSpec extends SparkSpec with graft.TimedSpec {
     assert(g == b)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("ensureStreamed landing survives planted re-arrivals with exactly one copy per fingerprint") {
+    val out = StreamingDedup.streamedFingerprints(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val distinctFp = docs
+      .select(graft.functions.TextFunctions.md5Fingerprint(col("text")).as("fp"))
+      .distinct().count()
+    assert(out.count() == distinctFp)
+    assert(out.where(col("n_kept") =!= 1L).count() == 0)
+    // idempotent reopen: the _DONE-guarded layout answers without
+    // restarting the stream
+    assert(StreamingDedup.streamedFingerprints(spark, sfDir).count() == distinctFp)
+  }
 }
