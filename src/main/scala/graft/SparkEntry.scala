@@ -159,6 +159,13 @@ object SparkEntry {
     "text_filter_chain" -> ((s, d) => graft.operators.TextAnalysis.filterChain(s, d)),
     "text_pii_scrub" -> ((s, d) => graft.operators.TextAnalysis.piiScrub(s, d)),
     "text_vocab_topk" -> ((s, d) => graft.operators.TextAnalysis.vocabTopK(s, d)),
+    // the same top-k vocabulary answered from the STATEFUL streaming
+    // path's Update-mode changelog (flatMapGroupsWithState running
+    // counts, four micro-batches, batch-id-staged): matching
+    // text_vocab_topk's oracle proves the cross-batch state fold
+    // exact — the fifth streamed driver entry
+    "text_vocab_streamed" -> ((s, d) =>
+      graft.streaming.StreamingVocab.streamedVocabTopK(s, d)),
     "text_doc_freq" -> ((s, d) => graft.operators.TextAnalysis.docFreq(s, d)),
     "text_chunk_dedup" -> ((s, d) => graft.operators.TextAnalysis.chunkDedup(s, d)),
     "text_dup_ngrams" -> ((s, d) => graft.operators.TextAnalysis.dupNgrams(s, d)),
@@ -1187,6 +1194,13 @@ object SparkEntry {
     // vocabulary: corpus word-count with a (cnt desc, token) total
     // order so the top-k cut is deterministic on both engines
     "text_vocab_topk" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    // IDENTICAL oracle for the streamed vocabulary: the changelog
+    // compaction must reproduce the batch word count exactly
+    "text_vocab_streamed" ->
       """SELECT token, COUNT(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token <> ''

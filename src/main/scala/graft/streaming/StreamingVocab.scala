@@ -66,4 +66,59 @@ object StreamingVocab {
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
   }
+
+  /** Drain the corpus through the stateful vocabulary stream once —
+    * four landing files, one micro-batch each, so the per-token state
+    * genuinely accumulates ACROSS batches — staging each batch's
+    * Update-mode changelog exactly-once (`batch_id=<n>` dirs,
+    * `_SUCCESS`-gated). Content-fingerprint-keyed like every `ensure*`
+    * layout: a regenerated corpus re-keys and rebuilds.
+    */
+  def ensureStreamed(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/documents.parquet")
+    val path = s"$base/graft_vocab_streamed_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      val landing = s"$path.landing"
+      if (!Files.exists(Paths.get(landing, "_SUCCESS"))) {
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(landing)
+      }
+      val q = tokenCounts(docsStream(spark, landing)).writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: Dataset[TokCount], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }
+        .option("checkpointLocation", s"$path.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      StreamAwait.drain(q)
+      Files.createFile(done)
+    }
+    path
+  }
+
+  /** [[graft.operators.TextAnalysis.vocabTopK]] answered from the
+    * STREAMED state's changelog: counts are monotone, so the latest
+    * running total per token is `max(cnt)` — an order-insensitive
+    * compaction over vocabulary-sized (not corpus-sized) rows — and
+    * the top-k cut uses the batch entry's (cnt desc, token) total
+    * order. Hash-matching text_vocab_topk's independent SQL oracle
+    * proves the cross-batch state fold lost and double-counted
+    * nothing.
+    */
+  def streamedVocabTopK(spark: SparkSession, sfDir: String,
+                        k: Int = 100): DataFrame = {
+    val path = ensureStreamed(spark, sfDir)
+    StreamingSeriesState.openStreamed(spark, path)
+      .groupBy(col("token"))
+      .agg(max(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+  }
 }

@@ -51,4 +51,15 @@ class StreamingVocabSpec extends SparkSpec with graft.TimedSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(gotTop == batchTop)
   }
+
+  test("ensureStreamed changelog compaction answers the batch top-k; reopen is idempotent") {
+    val got = StreamingVocab.streamedVocabTopK(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batchTop = TextAnalysis.vocabTopK(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == batchTop)
+    // _DONE-guarded: a second open answers without restarting the stream
+    assert(StreamingVocab.streamedVocabTopK(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == batchTop)
+  }
 }
