@@ -18,6 +18,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- TSDB core (talna parity) ----
     "ts_avg" -> ((s, d) => Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).build()),
+    // the same daily avg answered from the WATERMARKED WINDOW-AGG
+    // streaming path (decimal-exact partials, Update-mode changelog,
+    // four micro-batches, batch-id-staged): matching ts_avg's
+    // raw-events oracle proves the streamed window state merged every
+    // batch exactly — the sixth streamed driver entry
+    "ts_avg_streamed" -> ((s, d) =>
+      graft.streaming.StreamingAgg.streamedAvg(s, d)),
     "ts_sum" -> ((s, d) => Db.fromEvents(s, d).sum("click", "user").granularity(Day).build()),
     "ts_min" -> ((s, d) => Db.fromEvents(s, d).min("error", "user").granularity(Day).build()),
     "ts_max" -> ((s, d) => Db.fromEvents(s, d).max("view", "user").granularity(Day).build()),
@@ -411,6 +418,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ts_avg"   -> tsAgg("purchase", "user", AvgV),
+    // IDENTICAL raw-events oracle for the streamed window-agg landing
+    "ts_avg_streamed" -> tsAgg("purchase", "user", AvgV),
     "ts_sum"   -> tsAgg("click", "user", SumV),
     "ts_min"   -> tsAgg("error", "user", "MIN(value) AS value"),
     "ts_max"   -> tsAgg("view", "user", "MAX(value) AS value"),

@@ -84,4 +84,93 @@ object StreamingAgg {
         expr(s"approx_percentile(value, ${q}d, $accuracy)").as("value"))
       .select(col("metric"), col("tag_user").as("grp"),
         col("window.start").as("bucket_start"), col("n"), col("value"))
+
+  /** Decimal-EXACT tumbling-window partials per (metric, tag_user):
+    * like [[bucketedAvg]] but the window state is `(n, Σ decimal(28,6)
+    * value)` instead of an IEEE average, so every Update-mode emission
+    * carries a running total independent of batch and merge order —
+    * the property that lets a streamed landing answer the batch
+    * `ts_avg` oracle bit-exactly. The generous default watermark is
+    * the REPLAY posture (landing files arrive in no particular event
+    * order; nothing may be dropped) — a live deployment tightens it to
+    * its real lateness bound.
+    */
+  def bucketedPartials(events: DataFrame, width: String = "1 day",
+                       watermark: String = "45 days"): DataFrame =
+    events
+      .select(
+        col("event_type").as("metric"),
+        (events.schema("ts").dataType match {
+          case LongType => timestamp_micros(expr("ts div 1000L"))
+          case _        => col("ts").cast("timestamp")
+        }).as("ts"),
+        col("value"),
+        col("user_id").cast("string").as("tag_user"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("metric"), col("tag_user"), window(col("ts"), width))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).as("sum_dec"))
+      .select(col("metric"), col("tag_user"),
+        col("window.start").as("bucket_ts"), col("n"), col("sum_dec"))
+
+  /** Drain the events table through [[bucketedPartials]] once — four
+    * landing files, one micro-batch each, Update-mode changelog staged
+    * exactly-once per batch — under the content-fingerprint-keyed
+    * workDir recipe shared by every `ensure*` layout.
+    */
+  def ensureStreamed(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
+    val path = s"$base/graft_agg_streamed_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      val landing = s"$path.landing"
+      if (!Files.exists(Paths.get(landing, "_SUCCESS"))) {
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .repartition(4)
+          .write.mode("overwrite").parquet(landing)
+      }
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+      val q = bucketedPartials(stream).writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }
+        .option("checkpointLocation", s"$path.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      StreamAwait.drain(q)
+      Files.createFile(done)
+    }
+    path
+  }
+
+  /** `ts_avg` answered from the STREAMED landing: per key the latest
+    * running total is the row with the largest `n` (a window's count
+    * strictly grows on every re-emission, so the argmax is unique),
+    * compacted with one order-insensitive `max(struct(n, sum_dec))`
+    * over changelog-sized rows; the final divide-and-round is
+    * AggBuilder's exact op chain, and the window start converts back
+    * to epoch nanoseconds under the pinned UTC session. Hash-matching
+    * ts_avg's raw-events oracle proves the streamed window state
+    * merged every batch exactly.
+    */
+  def streamedAvg(spark: SparkSession, sfDir: String,
+                  metric: String = "purchase"): DataFrame = {
+    val path = ensureStreamed(spark, sfDir)
+    StreamingSeriesState.openStreamed(spark, path)
+      .where(col("metric") === metric && col("tag_user").isNotNull)
+      .groupBy(col("metric"), col("tag_user"), col("bucket_ts"))
+      .agg(max(struct(col("n"), col("sum_dec"))).as("last"))
+      .select(
+        col("tag_user").as("grp"),
+        (unix_micros(col("bucket_ts")) * lit(1000L)).as("bucket_start"),
+        col("last.n").as("n"),
+        round(col("last.sum_dec").cast("double") / col("last.n"), 6).as("value"))
+  }
 }

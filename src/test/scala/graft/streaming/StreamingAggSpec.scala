@@ -65,4 +65,16 @@ class StreamingAggSpec extends SparkSpec with graft.TimedSpec {
         s"window $k: $v ranks [$firstRank,$lastRank], target $target ± $slack")
     }
   }
+
+  test("streamed decimal partials compact to the batch ts_avg, bit-exactly") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingAgg.streamedAvg(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket_start")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("value")))).toMap
+    val batch = graft.tsdb.Db.fromEvents(spark, sfDir)
+      .avg("purchase", "user").granularity(graft.tsdb.Duration.days(1)).build()
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket_start")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("value")))).toMap
+    assert(got == batch)
+  }
 }
