@@ -145,6 +145,13 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, d) => graft.operators.Analytics.groupingSetsAgg(s, d)),
     "q_topk_window" -> ((s, d) => graft.operators.Analytics.topkPerBrand(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
+    // the same gap-sessionization from the STATEFUL streaming path,
+    // replayed as four TIME-ORDERED micro-batches so sessions genuinely
+    // span per-user state across batch boundaries; matching the batch
+    // entry's window-SQL oracle proves the cross-batch fold — the
+    // seventh streamed driver entry
+    "q_event_sessionize_streamed" -> ((s, d) =>
+      graft.streaming.StatefulSessionize.streamedSessions(s, d)),
     "q_window_running" -> ((s, d) => graft.operators.Analytics.runningTotal(s, d)),
     "q_funnel" -> ((s, d) => graft.operators.Analytics.funnel(s, d)),
     "q_retention" -> ((s, d) => graft.operators.Analytics.retention(s, d)),
@@ -1044,6 +1051,22 @@ object SparkEntry {
         |  GROUP BY p_brand, p_partkey
         |) WHERE rnk <= 3""".stripMargin,
     "q_event_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+        |), s AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |)
+        |SELECT user_id, ts, event_type,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM s""".stripMargin,
+    // IDENTICAL oracle for the streamed sessionization: the
+    // time-ordered replay must reproduce the batch window's ids
+    "q_event_sessionize_streamed" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
         |), s AS (

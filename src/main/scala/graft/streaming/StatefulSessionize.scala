@@ -44,4 +44,82 @@ object StatefulSessionize {
           out.iterator
       }
   }
+
+  /** Drain the events table through [[sessionize]] once as FOUR
+    * time-ordered micro-batches — the landing is split into four
+    * consecutive time-range chunks whose file mtimes ascend, so the
+    * file source replays them oldest-first and a session spanning a
+    * chunk boundary genuinely crosses per-user STATE (the thing a
+    * single-batch replay cannot prove). Batches stage exactly-once
+    * (`batch_id=<n>`, `_SUCCESS`-gated) under the
+    * content-fingerprint-keyed workDir recipe.
+    */
+  def ensureStreamed(spark: org.apache.spark.sql.SparkSession,
+                     sfDir: String,
+                     gapNs: Long = 1800L * 1000 * 1000 * 1000): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
+    val path = s"$base/graft_sess_streamed_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      val landing = Paths.get(s"$path.landing")
+      if (!Files.exists(landing.resolve("_READY"))) {
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        val tsNs = graft.tsdb.Db.tsNs(raw.schema)
+        val ev = raw.withColumn("_tsns", tsNs)
+        // two-value driver read: the span bounds, not the data
+        val Array(lo, hi) = ev.agg(min(col("_tsns")), max(col("_tsns")))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val span = math.max(hi - lo + 1, 4L)
+        Files.createDirectories(landing)
+        for (i <- 0 until 4) {
+          val a = lo + span * i / 4
+          val b = if (i == 3) hi + 1 else lo + span * (i + 1) / 4
+          val tmp = s"$path.chunk_$i"
+          ev.where(col("_tsns") >= a && col("_tsns") < b).drop("_tsns")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .head.toPath
+          val dst = landing.resolve(f"chunk_$i%d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          // ascending mtimes = deterministic oldest-first replay order
+          Files.setLastModifiedTime(dst,
+            FileTime.fromMillis(1704067200000L + i * 60000L))
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        }
+        Files.createFile(landing.resolve("_READY"))
+      }
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+      val q = sessionize(stream, gapNs).writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[SessOut], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }
+        .option("checkpointLocation", s"$path.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      StreamAwait.drain(q)
+      Files.createFile(done)
+    }
+    path
+  }
+
+  /** The streamed landing's session assignment — identical columns to
+    * the batch `q_event_sessionize`, so its window-SQL oracle pins the
+    * cross-batch per-user state fold (a boundary-spanning session
+    * whose id diverged, or a re-seeded counter, breaks the hash).
+    */
+  def streamedSessions(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String): DataFrame = {
+    val path = ensureStreamed(spark, sfDir)
+    StreamingSeriesState.openStreamed(spark, path)
+      .select(col("user_id"), col("ts"), col("event_type"), col("session_id"))
+  }
 }

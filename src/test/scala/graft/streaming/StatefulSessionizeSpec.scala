@@ -22,4 +22,13 @@ class StatefulSessionizeSpec extends SparkSpec with graft.TimedSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(g == b)
   }
+
+  test("time-ordered four-batch replay reproduces the batch session ids exactly") {
+    val got = StatefulSessionize.streamedSessions(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val batch = graft.operators.Analytics.sessionize(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"),
+        r.getAs[String]("event_type"), r.getAs[Long]("session_id"))).toSet
+    assert(got == batch)
+  }
 }
