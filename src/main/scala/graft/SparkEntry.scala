@@ -130,6 +130,16 @@ object SparkEntry {
     // full round-trip through the graft on-disk layout: write once
     // (partitioned by metric, ts-sorted), reopen, query — proves the
     // ingest path yields identical results with dir pruning + pushdown
+    // the same layout round-trip fed by the STREAMING ingestion path
+    // (micro-batched file source → exactly-once parquet sink,
+    // metric-partitioned): matching ts_ingest_avg's raw-events oracle
+    // proves a streaming-fed layout interchangeable with a batch-written
+    // one — the eighth streamed driver entry
+    "ts_ingest_streamed" -> ((s, d) => {
+      val layout = graft.streaming.StreamingIngest.ensureStreamedLayout(s, d)
+      graft.tsdb.Ingest.open(s, layout)
+        .avg("purchase", "user").filter("k:1*").granularity(Day).build()
+    }),
     "ts_ingest_avg" -> ((s, d) => {
       val layout = graft.tsdb.Ingest.ensureLayout(s, d)
       graft.tsdb.Ingest.open(s, layout)
@@ -167,6 +177,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => graft.operators.TextAnalysis.langid(s, d)),
     "text_langid_eval" -> ((s, d) => graft.operators.TextAnalysis.langidEval(s, d)),
     "text_quality" -> ((s, d) => graft.operators.TextAnalysis.quality(s, d)),
+    "text_quality_rank" -> ((s, d) => graft.operators.TextAnalysis.qualityRank(s, d)),
     "text_fingerprint" -> ((s, d) => graft.operators.TextAnalysis.fingerprint(s, d)),
     "text_repetition" -> ((s, d) => graft.operators.TextAnalysis.repetition(s, d)),
     "text_decontaminate" -> ((s, d) => graft.operators.TextAnalysis.decontaminate(s, d)),
@@ -470,6 +481,8 @@ object SparkEntry {
          |SELECT DISTINCT metric, tag_user, tag_k FROM ev
          |WHERE metric = 'purchase'""".stripMargin,
     "ts_ingest_avg" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
+    // IDENTICAL oracle for the streaming-fed layout round-trip
+    "ts_ingest_streamed" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
     "ts_quantile" -> tsAgg("view", "user",
       "round(quantile_cont(value, 0.95), 6) AS value"),
     // per-point z within (group × bucket): exact decimal window sums,
@@ -1118,6 +1131,16 @@ object SparkEntry {
          |FROM ($TextLangidSql) p JOIN documents d USING (doc_id)
          |GROUP BY 1, 2""".stripMargin,
     "text_quality" -> TextQualitySql,
+    // percentile rank of the quality score: PERCENT_RANK() is exactly
+    // the histogram formulation's n_below/(N-1) with ties sharing a
+    // rank, so the window oracle pins the no-global-sort path
+    "text_quality_rank" ->
+      s"""WITH q AS (
+         |$TextQualitySql
+         |)
+         |SELECT doc_id, quality_score,
+         |  percent_rank() OVER (ORDER BY quality_score) AS pct_rank
+         |FROM q""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,

@@ -411,14 +411,19 @@ object TextAnalysis {
     require(chunkTokens >= 1, "chunkTokens must be >= 1")
     val k = chunkTokens
     // consecutive k-token windows; the final partial window is a chunk
-    // (sequence is never descending: split("", " ") = [""], so n >= 1)
-    val chunks = d.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"""transform(
-           |  sequence(0, int((size(split(text, ' ')) + ${k - 1}) div $k) - 1),
-           |  i -> array_join(slice(split(text, ' '), i * $k + 1, $k), ' '))"""
-          .stripMargin)).as(Seq("pos", "chunk")))
+    // (sequence is never descending: split("", " ") = [""], so n >= 1).
+    // The token array is materialized once per row — an inlined
+    // split(text) would re-tokenize per chunk index (the dup_ngrams
+    // lesson)
+    val chunks = d
+      .select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, int((size(wl) + ${k - 1}) div $k) - 1),
+             |  i -> array_join(slice(wl, i * $k + 1, $k), ' '))"""
+            .stripMargin)).as(Seq("pos", "chunk")))
     val first = Window.partitionBy(col("chunk"))
       .orderBy(col("doc_id"), col("pos"))
     chunks
@@ -436,6 +441,41 @@ object TextAnalysis {
               when(col("kept"), struct(col("pos"), col("chunk"))))),
             x => x.getField("chunk")),
           " ")).as("kept_hash"))
+  }
+
+  /** Corpus percentile rank of every document's quality score WITHOUT
+    * a global sort — the "keep the top X% by quality" filter stage
+    * (FineWeb-style threshold-by-quantile) made scalable: ranking 100
+    * TB of documents through one `percent_rank` window would serialize
+    * the corpus into a single sorted task, so instead (1) one
+    * map-side-combined aggregate reduces the corpus to its score
+    * HISTOGRAM (rows = distinct ROUNDED scores, corpus-size-
+    * independent — the round(,6) already in the quality contract is
+    * what bounds it), (2) a window cumsum over that bounded frame
+    * yields `n_below` per score (single-task, but histogram-sized),
+    * (3) the histogram joins back broadcast (`broadcastHist = false` →
+    * shuffle join, the open-cardinality escape hatch). `pct_rank =
+    * n_below / (N − 1)` with ties sharing a rank — exactly SQL
+    * `PERCENT_RANK()`, which is what the oracle runs; integers until
+    * the one final IEEE division.
+    */
+  def qualityRank(spark: SparkSession, dir: String,
+                  broadcastHist: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = quality(spark, dir).select(col("doc_id"), col("quality_score"))
+    val w = Window.orderBy(col("quality_score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = scored.groupBy(col("quality_score")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n_below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .drop("cnt")
+    val hist = if (broadcastHist) broadcast(cum) else cum.hint("shuffle_hash")
+    val total = scored.agg(count(lit(1)).as("total"))
+    scored.join(hist, "quality_score")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("quality_score"),
+        when(col("total") === 1L, 0.0)
+          .otherwise(col("n_below").cast("double")
+            / (col("total") - 1L).cast("double")).as("pct_rank"))
   }
 
   /** Per-document duplicated-n-gram fraction — the repetition-across-
@@ -463,11 +503,15 @@ object TextAnalysis {
   /** [[dupNgrams]] over an arbitrary `(doc_id, text)` frame. */
   def dupNgramsFrame(d: DataFrame,
                      broadcastVocab: Boolean = true): DataFrame = {
+    // materialize the token array ONCE per row before the gram lambda:
+    // inlining split(text) into the transform re-tokenizes the document
+    // for every gram index (measured 6× on this op)
     val grams = expr(
       """transform(
-        |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-        |  i -> array_join(slice(split(text, ' '), i, 3), ' '))""".stripMargin)
-    val inst = d.select(col("doc_id"), explode(grams).as("gram"))
+        |  sequence(1, greatest(size(wl) - 2, 1)),
+        |  i -> array_join(slice(wl, i, 3), ' '))""".stripMargin)
+    val inst = d.select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .select(col("doc_id"), explode(grams).as("gram"))
     val vocab0 = inst.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
     val vocab = if (broadcastVocab) broadcast(vocab0)
                 else vocab0.hint("shuffle_hash")

@@ -56,4 +56,32 @@ object StreamingIngest {
       .start()
     StreamAwait.drain(q)
   }
+
+  /** Ingest the events table through the streaming path once into a
+    * content-fingerprint-keyed graft layout (the shared `ensure*`
+    * recipe: symlinked landing zone, exactly-once file sink off the
+    * checkpoint, `_DONE`-guarded idempotent reopen). The returned path
+    * opens with [[graft.tsdb.Ingest.open]] like any batch-written
+    * layout — which is the interchangeability claim the driver entry
+    * proves against the raw-events oracle.
+    */
+  def ensureStreamedLayout(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
+    val root = s"$base/graft_ingest_streamed_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val layout = s"$root/layout"
+    val done = Paths.get(root, "_DONE")
+    if (!Files.exists(done)) {
+      val landing = Paths.get(s"$root.landing")
+      Files.createDirectories(landing)
+      val link = landing.resolve("events.parquet")
+      if (!Files.exists(link)) Files.createSymbolicLink(link,
+        Paths.get(s"$sfDir/events.parquet").toAbsolutePath.normalize())
+      ingestAvailable(spark, landing.toString, layout, s"$root.ckpt")
+      Files.createFile(done)
+    }
+    layout
+  }
 }

@@ -228,6 +228,19 @@ class TextOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("qualityRank matches percent_rank over the corpus; join modes agree") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality_score"),
+        r.getAs[Double]("pct_rank"))).toSet
+    val got = key(TextAnalysis.qualityRank(spark, sfDir))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("quality_score"))
+    val exp = key(TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("pct_rank", percent_rank().over(w)))
+    assert(got == exp)
+    assert(key(TextAnalysis.qualityRank(spark, sfDir, broadcastHist = false)) == got)
+  }
+
   test("dupNgrams counts corpus-duplicated 3-gram instances; join modes agree") {
     val d = docsDf(Seq(
       (0L, "a b c d"),  // grams "a b c","b c d"

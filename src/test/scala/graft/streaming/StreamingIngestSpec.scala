@@ -33,6 +33,20 @@ class StreamingIngestSpec extends SparkSpec with graft.TimedSpec {
       batch.scan("purchase").where(col("tag_k").isNull).count())
   }
 
+  test("ensureStreamedLayout answers the batch filtered agg; reopen is idempotent") {
+    val layout = StreamingIngest.ensureStreamedLayout(spark, sfDir)
+    val got = Ingest.open(spark, layout)
+      .avg("purchase", "user").filter("k:1*")
+      .granularity(graft.tsdb.Duration.days(1)).build()
+      .orderBy("grp", "bucket_start").collect()
+    val batch = Db.fromEvents(spark, sfDir)
+      .avg("purchase", "user").filter("k:1*")
+      .granularity(graft.tsdb.Duration.days(1)).build()
+      .orderBy("grp", "bucket_start").collect()
+    assert(got.nonEmpty && got.sameElements(batch))
+    assert(StreamingIngest.ensureStreamedLayout(spark, sfDir) == layout)
+  }
+
   test("streaming ingest enforces the metric-name write boundary like batch") {
     val base = java.nio.file.Files.createTempDirectory("graft_sbad").toString
     val landing = java.nio.file.Paths.get(base, "landing")
