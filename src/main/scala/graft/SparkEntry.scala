@@ -59,6 +59,7 @@ object SparkEntry {
     "ts_increase" -> ((s, d) => Db.fromEvents(s, d).increase("click", Day)),
     "ts_irate" -> ((s, d) => Db.fromEvents(s, d).irate("click", Week)),
     "ts_ewma" -> ((s, d) => Db.fromEvents(s, d).ewma("view")),
+    "ts_holt" -> ((s, d) => Db.fromEvents(s, d).holt("view")),
     "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
     "ts_quantile" -> ((s, d) =>
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
@@ -721,6 +722,33 @@ object SparkEntry {
          |  list_reduce(pref, (a, b) ->
          |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * a
          |      + CAST(0.3 AS DOUBLE) * b) AS ewma
+         |FROM s""".stripMargin,
+    // Holt double exponential smoothing, zero-trend init: the fold
+    // runs with a type-stable {s: level, b: trend} STRUCT accumulator
+    // (list_reduce seeds from the first element, so elements are
+    // pre-mapped to {v, 0}); 1-α and 1-β are COMPUTED (the literal
+    // 0.7 is a different double than 1.0-0.3); the trend term
+    // recomputes the new level — the identical IEEE chain yields
+    // identical bits
+    "ts_holt" ->
+      s"""$Ev
+         |, s AS (
+         |  SELECT metric, tag_user, tag_k, ts, value,
+         |    array_agg(value) OVER (PARTITION BY tag_user, tag_k
+         |      ORDER BY ts, value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+         |  FROM ev WHERE metric = 'view'
+         |)
+         |SELECT metric, tag_user, tag_k, ts, value,
+         |  list_reduce(
+         |    list_transform(pref, v -> struct_pack(
+         |      s := CAST(v AS DOUBLE), b := CAST(0.0 AS DOUBLE))),
+         |    (acc, x) -> struct_pack(
+         |      s := CAST(0.3 AS DOUBLE) * x.s
+         |        + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * (acc.s + acc.b),
+         |      b := CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * x.s
+         |        + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * (acc.s + acc.b)) - acc.s)
+         |        + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * acc.b)).s AS holt
          |FROM s""".stripMargin,
     // the STREAMED per-series enrichment layout vs an independent
     // raw-events re-derivation: the ewma fold is the list_reduce prefix

@@ -197,6 +197,19 @@ object GraftFunctions {
             s"graft_ewma: alpha must be a double literal, got $other")
         }
       }),
+    (FunctionIdentifier("graft_holt"),
+      new ExpressionInfo(classOf[HoltFold].getName, "graft_holt"),
+      (cs: Seq[Expression]) => {
+        arity("graft_holt", 3, cs)
+        (cs(1), cs(2)) match {
+          case (a, b) if a.foldable && a.dataType == DoubleType &&
+              b.foldable && b.dataType == DoubleType =>
+            HoltFold(cs.head, a.eval(null).asInstanceOf[Double],
+              b.eval(null).asInstanceOf[Double])
+          case other => throw new IllegalArgumentException(
+            s"graft_holt: alpha/beta must be double literals, got $other")
+        }
+      }),
     (FunctionIdentifier("graft_mm_synth"),
       new ExpressionInfo(classOf[MmSynthPayload].getName, "graft_mm_synth"),
       (cs: Seq[Expression]) => { arity("graft_mm_synth", 2, cs); MmSynthPayload(cs.head, cs(1)) }),

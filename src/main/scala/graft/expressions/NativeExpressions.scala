@@ -107,6 +107,34 @@ case class EwmaFold(child: Expression, alpha: Double)
     copy(child = newChild)
 }
 
+/** Running per-point Holt double-exponential level over a (ts, value)-
+  * struct array sorted by (ts, value) — see [[NativeKernels.holt]].
+  * `alpha`/`beta` are build-time literals so the generated code stays
+  * one static call.
+  */
+case class HoltFold(child: Expression, alpha: Double, beta: Double)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+        s.fields(1).dataType == DoubleType &&
+        alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_holt expects (array<struct<_, value double>>, alpha in (0,1], beta in (0,1]), got $t")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    NativeKernels.holt(arr.asInstanceOf[ArrayData], alpha, beta)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.holt($c, ${alpha}D, ${beta}D)"
+
+  override protected def withNewChildInternal(newChild: Expression): HoltFold =
+    copy(child = newChild)
+}
+
 /** Product-quantization encode of a vector column into one packed long
   * (m × 4-bit codes, 16 codewords per subspace) — see
   * [[NativeKernels.pqEncode]]. The codebook matrix is plan state, held

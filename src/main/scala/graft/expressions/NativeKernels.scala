@@ -85,6 +85,40 @@ object NativeKernels {
     out
   }
 
+  /** Per-point Holt double exponential smoothing (level + trend) over
+    * an (ts, value)-struct array already sorted by (ts, value):
+    * `s_0 = x_0, b_0 = 0;  s_i = α·x_i + (1−α)(s_{i−1} + b_{i−1}),
+    * b_i = β(s_i − s_{i−1}) + (1−β)·b_{i−1}` — one LEVEL output per
+    * input. ZERO-trend initialization (a published variant; PromQL's
+    * `holt_winters` seeds b_0 = x_1 − x_0 instead) is pinned because
+    * it folds with a type-stable two-field struct accumulator on every
+    * engine — the DuckDB oracle runs the IDENTICAL chain via
+    * `list_reduce` over prefix arrays mapped to {s, b} structs, with
+    * `1−α`/`1−β` computed (not literal 0.7-style constants, which are
+    * different doubles). Bit-stable by the ewma argument.
+    */
+  def holt(pts: ArrayData, alpha: Double, beta: Double): ArrayData = {
+    val oa = 1.0 - alpha
+    val ob = 1.0 - beta
+    val n = pts.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var b = 0.0
+    var i = 0
+    while (i < n) {
+      val x = pts.getStruct(i, 2).getDouble(1)
+      if (i == 0) { s = x; b = 0.0 }
+      else {
+        val sNew = alpha * x + oa * (s + b)
+        b = beta * (sNew - s) + ob * b
+        s = sNew
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-point exponentially-weighted moving average over an
     * (ts, value)-struct array already sorted by (ts, value):
     * `y_0 = x_0; y_i = (1-α)·y_{i-1} + α·x_i`, one output per input.

@@ -444,6 +444,41 @@ final class Db(val frame: DataFrame) {
         col("z.pts.value").as("value") :+ col("z.sm").as("ewma"): _*)
   }
 
+  /** Per-point Holt double exponential smoothing (level + trend) of
+    * every series — trend-aware EWMA, the PromQL-`holt_winters`-class
+    * smoother for series that drift (EWMA lags a trending series by
+    * construction; Holt's trend term closes the lag). Identical shape
+    * and scale posture to [[ewma]]: one shuffle on the series key, one
+    * codegen'd `graft_holt` fold kernel per series, the same in-plan
+    * point-cap guard. ZERO-trend initialization (`b_0 = 0`; PromQL
+    * seeds from the first delta — both published variants) is pinned
+    * so the oracle can run the identical fold with a type-stable
+    * {level, trend} struct accumulator; see [[graft.expressions
+    * .NativeKernels.holt]] for the bit-stability contract.
+    */
+  def holt(metric: String, alpha: Double = 0.3, beta: Double = 0.1,
+           filterExpr: String = "*",
+           maxPointsPerSeries: Long = 10000000L): DataFrame = {
+    graft.expressions.GraftFunctions.register(frame.sparkSession)
+    val tags = tagColumns.map(col)
+    scan(metric, filterExpr)
+      .groupBy(col("metric") +: tags: _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("npts"),
+        sort_array(collect_list(struct(col("ts"), col("value")))).as("pts"))
+      .withColumn("pts", when(col("npts") <= maxPointsPerSeries, col("pts"))
+        .otherwise(raise_error(concat(
+          lit(s"holt series exceeds $maxPointsPerSeries points for metric '"),
+          col("metric"), lit("' ("), col("npts").cast("string"),
+          lit(" points); narrow the filter or raise maxPointsPerSeries")))))
+      .drop("npts")
+      .withColumn("sm",
+        call_function("graft_holt", col("pts"), lit(alpha), lit(beta)))
+      .select(col("metric") +: tags :+
+        posexplode(arrays_zip(col("pts"), col("sm"))).as(Seq("i", "z")): _*)
+      .select(col("metric") +: tags :+ col("z.pts.ts").as("ts") :+
+        col("z.pts.value").as("value") :+ col("z.sm").as("holt"): _*)
+  }
+
   /** As-of alignment of two metrics: for every point of `leftMetric`,
     * the latest `rightMetric` value (and its timestamp) at `ts' <= ts`
     * within the same `on` tag — the standard "join the most recent

@@ -450,6 +450,25 @@ class TsdbOpsSpec extends SparkSpec {
     assert(ch == Map(("u", 0L) -> 2L, ("u", day) -> 1L, ("v", 0L) -> 1L))
   }
 
+  test("holt folds level+trend per series with zero-trend init, seeded by the first point") {
+    val d = db(Seq(
+      ("m", 0L, 1.0, "u"),
+      ("m", 10L, 2.0, "u"),   // s=.5*2+.5*(1+0)=1.5, b=.5*.5=0.25
+      ("m", 20L, 3.0, "u"),   // s=.5*3+.5*(1.5+.25)=2.375
+      ("m", 0L, 100.0, "v"))) // single point: level = value
+    val out = d.holt("m", alpha = 0.5, beta = 0.5).orderBy("tag_user", "ts").collect()
+      .map(r => (r.getAs[String]("tag_user"), r.getAs[Long]("ts"),
+        r.getAs[Double]("holt")))
+    assert(out.toSeq == Seq(
+      ("u", 0L, 1.0), ("u", 10L, 1.5), ("u", 20L, 2.375),
+      ("v", 0L, 100.0)))
+    // trend-aware: on a perfect ramp Holt tracks closer than EWMA
+    val ramp = db((0 until 20).map(i => ("m", i * 10L, i.toDouble, "u")))
+    val h = ramp.holt("m").orderBy("ts").collect().map(_.getAs[Double]("holt")).last
+    val e = ramp.ewma("m").orderBy("ts").collect().map(_.getAs[Double]("ewma")).last
+    assert(math.abs(19.0 - h) < math.abs(19.0 - e))
+  }
+
   test("irate rates the LAST in-bucket pair, reset-aware; degenerate last pairs emit nothing") {
     val day = 86_400_000_000_000L
     val d = db(Seq(
