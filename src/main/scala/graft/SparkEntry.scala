@@ -168,6 +168,12 @@ object SparkEntry {
     "q_retention" -> ((s, d) => graft.operators.Analytics.retention(s, d)),
     "q_session_stats" -> ((s, d) => graft.operators.Analytics.sessionStats(s, d)),
     "q_active_users" -> ((s, d) => graft.operators.Analytics.activeUsers(s, d)),
+    // EXACT daily actives from the streaming path: streaming aggs
+    // can't run count_distinct, so the stream dedups (day, user) with
+    // watermark-bounded keyed state and the count becomes a plain
+    // aggregate over the landing — the ninth streamed driver entry
+    "q_dau_streamed" -> ((s, d) =>
+      graft.streaming.StreamingActiveUsers.streamedDau(s, d)),
     "q_funnel_steps" -> ((s, d) => graft.operators.Analytics.funnelSteps(s, d)),
     "q_session_window" -> ((s, d) => graft.operators.Analytics.sessionWindows(s, d)),
     "q_pivot" -> ((s, d) => graft.operators.Analytics.pivotDaily(s, d)),
@@ -1039,6 +1045,16 @@ object SparkEntry {
         |  CAST(2 AS BIGINT), 'purchase', COUNT(*) FROM s2 GROUP BY 1""".stripMargin,
     // DAU + exact trailing-7d WAU from the compact (day, user) frame;
     // each day-user row covers its next 7 days (bounded expansion)
+    // exact streamed DAU: the dedup-then-count decomposition must
+    // reproduce COUNT(DISTINCT user) per day
+    "q_dau_streamed" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts FROM events
+        |), du AS (
+        |  SELECT DISTINCT (ts // 86400000000000) * 86400000000000 AS day, user_id
+        |  FROM ev
+        |)
+        |SELECT day, COUNT(*) AS dau FROM du GROUP BY 1""".stripMargin,
     "q_active_users" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ns(ts) AS ts FROM events

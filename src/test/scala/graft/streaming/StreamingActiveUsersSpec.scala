@@ -37,4 +37,17 @@ class StreamingActiveUsersSpec extends SparkSpec with graft.TimedSpec {
         s"day $d: estimate $est vs exact $n out of band")
     }
   }
+
+  test("streamed exact DAU equals the batch distinct count per day") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingActiveUsers.streamedDau(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("dau")).toMap
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = raw.select(graft.tsdb.Db.tsNs(raw.schema).as("tsns"), col("user_id"))
+      .select((expr("tsns div 86400000000000L") * lit(86400000000000L)).as("day"),
+        col("user_id"))
+    val exact = ev.distinct().groupBy("day").count()
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("count")).toMap
+    assert(got == exact)
+  }
 }
