@@ -60,6 +60,7 @@ object SparkEntry {
     "ts_irate" -> ((s, d) => Db.fromEvents(s, d).irate("click", Week)),
     "ts_ewma" -> ((s, d) => Db.fromEvents(s, d).ewma("view")),
     "ts_holt" -> ((s, d) => Db.fromEvents(s, d).holt("view")),
+    "ts_absent" -> ((s, d) => Db.fromEvents(s, d).absent("purchase", Day)),
     "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
     "ts_quantile" -> ((s, d) =>
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
@@ -729,6 +730,25 @@ object SparkEntry {
          |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * a
          |      + CAST(0.3 AS DOUBLE) * b) AS ewma
          |FROM s""".stripMargin,
+    // absent buckets: (observed series × global bucket span) minus the
+    // present pairs, NULL-safe tag identity (IS NOT DISTINCT FROM);
+    // all-integer outputs
+    "ts_absent" ->
+      s"""$Ev
+         |, p AS (
+         |  SELECT DISTINCT tag_user, tag_k, ${bucket(Day)} AS bucket_start
+         |  FROM ev WHERE metric = 'purchase'
+         |), se AS (SELECT DISTINCT tag_user, tag_k FROM p),
+         |bounds AS (SELECT min(bucket_start) AS b_lo, max(bucket_start) AS b_hi FROM p),
+         |bk AS (SELECT unnest(generate_series(b_lo, b_hi, ${Day})) AS bucket_start
+         |       FROM bounds)
+         |SELECT se.tag_user, se.tag_k, bk.bucket_start
+         |FROM se CROSS JOIN bk
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM p
+         |  WHERE p.tag_user IS NOT DISTINCT FROM se.tag_user
+         |    AND p.tag_k IS NOT DISTINCT FROM se.tag_k
+         |    AND p.bucket_start = bk.bucket_start)""".stripMargin,
     // Holt double exponential smoothing, zero-trend init: the fold
     // runs with a type-stable {s: level, b: trend} STRUCT accumulator
     // (list_reduce seeds from the first element, so elements are

@@ -263,6 +263,47 @@ final class Db(val frame: DataFrame) {
         org.apache.spark.sql.functions.count(lit(1)).as("n_points"))
   }
 
+  /** Buckets where a series reported NOTHING — PromQL
+    * `absent_over_time()` as a batch primitive (the alerting question
+    * "which scrape targets went dark, and when" — the complement of
+    * [[activeSeries]]'s cardinality view and of [[AggBuilder
+    * .buildGapFilled]]'s per-series fill): every (observed series,
+    * bucket over the metric's GLOBAL span) pair with no data points.
+    *
+    * Shape: the spine is (distinct series) × (global bucket range) —
+    * both BOUNDED frames (series cardinality × span/width, independent
+    * of point volume; the in-plan guard refuses a degenerate
+    * bucket explosion like gapfill) — anti-joined against the distinct
+    * present pairs with null-safe tag equality (a NULL tag is a
+    * series identity, not a wildcard). The global bounds come from a
+    * one-row aggregate cross-joined broadcast — no driver collect in
+    * the plan.
+    */
+  def absent(metric: String, widthNs: Long, filterExpr: String = "*",
+             maxBucketsPerSeries: Long = 1000000L): DataFrame = {
+    val tags = tagColumns.map(col)
+    val bucket = (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start")
+    val pts = scan(metric, filterExpr).select(tags :+ bucket: _*)
+    val present = pts.distinct()
+    val series = present.select(tags: _*).distinct()
+    val bounds = pts
+      .agg(org.apache.spark.sql.functions.min(col("bucket_start")).as("b_lo"),
+        org.apache.spark.sql.functions.max(col("bucket_start")).as("b_hi"))
+      .withColumn("n_buckets",
+        (col("b_hi") - col("b_lo")) / lit(widthNs) + lit(1L))
+      .withColumn("b_lo", when(col("n_buckets") <= maxBucketsPerSeries, col("b_lo"))
+        .otherwise(raise_error(concat(
+          lit(s"absent bucket spine exceeds $maxBucketsPerSeries buckets ("),
+          col("n_buckets").cast("string"),
+          lit(s") for metric '$metric'; widen widthNs or narrow the filter")))))
+    val buckets = bounds
+      .select(explode(expr(s"sequence(b_lo, b_hi, ${widthNs}L)")).as("bucket_start"))
+    val spine = series.crossJoin(buckets)
+    val cond = tagColumns.map(c => spine(c) <=> present(c))
+      .foldLeft(spine("bucket_start") === present("bucket_start"))(_ && _)
+    spine.join(present, cond, "left_anti")
+  }
+
   /** M4 downsampling per (series × `widthNs` bucket): the ≤4 points a
     * pixel-column needs to render a line chart EXACTLY — first, last,
     * min, max (the M4 aggregation of Jugel et al., PVLDB 7(10):

@@ -450,6 +450,30 @@ class TsdbOpsSpec extends SparkSpec {
     assert(ch == Map(("u", 0L) -> 2L, ("u", day) -> 1L, ("v", 0L) -> 1L))
   }
 
+  test("absent emits exactly the dark (series, bucket) pairs over the global span") {
+    val day = 86_400_000_000_000L
+    val d = db(Seq(
+      ("m", 0L, 1.0, "u"),            // u: day 0 present
+      ("m", 2 * day + 1L, 1.0, "u"),  // u: day 2 present, day 1 ABSENT
+      ("m", day + 1L, 1.0, "v")))     // v: day 1 present; days 0,2 ABSENT
+    val out = d.absent("m", day).collect()
+      .map(r => (r.getAs[String]("tag_user"), r.getAs[Long]("bucket_start"))).toSet
+    assert(out == Set(("u", day), ("v", 0L), ("v", 2 * day)))
+    // NULL tag is a series identity, not a wildcard
+    val dn = db(Seq(
+      ("m", 0L, 1.0, null),
+      ("m", 2 * day, 1.0, null)))
+    val on = dn.absent("m", day).collect()
+      .map(r => (Option(r.getAs[String]("tag_user")), r.getAs[Long]("bucket_start"))).toSet
+    assert(on == Set((None, day)))
+    // spine-explosion guard trips with a diagnostic, not an OOM
+    val e = intercept[Exception] {
+      db(Seq(("m", 0L, 1.0, "u"), ("m", day * 5000, 1.0, "u")))
+        .absent("m", day, maxBucketsPerSeries = 100).collect()
+    }
+    assert(e.getMessage.contains("bucket spine exceeds"))
+  }
+
   test("holt folds level+trend per series with zero-trend init, seeded by the first point") {
     val d = db(Seq(
       ("m", 0L, 1.0, "u"),
