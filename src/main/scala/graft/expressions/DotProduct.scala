@@ -133,6 +133,12 @@ object GraftFunctions {
           "n_distinct_trigrams] over split(trim(text), ' +') in one pass.",
         "", "", "", "", "", "", "built-in"),
       (cs: Seq[Expression]) => { arity("graft_rep_stats", 1, cs); RepStats(cs.head) }),
+    (FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, null, "graft_text_stats",
+        "_FUNC_(text) - [alpha, punct, stop_en, stop_de, stop_fr, " +
+          "stop_es, zh] character/token counts in one pass.",
+        "", "", "", "", "", "", "built-in"),
+      (cs: Seq[Expression]) => { arity("graft_text_stats", 1, cs); TextStats(cs.head) }),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (cs: Seq[Expression]) => {

@@ -276,6 +276,28 @@ case class CharGrams3(child: Expression) extends UnaryExpression with KernelCall
     copy(child = newChild)
 }
 
+/** One-pass character/token statistics `[alpha, punct, stop_en,
+  * stop_de, stop_fr, stop_es, zh]` of a string column — see
+  * [[NativeKernels.textStats]] for the regex-parity contract.
+  */
+case class TextStats(child: Expression) extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_text_stats expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    NativeKernels.textStats(s.asInstanceOf[UTF8String])
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.textStats($c)"
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
 /** Repetition counters `[n_words, n_distinct_words, top_bigram_count,
   * n_distinct_trigrams]` of a string column — see
   * [[NativeKernels.repStats]].

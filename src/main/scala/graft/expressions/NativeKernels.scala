@@ -293,6 +293,64 @@ object NativeKernels {
     * sf0.1 suite's 50k docs; this kernel is two hash maps and one
     * array scan.
     */
+  private val StopEn = java.util.Set.of("the", "a", "of", "and", "to", "in", "is")
+  private val StopDe = java.util.Set.of("der", "die", "das", "und", "ist")
+  private val StopFr = java.util.Set.of("le", "la", "les", "et", "est")
+  private val StopEs = java.util.Set.of("el", "los", "las", "y", "es")
+
+  /** One-pass character/token statistics `[alpha, punct, stop_en,
+    * stop_de, stop_fr, stop_es, zh]` — the quality/langid signal
+    * bundle that previously cost ~10 independent `regexp_count`
+    * passes per row (one per character class and stopword list).
+    * Bit-for-bit regex parity is the contract (fuzz-spec'd against
+    * the regexp formulations):
+    * - `alpha` = `[a-zA-Z]` code points;
+    * - `punct` = `[^a-zA-Z0-9\s]` with Java's ASCII-only `\s`
+    *   ([ \t\n\x0B\f\r]) — underscore and non-ASCII count as punct;
+    * - `stop_*` = `\b(w1|…)\b` occurrences, which for all-letter
+    *   stopwords is exactly "maximal `[a-zA-Z0-9_]` run equals a
+    *   stopword, case-sensitive";
+    * - `zh` = `[\x{4e00}-\x{9fff}]` code points.
+    * Iteration is by CODE POINT (Java regex treats a surrogate pair
+    * as one character, so code-unit iteration would diverge on
+    * supplementary-plane input).
+    */
+  def textStats(text: UTF8String): ArrayData = {
+    val s = text.toString
+    var alpha = 0L; var punct = 0L; var zh = 0L
+    var en = 0L; var de = 0L; var fr = 0L; var es = 0L
+    val run = new java.lang.StringBuilder(8)
+    def flush(): Unit = {
+      if (run.length > 0 && run.length <= 3) {
+        val t = run.toString
+        if (StopEn.contains(t)) en += 1
+        if (StopDe.contains(t)) de += 1
+        if (StopFr.contains(t)) fr += 1
+        if (StopEs.contains(t)) es += 1
+      }
+      run.setLength(0)
+    }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      val isAlpha = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
+      val isDigit = cp >= '0' && cp <= '9'
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' ||
+        cp == 0x0B || cp == '\f' || cp == '\r'
+      if (isAlpha) alpha += 1
+      if (!isAlpha && !isDigit && !isWs) punct += 1
+      if (cp >= 0x4e00 && cp <= 0x9fff) zh += 1
+      if (isAlpha || isDigit || cp == '_') {
+        // cap the buffer at 4: runs longer than any stopword can't
+        // match, and a capped length (= 4) fails flush's <= 3 gate
+        if (run.length < 4) run.appendCodePoint(cp)
+      } else flush()
+    }
+    flush()
+    new GenericArrayData(Array[Any](alpha, punct, en, de, fr, es, zh))
+  }
+
   def repStats(text: UTF8String): ArrayData = {
     val tokens = text.toString.trim.split(" +", -1)
     val n = tokens.length

@@ -29,11 +29,35 @@ object TextFunctions {
   private def hits(text: Column, words: String): Column =
     regexp_count(text, lit(s"\\b($words)\\b"))
 
+  /** One-pass `[alpha, punct, stop_en, stop_de, stop_fr, stop_es, zh]`
+    * counts via the native `graft_text_stats` kernel (callers must
+    * have run `GraftFunctions.register` / the `graft.GraftExtensions`
+    * injector) — every signal below indexes this ONE call, and
+    * whole-stage codegen's subexpression elimination evaluates the
+    * kernel once per row even when several signals appear in the same
+    * projection. Regex-parity is fuzz-spec'd against the `*Re`
+    * formulations kept below.
+    */
+  def textStats(text: Column): Column = call_function("graft_text_stats", text)
+
   /** Deterministic n-gram/stopword language-ID heuristic. CJK characters
     * short-circuit to `zh`; otherwise the highest stopword-hit count wins
-    * with a fixed en>de>fr>es tiebreak.
+    * with a fixed en>de>fr>es tiebreak. One kernel pass instead of five
+    * regexp scans; [[langIdRe]] is the interpreted reference.
     */
   def langId(text: Column): Column = {
+    val st = textStats(text)
+    val en = st.getItem(2); val de = st.getItem(3)
+    val fr = st.getItem(4); val es = st.getItem(5)
+    when(st.getItem(6) > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Regexp reference formulation of [[langId]] (spec cross-check). */
+  private[graft] def langIdRe(text: Column): Column = {
     val zh = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
     val en = hits(text, StopwordsEn)
     val de = hits(text, StopwordsDe)
@@ -46,12 +70,17 @@ object TextFunctions {
       .otherwise("es")
   }
 
-  /** Alphabetic / punctuation character counts. */
-  def alphaCount(text: Column): Column =
+  /** Alphabetic / punctuation / stopword counts — kernel-backed, with
+    * the regexp reference formulations kept for the parity fuzz.
+    */
+  def alphaCount(text: Column): Column = textStats(text).getItem(0)
+  def punctCount(text: Column): Column = textStats(text).getItem(1)
+  def stopwordCount(text: Column): Column = textStats(text).getItem(2)
+  private[graft] def alphaCountRe(text: Column): Column =
     regexp_count(text, lit("[a-zA-Z]")).cast("long")
-  def punctCount(text: Column): Column =
+  private[graft] def punctCountRe(text: Column): Column =
     regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("long")
-  def stopwordCount(text: Column): Column =
+  private[graft] def stopwordCountRe(text: Column): Column =
     hits(text, StopwordsEn).cast("long")
 
   /** Polynomial rolling hash over the document's characters:

@@ -214,6 +214,39 @@ class NativeKernelsSpec extends SparkSpec {
     }
   }
 
+  test("graft_text_stats == the regexp_count formulations, corpus + adversarial edges") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val edge = Seq(
+      "", " ", "the", "The the THE", "xthe they a_b a b a,b a.b;the",
+      "cathedral is to the a of and in is", "und der die das ist le la les",
+      "el los las y es est et", "_ _the the_ the5 5the _a a_",
+      "tabs\tand\nnewlineshere\fand\rthe end", "汉字漢字 the 汉",
+      "émigré café the", "a! a? a. !a ?the! (a) [is] {of}",
+      "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 the 𝄞", "is", "y", "a")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"), col("text")).union(edge)
+    val out = corpus.select(
+      TextFunctions.textStats(col("text")).as("st"),
+      TextFunctions.alphaCountRe(col("text")).as("alpha"),
+      TextFunctions.punctCountRe(col("text")).as("punct"),
+      TextFunctions.stopwordCountRe(col("text")).as("en"),
+      regexp_count(col("text"), lit(s"\\b(${TextFunctions.StopwordsDe})\\b")).cast("long").as("de"),
+      regexp_count(col("text"), lit(s"\\b(${TextFunctions.StopwordsFr})\\b")).cast("long").as("fr"),
+      regexp_count(col("text"), lit(s"\\b(${TextFunctions.StopwordsEs})\\b")).cast("long").as("es"),
+      regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long").as("zh"),
+      TextFunctions.langId(col("text")).as("lang_k"),
+      TextFunctions.langIdRe(col("text")).as("lang_re"))
+    out.collect().foreach { r =>
+      val st = r.getSeq[Long](0)
+      assert(st == Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)),
+        s"stats mismatch: kernel $st vs regex ${(1 to 7).map(r.getLong)}")
+      assert(r.getString(8) == r.getString(9), s"langId mismatch on row $r")
+    }
+  }
+
   test("graft_dot yields NULL on length mismatch, like the zip_with HOF") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
