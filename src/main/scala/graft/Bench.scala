@@ -229,7 +229,12 @@ object Bench {
     "ts_avg" -> SparkEntry.queries("ts_avg"),
     "ts_latest" -> SparkEntry.queries("ts_latest"),
     "ts_raw" -> SparkEntry.queries("ts_raw"),
-    "text_decontaminate" -> SparkEntry.queries("text_decontaminate"))
+    "text_decontaminate" -> SparkEntry.queries("text_decontaminate"),
+    // round-8 late additions: the chunk-key corpus shuffle and the
+    // gram-vocabulary broadcast — the two text ops whose scale story
+    // is a data-volume question, not a bounded-frame one
+    "text_chunk_dedup" -> SparkEntry.queries("text_chunk_dedup"),
+    "text_dup_ngrams" -> SparkEntry.queries("text_dup_ngrams"))
 
   /** Short codes in the JSON (the compact final line has a byte
     * budget); the full reasons are printed as a comment line by

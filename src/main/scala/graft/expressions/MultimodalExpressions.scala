@@ -78,6 +78,12 @@ object MmFormat {
         Meta("image/png", Some(be32(b, 16)), Some(be32(b, 20)), None, None)
       else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
         jpeg(b)
+      else if (b.length >= 10 &&
+          (new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII) == "GIF87a" ||
+           new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII) == "GIF89a"))
+        // GIF logical screen descriptor (GIF89a spec §18): width and
+        // height are little-endian u16 right after the 6-byte signature
+        Meta("image/gif", Some(le16(b, 6)), Some(le16(b, 8)), None, None)
       else if (b.length >= 36 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
         // walk RIFF chunks for "fmt ": u16le channels at +2, u32le rate at +4
         var o = 12
@@ -107,12 +113,27 @@ object MmFormat {
     def payload(docId: Long, text: String): Array[Byte] = {
       val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val h = java.util.Arrays.hashCode(body)
-      (docId % 4) match {
+      (docId % 5) match {
         case 0 => png(16 + math.floorMod(h, 1024), 16 + math.floorMod(h >> 10, 1024), body)
         case 1 => wav(8000 + 100 * math.floorMod(h, 441), 1 + math.floorMod(h >> 16, 2), body)
         case 2 => jpeg(8 + math.floorMod(h, 4096), 8 + math.floorMod(h >> 12, 4096), body)
+        case 3 => gif(8 + math.floorMod(h, 4096), 8 + math.floorMod(h >> 12, 4096), body)
         case _ => body
       }
+    }
+
+    /** Minimal genuine GIF89a: signature + logical screen descriptor
+      * (u16le width/height, no global color table), body as opaque
+      * trailing bytes.
+      */
+    def gif(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(13 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putShort((width & 0xffff).toShort).putShort((height & 0xffff).toShort)
+      bb.put(0.toByte).put(0.toByte).put(0.toByte) // packed, bg index, aspect
+      bb.put(body, 0, math.min(body.length, bb.remaining()))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
     }
 
     def png(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {

@@ -20,6 +20,20 @@ class MultimodalSpec extends SparkSpec {
     assert(m.sampleRate.isEmpty && m.channels.isEmpty)
   }
 
+  test("header parser reads the GIF logical screen descriptor") {
+    val bytes = Multimodal.Synth.gif(320, 200, "frames".getBytes)
+    val m = Multimodal.HeaderParser.parse(bytes)
+    assert(m.mime == "image/gif")
+    assert(m.width.contains(320) && m.height.contains(200))
+    assert(m.sampleRate.isEmpty && m.channels.isEmpty)
+    // GIF87a variant parses identically
+    val b87 = bytes.clone(); b87(4) = '7'.toByte
+    assert(Multimodal.HeaderParser.parse(b87).mime == "image/gif")
+    // a truncated signature falls through to octet-stream
+    assert(Multimodal.HeaderParser.parse(bytes.take(9)).mime
+      == "application/octet-stream")
+  }
+
   test("header parser walks RIFF chunks to the WAV fmt block") {
     val bytes = Multimodal.Synth.wav(44100, 2, "samples".getBytes)
     val m = Multimodal.HeaderParser.parse(bytes)
@@ -102,17 +116,19 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.extractMeta(spark, sfDir).orderBy("doc_id").collect()
     assert(a.sameElements(b))
     assert(a.forall(r => r.getAs[Long]("n_bytes") > 0))
-    val mimes = Set("image/png", "image/jpeg", "audio/wav", "application/octet-stream")
+    val mimes = Set("image/png", "image/jpeg", "image/gif", "audio/wav",
+      "application/octet-stream")
     assert(a.forall(r => mimes(r.getAs[String]("mime"))))
     assert(a.exists(_.getAs[String]("mime") == "image/png"))
     assert(a.exists(_.getAs[String]("mime") == "image/jpeg"))
+    assert(a.exists(_.getAs[String]("mime") == "image/gif"))
     assert(a.exists(_.getAs[String]("mime") == "audio/wav"))
     a.foreach { r =>
       r.getAs[String]("mime") match {
         case "image/png" =>
           assert(r.getAs[Integer]("width") >= 16 && r.getAs[Integer]("height") >= 16)
           assert(r.isNullAt(r.fieldIndex("sample_rate")))
-        case "image/jpeg" =>
+        case "image/jpeg" | "image/gif" =>
           assert(r.getAs[Integer]("width") >= 8 && r.getAs[Integer]("height") >= 8)
           assert(r.isNullAt(r.fieldIndex("sample_rate")))
         case "audio/wav" =>
