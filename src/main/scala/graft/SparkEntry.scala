@@ -156,6 +156,8 @@ object SparkEntry {
     "q_cube" -> ((s, d) => graft.operators.Analytics.cubeAgg(s, d)),
     "q_grouping_sets" -> ((s, d) => graft.operators.Analytics.groupingSetsAgg(s, d)),
     "q_topk_window" -> ((s, d) => graft.operators.Analytics.topkPerBrand(s, d)),
+    "q4_semijoin" -> ((s, d) => graft.operators.Analytics.q4SemiJoin(s, d)),
+    "q_anti_join" -> ((s, d) => graft.operators.Analytics.qOrdersNoLineitem(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
     // the same gap-sessionization from the STATEFUL streaming path,
     // replayed as four TIME-ORDERED micro-batches so sessions genuinely
@@ -1127,6 +1129,26 @@ object SparkEntry {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, p_partkey
         |) WHERE rnk <= 3""".stripMargin,
+    // EXISTS via LEFT SEMI: half-year order window, lateness predicate
+    // as the join residual; all-integer outputs
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    // NOT EXISTS via LEFT ANTI: orders that never shipped anything
+    "q_anti_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  MIN(o_orderkey) AS min_orderkey
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |GROUP BY 1""".stripMargin,
     "q_event_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events

@@ -248,6 +248,46 @@ object Analytics {
     * disambiguates a genuine NULL group key from a rollup subtotal row
     * (the standard SQL marker, identical in DuckDB).
     */
+  /** TPC-H Q4-flavor order-priority check: orders in a half-year window
+    * with at least one LATE line item (shipped more than 60 days after
+    * the order date), counted per priority — the canonical
+    * EXISTS-correlated-subquery shape. Spark-first: a LEFT SEMI join
+    * (the engine's native EXISTS — the probe emits each order at most
+    * once, no post-join distinct) whose equi key is the order key and
+    * whose lateness predicate rides the same hash join as a residual
+    * condition; the date filter prunes orders BEFORE the join, and
+    * the fact side carries only (l_orderkey, l_shipdate). At scale
+    * the filtered order side broadcasts; AQE picks shuffle sides
+    * otherwise.
+    */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    val l = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Orders that never shipped ANYTHING — the NOT-EXISTS referential
+    * health check (every warehouse audit's "orphaned parents" query),
+    * counted per order status. LEFT ANTI join on the order key: one
+    * pass, no distinct, no subquery re-scan; the anti side projects
+    * only its key column.
+    */
+  def qOrdersNoLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem").select(col("l_orderkey"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        org.apache.spark.sql.functions.min(col("o_orderkey")).as("min_orderkey"))
+  }
+
   def rollupCube(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .rollup(year(col("o_orderdate")).cast("long").as("o_year"),

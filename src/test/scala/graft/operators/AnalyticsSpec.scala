@@ -283,4 +283,26 @@ class AnalyticsSpec extends SparkSpec {
       86_400_000_000_000L -> ((0L, 0L, 1L))))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("q4 plans a LEFT SEMI (native EXISTS); anti join plans LEFT ANTI — no distinct, no re-scan") {
+    val semi = Analytics.q4SemiJoin(spark, sfDir)
+    val semiPlan = semi.queryExecution.executedPlan.toString
+    assert(semiPlan.contains("LeftSemi"), s"no LeftSemi in:\n$semiPlan")
+    // EXISTS semantics: every kept order counted once — totals bounded
+    // by the date-window order count
+    val window = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp")).count()
+    assert(semi.agg(sum("n_orders")).head().getLong(0) <= window)
+    val anti = Analytics.qOrdersNoLineitem(spark, sfDir)
+    val antiPlan = anti.queryExecution.executedPlan.toString
+    assert(antiPlan.contains("LeftAnti"), s"no LeftAnti in:\n$antiPlan")
+    // anti + inner partition the order universe
+    val matched = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey")).count()
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(anti.agg(sum("n_orders")).head().getLong(0) == total - matched)
+  }
 }
