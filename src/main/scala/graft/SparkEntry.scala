@@ -157,6 +157,7 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, d) => graft.operators.Analytics.groupingSetsAgg(s, d)),
     "q_topk_window" -> ((s, d) => graft.operators.Analytics.topkPerBrand(s, d)),
     "q4_semijoin" -> ((s, d) => graft.operators.Analytics.q4SemiJoin(s, d)),
+    "q17_avg_subquery" -> ((s, d) => graft.operators.Analytics.q17AvgSubquery(s, d)),
     "q_anti_join" -> ((s, d) => graft.operators.Analytics.qOrdersNoLineitem(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
     // the same gap-sessionization from the STATEFUL streaming path,
@@ -1140,6 +1141,24 @@ object SparkEntry {
         |    SELECT 1 FROM lineitem l
         |    WHERE l.l_orderkey = o.o_orderkey
         |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    // correlated scalar-aggregate subquery, decorrelated: per-part 20%
+    // avg-quantity threshold joined back; the threshold chain is
+    // decimal-sum / count * 0.2e0 (e-notation keeps DuckDB in DOUBLE
+    // math) so the qualifying set is engine-identical
+    "q17_avg_subquery" ->
+      """WITH th AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |      / COUNT(*) * 0.2e0 AS lim
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    / 7.0e0 AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN th USING (l_partkey)
+        |  JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < lim
         |GROUP BY 1""".stripMargin,
     // NOT EXISTS via LEFT ANTI: orders that never shipped anything
     "q_anti_join" ->

@@ -288,6 +288,35 @@ object Analytics {
         org.apache.spark.sql.functions.min(col("o_orderkey")).as("min_orderkey"))
   }
 
+  /** TPC-H Q17-flavor small-quantity revenue: line items whose quantity
+    * is below 20% of their PART's average quantity, revenue summed per
+    * brand — the correlated scalar-aggregate-subquery shape
+    * (`WHERE qty < (SELECT 0.2*avg(qty) ... WHERE same part)`),
+    * decorrelated Spark-first into a per-part threshold aggregate
+    * joined back onto the fact scan. The threshold frame is
+    * PART-sized (bounded, map-side combined before its shuffle), so at
+    * scale it broadcasts while parts fit and shuffle-joins otherwise
+    * (AQE decides); the fact table is scanned once. Exactness: the
+    * threshold is a decimal-exact sum divided once in doubles
+    * (`×0.2` as a double literal — the e-notation oracle lesson), so
+    * the qualifying SET is engine-identical, and the revenue over it
+    * is again a decimal sum.
+    */
+  def q17AvgSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val th = l.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((sum(expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
+        / count(lit(1)) * lit(0.2)).as("lim"))
+    l.join(th, col("l_partkey") === col("t_partkey"))
+      .where(col("l_quantity") < col("lim"))
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        (sum(expr("CAST(l_extendedprice AS DECIMAL(12,2))")).cast("double")
+          / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
   def rollupCube(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .rollup(year(col("o_orderdate")).cast("long").as("o_year"),
