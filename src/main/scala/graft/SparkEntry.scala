@@ -121,6 +121,15 @@ object SparkEntry {
       val path = graft.streaming.StreamingSeriesState.ensureStreamed(s, d, "click")
       graft.streaming.StreamingSeriesState.openStreamed(s, path)
     }),
+    // per-point EXPANDING z-score landed by the stateful streaming
+    // path (exact-decimal (n, Σv, Σv²) state — every point scored
+    // against its full per-series history at arrival); the oracle
+    // re-derives the identical chain with expanding decimal window
+    // sums — the tenth streamed driver entry
+    "ts_zscore_streamed" -> ((s, d) => {
+      val path = graft.streaming.StreamingSeriesState.ensureStreamedZ(s, d, "error")
+      graft.streaming.StreamingSeriesState.openStreamed(s, path)
+    }),
     // per-point z with bucket stats from the hourly PARTIALS broadcast
     // onto the unshuffled point scan; the oracle is ts_zscore's
     // raw-window SQL — the hash match proves the partial path exact
@@ -804,6 +813,33 @@ object SparkEntry {
          |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * a
          |      + CAST(0.3 AS DOUBLE) * b) AS ewma
          |FROM s""".stripMargin,
+    // the STREAMED expanding z landing vs an independent re-derivation:
+    // exact-decimal expanding window sums (Σ decimal(28,6) v,
+    // Σ decimal(18,6)² v) per series in (ts, value) order, then the
+    // identical IEEE chain sqrt(max((sq − s²/n)/n, 0)) with NULL for
+    // n = 1 or σ = 0 — bit-equal to the state-store fold by the
+    // ts_zscore recipe
+    "ts_zscore_streamed" ->
+      s"""$Ev
+         |, e2 AS (
+         |  SELECT tag_user || '|' || coalesce(tag_k, '∅') AS series, ts, value
+         |  FROM ev WHERE metric = 'error'
+         |), w AS (
+         |  SELECT series, ts, value,
+         |    COUNT(*) OVER win AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER win AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS sq
+         |  FROM e2
+         |  WINDOW win AS (PARTITION BY series ORDER BY ts, value
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT series, ts, value,
+         |  CASE WHEN n = 1 OR sqrt(greatest((sq - (s * s) / n) / n, 0e0)) = 0e0
+         |       THEN NULL
+         |       ELSE (value - s / n)
+         |         / sqrt(greatest((sq - (s * s) / n) / n, 0e0)) + 0e0
+         |  END AS z
+         |FROM w""".stripMargin,
     // top-5 groups per bucket by aggregate value, (value desc, grp)
     // total order — the dashboard top() modifier
     "ts_topk_series" ->

@@ -151,4 +151,18 @@ class StreamingSeriesStateSpec extends SparkSpec with graft.TimedSpec {
     assert(path2 == path)
     assert(rows(StreamingSeriesState.openStreamed(spark, path)) == opened)
   }
+
+  test("ensureStreamedZ lands the expanding z exactly once; reopen is idempotent") {
+    val path = StreamingSeriesState.ensureStreamedZ(spark, sfDir, "error")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("ts"),
+        r.getAs[Double]("value"),
+        Option(r.getAs[java.lang.Double]("z")).map(_.toDouble))).toSet
+    val opened = rows(StreamingSeriesState.openStreamed(spark, path))
+    val n = spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("event_type") === "error").count()
+    assert(opened.size == n)
+    assert(StreamingSeriesState.ensureStreamedZ(spark, sfDir, "error") == path)
+    assert(rows(StreamingSeriesState.openStreamed(spark, path)) == opened)
+  }
 }
