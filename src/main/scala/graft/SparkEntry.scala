@@ -285,6 +285,17 @@ object SparkEntry {
           length(col("frame")).cast("long").as("n_bytes"),
           md5(col("frame")).as("frame_md5"))
     }),
+    // aspect-preserving thumbnail dims + the stand-in resize kernel's
+    // payload fingerprint, on the per-partition codec loop
+    "mm_resize" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Multimodal
+        .resizeBatch(graft.operators.Multimodal.blobFrame(s, d))
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          col("out_width"), col("out_height"),
+          length(col("out_payload")).cast("long").as("out_bytes"),
+          md5(col("out_payload")).as("out_md5"))
+    }),
   )
 
   // ---- DuckDB oracle SQL ----
@@ -1451,6 +1462,10 @@ object SparkEntry {
     "mm_framesample" ->
       """SELECT doc_id, frame_idx, n_bytes, frame_md5
         |FROM read_parquet('/root/repo/golden/mm_framesample/*.parquet')""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, mime, width, height, out_width, out_height,
+        |       out_bytes, out_md5
+        |FROM read_parquet('/root/repo/golden/mm_resize/*.parquet')""".stripMargin,
     "ann_pq" ->
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_pq/*.parquet')",
     "ann_ivfpq" ->

@@ -134,6 +134,71 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Image resize over binary payloads — the remaining codec-slot op
+    * of the decode / feature-extract / resize / frame-sample family:
+    * per blob, the aspect-preserving target dimensions for a `maxDim`
+    * bounding box (integer arithmetic: `scale = maxDim / max(w, h)`,
+    * floor, min 1 — the thumbnailing contract every image pipeline
+    * runs before embedding) plus the resized payload produced by the
+    * pluggable `resize` kernel on the SAME per-partition batch loop as
+    * [[decodeBatch]] (one codec context per partition, streaming rows,
+    * no driver involvement). Header parsing reuses the byte-level
+    * [[HeaderParser]]; non-image blobs pass through with NULL target
+    * dims and an untouched payload. The default `resize` is a
+    * deterministic stand-in (dimension-seeded byte subsample — no
+    * image libs in this build) that keeps schema, dims math, and batch
+    * shape real and golden-pinned.
+    */
+  def resizeBatch(blobs: DataFrame, maxDim: Int = 64,
+                  resize: (Array[Byte], Int, Int) => Array[Byte] = defaultResize)
+      : DataFrame = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    val spark = blobs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("out_width", IntegerType, nullable = true),
+      StructField("out_height", IntegerType, nullable = true),
+      StructField("out_payload", BinaryType, nullable = false)))
+    val rdd = blobs.select(col("doc_id"), col("payload")).rdd.mapPartitions { rows =>
+      // per-partition setup: codec contexts init here, once
+      rows.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val m = HeaderParser.parse(b)
+        (m.width, m.height) match {
+          case (Some(w), Some(h)) if w >= 1 && h >= 1 =>
+            val big = math.max(w, h)
+            val (ow, oh) =
+              if (big <= maxDim) (w, h)
+              else (math.max(1, w * maxDim / big), math.max(1, h * maxDim / big))
+            org.apache.spark.sql.Row(id, m.mime,
+              Integer.valueOf(w), Integer.valueOf(h),
+              Integer.valueOf(ow), Integer.valueOf(oh), resize(b, ow, oh))
+          case _ =>
+            org.apache.spark.sql.Row(id, m.mime, null, null, null, null, b)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic resize stand-in: `ow·oh` bytes sampled at a fixed
+    * stride from the payload — the byte volume a real thumbnail
+    * decoder would hand back, without the codec.
+    */
+  private def defaultResize(b: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+    val n = math.min(ow * oh, b.length)
+    if (n <= 0) return Array.emptyByteArray
+    val out = new Array[Byte](n)
+    val stride = math.max(1, b.length / n)
+    var i = 0
+    while (i < n) { out(i) = b(math.min(i * stride, b.length - 1)); i += 1 }
+    out
+  }
+
   /** Deterministic stand-in frame iterator: 256-byte chunks of the
     * payload past the 44-byte container header region.
     */

@@ -142,6 +142,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeBatch computes aspect-preserving bounded dims; non-images pass through") {
+    val blobs = Multimodal.blobFrame(spark, sfDir)
+    val out = Multimodal.resizeBatch(blobs, maxDim = 64).cache()
+    assert(out.count() == blobs.count())
+    val imgs = out.where(col("width").isNotNull).collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(ow >= 1 && oh >= 1 && ow <= 64 && oh <= 64,
+        s"dims out of box: $w x $h -> $ow x $oh")
+      if (math.max(w, h) <= 64) assert(ow == w && oh == h)
+      else {
+        val big = math.max(w, h)
+        assert(ow == math.max(1, w * 64 / big) && oh == math.max(1, h * 64 / big))
+      }
+    }
+    // non-images: dims NULL, payload untouched
+    val raw = out.where(col("mime") === "application/octet-stream")
+    assert(raw.count() > 0)
+    assert(raw.where(col("out_width").isNotNull).count() == 0)
+    // deterministic across runs
+    val a = Multimodal.resizeBatch(blobs).orderBy("doc_id").collect()
+    val b = Multimodal.resizeBatch(blobs).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    out.unpersist()
+  }
+
   test("jpeg: synth round-trips through the marker walk; crafted tables terminate") {
     val m = Multimodal.HeaderParser.parse(
       Multimodal.Synth.jpeg(640, 480, "payload".getBytes))
