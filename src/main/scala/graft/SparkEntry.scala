@@ -61,6 +61,7 @@ object SparkEntry {
     "ts_ewma" -> ((s, d) => Db.fromEvents(s, d).ewma("view")),
     "ts_holt" -> ((s, d) => Db.fromEvents(s, d).holt("view")),
     "ts_absent" -> ((s, d) => Db.fromEvents(s, d).absent("purchase", Day)),
+    "ts_mad" -> ((s, d) => Db.fromEvents(s, d).mad("view", "user", Day)),
     "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
     "ts_quantile" -> ((s, d) =>
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
@@ -260,6 +261,7 @@ object SparkEntry {
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
+    "sample_kfold" -> ((s, d) => graft.operators.Sampling.docKfold(s, d)),
     "sample_shuffle" -> ((s, d) => graft.operators.Sampling.shuffleDocs(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
     "sample_mix" -> ((s, d) => graft.operators.Sampling.sourceMix(s, d)),
@@ -514,6 +516,23 @@ object SparkEntry {
     "ts_ingest_avg" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
     // IDENTICAL oracle for the streaming-fed layout round-trip
     "ts_ingest_streamed" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
+    // robust anomaly baseline: median rounded to 6 BEFORE the
+    // deviation pass (engine-identical doubles feed the second
+    // percentile), both interpolations the ts_quantile round-6 recipe
+    "ts_mad" ->
+      s"""$Ev
+         |, p AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start, value
+         |  FROM ev WHERE metric = 'view' AND tag_user IS NOT NULL
+         |), m AS (
+         |  SELECT grp, bucket_start,
+         |         round(quantile_cont(value, 0.5), 6) AS med
+         |  FROM p GROUP BY 1, 2
+         |)
+         |SELECT p.grp, p.bucket_start, m.med, COUNT(*) AS n,
+         |  round(quantile_cont(abs(p.value - m.med), 0.5), 6) AS mad
+         |FROM p JOIN m USING (grp, bucket_start)
+         |GROUP BY 1, 2, 3""".stripMargin,
     "ts_quantile" -> tsAgg("view", "user",
       "round(quantile_cont(value, 0.95), 6) AS value"),
     // per-point z within (group × bucket): exact decimal window sums,
@@ -1648,6 +1667,18 @@ object SparkEntry {
         |WHERE cos >= 0.35""".stripMargin,
 
     // ---- Deterministic sampling / splits ----
+    // k-fold: the same 256 md5 buckets decoded to an int (hex pair via
+    // strpos over '0123456789abcdef' — pure string arithmetic) mod k
+    "sample_kfold" ->
+      """WITH b AS (
+        |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 5 AS BIGINT)
+        |    AS fold
+        |FROM b""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'

@@ -58,6 +58,27 @@ object Sampling {
   def sampleFraction(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.where(bucketBelow(hashBucket(key), fraction))
 
+  /** Deterministic k-fold assignment — the cross-validation sibling of
+    * [[assignSplit]]: `fold = hash_bucket mod k` over the same 256
+    * content-stable md5 buckets, so fold membership is reproducible
+    * across engines/reruns/appends and two jobs agree without
+    * coordination ("train on folds ≠ i" is a predicate, not a
+    * shuffle). Folds are balanced to ±1 bucket out of 256 (exact when
+    * k divides 256); the bucket→int decode is the hex pair parsed
+    * base-16, identical string arithmetic on any engine.
+    */
+  def assignKfold(df: DataFrame, key: Column, k: Int = 5): Column = {
+    require(k >= 2 && k <= 256, "k must be in [2, 256]")
+    (conv(hashBucket(key), 16, 10).cast("int") % k).as("fold")
+  }
+
+  /** documents → (doc_id, fold) assignment (driver entry). */
+  def docKfold(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id"),
+      assignKfold(docs, col("doc_id"), k).cast("long").as("fold"))
+  }
+
   /** Per-ROW weighted deterministic sampling (importance sampling for
     * pretraining corpus shaping — e.g. keep documents with probability
     * equal to their quality score): each row is kept iff its

@@ -157,4 +157,20 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
     assert(out.toSet.subsetOf(docs.toSet))
   }
+
+  test("k-fold assignment is deterministic, complete, balanced, and in range") {
+    val out = Sampling.docKfold(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.size == n)
+    assert(out.values.forall(f => f >= 0 && f < 5))
+    val counts = out.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.size == 5, s"empty fold: $counts")
+    counts.values.foreach(c => assert(math.abs(c - n / 5.0) < n * 0.2,
+      s"fold imbalance: $counts"))
+    // re-run agrees (hash-based, not RNG-based)
+    val again = Sampling.docKfold(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
 }

@@ -450,6 +450,24 @@ class TsdbOpsSpec extends SparkSpec {
     assert(ch == Map(("u", 0L) -> 2L, ("u", day) -> 1L, ("v", 0L) -> 1L))
   }
 
+  test("mad is the median absolute deviation; a single spike can't widen its own band") {
+    val day = 86_400_000_000_000L
+    val d = db(Seq(
+      ("m", 0L, 1.0, "u"), ("m", 10L, 2.0, "u"),
+      ("m", 20L, 3.0, "u"), ("m", 30L, 100.0, "u")))  // the outlier
+    val out = d.mad("m", "user", day).collect().head
+    assert(out.getAs[Double]("med") == 2.5)   // (2+3)/2
+    assert(out.getAs[Double]("mad") == 1.0)   // median of [1.5, .5, .5, 97.5]
+    assert(out.getAs[Long]("n") == 4L)
+    // the σ band the outlier inflates: stddev >> mad here
+    val sd = d.stddev("m", "user").granularity(day).build()
+      .collect().head.getAs[Double]("value")
+    assert(sd > 40.0 && out.getAs[Double]("mad") < 2.0)
+    // join modes agree
+    val sh = d.mad("m", "user", day, broadcastMed = false).collect().head
+    assert(sh.getAs[Double]("mad") == out.getAs[Double]("mad"))
+  }
+
   test("absent emits exactly the dark (series, bucket) pairs over the global span") {
     val day = 86_400_000_000_000L
     val d = db(Seq(
