@@ -79,6 +79,8 @@ object SparkEntry {
     "ts_topk_series" -> ((s, d) =>
       Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildTopK(5)),
     "ts_histogram" -> ((s, d) => Db.fromEvents(s, d).histogram("click", 10.0)),
+    // PromQL count_values: per-bucket census of exact values
+    "ts_count_values" -> ((s, d) => Db.fromEvents(s, d).countValues("signup", Day)),
     "ts_hist_quantile" -> ((s, d) =>
       Db.fromEvents(s, d).histogramQuantile("view", Day, 10.0, 0.95)),
     "ts_topk_movers" -> ((s, d) => Db.fromEvents(s, d).topMovers("click", "user", Day)),
@@ -168,6 +170,7 @@ object SparkEntry {
     "q_topk_window" -> ((s, d) => graft.operators.Analytics.topkPerBrand(s, d)),
     "q4_semijoin" -> ((s, d) => graft.operators.Analytics.q4SemiJoin(s, d)),
     "q17_avg_subquery" -> ((s, d) => graft.operators.Analytics.q17AvgSubquery(s, d)),
+    "q10_returns" -> ((s, d) => graft.operators.Analytics.q10Returns(s, d)),
     "q_anti_join" -> ((s, d) => graft.operators.Analytics.qOrdersNoLineitem(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
     // the same gap-sessionization from the STATEFUL streaming path,
@@ -261,6 +264,7 @@ object SparkEntry {
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
+    "sample_temporal_split" -> ((s, d) => graft.operators.Sampling.temporalSplit(s, d)),
     "sample_kfold" -> ((s, d) => graft.operators.Sampling.docKfold(s, d)),
     "sample_shuffle" -> ((s, d) => graft.operators.Sampling.shuffleDocs(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
@@ -892,6 +896,13 @@ object SparkEntry {
          |SELECT metric, floor(value / 10.0) * 10.0 AS bin_lo, COUNT(*) AS n
          |FROM ev WHERE metric = 'click'
          |GROUP BY 1, 2""".stripMargin,
+    // exact-value census: no arithmetic on the double, so grouping is
+    // bit-stable on both engines by construction
+    "ts_count_values" ->
+      s"""$Ev
+         |SELECT ${bucket(Day)} AS bucket_start, value, COUNT(*) AS n
+         |FROM ev WHERE metric = 'signup'
+         |GROUP BY 1, 2""".stripMargin,
     // PromQL histogram_quantile: per time bucket, linear interpolation
     // inside the first bin whose cumulative count reaches q·total;
     // counts stay integers until ONE final IEEE chain on both engines
@@ -1226,6 +1237,21 @@ object SparkEntry {
         |  JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity < lim
         |GROUP BY 1""".stripMargin,
+    // TPC-H Q10: top-20 customers by returned revenue in a quarter;
+    // (revenue DESC, c_custkey) total order makes the cut deterministic
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     // NOT EXISTS via LEFT ANTI: orders that never shipped anything
     "q_anti_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
@@ -1679,6 +1705,15 @@ object SparkEntry {
         |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 5 AS BIGINT)
         |    AS fold
         |FROM b""".stripMargin,
+    // temporal split: int64-only cut arithmetic (div vs // agree on
+    // positive operands), so the boundary is engine-exact
+    "sample_temporal_split" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts) AS ts FROM events),
+        |b AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM ev)
+        |SELECT event_id, ts,
+        |  CASE WHEN ts < lo + (((hi - lo) * 4) // 5) THEN 'train'
+        |       ELSE 'test' END AS split
+        |FROM ev CROSS JOIN b""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'

@@ -302,6 +302,33 @@ object Analytics {
     * the qualifying SET is engine-identical, and the revenue over it
     * is again a decimal sum.
     */
+  /** TPC-H Q10-flavor returned-item revenue report: which customers
+    * returned the most value in a quarter. Plan shape: the date window
+    * prunes orders FIRST (the selective side), the `l_returnflag = 'R'`
+    * filter prunes lineitem at the scan (both reach PushedFilters), the
+    * orders↔lineitem join shuffles only survivors, nation broadcasts,
+    * and the final top-20 is a TakeOrderedAndProject over the bounded
+    * customer aggregate — no global sort of the fact table anywhere.
+    * Revenue keeps the exact-decimal product chain ([[revTerm]]) until
+    * one final cast, and the (revenue DESC, c_custkey) total order
+    * makes the kept set engine-deterministic.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem").where(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+  }
+
   def q17AvgSubquery(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
     val th = l.groupBy(col("l_partkey").as("t_partkey"))

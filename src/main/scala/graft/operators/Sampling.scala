@@ -96,6 +96,32 @@ object Sampling {
     df.where(weight >= 1.0 ||
       hashBucket(key) < lpad(lower(hex(round(weight * 256, 0).cast("long"))), 2, "0"))
 
+  /** Leakage-free TEMPORAL train/test split over the events stream —
+    * the time-series counterpart of [[assignSplit]]: everything before
+    * the cut goes to `train`, everything at/after to `test`, so the
+    * model never trains on the future. The cut is a fixed fraction of
+    * the observed time range, `lo + (hi-lo)·num/den` in pure int64
+    * arithmetic (no doubles ⇒ no rounding divergence across engines;
+    * `div`/`//` agree on positive operands). The bounds pass is a
+    * min/max aggregate (map-side combined, one exchange of 32 partial
+    * rows); the assignment pass broadcasts the single bounds row — at
+    * 100 TB both passes are scan-bound and a ts-partitioned layout
+    * answers the bounds from partition metadata.
+    */
+  def temporalSplit(spark: SparkSession, dir: String,
+                    trainNum: Long = 4, trainDen: Long = 5): DataFrame = {
+    require(trainDen > 0 && trainNum >= 0 && trainNum <= trainDen,
+      "train fraction must be in [0, 1]")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("event_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"))
+    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("event_id"), col("ts"),
+        when(col("ts") <
+            expr(s"lo + (((hi - lo) * $trainNum) div $trainDen)"), "train")
+          .otherwise("test").as("split"))
+  }
+
   /** documents → (doc_id, split) assignment. */
   def docSplit(spark: SparkSession, dir: String,
                trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {

@@ -162,6 +162,25 @@ final class Db(val frame: DataFrame) {
         (floor(col("value") / lit(width)) * lit(width)).as("bin_lo"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
 
+  /** PromQL `count_values()`: per time bucket, the number of points
+    * carrying each EXACT value — the "how many servers report version
+    * X" / discrete-value census. Grouping on the raw double is
+    * engine-stable (both Spark and any SQL engine group doubles by bit
+    * pattern; no arithmetic happens, so there is no rounding chain to
+    * diverge). One hash aggregate with map-side combine; output rows ∝
+    * buckets × distinct values — for discrete-valued metrics that is
+    * bounded regardless of point volume, which is the reason the PromQL
+    * operator exists (reference: talna has no value census; this is the
+    * Prometheus-side parity surface, prometheus/promql/functions.go
+    * count_values semantics).
+    */
+  def countValues(metric: String, widthNs: Long,
+                  filterExpr: String = "*"): DataFrame =
+    scan(metric, filterExpr)
+      .groupBy((expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"),
+        col("value"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+
   /** Quantile-over-time estimated FROM HISTOGRAM BINS — PromQL
     * `histogram_quantile()`: per `widthNs` time bucket, bin the values
     * at `binWidth`, then linearly interpolate the q-quantile inside the

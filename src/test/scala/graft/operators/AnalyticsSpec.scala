@@ -305,4 +305,32 @@ class AnalyticsSpec extends SparkSpec {
     val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
     assert(anti.agg(sum("n_orders")).head().getLong(0) == total - matched)
   }
+
+  test("q10 top-20 returned-revenue: bounded, ordered, matches a brute recompute") {
+    val out = Analytics.q10Returns(spark, sfDir).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    val revs = out.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)), "not revenue-descending")
+    // brute-force re-derivation of the same quarter via plain SQL
+    spark.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("o10")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").createOrReplaceTempView("l10")
+    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("c10")
+    spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("n10")
+    val brute = spark.sql(
+      """SELECT c_custkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM c10 JOIN o10 ON c_custkey = o_custkey
+        |JOIN l10 ON l_orderkey = o_orderkey
+        |JOIN n10 ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(r => r.getAs[Long]("c_custkey") -> r.getAs[Double]("revenue"))
+      .sameElements(brute))
+    // the top-20 never global-sorts: plan shows TakeOrderedAndProject
+    val plan = Analytics.q10Returns(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
+  }
 }

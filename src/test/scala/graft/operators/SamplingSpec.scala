@@ -173,4 +173,23 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == out)
   }
+
+  test("temporal split is leakage-free: every train ts < every test ts") {
+    val out = Sampling.temporalSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(out.length == n)
+    val train = out.filter(_._3 == "train").map(_._2)
+    val test = out.filter(_._3 == "test").map(_._2)
+    assert(train.nonEmpty && test.nonEmpty)
+    assert(train.max < test.min, "train/test time ranges overlap")
+    // the cut is the 4/5 point of the observed range in int64 arithmetic
+    val lo = out.map(_._2).min; val hi = out.map(_._2).max
+    val cut = lo + ((hi - lo) * 4) / 5
+    assert(train.forall(_ < cut) && test.forall(_ >= cut))
+    // deterministic under re-run
+    val again = Sampling.temporalSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSet == out.toSet)
+  }
 }

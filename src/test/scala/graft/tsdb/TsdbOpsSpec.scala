@@ -614,6 +614,25 @@ class TsdbOpsSpec extends SparkSpec {
     assert(!out.contains("z"))
   }
 
+  test("countValues censuses exact values per bucket; no arithmetic on the value") {
+    val day = Duration.days(1)
+    val d = db(Seq(
+      ("m", 0L, 1.5, "u1"),
+      ("m", 100L, 1.5, "u2"),            // same value, same bucket → n=2
+      ("m", 200L, 2.0, "u1"),
+      ("m", day + 1L, 1.5, "u1"),        // next bucket: its own census
+      ("x", 300L, 1.5, "u1")))           // other metric excluded
+    val out = d.countValues("m", day).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 1.5) -> 2L,
+      (0L, 2.0) -> 1L,
+      (day, 1.5) -> 1L))
+    // -0.0 and 0.0 group separately only if the source carries both bit
+    // patterns; a census never invents values
+    assert(out.keys.map(_._2).toSet == Set(1.5, 2.0))
+  }
+
   test("rollup rejects BOTH quantile kinds up-front (no partials exist for them)") {
     val hour = Duration.hours(1)
     val d = db(Seq(("m", 0L, 1.0, "u")))
