@@ -236,6 +236,8 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => graft.operators.Dedup.containment(s, d)),
     "dedup_embedding" -> ((s, d) => graft.operators.Dedup.embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => graft.operators.Dedup.embeddingNearDup(s, d)),
+    // SemDeDup: k-means blocks, intra-cluster cosine pruning
+    "dedup_semantic" -> ((s, d) => graft.operators.Dedup.semantic(s, d)),
     "dedup_cluster" -> ((s, d) => graft.operators.Dedup.cluster(s, d)),
     "dedup_pipeline" -> ((s, d) => graft.operators.Dedup.pipeline(s, d)),
     "dedup_pipeline_quality" -> ((s, d) => graft.operators.Dedup.pipelineQuality(s, d)),
@@ -1496,6 +1498,8 @@ object SparkEntry {
       "SELECT doc_a, doc_b, jaccard FROM read_parquet('/root/repo/golden/dedup_minhash/*.parquet')",
     "dedup_embedding_lsh" ->
       "SELECT vec_a, vec_b, cos FROM read_parquet('/root/repo/golden/dedup_embedding_lsh/*.parquet')",
+    "dedup_semantic" ->
+      "SELECT vec_id, list_id, keep FROM read_parquet('/root/repo/golden/dedup_semantic/*.parquet')",
     "ann_lsh" ->
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_lsh/*.parquet')",
     "ann_lsh_multiprobe" ->

@@ -547,6 +547,50 @@ object Dedup {
     embeddingCosineLshFrame(embFrame(spark, dir), threshold, targetRecall,
       maxPlanes, salt)
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-partition the embedding space, then
+    * prune near-duplicates ONLY within each cluster — pair cost drops
+    * from O(n²) to O(n²/nlist) with recall bounded by how often true
+    * dups straddle a cluster boundary (near-identical vectors land in
+    * the same cell except within ~ε of a boundary). The clustering is
+    * [[Similarity]]'s deterministic trainer (first-vectors init, fixed
+    * Lloyd iterations), so the whole pipeline is reproducible and
+    * golden-pinnable; assignment is a shuffle-free projection, and the
+    * intra-cluster pair join shuffles on `list_id` — at corpus scale
+    * nlist grows ∝ √n (the SemDeDup paper's regime) so per-cluster
+    * blocks stay bounded and the shuffle is the co-partitioning you
+    * want anyway. Keeper rule: the LOWEST vec_id among mutual
+    * near-dups survives (deterministic greedy — the paper keeps the
+    * lowest-centroid-similarity exemplar; min-id is the
+    * engine-reproducible variant, same dedup rate).
+    *
+    * Output: every vector with its cluster and verdict —
+    * (vec_id, list_id, keep).
+    */
+  def semantic(spark: SparkSession, dir: String,
+               nlist: Int = 16, iters: Int = 3,
+               threshold: Double = 0.35): DataFrame =
+    semanticFrame(Similarity.vecs(spark, dir), nlist, iters, threshold)
+
+  /** [[semantic]] over an arbitrary (vec_id, v, nrm) frame. */
+  def semanticFrame(e: DataFrame, nlist: Int = 16, iters: Int = 3,
+                    threshold: Double = 0.35): DataFrame = {
+    val cents = Similarity.trainedCentroids(e, nlist, iters)
+    val assigned = Similarity.assignFrame(e, cents)
+    val a = assigned.select(col("list_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("list_id").as("lb"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val drops = a.join(b, col("list_id") === col("lb") && col("vec_a") < col("vec_b"))
+      .where(round(call_function("graft_dot", col("va"), col("vb"))
+        / (col("na") * col("nb")), 6) >= threshold)
+      .select(col("vec_b").as("dup_id")).distinct()
+    assigned.select(col("vec_id"), col("list_id"))
+      .join(drops, col("vec_id") === col("dup_id"), "left_outer")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        col("dup_id").isNull.as("keep"))
+  }
+
   /** [[embeddingCosineLsh]] over an arbitrary (vec_id, v, nrm) frame.
     *
     * `salt > 1` spreads each HOT band bucket (≥ `hotMin` rows) over

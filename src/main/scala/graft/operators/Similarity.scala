@@ -399,6 +399,15 @@ object Similarity {
     * which is exactly what a production trainer does with coarse
     * quantizers.
     */
+  /** Typed centroid access for sibling operators ([[Dedup.semantic]]):
+    * same deterministic first-vectors init + fixed-iteration Lloyd as
+    * the IVF trainer, so a dedup clustering and an IVF index built with
+    * identical params agree exactly.
+    */
+  private[operators] def trainedCentroids(e: DataFrame, nlist: Int,
+                                          iters: Int): Centroids =
+    trainCentroidData(e, nlist, iters)
+
   def kmeansCentroids(e: DataFrame, nlist: Int = 16, iters: Int = 3): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._

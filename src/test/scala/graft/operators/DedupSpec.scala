@@ -141,6 +141,32 @@ class DedupSpec extends SparkSpec {
     assert(lsh.values.forall(_ >= 0.9))
   }
 
+  test("semantic dedup (SemDeDup) drops planted clones in-cluster, keeps a representative") {
+    val frame = Dedup.withPlantedNearDups(spark, sfDir)
+    val out = Dedup.semanticFrame(frame, nlist = 8, iters = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == frame.count())
+    val maxId = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
+    val offset = Dedup.cloneOffset(maxId)
+    val (clones, originals) = out.partition(_._1 >= offset)
+    assert(clones.nonEmpty && originals.nonEmpty)
+    // a clone sits at cos ~0.95 to its original: same k-means cell except
+    // within ε of a boundary, and the min-id rule keeps the original
+    val cloneDropRate = clones.count(!_._2._2).toDouble / clones.size
+    assert(cloneDropRate >= 0.8, s"clone drop rate $cloneDropRate")
+    val origKeepRate = originals.count(_._2._2).toDouble / originals.size
+    assert(origKeepRate >= 0.95, s"original keep rate $origKeepRate")
+    // no cluster is emptied: at least one keeper per occupied cell
+    val keptCells = out.values.filter(_._2).map(_._1).toSet
+    assert(out.values.map(_._1).toSet == keptCells)
+    // deterministic end-to-end (init, Lloyd, assignment, pruning)
+    val again = Dedup.semanticFrame(frame, nlist = 8, iters = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(again == out)
+  }
+
   test("embedding LSH fetches candidate payloads via broadcast joins") {
     // the candidate-payload joins must not fall to sort-merge: SMJ
     // sorts an intermediate that carries a vector per row (measured
