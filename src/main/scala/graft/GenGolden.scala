@@ -28,7 +28,7 @@ object GenGolden {
     * originals.
     */
   val names: Seq[String] = Seq(
-    "dedup_simhash", "mm_meta", "mm_framesample", "mm_resize",
+    "dedup_simhash", "mm_meta", "mm_framesample", "mm_resize", "mm_phash",
     "dedup_minhash", "dedup_embedding_lsh", "dedup_semantic",
     "ann_lsh", "ann_lsh_multiprobe", "ann_ivf_kmeans", "ann_pq",
     "ann_ivfpq", "dedup_pipeline")

@@ -171,6 +171,9 @@ object SparkEntry {
     "q4_semijoin" -> ((s, d) => graft.operators.Analytics.q4SemiJoin(s, d)),
     "q17_avg_subquery" -> ((s, d) => graft.operators.Analytics.q17AvgSubquery(s, d)),
     "q10_returns" -> ((s, d) => graft.operators.Analytics.q10Returns(s, d)),
+    // perceptual average-hash fingerprint per blob (image near-dup key)
+    "mm_phash" -> ((s, d) => graft.operators.Multimodal
+      .phashBatch(graft.operators.Multimodal.blobFrame(s, d))),
     "q_anti_join" -> ((s, d) => graft.operators.Analytics.qOrdersNoLineitem(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
     // the same gap-sessionization from the STATEFUL streaming path,
@@ -1500,6 +1503,8 @@ object SparkEntry {
       "SELECT vec_a, vec_b, cos FROM read_parquet('/root/repo/golden/dedup_embedding_lsh/*.parquet')",
     "dedup_semantic" ->
       "SELECT vec_id, list_id, keep FROM read_parquet('/root/repo/golden/dedup_semantic/*.parquet')",
+    "mm_phash" ->
+      "SELECT doc_id, mime, phash FROM read_parquet('/root/repo/golden/mm_phash/*.parquet')",
     "ann_lsh" ->
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_lsh/*.parquet')",
     "ann_lsh_multiprobe" ->

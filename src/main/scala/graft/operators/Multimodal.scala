@@ -185,6 +185,69 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Perceptual average-hash (aHash) over binary payloads — the image
+    * near-dup fingerprint (same contract as pHash libraries: 8×8 luma
+    * grid, bit i = cell i brighter than the grid mean; visually-close
+    * images differ in few bits, so near-dup detection is a Hamming
+    * band join — exactly [[Dedup.simhashPairs]]'s shape on the image
+    * side). Runs on the SAME per-partition batch loop as
+    * [[decodeBatch]] (codec context per partition, streaming rows);
+    * the pluggable `gray` kernel is where a real decoder hands back
+    * grayscale pixels — the default stand-in reads the post-header
+    * payload bytes as the luma plane, keeping grid math, thresholding,
+    * and bit packing real and golden-pinned. Non-image blobs hash
+    * their payload the same way (a fingerprint, not a decode error).
+    *
+    * Output: (doc_id, mime, phash) — 64-bit hash as a long.
+    */
+  def phashBatch(blobs: DataFrame,
+                 gray: Array[Byte] => Array[Byte] = defaultGray): DataFrame = {
+    val spark = blobs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val rdd = blobs.select(col("doc_id"), col("payload")).rdd.mapPartitions { rows =>
+      // per-partition setup: codec contexts init here, once
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        org.apache.spark.sql.Row(r.getLong(0), HeaderParser.parse(b).mime,
+          averageHash(gray(b)))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** aHash bit packing over a luma plane: 64 equal cells, cell mean vs
+    * grid mean, integer accumulation throughout (no float chain to
+    * diverge). Empty planes hash to 0.
+    */
+  private[operators] def averageHash(px: Array[Byte]): Long = {
+    val n = px.length
+    if (n == 0) return 0L
+    val cell = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      // fixed 64-way partition of the plane; c ∈ [0, 63] for every i < n
+      val c = (i.toLong * 64 / n).toInt
+      cell(c) += (px(i) & 0xff); cnt(c) += 1
+      i += 1
+    }
+    var total = 0L
+    var c = 0
+    while (c < 64) { if (cnt(c) > 0) cell(c) = cell(c) * 64 / cnt(c); total += cell(c); c += 1 }
+    // compare cell·64·64 vs total·64 — scaled integers, no division loss
+    var h = 0L
+    c = 0
+    while (c < 64) { if (cell(c) * 64 > total) h |= (1L << c); c += 1 }
+    h
+  }
+
+  /** Stand-in luma plane: the payload past the 44-byte header region. */
+  private def defaultGray(b: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOfRange(b, math.min(44, b.length), b.length)
+
   /** Deterministic resize stand-in: `ow·oh` bytes sampled at a fixed
     * stride from the payload — the byte volume a real thumbnail
     * decoder would hand back, without the codec.

@@ -170,6 +170,31 @@ class MultimodalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("phash: near-identical payloads land within a few bits; distinct ones far apart") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // visually-close = a few corrupted bytes: flip 3 bytes of a 4 KiB plane
+    val base = Array.tabulate[Byte](4096)(i => ((i * 31 + i / 97) & 0xff).toByte)
+    val close = base.clone()
+    close(100) = (close(100) ^ 0x7f).toByte
+    close(2000) = (close(2000) ^ 0x55).toByte
+    close(3999) = (close(3999) ^ 0x2a).toByte
+    val hBase = Multimodal.averageHash(base)
+    assert(ham(hBase, Multimodal.averageHash(close)) <= 3)
+    // a genuinely different plane: expect roughly half the bits to flip
+    val far = Array.tabulate[Byte](4096)(i => ((i * 17 + 123) % 251).toByte)
+    assert(ham(hBase, Multimodal.averageHash(far)) >= 10)
+    // degenerate planes terminate and are deterministic
+    assert(Multimodal.averageHash(Array.emptyByteArray) == 0L)
+    assert(Multimodal.averageHash(Array[Byte](5)) ==
+      Multimodal.averageHash(Array[Byte](5)))
+    // frame path: every blob hashed, stable across runs, mime carried
+    val blobs = Multimodal.blobFrame(spark, sfDir)
+    val out = Multimodal.phashBatch(blobs).orderBy("doc_id").collect()
+    assert(out.length == blobs.count())
+    assert(out.sameElements(Multimodal.phashBatch(blobs).orderBy("doc_id").collect()))
+    assert(out.map(_.getString(1)).toSet.exists(_.startsWith("image/")))
+  }
+
   test("jpeg: synth round-trips through the marker walk; crafted tables terminate") {
     val m = Multimodal.HeaderParser.parse(
       Multimodal.Synth.jpeg(640, 480, "payload".getBytes))
