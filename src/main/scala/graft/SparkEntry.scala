@@ -174,6 +174,8 @@ object SparkEntry {
     // perceptual average-hash fingerprint per blob (image near-dup key)
     "mm_phash" -> ((s, d) => graft.operators.Multimodal
       .phashBatch(graft.operators.Multimodal.blobFrame(s, d))),
+    // image near-dup pairs: banded Hamming join over the phash
+    "mm_phash_pairs" -> ((s, d) => graft.operators.Multimodal.phashPairs(s, d)),
     "q_anti_join" -> ((s, d) => graft.operators.Analytics.qOrdersNoLineitem(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
     // the same gap-sessionization from the STATEFUL streaming path,
@@ -1505,6 +1507,22 @@ object SparkEntry {
       "SELECT vec_id, list_id, keep FROM read_parquet('/root/repo/golden/dedup_semantic/*.parquet')",
     "mm_phash" ->
       "SELECT doc_id, mime, phash FROM read_parquet('/root/repo/golden/mm_phash/*.parquet')",
+    // the pairs re-derive IN DUCKDB from the pinned phash golden: band
+    // agreement + bit-count verify — an independent engine runs the
+    // same banding algebra over the pinned fingerprints
+    "mm_phash_pairs" ->
+      """WITH h AS (SELECT doc_id, phash
+        |  FROM read_parquet('/root/repo/golden/mm_phash/*.parquet')),
+        |banded AS (
+        |  SELECT doc_id, phash, j AS band,
+        |    (phash >> (j * 16)) & 65535 AS band_val
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_val = b.band_val
+        | AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
     "ann_lsh" ->
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_lsh/*.parquet')",
     "ann_lsh_multiprobe" ->

@@ -316,20 +316,33 @@ object Dedup {
     */
   private[graft] def simhashCandFrame(docsDf: DataFrame): DataFrame = {
     GraftFunctions.register(docsDf.sparkSession)
-    val sh = docsDf.select(
+    hammingCandFrame(docsDf.select(
       col("doc_id"),
-      call_function("graft_simhash", split(col("text"), " ")).as("simhash"))
-    val banded = sh.select(
-      col("doc_id"), col("simhash"),
+      call_function("graft_simhash", split(col("text"), " ")).as("simhash")),
+      "doc_id", "simhash")
+  }
+
+  /** Banded Hamming candidates over ANY (id, 64-bit hash) frame — the
+    * fingerprint-agnostic core [[simhashCandFrame]] and
+    * [[Multimodal.phashPairs]] share: 4 × 16-bit band equality is a
+    * COMPLETE candidate generator for Hamming ≤ 3 (pigeonhole: ≤ 3
+    * differing bits can dirty at most 3 of the 4 bands), and verify
+    * cost is one `bit_count` per candidate. Output: (doc_a, doc_b,
+    * hamming) over `idCol`'s values.
+    */
+  private[operators] def hammingCandFrame(hashed: DataFrame, idCol: String,
+                                          hashCol: String): DataFrame = {
+    val banded = hashed.select(
+      col(idCol).as("_id"), col(hashCol).as("_h"),
       posexplode(expr(
-        "transform(sequence(0, 3), j -> (shiftright(simhash, j*16) & 65535))"))
+        s"transform(sequence(0, 3), j -> (shiftright($hashCol, j*16) & 65535))"))
         .as(Seq("band", "band_val")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"),
+        expr("bit_count(a._h ^ b._h)").as("hamming"))
       .distinct()
   }
 

@@ -248,6 +248,25 @@ object Multimodal {
   private def defaultGray(b: Array[Byte]): Array[Byte] =
     java.util.Arrays.copyOfRange(b, math.min(44, b.length), b.length)
 
+  /** Image near-dup pairs by banded Hamming join over [[phashBatch]]
+    * fingerprints — [[Dedup]]'s text-side recipe applied to the image
+    * side (shared [[Dedup.hammingCandFrame]] core: 4 × 16-bit bands are
+    * a complete candidate generator for `hamMax ≤ 3`, one `bit_count`
+    * per candidate to verify). Scales like simhash dedup: candidates ∝
+    * colliding band buckets, never all-pairs; duplicate images (same
+    * source bytes) collide at Hamming 0, near-variants within a few
+    * bits.
+    */
+  def phashPairs(spark: SparkSession, dir: String, hamMax: Int = 3): DataFrame = {
+    require(hamMax >= 0 && hamMax <= 3,
+      "band completeness holds for hamMax <= 3")
+    Dedup.hammingCandFrame(
+      phashBatch(blobFrame(spark, dir)).select(col("doc_id"), col("phash")),
+      "doc_id", "phash")
+      .where(col("hamming") <= hamMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Deterministic resize stand-in: `ow·oh` bytes sampled at a fixed
     * stride from the payload — the byte volume a real thumbnail
     * decoder would hand back, without the codec.

@@ -195,6 +195,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSet.exists(_.startsWith("image/")))
   }
 
+  test("phash pairs: banded join equals the brute-force Hamming<=3 truth") {
+    val hashes = Multimodal.phashBatch(Multimodal.blobFrame(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    // brute-force ground truth over all pairs (local, n is small)
+    val truth = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val got = Multimodal.phashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth, s"banding lost/invented pairs: got ${got.size}, truth ${truth.size}")
+    // planted fingerprints: the band join must surface 0-, 3-, and only
+    // <=3-bit neighbors (payload synth is doc_id-seeded, so the real
+    // corpus rarely collides at this sf — plant the geometry instead)
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    val planted = Seq(
+      1L -> base, 2L -> base,                    // hamming 0
+      3L -> (base ^ 0x7L),                       // hamming 3 vs 1/2
+      4L -> (base ^ 0x0f0fL),                    // hamming 8: excluded
+      5L -> 0x7edcba9876543210L).toDF("doc_id", "phash")
+    val p = graft.operators.Dedup.hammingCandFrame(planted, "doc_id", "phash")
+      .where(col("hamming") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(p == Set((1L, 2L, 0L), (1L, 3L, 3L), (2L, 3L, 3L)), s"got $p")
+  }
+
   test("jpeg: synth round-trips through the marker walk; crafted tables terminate") {
     val m = Multimodal.HeaderParser.parse(
       Multimodal.Synth.jpeg(640, 480, "payload".getBytes))
