@@ -78,6 +78,12 @@ object SparkEntry {
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
     "ts_topk_series" -> ((s, d) =>
       Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildTopK(5)),
+    // PromQL bottomk(): the n smallest series per bucket
+    "ts_bottomk_series" -> ((s, d) =>
+      Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildBottomK(5)),
+    // PromQL subquery max_over_time(rate(m)[1d:]): per-series daily
+    // worst-case rate over the exact ts_rate chain
+    "ts_max_over_rate" -> ((s, d) => Db.fromEvents(s, d).maxOverRate("click", Day)),
     "ts_histogram" -> ((s, d) => Db.fromEvents(s, d).histogram("click", 10.0)),
     // PromQL count_values: per-bucket census of exact values
     "ts_count_values" -> ((s, d) => Db.fromEvents(s, d).countValues("signup", Day)),
@@ -896,6 +902,36 @@ object SparkEntry {
          |    PARTITION BY bucket_start ORDER BY value DESC, grp) AS rnk
          |  FROM a)
          |WHERE rnk <= 5""".stripMargin,
+    // bottomk: the mirror rank, (value asc, grp) total order
+    "ts_bottomk_series" ->
+      s"""$Ev
+         |, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |         COUNT(*) AS n, $SumV
+         |  FROM ev WHERE metric = 'click' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT grp, bucket_start, n, value, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY bucket_start ORDER BY value ASC, grp) AS rnk
+         |  FROM a)
+         |WHERE rnk <= 5""".stripMargin,
+    // subquery max_over_time(rate()): MAX/COUNT over the identical
+    // bit-stable rate chain — no new arithmetic to diverge
+    "ts_max_over_rate" ->
+      s"""$Ev
+         |, r AS (
+         |  SELECT tag_user, tag_k, ts, rate_per_s FROM (
+         |    SELECT tag_user, tag_k, ts,
+         |      lag(ts) OVER w AS prev_ts,
+         |      (value - lag(value) OVER w)
+         |        / ((ts - lag(ts) OVER w) / 1e9) + 0.0 AS rate_per_s
+         |    FROM ev WHERE metric = 'click'
+         |    WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
+         |  ) WHERE prev_ts IS NOT NULL AND prev_ts < ts)
+         |SELECT tag_user, tag_k, ${bucket(Day)} AS bucket_start,
+         |  MAX(rate_per_s) AS max_rate, COUNT(*) AS n
+         |FROM r GROUP BY 1, 2, 3""".stripMargin,
     // fixed-width value bins: the identical floor(value/w)*w IEEE op
     // chain on both engines makes bin boundaries hash-comparable
     "ts_histogram" ->

@@ -148,6 +148,26 @@ final class Db(val frame: DataFrame) {
       .drop("prev_ts", "prev_value")
   }
 
+  /** PromQL subquery shape `max_over_time(rate(m)[w:])`: the
+    * per-series [[rate]] stream re-bucketed at `widthNs` and reduced to
+    * its per-bucket MAX — the "worst-case burst rate per day" triage
+    * line. Composes exactly the ts_rate chain (so every rate value is
+    * the same bit-stable IEEE quotient) and one hash aggregate on
+    * (series, bucket): MAX/COUNT of an identical input set is
+    * engine-deterministic (no -0.0 ambiguity — the rate chain already
+    * canonicalizes signed zeros on both engines). One extra map-side
+    * combined exchange over the rate window's partitioning; output
+    * rows ∝ series × buckets.
+    */
+  def maxOverRate(metric: String, widthNs: Long,
+                  filterExpr: String = "*"): DataFrame =
+    rate(metric, filterExpr)
+      .groupBy(tagColumns.map(col) :+
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"): _*)
+      .agg(
+        org.apache.spark.sql.functions.max(col("rate_per_s")).as("max_rate"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+
   /** Value histogram of a metric: point counts per fixed-width value
     * bin, `bin_lo = floor(value/width)·width` (the identical IEEE op
     * chain is engine-stable, so bins hash-match an external oracle).
@@ -1011,6 +1031,21 @@ final case class AggBuilder(
     require(n >= 1, "n must be >= 1")
     val w = Window.partitionBy(col("bucket_start"))
       .orderBy(col("value").desc, col("grp"))
+    build()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= n)
+  }
+
+  /** PromQL `bottomk()` — [[buildTopK]]'s mirror: the n SMALLEST
+    * aggregate values per bucket, (value asc, grp) total order. Same
+    * plan shape: one bucketed aggregate, then a per-bucket rank over
+    * the bounded group×bucket frame (never the raw points).
+    */
+  def buildBottomK(n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "n must be >= 1")
+    val w = Window.partitionBy(col("bucket_start"))
+      .orderBy(col("value").asc, col("grp"))
     build()
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= n)

@@ -614,6 +614,40 @@ class TsdbOpsSpec extends SparkSpec {
     assert(!out.contains("z"))
   }
 
+  test("bottomk mirrors topk: smallest n per bucket, (value asc, grp) order") {
+    val day = Duration.days(1)
+    val rows = Seq(
+      ("m", 0L, 1.0, "a"), ("m", 1L, 2.0, "b"), ("m", 2L, 9.0, "c"),
+      ("m", day, 5.0, "a"), ("m", day + 1, 4.0, "c"))
+    val d = db(rows)
+    val out = d.sum("m", "user").granularity(day).buildBottomK(2).collect()
+      .map(r => (r.getAs[Long]("bucket_start"), r.getAs[String]("grp"),
+        r.getAs[Long]("rnk"))).toSet
+    assert(out == Set((0L, "a", 1L), (0L, "b", 2L), (day, "c", 1L), (day, "a", 2L)))
+    // top-1 and bottom-1 of a 2-series bucket partition the extremes
+    val top1 = d.sum("m", "user").granularity(day).buildTopK(1).collect()
+      .map(r => r.getAs[Long]("bucket_start") -> r.getAs[String]("grp")).toMap
+    val bot1 = d.sum("m", "user").granularity(day).buildBottomK(1).collect()
+      .map(r => r.getAs[Long]("bucket_start") -> r.getAs[String]("grp")).toMap
+    assert(top1 == Map(0L -> "c", day -> "a") && bot1 == Map(0L -> "a", day -> "c"))
+  }
+
+  test("maxOverRate buckets the rate stream and keeps the per-series burst max") {
+    val day = Duration.days(1)
+    val s = 1_000_000_000L
+    val d = db(Seq(
+      ("m", 0L, 0.0, "u"),
+      ("m", 10 * s, 20.0, "u"),        // rate 2.0, lands in bucket 0
+      ("m", 20 * s, 25.0, "u"),        // rate 0.5, bucket 0
+      ("m", day + 10 * s, 125.0, "u"), // rate vs prev point: 100/(day-20s+10s)
+      ("m", day + 20 * s, 225.0, "u")))// rate 10.0, bucket 1
+    val out = d.maxOverRate("m", day).collect()
+      .map(r => r.getAs[Long]("bucket_start") ->
+        ((r.getAs[Double]("max_rate"), r.getAs[Long]("n")))).toMap
+    assert(out(0L) == ((2.0, 2L)))
+    assert(out(day)._2 == 2L && out(day)._1 == 10.0)
+  }
+
   test("countValues censuses exact values per bucket; no arithmetic on the value") {
     val day = Duration.days(1)
     val d = db(Seq(
