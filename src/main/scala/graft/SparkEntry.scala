@@ -139,6 +139,12 @@ object SparkEntry {
       val path = graft.streaming.StreamingSeriesState.ensureStreamedZ(s, d, "error")
       graft.streaming.StreamingSeriesState.openStreamed(s, path)
     }),
+    // per-point cumulative reset/change counters landed by the stateful
+    // streamed fold; integer-exact vs the batch lag re-derivation
+    "ts_flaps_streamed" -> ((s, d) => {
+      val path = graft.streaming.StreamingSeriesState.ensureStreamedFlaps(s, d, "view")
+      graft.streaming.StreamingSeriesState.openStreamed(s, path)
+    }),
     // per-point z with bucket stats from the hourly PARTIALS broadcast
     // onto the unshuffled point scan; the oracle is ts_zscore's
     // raw-window SQL — the hash match proves the partial path exact
@@ -887,6 +893,29 @@ object SparkEntry {
          |         / sqrt(greatest((sq - (s * s) / n) / n, 0e0)) + 0e0
          |  END AS z
          |FROM w""".stripMargin,
+    // streamed flap counters: lag pair indicators (strict-Δt pairing,
+    // duplicate-ts arrivals pair nothing) + running integer sums — the
+    // batch re-derivation of the stateful fold, exact by construction
+    "ts_flaps_streamed" ->
+      s"""$Ev
+         |, e2 AS (
+         |  SELECT tag_user || '|' || coalesce(tag_k, '∅') AS series, ts, value
+         |  FROM ev WHERE metric = 'view'
+         |), d AS (
+         |  SELECT series, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NOT NULL AND lag(ts) OVER w < ts
+         |              AND value < lag(value) OVER w THEN 1 ELSE 0 END AS is_reset,
+         |    CASE WHEN lag(ts) OVER w IS NOT NULL AND lag(ts) OVER w < ts
+         |              AND value <> lag(value) OVER w THEN 1 ELSE 0 END AS is_change
+         |  FROM e2
+         |  WINDOW w AS (PARTITION BY series ORDER BY ts, value)
+         |)
+         |SELECT series, ts, value,
+         |  CAST(SUM(is_reset) OVER c AS BIGINT) AS resets,
+         |  CAST(SUM(is_change) OVER c AS BIGINT) AS changes
+         |FROM d
+         |WINDOW c AS (PARTITION BY series ORDER BY ts, value
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     // top-5 groups per bucket by aggregate value, (value desc, grp)
     // total order — the dashboard top() modifier
     "ts_topk_series" ->

@@ -179,6 +179,56 @@ object StreamingSeriesState {
         graft.tsdb.Db.tsNs(events.schema).as("ts"),
         col("value")))
 
+  /** [[enrichFlaps]] over the raw events file stream for one metric —
+    * the same series key construction as [[enrichEvents]].
+    */
+  def enrichFlapsEvents(events: DataFrame, metric: String): Dataset[FOut] =
+    enrichFlaps(events
+      .where(col("event_type") === metric)
+      .select(
+        concat_ws("|", col("user_id").cast("string"),
+          coalesce(nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1),
+            lit("")), lit("∅"))).as("series"),
+        graft.tsdb.Db.tsNs(events.schema).as("ts"),
+        col("value")))
+
+  /** Drain the events table through the [[enrichFlaps]] counter fold
+    * once (content-fingerprint-keyed, batch-id-staged, `_DONE`-guarded
+    * — the [[ensureStreamedZ]] recipe). Every point lands with the
+    * cumulative reset/change counters its per-series history implied
+    * at arrival; the counters are integers, so the driver oracle's
+    * batch re-derivation (lag pair indicators + running sums) must
+    * match EXACTLY — any state-store mis-fold shows as an off-by-one.
+    */
+  def ensureStreamedFlaps(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String, metric: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
+    val path = s"$base/graft_flaps_streamed_${metric}_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      val evPath = Paths.get(s"$sfDir/events.parquet").toAbsolutePath.normalize()
+      val landing = Paths.get(s"$path.landing")
+      Files.createDirectories(landing)
+      val link = landing.resolve("events.parquet")
+      if (!Files.exists(link)) Files.createSymbolicLink(link, evPath)
+      val schema = spark.read.parquet(landing.toString).schema
+      val stream = spark.readStream.schema(schema).parquet(landing.toString)
+      val q = enrichFlapsEvents(stream, metric).writeStream
+        .foreachBatch { (batch: Dataset[FOut], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }
+        .option("checkpointLocation", s"$path.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      StreamAwait.drain(q)
+      Files.createFile(done)
+    }
+    path
+  }
+
   /** Drain the events table through the [[enrichZ]] expanding-stats
     * fold once (same content-fingerprint-keyed, batch-id-staged,
     * `_DONE`-guarded recipe as [[ensureStreamed]]). Every point lands
