@@ -183,6 +183,7 @@ object SparkEntry {
     "q4_semijoin" -> ((s, d) => graft.operators.Analytics.q4SemiJoin(s, d)),
     "q17_avg_subquery" -> ((s, d) => graft.operators.Analytics.q17AvgSubquery(s, d)),
     "q10_returns" -> ((s, d) => graft.operators.Analytics.q10Returns(s, d)),
+    "q18_large_volume" -> ((s, d) => graft.operators.Analytics.q18LargeVolume(s, d)),
     // perceptual average-hash fingerprint per blob (image near-dup key)
     "mm_phash" -> ((s, d) => graft.operators.Multimodal
       .phashBatch(graft.operators.Multimodal.blobFrame(s, d))),
@@ -1324,6 +1325,21 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // TPC-H Q18: HAVING-qualified order set applied semi-join-first;
+    // top-100 on the (o_totalprice DESC, o_orderkey) total order
+    "q18_large_volume" ->
+      """WITH q AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250.0
+        |)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN q ON o_orderkey = q.l_orderkey
+        |JOIN lineitem ON o_orderkey = lineitem.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     // NOT EXISTS via LEFT ANTI: orders that never shipped anything
     "q_anti_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -306,6 +306,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(anti.agg(sum("n_orders")).head().getLong(0) == total - matched)
   }
 
+  test("q18 keeps exactly the HAVING-qualified orders, semi-join before the wide joins") {
+    val out = Analytics.q18LargeVolume(spark, sfDir).collect()
+    assert(out.length <= 100)
+    // every output order crosses the threshold, per a brute recompute
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val qty = li.groupBy("l_orderkey")
+      .agg(sum(expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ok = r.getAs[Long]("o_orderkey")
+      assert(qty(ok) > 250.0, s"order $ok qty ${qty(ok)} below threshold")
+      assert(r.getAs[Double]("sum_qty") == qty(ok))
+    }
+    // plan: LEFT SEMI on the qualifying set, top-100 never global-sorts
+    val plan = Analytics.q18LargeVolume(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no LeftSemi in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
+  }
+
   test("q10 top-20 returned-revenue: bounded, ordered, matches a brute recompute") {
     val out = Analytics.q10Returns(spark, sfDir).collect()
     assert(out.length <= 20 && out.nonEmpty)
