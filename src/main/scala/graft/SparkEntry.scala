@@ -273,6 +273,8 @@ object SparkEntry {
     // streamed index indistinguishable from the batch build
     "ann_ivf_streamed" -> ((s, d) => graft.operators.Similarity.ivfStreamedTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => graft.operators.Similarity.ivfKmeansTopK(s, d)),
+    // per-cell population + cosine-to-centroid spread diagnostics
+    "ann_cluster_stats" -> ((s, d) => graft.operators.Similarity.clusterStats(s, d)),
     "ann_filtered" -> ((s, d) => graft.operators.Similarity.filteredTopK(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.Similarity.pqTopK(s, d)),
     "ann_ivfpq" -> ((s, d) => graft.operators.Similarity.ivfPqTopK(s, d)),
@@ -1610,6 +1612,8 @@ object SparkEntry {
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_lsh_multiprobe/*.parquet')",
     "ann_ivf_kmeans" ->
       "SELECT q_id, vec_id, cos, rnk FROM read_parquet('/root/repo/golden/ann_ivf_kmeans/*.parquet')",
+    "ann_cluster_stats" ->
+      "SELECT list_id, n, mean_cos, min_cos, max_cos FROM read_parquet('/root/repo/golden/ann_cluster_stats/*.parquet')",
     "dedup_pipeline" ->
       "SELECT doc_id, cluster_size FROM read_parquet('/root/repo/golden/dedup_pipeline/*.parquet')",
     "mm_framesample" ->

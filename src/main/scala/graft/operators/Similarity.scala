@@ -408,6 +408,33 @@ object Similarity {
                                           iters: Int): Centroids =
     trainCentroidData(e, nlist, iters)
 
+  /** Cluster-quality diagnostics over the deterministic k-means cells —
+    * what an operator reads BEFORE trusting IVF probe costs or SemDeDup
+    * pruning at scale: per cell, its population and the
+    * cosine-to-centroid spread (mean/min/max of each member's cosine to
+    * its assigned centroid). A skewed `n` distribution predicts probe
+    * stragglers; a low mean predicts poor intra-cell dedup recall. One
+    * scan + one bounded aggregate (output = nlist rows); the mean rides
+    * an exact DECIMAL sum of the already-rounded per-row cosines, so
+    * the whole frame is engine-stable and golden-pinnable.
+    */
+  def clusterStats(spark: SparkSession, dir: String,
+                   nlist: Int = 16, iters: Int = 3): DataFrame = {
+    val e = vecs(spark, dir)
+    val data = trainCentroidData(e, nlist, iters)
+    e.withColumn("cc", centScores(data, rounded = true))
+      .select(nearestCentroid(data, col("cc")).as("list_id"),
+        array_max(col("cc")).as("cos"))
+      .groupBy(col("list_id"))
+      .agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        round(org.apache.spark.sql.functions.sum(col("cos").cast("decimal(18,6)"))
+          .cast("double") / org.apache.spark.sql.functions.count(lit(1)), 6)
+          .as("mean_cos"),
+        org.apache.spark.sql.functions.min(col("cos")).as("min_cos"),
+        org.apache.spark.sql.functions.max(col("cos")).as("max_cos"))
+  }
+
   def kmeansCentroids(e: DataFrame, nlist: Int = 16, iters: Int = 3): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._

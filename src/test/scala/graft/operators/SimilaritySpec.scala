@@ -408,4 +408,24 @@ class SimilaritySpec extends SparkSpec {
       "a pure neighborhood must vote the true label")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("clusterStats: populations cover the corpus, cosine spread is sane, deterministic") {
+    val stats = Similarity.clusterStats(spark, sfDir, nlist = 8, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(stats.values.map(_._1).sum == corpus, "cell populations must partition the corpus")
+    stats.values.foreach { case (n, mean, lo, hi) =>
+      assert(n > 0)
+      assert(lo <= mean + 1e-6 && mean <= hi + 1e-6, s"spread violated: $lo $mean $hi")
+      assert(lo >= -1.000001 && hi <= 1.000001)
+    }
+    // a member's cosine to its OWN centroid should usually beat random:
+    // the per-cell max must be positive for every cell
+    assert(stats.values.forall(_._4 > 0))
+    val again = Similarity.clusterStats(spark, sfDir, nlist = 8, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(again == stats)
+  }
 }
