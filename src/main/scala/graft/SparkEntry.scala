@@ -96,6 +96,9 @@ object SparkEntry {
     // per-group daily buckets PLUS the all-groups margin in one Expand
     "ts_grouping_sets" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildWithMargin()),
+    // day-of-week seasonal baseline: bounded groups × 7 output
+    "ts_seasonal" -> ((s, d) =>
+      Db.fromEvents(s, d).avg("view", "user").buildSeasonal()),
     "ts_resets" -> ((s, d) => Db.fromEvents(s, d).resets("click", Day)),
     "ts_changes" -> ((s, d) => Db.fromEvents(s, d).changes("view", Day)),
     "ts_deriv" -> ((s, d) => Db.fromEvents(s, d).deriv("view", Day)),
@@ -287,6 +290,7 @@ object SparkEntry {
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
     "sample_temporal_split" -> ((s, d) => graft.operators.Sampling.temporalSplit(s, d)),
+    "sample_curriculum" -> ((s, d) => graft.operators.Sampling.curriculum(s, d)),
     "sample_kfold" -> ((s, d) => graft.operators.Sampling.docKfold(s, d)),
     "sample_shuffle" -> ((s, d) => graft.operators.Sampling.shuffleDocs(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
@@ -667,6 +671,14 @@ object SparkEntry {
     // counter resets (PromQL resets()): consecutive-pair value DROPS per
     // (series, bucket of the later point); integer outputs, same
     // (ts, value) pair ordering and strict Δt>0 filter as ts_increase
+    // day-of-week profile: ((ts // 1d) + 4) % 7, 0 = Sunday — int64
+    // bucket math and the shared exact-decimal AVG chain
+    "ts_seasonal" ->
+      s"""$Ev
+         |SELECT tag_user AS grp, ((ts // ${Day}) + 4) % 7 AS dow,
+         |  COUNT(*) AS n, $AvgV
+         |FROM ev WHERE metric = 'view' AND tag_user IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
     "ts_resets" ->
       s"""$Ev
          |, d AS (
@@ -1817,6 +1829,20 @@ object SparkEntry {
         |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 5 AS BIGINT)
         |    AS fold
         |FROM b""".stripMargin,
+    // curriculum: tier = least(floor(score*4), 3) over the shared
+    // quality chain; within-cell md5 shuffle — same hv/doc_id rank as
+    // sample_shuffle, partitioned by (tier, shard)
+    "sample_curriculum" ->
+      s"""WITH q AS ($TextQualitySql),
+         |b AS (
+         |  SELECT doc_id, quality_score,
+         |    CAST(least(floor(quality_score * 4), 3) AS BIGINT) AS tier,
+         |    md5(CAST(doc_id AS VARCHAR) || '#graft') AS hv
+         |  FROM q)
+         |SELECT doc_id, quality_score, tier, substring(hv, 1, 1) AS shard,
+         |  row_number() OVER (PARTITION BY tier, substring(hv, 1, 1)
+         |    ORDER BY hv, doc_id) AS pos
+         |FROM b""".stripMargin,
     // temporal split: int64-only cut arithmetic (div vs // agree on
     // positive operands), so the boundary is engine-exact
     "sample_temporal_split" ->

@@ -241,6 +241,33 @@ object Sampling {
   def shuffleDocs(spark: SparkSession, dir: String): DataFrame =
     shuffleOrder(spark.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
 
+  /** Quality-tiered CURRICULUM order — corpus shaping for staged
+    * pretraining: every document gets a quality tier
+    * (`least(floor(score·tiers), tiers-1)`, an identical IEEE chain on
+    * any engine over the engine-stable quality score) and the
+    * deterministic md5 shuffle WITHIN its (tier, shard) cell. The
+    * global training order is the lexicographic (tier DESC, shard,
+    * pos) — computable per row plus a bounded per-cell rank; no global
+    * sort ever happens, and appends never reshuffle existing rows
+    * (the [[shuffleOrder]] contract, tiered).
+    */
+  def curriculum(spark: SparkSession, dir: String, tiers: Int = 4): DataFrame = {
+    require(tiers >= 2 && tiers <= 256, "tiers must be in [2, 256]")
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val h = md5(concat(col("doc_id").cast("string"), lit("#graft")))
+    val w = Window.partitionBy(col("tier"), col("shard"))
+      .orderBy(col("hv"), col("doc_id"))
+    q.withColumn("tier",
+        least(floor(col("quality_score") * tiers), lit(tiers - 1)).cast("long"))
+      .withColumn("hv", h)
+      .withColumn("shard", substring(col("hv"), 1, 1))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("quality_score"), col("tier"),
+        col("shard"), col("pos"))
+  }
+
   /** Stratified deterministic top-`perLabel` sample of `embeddings` per
     * label: rows ranked inside each label by (hash, id) — a content-
     * stable shuffle — and the first `perLabel` kept. One shuffle on the

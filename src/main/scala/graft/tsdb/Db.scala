@@ -976,6 +976,23 @@ final case class AggBuilder(
     base.groupBy(grpCol.as("grp"), bucketStart).agg(count(lit(1)).as("n"), aggValueCol)
   }
 
+  /** Day-of-week seasonal profile — the `day_wise` baseline a weekly
+    * dashboard overlays: the same exact-decimal aggregate chain as
+    * [[build]], keyed by (group, day-of-week) instead of (group,
+    * bucket). `dow = ((ts div 1d) + 4) % 7` with 0 = Sunday (epoch day
+    * 0 was a Thursday) — pure int64 arithmetic, identical on any
+    * engine. Output is bounded at groups × 7 rows no matter the point
+    * volume; one map-side-combined exchange.
+    */
+  def buildSeasonal(): DataFrame = {
+    val grpCol = db.tagCol(groupBy)
+    val dayNs = Duration.days(1)
+    val base = db.scan(metric, filterExpr, minTs, maxTs)
+      .where(grpCol.isNotNull)
+    val dow = ((expr(s"ts div ${dayNs}L") + lit(4L)) % lit(7L)).as("dow")
+    base.groupBy(grpCol.as("grp"), dow).agg(count(lit(1)).as("n"), aggValueCol)
+  }
+
   /** Like [[build]], also emitting the per-bucket margin across ALL
     * groups in the SAME pass — GROUPING SETS ((grp, bucket), (bucket))
     * — the "per-host series plus the fleet-wide line" dashboard query.

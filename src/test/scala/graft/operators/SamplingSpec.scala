@@ -174,6 +174,27 @@ class SamplingSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("curriculum tiers partition the corpus by quality; in-cell order is the md5 shuffle") {
+    val out = Sampling.curriculum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.length == n)
+    // tier is the quality band: floor(score*4) clamped to 3
+    out.foreach { case (id, score, tier, _, _) =>
+      val expect = math.min(math.floor(score * 4).toLong, 3L)
+      assert(tier == expect, s"doc $id score $score tier $tier != $expect")
+    }
+    // positions are a clean 1..k ranking inside every (tier, shard) cell
+    out.groupBy(t => (t._3, t._4)).foreach { case (cell, rows) =>
+      assert(rows.map(_._5).sorted.sameElements(1L to rows.length),
+        s"cell $cell has gapped positions")
+    }
+    // deterministic under re-run
+    assert(Sampling.curriculum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSet ==
+      out.map(t => (t._1, t._5)).toSet)
+  }
+
   test("temporal split is leakage-free: every train ts < every test ts") {
     val out = Sampling.temporalSplit(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

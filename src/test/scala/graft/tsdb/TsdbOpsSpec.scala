@@ -614,6 +614,23 @@ class TsdbOpsSpec extends SparkSpec {
     assert(!out.contains("z"))
   }
 
+  test("seasonal profile folds weeks onto day-of-week; epoch day 0 is Thursday") {
+    val day = Duration.days(1)
+    val week = Duration.days(7)
+    val d = db(Seq(
+      ("m", 0L, 10.0, "u"),             // Thursday (dow 4)
+      ("m", week + 1L, 20.0, "u"),      // Thursday again, one week later
+      ("m", 3 * day, 5.0, "u"),         // Sunday (dow 0)
+      ("m", 4 * day, 7.0, "v")))        // Monday (dow 1), other series
+    val out = d.avg("m", "user").buildSeasonal().collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("dow")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("value")))).toMap
+    assert(out == Map(
+      ("u", 4L) -> ((2L, 15.0)),
+      ("u", 0L) -> ((1L, 5.0)),
+      ("v", 1L) -> ((1L, 7.0))))
+  }
+
   test("bottomk mirrors topk: smallest n per bucket, (value asc, grp) order") {
     val day = Duration.days(1)
     val rows = Seq(
