@@ -187,7 +187,12 @@ object Bench {
     // round-8 events analytics: user-sized reduce shapes (funnel chain,
     // bounded-explode DAU/WAU, session_window single aggregate) whose
     // ratios evidence the "users, never events" scaling claim
-    "q_active_users", "q_funnel_steps", "q_session_window")
+    "q_active_users", "q_funnel_steps", "q_session_window",
+    // second-continuation additions: SemDeDup's intra-cell pair join
+    // (O(n²/nlist) — the ratio evidences the cell-blocking claim),
+    // the banded phash pair join (simhash's curve on the image side),
+    // and the two new TPC-H join shapes
+    "dedup_semantic", "mm_phash_pairs", "q10_returns", "q18_large_volume")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
