@@ -99,6 +99,8 @@ object SparkEntry {
     // day-of-week seasonal baseline: bounded groups × 7 output
     "ts_seasonal" -> ((s, d) =>
       Db.fromEvents(s, d).avg("view", "user").buildSeasonal()),
+    // gauge delta: last - first per (series × bucket), no extrapolation
+    "ts_delta" -> ((s, d) => Db.fromEvents(s, d).delta("error", Day)),
     "ts_resets" -> ((s, d) => Db.fromEvents(s, d).resets("click", Day)),
     "ts_changes" -> ((s, d) => Db.fromEvents(s, d).changes("view", Day)),
     "ts_deriv" -> ((s, d) => Db.fromEvents(s, d).deriv("view", Day)),
@@ -671,6 +673,27 @@ object SparkEntry {
     // counter resets (PromQL resets()): consecutive-pair value DROPS per
     // (series, bucket of the later point); integer outputs, same
     // (ts, value) pair ordering and strict Δt>0 filter as ts_increase
+    // gauge delta: endpoint values picked by the same (ts, value)
+    // total-order ranks on both engines; raw-double subtraction
+    "ts_delta" ->
+      s"""$Ev
+         |, b AS (
+         |  SELECT metric, tag_user, tag_k, ts, value,
+         |    ${bucket(Day)} AS bucket_start
+         |  FROM ev WHERE metric = 'error'
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY tag_user, tag_k, bucket_start
+         |      ORDER BY ts ASC, value ASC) AS rn_a,
+         |    row_number() OVER (PARTITION BY tag_user, tag_k, bucket_start
+         |      ORDER BY ts DESC, value DESC) AS rn_d
+         |  FROM b
+         |)
+         |SELECT metric, tag_user, tag_k, bucket_start,
+         |  MAX(CASE WHEN rn_d = 1 THEN value END)
+         |    - MAX(CASE WHEN rn_a = 1 THEN value END) + 0.0 AS delta,
+         |  COUNT(*) AS n
+         |FROM r GROUP BY 1, 2, 3, 4""".stripMargin,
     // day-of-week profile: ((ts // 1d) + 4) % 7, 0 = Sunday — int64
     // bucket math and the shared exact-decimal AVG chain
     "ts_seasonal" ->

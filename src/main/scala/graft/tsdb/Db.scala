@@ -148,6 +148,37 @@ final class Db(val frame: DataFrame) {
       .drop("prev_ts", "prev_value")
   }
 
+  /** Gauge delta per (series × bucket) — Datadog `diff`-style
+    * last-minus-first (PromQL `delta()` without the extrapolation
+    * term, which assumes scrape-interval regularity this store does
+    * not): the bucket's value at its (ts, value)-max point minus the
+    * value at its (ts, value)-min point, `+ 0.0` signed-zero
+    * canonicalized. Both endpoint ranks ride ONE series+bucket
+    * partitioning (the irate recipe — the exchange is reused, two
+    * sorts), then a conditional aggregate collapses each bucket; a
+    * single-point bucket reports delta 0 (its first IS its last).
+    * Subtraction of two raw doubles is engine-stable; no rounding.
+    */
+  def delta(metric: String, widthNs: Long,
+            filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = scan(metric, filterExpr)
+      .withColumn("bucket_start", expr(s"ts div ${widthNs}L") * lit(widthNs))
+    val part = Window.partitionBy(tagColumns.map(col) :+ col("bucket_start"): _*)
+    val asc = part.orderBy(col("ts").asc, col("value").asc)
+    val desc = part.orderBy(col("ts").desc, col("value").desc)
+    bucketed
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("metric") +: tagColumns.map(col) :+ col("bucket_start"): _*)
+      .agg(
+        (org.apache.spark.sql.functions.max(
+          when(col("rn_d") === 1, col("value")))
+          - org.apache.spark.sql.functions.max(
+            when(col("rn_a") === 1, col("value"))) + lit(0.0)).as("delta"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+  }
+
   /** PromQL subquery shape `max_over_time(rate(m)[w:])`: the
     * per-series [[rate]] stream re-bucketed at `widthNs` and reduced to
     * its per-bucket MAX — the "worst-case burst rate per day" triage

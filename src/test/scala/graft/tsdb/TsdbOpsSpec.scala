@@ -614,6 +614,24 @@ class TsdbOpsSpec extends SparkSpec {
     assert(!out.contains("z"))
   }
 
+  test("delta is last-minus-first per bucket; singleton buckets report 0") {
+    val day = Duration.days(1)
+    val d = db(Seq(
+      ("m", 0L, 10.0, "u"),
+      ("m", 100L, 3.0, "u"),
+      ("m", 200L, 7.5, "u"),            // bucket 0: 7.5 - 10.0 = -2.5
+      ("m", day + 5L, 4.0, "u"),        // singleton: 0.0
+      ("m", 0L, 1.0, "v"),
+      ("m", 0L, 9.0, "v")))             // same-ts pair: (ts,value) order → 9 - 1
+    val out = d.delta("m", day).collect()
+      .map(r => (r.getAs[String]("tag_user"), r.getAs[Long]("bucket_start")) ->
+        ((r.getAs[Double]("delta"), r.getAs[Long]("n")))).toMap
+    assert(out == Map(
+      ("u", 0L) -> ((-2.5, 3L)),
+      ("u", day) -> ((0.0, 1L)),
+      ("v", 0L) -> ((8.0, 2L))))
+  }
+
   test("seasonal profile folds weeks onto day-of-week; epoch day 0 is Thursday") {
     val day = Duration.days(1)
     val week = Duration.days(7)
