@@ -101,6 +101,9 @@ object SparkEntry {
       Db.fromEvents(s, d).avg("view", "user").buildSeasonal()),
     // gauge delta: last - first per (series × bucket), no extrapolation
     "ts_delta" -> ((s, d) => Db.fromEvents(s, d).delta("error", Day)),
+    // additive Holt-Winters over daily bucket totals, 7-slot seasonal
+    "ts_holt_winters" -> ((s, d) =>
+      Db.fromEvents(s, d).holtWinters("purchase", "user", Day)),
     "ts_resets" -> ((s, d) => Db.fromEvents(s, d).resets("click", Day)),
     "ts_changes" -> ((s, d) => Db.fromEvents(s, d).changes("view", Day)),
     "ts_deriv" -> ((s, d) => Db.fromEvents(s, d).deriv("view", Day)),
@@ -673,6 +676,48 @@ object SparkEntry {
     // counter resets (PromQL resets()): consecutive-pair value DROPS per
     // (series, bucket of the later point); integer outputs, same
     // (ts, value) pair ordering and strict Δt>0 filter as ts_increase
+    // additive Holt-Winters: a per-group RECURSIVE step fold threading
+    // (s, b, rotating 7-slot seasonal queue) — the queue head is always
+    // the current index's slot, so no index arithmetic exists to
+    // diverge; every constant e-notation, 1−α/β/γ COMPUTED. (A
+    // list_reduce struct fold is NOT usable here: DuckDB evaluates
+    // struct_pack fields against a partially-overwritten accumulator —
+    // measured field-order-dependent results — so the oracle uses the
+    // recursive CTE pattern dedup_cluster already established.)
+    "ts_holt_winters" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT event_type AS metric, epoch_ns(ts) AS ts, value,
+         |         CAST(user_id AS VARCHAR) AS tag_user
+         |  FROM events
+         |), a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start, $SumV
+         |  FROM ev WHERE metric = 'purchase' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), seq AS (
+         |  SELECT grp, bucket_start, value,
+         |    row_number() OVER (PARTITION BY grp ORDER BY bucket_start) - 1 AS idx
+         |  FROM a
+         |), rec AS (
+         |  SELECT grp, idx, bucket_start, value,
+         |    CAST(value AS DOUBLE) AS s, 0.0e0 AS b,
+         |    [0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0] AS c,
+         |    CAST(value AS DOUBLE) + 0.0e0 AS fit
+         |  FROM seq WHERE idx = 0
+         |  UNION ALL
+         |  SELECT grp, idx, bucket_start, value, s_new,
+         |    0.1e0 * (s_new - s_old) + (1.0e0 - 0.1e0) * b_old,
+         |    list_concat(c_old[2:7],
+         |      [0.2e0 * (value - s_new) + (1.0e0 - 0.2e0) * c1_old]),
+         |    s_new + c1_old
+         |  FROM (
+         |    SELECT q.grp, q.idx, q.bucket_start, q.value,
+         |      h.s AS s_old, h.b AS b_old, h.c AS c_old, h.c[1] AS c1_old,
+         |      0.3e0 * (q.value - h.c[1])
+         |        + (1.0e0 - 0.3e0) * (h.s + h.b) AS s_new
+         |    FROM rec h JOIN seq q ON q.grp = h.grp AND q.idx = h.idx + 1
+         |  )
+         |)
+         |SELECT grp, bucket_start, value, fit AS hw FROM rec""".stripMargin,
     // gauge delta: endpoint values picked by the same (ts, value)
     // total-order ranks on both engines; raw-double subtraction
     "ts_delta" ->

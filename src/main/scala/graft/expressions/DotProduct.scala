@@ -216,6 +216,23 @@ object GraftFunctions {
             s"graft_holt: alpha/beta must be double literals, got $other")
         }
       }),
+    (FunctionIdentifier("graft_holtwinters"),
+      new ExpressionInfo(classOf[HoltWintersFold].getName, "graft_holtwinters"),
+      (cs: Seq[Expression]) => {
+        arity("graft_holtwinters", 5, cs)
+        (cs(1), cs(2), cs(3), cs(4)) match {
+          case (a, b, g, p) if a.foldable && a.dataType == DoubleType &&
+              b.foldable && b.dataType == DoubleType &&
+              g.foldable && g.dataType == DoubleType &&
+              p.foldable && p.dataType == IntegerType =>
+            HoltWintersFold(cs.head, a.eval(null).asInstanceOf[Double],
+              b.eval(null).asInstanceOf[Double],
+              g.eval(null).asInstanceOf[Double],
+              p.eval(null).asInstanceOf[Int])
+          case other => throw new IllegalArgumentException(
+            s"graft_holtwinters: alpha/beta/gamma must be double literals and period an int literal, got $other")
+        }
+      }),
     (FunctionIdentifier("graft_mm_synth"),
       new ExpressionInfo(classOf[MmSynthPayload].getName, "graft_mm_synth"),
       (cs: Seq[Expression]) => { arity("graft_mm_synth", 2, cs); MmSynthPayload(cs.head, cs(1)) }),

@@ -135,6 +135,38 @@ case class HoltFold(child: Expression, alpha: Double, beta: Double)
     copy(child = newChild)
 }
 
+/** Running per-point additive Holt-Winters (level + trend +
+  * index-periodic seasonal) over a (ts, value)-struct array sorted by
+  * (ts, value) — see [[NativeKernels.holtWinters]]. All smoothing
+  * constants and the period are build-time literals so the generated
+  * code stays one static call.
+  */
+case class HoltWintersFold(child: Expression, alpha: Double, beta: Double,
+                           gamma: Double, period: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+        s.fields(1).dataType == DoubleType &&
+        alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1 &&
+        gamma > 0 && gamma <= 1 && period >= 2 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      "graft_holtwinters expects (array<struct<_, value double>>, " +
+        s"alpha/beta/gamma in (0,1], period >= 2), got $t")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    NativeKernels.holtWinters(arr.asInstanceOf[ArrayData], alpha, beta, gamma, period)
+
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.NativeKernels.holtWinters($c, ${alpha}D, ${beta}D, ${gamma}D, $period)"
+
+  override protected def withNewChildInternal(newChild: Expression): HoltWintersFold =
+    copy(child = newChild)
+}
+
 /** Product-quantization encode of a vector column into one packed long
   * (m × 4-bit codes, 16 codewords per subspace) — see
   * [[NativeKernels.pqEncode]]. The codebook matrix is plan state, held

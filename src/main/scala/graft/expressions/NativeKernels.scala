@@ -119,6 +119,49 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-point additive Holt-Winters triple exponential smoothing
+    * (level + trend + index-periodic seasonal, Winters 1960) over a
+    * (ts, value)-struct array already sorted by (ts, value):
+    * with `c` a `period`-slot seasonal array (zero-init) and
+    * `slot = i mod period`,
+    * `s_i = α(x_i − c_prev) + (1−α)(s_{i−1} + b_{i−1})`,
+    * `b_i = β(s_i − s_{i−1}) + (1−β) b_{i−1}`,
+    * `c_slot = γ(x_i − s_i) + (1−γ) c_prev`,
+    * and the emitted fit is `s_i + c_prev` (the pre-update seasonal —
+    * the one-step-ahead convention). `s_0 = x_0, b_0 = 0` pins the
+    * same zero-trend init as [[holt]]. Every step is a fixed IEEE
+    * chain with `1−α`/`1−β`/`1−γ` computed once, so a DuckDB
+    * `list_reduce` folding the identical chain over a {s, b, c[],
+    * i, fit} struct accumulator is bit-equal.
+    */
+  def holtWinters(pts: ArrayData, alpha: Double, beta: Double,
+                  gamma: Double, period: Int): ArrayData = {
+    val oa = 1.0 - alpha
+    val ob = 1.0 - beta
+    val og = 1.0 - gamma
+    val n = pts.numElements()
+    val out = new Array[Double](n)
+    val c = new Array[Double](period)
+    var s = 0.0
+    var b = 0.0
+    var i = 0
+    while (i < n) {
+      val x = pts.getStruct(i, 2).getDouble(1)
+      val slot = i % period
+      val cPrev = c(slot)
+      if (i == 0) { s = x; b = 0.0 }
+      else {
+        val sNew = alpha * (x - cPrev) + oa * (s + b)
+        b = beta * (sNew - s) + ob * b
+        s = sNew
+      }
+      out(i) = s + cPrev
+      c(slot) = gamma * (x - s) + og * cPrev
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-point exponentially-weighted moving average over an
     * (ts, value)-struct array already sorted by (ts, value):
     * `y_0 = x_0; y_i = (1-α)·y_{i-1} + α·x_i`, one output per input.

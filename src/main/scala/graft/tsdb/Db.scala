@@ -621,6 +621,46 @@ final class Db(val frame: DataFrame) {
         col("z.pts.value").as("value") :+ col("z.sm").as("holt"): _*)
   }
 
+  /** Additive Holt-Winters (level + trend + SEASONAL) over the exact
+    * bucketed totals — the textbook triple smoother [[holt]] lacks a
+    * seasonal term for (Winters 1960): first the one-exchange
+    * exact-decimal bucket SUM per (group, `widthNs`) — regular by
+    * construction, which is what makes an index-periodic seasonal
+    * meaningful — then the `graft_holtwinters` fold per group with
+    * period-`period` zero-init seasonal slots (absent buckets are
+    * skipped, consuming a slot only when a bucket exists; gapfill
+    * first if strict calendar periodicity matters). Per-group state is
+    * the bucket array (bounded by the in-plan guard), the emitted fit
+    * is `s + c_prev`. Scale shape = [[holt]]: one point-volume
+    * exchange into buckets, one group-sized fold, output ∝ groups ×
+    * buckets.
+    */
+  def holtWinters(metric: String, groupBy: String, widthNs: Long,
+                  alpha: Double = 0.3, beta: Double = 0.1,
+                  gamma: Double = 0.2, period: Int = 7,
+                  filterExpr: String = "*",
+                  maxBucketsPerSeries: Long = 1000000L): DataFrame = {
+    graft.expressions.GraftFunctions.register(frame.sparkSession)
+    val buckets = AggBuilder(this, AggKind.Sum, Db.validated(metric), groupBy)
+      .filter(filterExpr).granularity(widthNs).build()
+    buckets.groupBy(col("grp"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("nb"),
+        sort_array(collect_list(struct(col("bucket_start").as("ts"),
+          col("value")))).as("pts"))
+      .withColumn("pts", when(col("nb") <= maxBucketsPerSeries, col("pts"))
+        .otherwise(raise_error(concat(
+          lit(s"holtWinters series exceeds $maxBucketsPerSeries buckets for group '"),
+          col("grp"), lit("' ("), col("nb").cast("string"),
+          lit(" buckets); widen granularity or raise maxBucketsPerSeries")))))
+      .drop("nb")
+      .withColumn("hw", call_function("graft_holtwinters", col("pts"),
+        lit(alpha), lit(beta), lit(gamma), lit(period)))
+      .select(col("grp"),
+        posexplode(arrays_zip(col("pts"), col("hw"))).as(Seq("i", "z")))
+      .select(col("grp"), col("z.pts.ts").as("bucket_start"),
+        col("z.pts.value").as("value"), col("z.hw").as("hw"))
+  }
+
   /** As-of alignment of two metrics: for every point of `leftMetric`,
     * the latest `rightMetric` value (and its timestamp) at `ts' <= ts`
     * within the same `on` tag — the standard "join the most recent

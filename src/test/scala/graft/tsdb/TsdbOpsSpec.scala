@@ -614,6 +614,43 @@ class TsdbOpsSpec extends SparkSpec {
     assert(!out.contains("z"))
   }
 
+  test("holtWinters matches an independent fold bit-exactly; seasonal beats holt on a periodic series") {
+    val day = Duration.days(1)
+    val pattern = Array(10.0, 50.0, 30.0, 70.0, 20.0, 60.0, 40.0)
+    val rows = for (w <- 0 until 12; dow <- 0 until 7)
+      yield ("m", (w * 7 + dow) * day + 1L, pattern(dow), "u")
+    val d = db(rows)
+    val out = d.holtWinters("m", "user", day).collect()
+      .map(r => r.getAs[Long]("bucket_start") -> r.getAs[Double]("hw")).toMap
+    assert(out.size == 84)
+    // independent reference fold (same recurrence re-written here)
+    val (alpha, beta, gamma) = (0.3, 0.1, 0.2)
+    val (oa, ob, og) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+    val c = new Array[Double](7)
+    var s = 0.0; var b = 0.0
+    val ref = (0 until 84).map { i =>
+      val x = pattern(i % 7)
+      val cPrev = c(i % 7)
+      if (i == 0) { s = x; b = 0.0 }
+      else { val sN = alpha * (x - cPrev) + oa * (s + b); b = beta * (sN - s) + ob * b; s = sN }
+      val fit = s + cPrev
+      c(i % 7) = gamma * (x - s) + og * cPrev
+      i.toLong * day -> fit
+    }.toMap
+    ref.foreach { case (bucket, fit) =>
+      assert(java.lang.Double.doubleToRawLongBits(out(bucket)) ==
+        java.lang.Double.doubleToRawLongBits(fit), s"bucket $bucket: ${out(bucket)} != $fit")
+    }
+    // seasonal term earns its keep: late-stage fit error well under holt's
+    val holtOut = d.holt("m").collect()
+      .map(r => r.getAs[Long]("ts") -> r.getAs[Double]("holt")).toMap
+    def err(m: Map[Long, Double], key: Int => Long) =
+      (70 until 84).map(i => math.abs(m(key(i)) - pattern(i % 7))).sum / 14.0
+    val hwErr = err(out, i => i.toLong * day)
+    val holtErr = err(holtOut, i => i.toLong * day + 1L)
+    assert(hwErr < holtErr / 2.0, s"hw $hwErr vs holt $holtErr")
+  }
+
   test("delta is last-minus-first per bucket; singleton buckets report 0") {
     val day = Duration.days(1)
     val d = db(Seq(
