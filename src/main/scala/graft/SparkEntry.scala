@@ -296,6 +296,7 @@ object SparkEntry {
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
     "sample_temporal_split" -> ((s, d) => graft.operators.Sampling.temporalSplit(s, d)),
     "sample_curriculum" -> ((s, d) => graft.operators.Sampling.curriculum(s, d)),
+    "sample_temperature" -> ((s, d) => graft.operators.Sampling.temperatureMix(s, d)),
     "sample_kfold" -> ((s, d) => graft.operators.Sampling.docKfold(s, d)),
     "sample_shuffle" -> ((s, d) => graft.operators.Sampling.shuffleDocs(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
@@ -1897,6 +1898,20 @@ object SparkEntry {
         |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 5 AS BIGINT)
         |    AS fold
         |FROM b""".stripMargin,
+    // temperature mix: data-derived keep rates sqrt(n_min/n_src)
+    // (integer counts → one IEEE division → correctly-rounded sqrt),
+    // then the sample_weighted hex-threshold compare
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_src FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n_src) AS n_min FROM c),
+        |r AS (SELECT lang,
+        |  sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE)) AS rate
+        |  FROM c CROSS JOIN m)
+        |SELECT doc_id, d.lang, rate
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE rate >= 1.0
+        |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < lpad(lower(hex(CAST(round(rate * 256) AS BIGINT))), 2, '0')""".stripMargin,
     // curriculum: tier = least(floor(score*4), 3) over the shared
     // quality chain; within-cell md5 shuffle — same hv/doc_id rank as
     // sample_shuffle, partitioned by (tier, shard)

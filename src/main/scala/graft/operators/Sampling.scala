@@ -241,6 +241,35 @@ object Sampling {
   def shuffleDocs(spark: SparkSession, dir: String): DataFrame =
     shuffleOrder(spark.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
 
+  /** TEMPERATURE-flattened source mixing at τ = ½ — the multilingual /
+    * multi-source re-balancing rule (sample share ∝ p^τ): in a
+    * keep-only regime (no duplication) the achievable composition is
+    * `keep_src = sqrt(n_min / n_src)` — the smallest source keeps
+    * everything and each larger source is downsampled toward the
+    * flattened share. Unlike [[sourceMix]]'s declared rates, the rates
+    * here are DATA-DERIVED (one bounded count aggregate, broadcast
+    * back); they stay engine-exact because the chain is integer counts
+    * → one IEEE division → one correctly-rounded `sqrt` — no powers,
+    * no logs. The per-row keep decision is [[weightedSample]]'s
+    * hex-threshold string compare, so membership is reproducible and
+    * append-stable at a fixed composition (appending data shifts
+    * shares and re-rates sources, as temperature sampling must).
+    */
+  def temperatureMix(spark: SparkSession, dir: String,
+                     key: String = "lang"): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val counts = docs.groupBy(col(key)).agg(count(lit(1)).as("n_src"))
+    val minN = counts.agg(min(col("n_src")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(key).as("r_key"),
+        sqrt(col("n_min").cast("double") / col("n_src").cast("double")).as("rate"))
+    docs.join(broadcast(rates), col(key) === col("r_key"))
+      .where(col("rate") >= 1.0 ||
+        hashBucket(col("doc_id")) <
+          lpad(lower(hex(round(col("rate") * 256, 0).cast("long"))), 2, "0"))
+      .select(col("doc_id"), col(key), col("rate"))
+  }
+
   /** Quality-tiered CURRICULUM order — corpus shaping for staged
     * pretraining: every document gets a quality tier
     * (`least(floor(score·tiers), tiers-1)`, an identical IEEE chain on

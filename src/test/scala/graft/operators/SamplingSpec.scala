@@ -195,6 +195,32 @@ class SamplingSpec extends SparkSpec {
       out.map(t => (t._1, t._5)).toSet)
   }
 
+  test("temperature mix keeps all of the smallest source and flattens the rest") {
+    val out = Sampling.temperatureMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val totals = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = totals.values.min
+    val kept = out.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    // smallest source keeps everything (rate 1.0); larger ones drop rows
+    val smallest = totals.minBy(_._2)._1
+    assert(kept(smallest) == totals(smallest).toDouble)
+    assert(out.length < totals.values.sum, "temperature mix dropped nothing — degenerate key")
+    // every source's rate column equals sqrt(n_min/n_src)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val expect = math.sqrt(nMin.toDouble / totals(src).toDouble)
+      assert(rows.forall(_._3 == expect), s"rate mismatch for $src")
+      // realized keep rate within 25% of the target (256-bucket quantization)
+      val realized = rows.size.toDouble / totals(src)
+      assert(math.abs(realized - math.min(expect, 1.0)) < 0.25,
+        s"$src realized $realized target $expect")
+    }
+    // determinism
+    assert(Sampling.temperatureMix(spark, sfDir).collect()
+      .map(r => r.getLong(0)).toSet == out.map(_._1).toSet)
+  }
+
   test("temporal split is leakage-free: every train ts < every test ts") {
     val out = Sampling.temporalSplit(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
