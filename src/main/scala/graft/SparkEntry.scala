@@ -101,6 +101,9 @@ object SparkEntry {
       Db.fromEvents(s, d).avg("view", "user").buildSeasonal()),
     // gauge delta: last - first per (series × bucket), no extrapolation
     "ts_delta" -> ((s, d) => Db.fromEvents(s, d).delta("error", Day)),
+    // week-over-week ratio over daily sums (PromQL offset 1w)
+    "ts_wow" -> ((s, d) =>
+      Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildWeekOverWeek()),
     // additive Holt-Winters over daily bucket totals, 7-slot seasonal
     "ts_holt_winters" -> ((s, d) =>
       Db.fromEvents(s, d).holtWinters("purchase", "user", Day)),
@@ -719,6 +722,19 @@ object SparkEntry {
          |  )
          |)
          |SELECT grp, bucket_start, value, fit AS hw FROM rec""".stripMargin,
+    // week-over-week: the bounded aggregated frame self-joined at a
+    // 7-day offset; one IEEE ratio, + 0.0 canonicalized
+    "ts_wow" ->
+      s"""$Ev
+         |, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start, $SumV
+         |  FROM ev WHERE metric = 'click' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a.grp, a.bucket_start, a.value, p.value AS prev_value,
+         |  a.value / p.value + 0.0 AS wow_ratio
+         |FROM a JOIN a p ON a.grp = p.grp
+         |  AND a.bucket_start = p.bucket_start + 604800000000000""".stripMargin,
     // gauge delta: endpoint values picked by the same (ts, value)
     // total-order ranks on both engines; raw-double subtraction
     "ts_delta" ->

@@ -1064,6 +1064,29 @@ final case class AggBuilder(
     base.groupBy(grpCol.as("grp"), dow).agg(count(lit(1)).as("n"), aggValueCol)
   }
 
+  /** Week-over-week comparison — the PromQL `offset 1w` ratio line
+    * every capacity dashboard overlays: each (group, daily bucket)
+    * aggregate joined to the SAME group's bucket exactly 7 days
+    * earlier, emitting both values and their IEEE ratio (`+ 0.0`
+    * canonicalized; identical division chain on any engine). The join
+    * runs on the already-aggregated groups × buckets frame — bounded,
+    * never the raw points — and buckets with no week-ago counterpart
+    * drop (no fabricated baselines). One point-volume exchange for the
+    * aggregate, one bounded-frame equi-join.
+    */
+  def buildWeekOverWeek(): DataFrame = {
+    val weekNs = 7L * 86400L * 1000000000L
+    val buckets = build()
+    val prev = buckets.select(col("grp").as("p_grp"),
+      (col("bucket_start") + lit(weekNs)).as("p_bucket"),
+      col("value").as("prev_value"))
+    buckets
+      .join(prev, col("grp") === col("p_grp") &&
+        col("bucket_start") === col("p_bucket"))
+      .select(col("grp"), col("bucket_start"), col("value"), col("prev_value"),
+        (col("value") / col("prev_value") + lit(0.0)).as("wow_ratio"))
+  }
+
   /** Like [[build]], also emitting the per-bucket margin across ALL
     * groups in the SAME pass — GROUPING SETS ((grp, bucket), (bucket))
     * — the "per-host series plus the fleet-wide line" dashboard query.

@@ -651,6 +651,24 @@ class TsdbOpsSpec extends SparkSpec {
     assert(hwErr < holtErr / 2.0, s"hw $hwErr vs holt $holtErr")
   }
 
+  test("weekOverWeek pairs each bucket with its 7-day-earlier twin, ratio exact") {
+    val day = Duration.days(1)
+    val week = 7 * day
+    val d = db(Seq(
+      ("m", 0L, 10.0, "u"),
+      ("m", week + 1L, 25.0, "u"),       // wow vs bucket 0: 2.5
+      ("m", 2 * week + 2L, 5.0, "u"),    // wow vs bucket 7d: 0.2
+      ("m", 3 * day, 9.0, "u"),          // no bucket at 3d+7d → drops
+      ("m", 0L, 4.0, "v")))              // other series, no wow pair
+    val out = d.sum("m", "user").granularity(day).buildWeekOverWeek().collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket_start")) ->
+        ((r.getAs[Double]("value"), r.getAs[Double]("prev_value"),
+          r.getAs[Double]("wow_ratio")))).toMap
+    assert(out == Map(
+      ("u", week) -> ((25.0, 10.0, 2.5)),
+      ("u", 2 * week) -> ((5.0, 25.0, 0.2))))
+  }
+
   test("delta is last-minus-first per bucket; singleton buckets report 0") {
     val day = Duration.days(1)
     val d = db(Seq(
