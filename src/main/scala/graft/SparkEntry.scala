@@ -195,6 +195,7 @@ object SparkEntry {
     "q17_avg_subquery" -> ((s, d) => graft.operators.Analytics.q17AvgSubquery(s, d)),
     "q10_returns" -> ((s, d) => graft.operators.Analytics.q10Returns(s, d)),
     "q18_large_volume" -> ((s, d) => graft.operators.Analytics.q18LargeVolume(s, d)),
+    "q8_market_share" -> ((s, d) => graft.operators.Analytics.q8MarketShare(s, d)),
     // perceptual average-hash fingerprint per blob (image near-dup key)
     "mm_phash" -> ((s, d) => graft.operators.Multimodal
       .phashBatch(graft.operators.Multimodal.blobFrame(s, d))),
@@ -1439,6 +1440,22 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // TPC-H Q8: one-pass conditional share — numerator and denominator
+    // as decimal sums in the same aggregate, one IEEE division
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n_name = 'NATION_2'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |  + 0.0 AS mkt_share,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS region_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
     // NOT EXISTS via LEFT ANTI: orders that never shipped anything
     "q_anti_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -357,6 +357,34 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q8-flavor market share: within one region, per order year,
+    * the fraction of revenue attributable to one nation's customers.
+    * The share is a CONDITIONAL aggregate — `sum(CASE WHEN nation)` and
+    * `sum(all)` in ONE pass over the joined frame, then a single IEEE
+    * division of the two exact-decimal totals (`+ 0.0` canonicalized) —
+    * no second scan, no self-join. Region/nation dims broadcast;
+    * filters reach the scans.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+                    regionName: String = "ASIA",
+                    nationName: String = "NATION_2"): DataFrame = {
+    val nations = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+        .where(col("r_name") === regionName)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("n_name") === nationName, revTerm)).cast("double")
+          / sum(revTerm).cast("double") + lit(0.0)).as("mkt_share"),
+        sum(revTerm).cast("double").as("region_revenue"))
+  }
+
   def q17AvgSubquery(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
     val th = l.groupBy(col("l_partkey").as("t_partkey"))

@@ -306,6 +306,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(anti.agg(sum("n_orders")).head().getLong(0) == total - matched)
   }
 
+  test("q8 market share: one conditional aggregate, shares in [0,1], dims broadcast") {
+    val out = Analytics.q8MarketShare(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0, s"share $share out of range")
+      assert(r.getAs[Double]("region_revenue") > 0.0)
+    }
+    // one pass: exactly one aggregate pair over one joined frame — the
+    // plan must not scan lineitem twice
+    val plan = Analytics.q8MarketShare(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).count(_ => true) <= 5, s"re-scan in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "nation/region dims must broadcast")
+  }
+
   test("q18 keeps exactly the HAVING-qualified orders, semi-join before the wide joins") {
     val out = Analytics.q18LargeVolume(spark, sfDir).collect()
     assert(out.length <= 100)
