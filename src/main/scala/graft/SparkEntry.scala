@@ -246,6 +246,8 @@ object SparkEntry {
     "text_vocab_streamed" -> ((s, d) =>
       graft.streaming.StreamingVocab.streamedVocabTopK(s, d)),
     "text_doc_freq" -> ((s, d) => graft.operators.TextAnalysis.docFreq(s, d)),
+    // keyword extraction: df-discounted top-5 terms per doc (linear idf)
+    "text_top_terms" -> ((s, d) => graft.operators.TextAnalysis.topTerms(s, d)),
     "text_chunk_dedup" -> ((s, d) => graft.operators.TextAnalysis.chunkDedup(s, d)),
     "text_dup_ngrams" -> ((s, d) => graft.operators.TextAnalysis.dupNgrams(s, d)),
 
@@ -1601,6 +1603,24 @@ object SparkEntry {
         |    / CAST(COUNT(*) AS DOUBLE) AS commonness
         |FROM tt JOIN v USING (token)
         |GROUP BY doc_id""".stripMargin,
+    // top terms: linear idf (integers → one division → one multiply)
+    // — a log idf would ride libm ln, which is not correctly rounded
+    "text_top_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tt GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tt) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, df, score, rnk FROM (
+        |  SELECT doc_id, token, tf, df,
+        |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+        |        token) AS rnk
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |WHERE rnk <= 5""".stripMargin,
     // fixed-20-token chunk dedup: corpus-first occurrence survives
     // (total order (doc_id, pos)); boilerplate planted on doc_id%5=0
     // chunk-0-aligned so the dedup fires across documents. Aligned

@@ -229,6 +229,43 @@ object TextAnalysis {
           / col("n_tokens").cast("double")).as("commonness"))
   }
 
+  /** DF-discounted top-k terms per document — the keyword-extraction
+    * pass (TF-IDF-family): `score = tf · (n_docs / df)` with a LINEAR
+    * idf, because a log idf would hinge on libm `ln` parity — `log` is
+    * NOT IEEE-correctly-rounded and differs across engines/builds,
+    * while this chain is integers → one division → one multiply,
+    * engine-exact (the sample_temperature sqrt lesson, applied to
+    * ranking). Same two-pass shape as [[docFreq]]: tf is one
+    * (doc, token) aggregate, df one vocabulary-sized aggregate
+    * broadcast back (`broadcastVocab=false` → shuffle-hash for open
+    * vocabularies), n_docs a one-row broadcast; the top-k rank runs
+    * per doc over its distinct-token frame with a (score desc, token)
+    * total order. Output ∝ docs × k.
+    */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 5,
+               broadcastVocab: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df0 = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfSide = if (broadcastVocab) broadcast(df0) else df0.hint("shuffle_hash")
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfSide, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double")
+        * (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
   // PII patterns, deliberately restricted to syntax with identical
   // semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
   // classes, bounded repetition, non-capturing groups, ASCII \b.

@@ -259,4 +259,29 @@ class TextOpsSpec extends SparkSpec {
     val sh = TextAnalysis.dupNgramsFrame(d, broadcastVocab = false).collect().toSet
     assert(bc == sh)
   }
+
+  test("topTerms ranks rare terms over common ones at equal tf; k-bounded per doc") {
+    val out = TextAnalysis.topTerms(spark, sfDir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Double]("score"), r.getAs[Long]("rnk")))
+    assert(out.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count().toDouble
+    out.groupBy(_._1).foreach { case (doc, rows) =>
+      assert(rows.length <= 3, s"doc $doc got ${rows.length} terms")
+      // ranks are 1..k and scores non-increasing in rank order
+      val byRank = rows.sortBy(_._6)
+      assert(byRank.map(_._6).sameElements(1L to byRank.length))
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._5 >= b._5
+        case _ => true
+      })
+      // score is exactly tf * (n_docs / df)
+      rows.foreach { t =>
+        assert(t._5 == t._3.toDouble * (nDocs / t._4.toDouble)) }
+    }
+    // broadcast and shuffle df sides agree
+    val shuffled = TextAnalysis.topTerms(spark, sfDir, k = 3, broadcastVocab = false)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("rnk"))).toSet
+    assert(shuffled == out.map(t => (t._1, t._2, t._6)).toSet)
+  }
 }
