@@ -421,7 +421,11 @@ object Similarity {
   def clusterStats(spark: SparkSession, dir: String,
                    nlist: Int = 16, iters: Int = 3): DataFrame = {
     val e = vecs(spark, dir)
-    val data = trainCentroidData(e, nlist, iters)
+    // same trainer, same (variant, nlist, iters) key as ivfKmeansTopK:
+    // the stats describe THE index's cells (not a parallel clustering),
+    // and the training cost is paid once per corpus version
+    val data = IvfIndex.ensure(spark, dir, "kmeans", nlist, iters,
+      train = () => trainCentroidData(e, nlist, iters), corpus = e).centroids
     e.withColumn("cc", centScores(data, rounded = true))
       .select(nearestCentroid(data, col("cc")).as("list_id"),
         array_max(col("cc")).as("cos"))
