@@ -582,14 +582,35 @@ object Dedup {
     */
   def semantic(spark: SparkSession, dir: String,
                nlist: Int = 16, iters: Int = 3,
-               threshold: Double = 0.35): DataFrame =
-    semanticFrame(Similarity.vecs(spark, dir), nlist, iters, threshold)
+               threshold: Double = 0.35): DataFrame = {
+    // reuse the SAME cached kmeans index as ann_ivf_kmeans /
+    // ann_cluster_stats: the materialized `assign` layout IS the
+    // (vec_id, v, nrm, list_id) frame — no retrain, no re-assignment,
+    // and the dedup cells provably coincide with the index cells
+    val e = Similarity.vecs(spark, dir)
+    val index = graft.operators.IvfIndex.ensure(spark, dir, "kmeans",
+      nlist, iters,
+      train = () => Similarity.trainedCentroids(e, nlist, iters), corpus = e)
+    semanticOverAssigned(
+      spark.read.parquet(s"${index.path}/assign")
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("list_id").cast("long").as("list_id")),
+      threshold)
+  }
 
   /** [[semantic]] over an arbitrary (vec_id, v, nrm) frame. */
   def semanticFrame(e: DataFrame, nlist: Int = 16, iters: Int = 3,
                     threshold: Double = 0.35): DataFrame = {
     val cents = Similarity.trainedCentroids(e, nlist, iters)
-    val assigned = Similarity.assignFrame(e, cents)
+    semanticOverAssigned(Similarity.assignFrame(e, cents), threshold)
+  }
+
+  /** The pruning half over a pre-assigned (vec_id, v, nrm, list_id)
+    * frame — shared by the cached-index and ad-hoc paths.
+    */
+  private def semanticOverAssigned(assignedIn: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val assigned = assignedIn
     val a = assigned.select(col("list_id"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("list_id").as("lb"), col("vec_id").as("vec_b"),
