@@ -196,6 +196,7 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => graft.operators.Analytics.q10Returns(s, d)),
     "q18_large_volume" -> ((s, d) => graft.operators.Analytics.q18LargeVolume(s, d)),
     "q8_market_share" -> ((s, d) => graft.operators.Analytics.q8MarketShare(s, d)),
+    "q6_forecast" -> ((s, d) => graft.operators.Analytics.q6Forecast(s, d)),
     // perceptual average-hash fingerprint per blob (image near-dup key)
     "mm_phash" -> ((s, d) => graft.operators.Multimodal
       .phashBatch(graft.operators.Multimodal.blobFrame(s, d))),
@@ -1442,6 +1443,17 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // TPC-H Q6: the pure scan query — every predicate pushed, one
+    // 1-row aggregate; discount bounds e-notation (double semantics)
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05e0 AND l_discount <= 0.07e0
+        |  AND l_quantity < 24.0e0""".stripMargin,
     // TPC-H Q8: one-pass conditional share — numerator and denominator
     // as decimal sums in the same aggregate, one IEEE division
     "q8_market_share" ->

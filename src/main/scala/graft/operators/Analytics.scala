@@ -357,6 +357,25 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q6 revenue-change forecast: the pure scan-predicate query —
+    * date window + discount band + quantity cap ALL reach the parquet
+    * scan (plan-spec'd PushedFilters), then one two-column aggregate.
+    * The 100 TB story is that this query IS the scan: no shuffle
+    * beyond the final 1-row merge, cost = bytes after pruning.
+    * Discount bounds are double literals (e-notation on the DuckDB
+    * side — a plain 0.05 runs DECIMAL comparison semantics there).
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+        col("l_quantity") < lit(24.0))
+      .agg(sum(expr(
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q8-flavor market share: within one region, per order year,
     * the fraction of revenue attributable to one nation's customers.
     * The share is a CONDITIONAL aggregate — `sum(CASE WHEN nation)` and

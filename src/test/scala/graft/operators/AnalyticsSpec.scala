@@ -306,6 +306,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(anti.agg(sum("n_orders")).head().getLong(0) == total - matched)
   }
 
+  test("q6: every predicate reaches the parquet scan") {
+    val df = Analytics.q6Forecast(spark, sfDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // all four predicates must appear in PushedFilters at the scan
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate lo not pushed:\n$plan")
+    assert(plan.contains("LessThan(l_shipdate"), "shipdate hi not pushed")
+    assert(plan.contains("GreaterThanOrEqual(l_discount"), "discount lo not pushed")
+    assert(plan.contains("LessThan(l_quantity"), "quantity cap not pushed")
+    val row = df.head()
+    assert(row.getAs[Long]("n_items") > 0 && row.getAs[Double]("revenue") > 0.0)
+  }
+
   test("q8 market share: one conditional aggregate, shares in [0,1], dims broadcast") {
     val out = Analytics.q8MarketShare(spark, sfDir).collect()
     assert(out.nonEmpty)
