@@ -99,6 +99,10 @@ object SparkEntry {
     // day-of-week seasonal baseline: bounded groups × 7 output
     "ts_seasonal" -> ((s, d) =>
       Db.fromEvents(s, d).avg("view", "user").buildSeasonal()),
+    // the same profile from the STREAMED day partials re-aggregated
+    // onto the dow grain — cross-grain partial reaggregation, by hash
+    "ts_seasonal_streamed" -> ((s, d) =>
+      graft.streaming.StreamingAgg.streamedSeasonal(s, d)),
     // gauge delta: last - first per (series × bucket), no extrapolation
     "ts_delta" -> ((s, d) => Db.fromEvents(s, d).delta("error", Day)),
     // week-over-week ratio over daily sums (PromQL offset 1w)
@@ -763,6 +767,15 @@ object SparkEntry {
     // day-of-week profile: ((ts // 1d) + 4) % 7, 0 = Sunday — int64
     // bucket math and the shared exact-decimal AVG chain
     "ts_seasonal" ->
+      s"""$Ev
+         |SELECT tag_user AS grp, ((ts // ${Day}) + 4) % 7 AS dow,
+         |  COUNT(*) AS n, $AvgV
+         |FROM ev WHERE metric = 'view' AND tag_user IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
+    // streamed landing re-aggregated onto the dow grain vs the SAME
+    // raw-events oracle: the hash match is the cross-grain partial
+    // reaggregation proof
+    "ts_seasonal_streamed" ->
       s"""$Ev
          |SELECT tag_user AS grp, ((ts // ${Day}) + 4) % 7 AS dow,
          |  COUNT(*) AS n, $AvgV

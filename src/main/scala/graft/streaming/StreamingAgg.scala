@@ -173,4 +173,31 @@ object StreamingAgg {
         col("last.n").as("n"),
         round(col("last.sum_dec").cast("double") / col("last.n"), 6).as("value"))
   }
+
+  /** `ts_seasonal` answered from the SAME streamed landing as
+    * [[streamedAvg]] — and the stronger claim: the day-window partials
+    * are re-aggregated onto a DIFFERENT grain (day-of-week) than the
+    * stream ever grouped by. Decimal partial sums are associative, so
+    * folding day buckets into dow cells is exact; the hash match
+    * against ts_seasonal's raw-events oracle proves CROSS-GRAIN
+    * partial reaggregation over the streamed state — the rollup
+    * associativity argument, demonstrated on a streaming landing. Day
+    * buckets start at UTC midnight, so `((bucket_ns div 1d) + 4) % 7`
+    * is the batch op's exact dow arithmetic.
+    */
+  def streamedSeasonal(spark: SparkSession, sfDir: String,
+                       metric: String = "view"): DataFrame = {
+    val path = ensureStreamed(spark, sfDir)
+    val dayNs = 86400L * 1000000000L
+    StreamingSeriesState.openStreamed(spark, path)
+      .where(col("metric") === metric && col("tag_user").isNotNull)
+      .groupBy(col("metric"), col("tag_user"), col("bucket_ts"))
+      .agg(max(struct(col("n"), col("sum_dec"))).as("last"))
+      .select(col("tag_user").as("grp"),
+        expr(s"(((unix_micros(bucket_ts) * 1000) div ${dayNs}L) + 4) % 7").as("dow"),
+        col("last.n").as("n"), col("last.sum_dec").as("sum_dec"))
+      .groupBy(col("grp"), col("dow"))
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("sum_dec")).cast("double") / sum(col("n")), 6).as("value"))
+  }
 }
