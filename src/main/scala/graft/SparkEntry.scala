@@ -206,6 +206,8 @@ object SparkEntry {
       .phashBatch(graft.operators.Multimodal.blobFrame(s, d))),
     // image near-dup pairs: banded Hamming join over the phash
     "mm_phash_pairs" -> ((s, d) => graft.operators.Multimodal.phashPairs(s, d)),
+    // end-to-end image dedup: phash pairs → components → keeper
+    "mm_dedup_images" -> ((s, d) => graft.operators.Multimodal.dedupImages(s, d)),
     "q_anti_join" -> ((s, d) => graft.operators.Analytics.qOrdersNoLineitem(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
     // the same gap-sessionization from the STATEFUL streaming path,
@@ -1752,6 +1754,36 @@ object SparkEntry {
     // the pairs re-derive IN DUCKDB from the pinned phash golden: band
     // agreement + bit-count verify — an independent engine runs the
     // same banding algebra over the pinned fingerprints
+    // image dedup: banding + bit-count verify + RECURSIVE component
+    // closure + min-id keeper, all re-derived in DuckDB from the
+    // pinned fingerprints — the independent engine runs the whole
+    // pipeline over the golden hashes
+    "mm_dedup_images" ->
+      """WITH RECURSIVE h AS (SELECT doc_id, phash
+        |  FROM read_parquet('/root/repo/golden/mm_phash/*.parquet')),
+        |banded AS (
+        |  SELECT doc_id, phash, j AS band,
+        |    (phash >> (j * 16)) & 65535 AS band_val
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_val = b.band_val
+        |   AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |r AS (SELECT src AS id, src AS comp FROM e
+        |      UNION SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id),
+        |c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+        |sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp),
+        |kept AS (
+        |  SELECT c.id AS doc_id, s.cluster_size
+        |  FROM c JOIN sizes s ON c.comp = s.comp WHERE c.id = c.comp)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS cluster_size FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM c)
+        |UNION ALL
+        |SELECT doc_id, cluster_size FROM kept""".stripMargin,
     "mm_phash_pairs" ->
       """WITH h AS (SELECT doc_id, phash
         |  FROM read_parquet('/root/repo/golden/mm_phash/*.parquet')),

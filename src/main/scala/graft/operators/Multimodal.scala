@@ -267,6 +267,22 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** End-to-end IMAGE dedup — the vision-pipeline composition: phash
+    * fingerprints → banded Hamming pairs → connected components →
+    * min-id keeper + untouched singletons, i.e.
+    * [[Dedup.pipelineOverPairs]] running over the image signal instead
+    * of a text one (the pipeline is signal-agnostic by construction —
+    * this is the fourth pair source through it, after minhash /
+    * simhash / embedding). Output: (doc_id, cluster_size) for every
+    * surviving image; keeper rows carry their cluster's member count,
+    * so sizes sum to the corpus — the partition invariant the spec
+    * pins.
+    */
+  def dedupImages(spark: SparkSession, dir: String, hamMax: Int = 3): DataFrame =
+    Dedup.pipelineOverPairs(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+      phashPairs(spark, dir, hamMax))
+
   /** Deterministic resize stand-in: `ow·oh` bytes sampled at a fixed
     * stride from the payload — the byte volume a real thumbnail
     * decoder would hand back, without the codec.

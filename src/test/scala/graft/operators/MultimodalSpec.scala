@@ -222,6 +222,19 @@ class MultimodalSpec extends SparkSpec {
     assert(p == Set((1L, 2L, 0L), (1L, 3L, 3L), (2L, 3L, 3L)), s"got $p")
   }
 
+  test("image dedup partitions the corpus: cluster sizes sum to the doc count") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val out = Multimodal.dedupImages(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // each surviving image appears once; keeper rows carry member
+    // counts, singletons 1 — so sizes sum to the whole corpus
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.map(_._2).sum == docs, "cluster sizes must cover the corpus")
+    val dropped = docs - out.length
+    val pairs = Multimodal.phashPairs(spark, sfDir).count()
+    assert(dropped <= pairs, "cannot drop more images than pair endpoints")
+  }
+
   test("jpeg: synth round-trips through the marker walk; crafted tables terminate") {
     val m = Multimodal.HeaderParser.parse(
       Multimodal.Synth.jpeg(640, 480, "payload".getBytes))
