@@ -108,6 +108,8 @@ object SparkEntry {
     // week-over-week ratio over daily sums (PromQL offset 1w)
     "ts_wow" -> ((s, d) =>
       Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildWeekOverWeek()),
+    // faithful PromQL rate(): boundary-extrapolated, zero-capped
+    "ts_xrate" -> ((s, d) => Db.fromEvents(s, d).xrate("click", Week)),
     // additive Holt-Winters over daily bucket totals, 7-slot seasonal
     "ts_holt_winters" -> ((s, d) =>
       Db.fromEvents(s, d).holtWinters("purchase", "user", Day)),
@@ -732,6 +734,56 @@ object SparkEntry {
          |  )
          |)
          |SELECT grp, bucket_start, value, fit AS hw FROM rec""".stripMargin,
+    // faithful PromQL rate(): the identical pair chain, decimal
+    // increase, and extrapolation CASE chain in the same op order
+    "ts_xrate" ->
+      s"""$Ev
+         |, b AS (
+         |  SELECT metric, tag_user, tag_k, ts, value,
+         |    ${bucket(Week)} AS bucket_start
+         |  FROM ev WHERE metric = 'click'
+         |), p AS (
+         |  SELECT *, lag(ts) OVER w AS prev_ts, lag(value) OVER w AS prev_v,
+         |    row_number() OVER w AS rn
+         |  FROM b
+         |  WINDOW w AS (PARTITION BY tag_user, tag_k, bucket_start
+         |    ORDER BY ts, value)
+         |), c AS (
+         |  SELECT *, CASE WHEN prev_ts IS NOT NULL AND prev_ts < ts
+         |    THEN CASE WHEN value >= prev_v THEN value - prev_v ELSE value END
+         |    ELSE NULL END AS contrib
+         |  FROM p
+         |), a AS (
+         |  SELECT metric, tag_user, tag_k, bucket_start,
+         |    COUNT(*) AS n, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         |    MAX(CASE WHEN rn = 1 THEN value END) AS first_v,
+         |    CAST(SUM(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE) AS inc
+         |  FROM c GROUP BY 1, 2, 3, 4
+         |  HAVING COUNT(*) >= 2 AND MAX(ts) > MIN(ts)
+         |), x AS (
+         |  SELECT *,
+         |    (first_ts - bucket_start) / 1e9 AS d_start,
+         |    (bucket_start + ${Week} - last_ts) / 1e9 AS d_end,
+         |    (last_ts - first_ts) / 1e9 AS sampled
+         |  FROM a
+         |), y AS (
+         |  SELECT *, sampled / (n - 1) AS avg_dur,
+         |    CASE WHEN inc > 0.0e0 AND first_v >= 0.0e0
+         |      THEN least(d_start, sampled * (first_v / inc))
+         |      ELSE d_start END AS d_start2
+         |  FROM x
+         |), z AS (
+         |  SELECT *,
+         |    CASE WHEN d_start2 < avg_dur * 1.1e0 THEN d_start2
+         |         ELSE avg_dur / 2.0e0 END AS ext_s,
+         |    CASE WHEN d_end < avg_dur * 1.1e0 THEN d_end
+         |         ELSE avg_dur / 2.0e0 END AS ext_e
+         |  FROM y
+         |)
+         |SELECT metric, tag_user, tag_k, bucket_start, n,
+         |  inc * ((sampled + ext_s + ext_e) / sampled)
+         |    / (${Week} / 1e9) + 0.0 AS xrate
+         |FROM z""".stripMargin,
     // week-over-week: the bounded aggregated frame self-joined at a
     // 7-day offset; one IEEE ratio, + 0.0 canonicalized
     "ts_wow" ->

@@ -458,6 +458,74 @@ final class Db(val frame: DataFrame) {
         col("delta").cast("decimal(28,6)")).cast("double").as("value"))
   }
 
+  /** Faithful PromQL `rate()` per (series × bucket) — the FULL
+    * extrapolated rate (prometheus promql/functions.go
+    * `extrapolatedRate`), not the point-pair [[rate]] or the plain
+    * bucket [[increase]]: reset-aware increase over the bucket's
+    * in-window pairs, then boundary extrapolation — extend the sampled
+    * interval toward each window edge by the actual gap when the edge
+    * is within 1.1× the average sample spacing, else by half the
+    * average spacing; the start-side extension is additionally capped
+    * so a counter is never extrapolated below zero
+    * (`durationToZero = sampledInterval · first/increase`). Emitted
+    * rate = `increase · extendedInterval/sampledInterval / windowSecs`.
+    *
+    * Exactness: the increase rides a DECIMAL pair-contribution sum;
+    * every extrapolation input is an int64 ns difference divided by
+    * 1e9 once; the remaining chain (two CASEs, one min, two divisions,
+    * one multiply) is written in the identical order in the oracle —
+    * IEEE-stable. Buckets with < 2 distinct-ts samples emit nothing
+    * (PromQL's own n ≥ 2 contract). One series+bucket shuffle, one
+    * window pass, one bounded aggregate.
+    */
+  def xrate(metric: String, widthNs: Long,
+            filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = scan(metric, filterExpr)
+      .withColumn("bucket_start", expr(s"ts div ${widthNs}L") * lit(widthNs))
+    val sb = tagColumns.map(col) :+ col("bucket_start")
+    val w = Window.partitionBy(sb: _*).orderBy(col("ts"), col("value"))
+    val paired = bucketed
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("contrib",
+        when(col("prev_ts").isNotNull && col("prev_ts") < col("ts"),
+          when(col("value") >= col("prev_v"), col("value") - col("prev_v"))
+            .otherwise(col("value")))
+          .otherwise(lit(null).cast("double")))
+    val agg = paired
+      .groupBy(col("metric") +: sb: _*)
+      .agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(col("ts")).as("first_ts"),
+        org.apache.spark.sql.functions.max(col("ts")).as("last_ts"),
+        org.apache.spark.sql.functions.min(struct(col("ts"), col("value")))
+          .getField("value").as("first_v"),
+        org.apache.spark.sql.functions.sum(
+          col("contrib").cast("decimal(28,6)")).cast("double").as("inc"))
+      .where(col("n") >= 2 && col("last_ts") > col("first_ts"))
+    agg
+      .withColumn("d_start", (col("first_ts") - col("bucket_start")) / lit(1e9))
+      .withColumn("d_end",
+        (col("bucket_start") + lit(widthNs) - col("last_ts")) / lit(1e9))
+      .withColumn("sampled", (col("last_ts") - col("first_ts")) / lit(1e9))
+      .withColumn("avg_dur", col("sampled") / (col("n") - lit(1)))
+      .withColumn("d_start2",
+        when(col("inc") > 0.0 && col("first_v") >= 0.0,
+          least(col("d_start"), col("sampled") * (col("first_v") / col("inc"))))
+          .otherwise(col("d_start")))
+      .withColumn("ext_s",
+        when(col("d_start2") < col("avg_dur") * lit(1.1), col("d_start2"))
+          .otherwise(col("avg_dur") / lit(2.0)))
+      .withColumn("ext_e",
+        when(col("d_end") < col("avg_dur") * lit(1.1), col("d_end"))
+          .otherwise(col("avg_dur") / lit(2.0)))
+      .select(col("metric") +: tagColumns.map(col) :+ col("bucket_start") :+
+        col("n") :+
+        (col("inc") * ((col("sampled") + col("ext_s") + col("ext_e"))
+          / col("sampled")) / (lit(widthNs) / lit(1e9)) + lit(0.0)).as("xrate"): _*)
+  }
+
   /** Instantaneous rate per (series × bucket) — PromQL `irate()`: the
     * per-second rate of the LAST consecutive pair inside each
     * `widthNs` bucket, counter-reset-aware (a value drop contributes

@@ -651,6 +651,51 @@ class TsdbOpsSpec extends SparkSpec {
     assert(hwErr < holtErr / 2.0, s"hw $hwErr vs holt $holtErr")
   }
 
+  test("xrate reproduces PromQL extrapolatedRate: edge-extension, threshold, zero cap") {
+    val day = Duration.days(1)
+    val s = 1_000_000_000L
+    // bucket 0: samples at 100s/200s/300s — far from both edges, so
+    // both sides extend by avg_dur/2 (=50s); increase = 20 (with one
+    // reset: 10→25 is +15, 25→5 is a reset contributing 5... use
+    // monotone values and check the reset case in bucket 1)
+    // bucket 1: reset inside (30 → 4), first sample near the start
+    val d = db(Seq(
+      ("m", 100 * s, 10.0, "u"),
+      ("m", 200 * s, 25.0, "u"),
+      ("m", 300 * s, 40.0, "u"),
+      ("m", day + 10 * s, 30.0, "u"),
+      ("m", day + 400 * s, 4.0, "u"),
+      ("m", day + 800 * s, 10.0, "u")))
+    val out = d.xrate("m", day).collect()
+      .map(r => r.getAs[Long]("bucket_start") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("xrate")))).toMap
+    def promql(samples: Seq[(Long, Double)], bucketStart: Long): Double = {
+      val n = samples.size
+      val inc = samples.sliding(2).map { case Seq((_, a), (_, b)) =>
+        if (b >= a) b - a else b }.sum
+      val dStart0 = (samples.head._1 - bucketStart) / 1e9
+      val dEnd = (bucketStart + day - samples.last._1) / 1e9
+      val sampled = (samples.last._1 - samples.head._1) / 1e9
+      val avgDur = sampled / (n - 1)
+      val dStart = if (inc > 0.0 && samples.head._2 >= 0.0)
+        math.min(dStart0, sampled * (samples.head._2 / inc)) else dStart0
+      val extS = if (dStart < avgDur * 1.1) dStart else avgDur / 2.0
+      val extE = if (dEnd < avgDur * 1.1) dEnd else avgDur / 2.0
+      inc * ((sampled + extS + extE) / sampled) / (day / 1e9) + 0.0
+    }
+    val b0 = promql(Seq(100 * s -> 10.0, 200 * s -> 25.0, 300 * s -> 40.0), 0L)
+    val b1 = promql(Seq((day + 10 * s) -> 30.0, (day + 400 * s) -> 4.0,
+      (day + 800 * s) -> 10.0), day)
+    assert(out(0L)._1 == 3L && out(0L)._2 == b0, s"${out(0L)} vs $b0")
+    assert(out(day)._1 == 3L && out(day)._2 == b1, s"${out(day)} vs $b1")
+    // sanity on the semantics the formula encodes: bucket 0's increase
+    // is 30 over 200 s sampled, extended by 50 s each side (zero cap
+    // inactive: durationToZero = 200·10/30 = 66.7 > 100? no — 66.7 <
+    // 100, so the START side uses the zero cap 66.7 s, which is < 1.1
+    // avg (110) and so used directly)
+    assert(math.abs(out(0L)._2 - 30.0 * ((200.0 + 200.0 / 3.0 + 50.0) / 200.0) / 86400.0) < 1e-12)
+  }
+
   test("weekOverWeek pairs each bucket with its 7-day-earlier twin, ratio exact") {
     val day = Duration.days(1)
     val week = 7 * day
