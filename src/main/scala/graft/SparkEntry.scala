@@ -110,6 +110,9 @@ object SparkEntry {
       Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildWeekOverWeek()),
     // faithful PromQL rate(): boundary-extrapolated, zero-capped
     "ts_xrate" -> ((s, d) => Db.fromEvents(s, d).xrate("click", Week)),
+    // 7-bucket trailing moving average over the daily sum frame
+    "ts_trailing" -> ((s, d) =>
+      Db.fromEvents(s, d).sum("view", "user").granularity(Day).buildTrailing()),
     // additive Holt-Winters over daily bucket totals, 7-slot seasonal
     "ts_holt_winters" -> ((s, d) =>
       Db.fromEvents(s, d).holtWinters("purchase", "user", Day)),
@@ -784,6 +787,22 @@ object SparkEntry {
          |  inc * ((sampled + ext_s + ext_e) / sampled)
          |    / (${Week} / 1e9) + 0.0 AS xrate
          |FROM z""".stripMargin,
+    // trailing mean: DECIMAL window sum (double window sums hit
+    // engine-divergent summation trees), observed buckets only
+    "ts_trailing" ->
+      s"""$Ev
+         |, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |         COUNT(*) AS n, $SumV
+         |  FROM ev WHERE metric = 'view' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT grp, bucket_start, n, value,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |    / COUNT(*) OVER w, 6) AS trailing
+         |FROM a
+         |WINDOW w AS (PARTITION BY grp ORDER BY bucket_start
+         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     // week-over-week: the bounded aggregated frame self-joined at a
     // 7-day offset; one IEEE ratio, + 0.0 canonicalized
     "ts_wow" ->

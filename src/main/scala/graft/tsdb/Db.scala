@@ -1132,6 +1132,29 @@ final case class AggBuilder(
     base.groupBy(grpCol.as("grp"), dow).agg(count(lit(1)).as("n"), aggValueCol)
   }
 
+  /** Trailing `nBuckets`-bucket moving average over the aggregated
+    * frame — the dashboard's "7-day trailing" smoothing line (the
+    * bucket-level sibling of [[sma]]'s point window): one window pass
+    * over the bounded groups × buckets frame, partitioned by group in
+    * bucket order. The window sum rides DECIMAL(18,6) — a double
+    * window sum would hit engine-divergent summation trees (DuckDB
+    * runs sliding frames through a segment tree; Spark accumulates in
+    * row order — double addition is not associative, decimals are);
+    * the cast is exact because bucket values carry ≤ 6 fractional
+    * digits and stay far below 2^53/10^6. Trailing counts OBSERVED
+    * buckets (gaps are skipped); compose with [[buildGapFilled]]
+    * upstream when strict calendar windows matter.
+    */
+  def buildTrailing(nBuckets: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val w = Window.partitionBy(col("grp")).orderBy(col("bucket_start"))
+      .rowsBetween(-(nBuckets - 1).toLong, Window.currentRow)
+    build().withColumn("trailing",
+      round(sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+        / count(lit(1)).over(w), 6))
+  }
+
   /** Week-over-week comparison — the PromQL `offset 1w` ratio line
     * every capacity dashboard overlays: each (group, daily bucket)
     * aggregate joined to the SAME group's bucket exactly 7 days

@@ -651,6 +651,20 @@ class TsdbOpsSpec extends SparkSpec {
     assert(hwErr < holtErr / 2.0, s"hw $hwErr vs holt $holtErr")
   }
 
+  test("trailing mean averages the last n observed buckets per group") {
+    val day = Duration.days(1)
+    val d = db(Seq(
+      ("m", 0L, 10.0, "u"), ("m", day, 20.0, "u"),
+      ("m", 2 * day, 60.0, "u"),
+      ("m", 5 * day, 30.0, "u")))  // gap: trailing counts OBSERVED buckets
+    val out = d.sum("m", "user").granularity(day).buildTrailing(nBuckets = 2)
+      .collect().map(r => r.getAs[Long]("bucket_start") ->
+        r.getAs[Double]("trailing")).toMap
+    assert(out == Map(
+      0L -> 10.0, day -> 15.0, 2 * day -> 40.0,
+      5 * day -> 45.0))  // (60+30)/2 across the gap — observed-bucket frame
+  }
+
   test("xrate reproduces PromQL extrapolatedRate: edge-extension, threshold, zero cap") {
     val day = Duration.days(1)
     val s = 1_000_000_000L
