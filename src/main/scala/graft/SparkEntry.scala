@@ -55,6 +55,8 @@ object SparkEntry {
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildWithBounds()),
     "ts_meta_metrics" -> ((s, d) => Db.fromEvents(s, d).metrics),
     "ts_meta_series" -> ((s, d) => Db.fromEvents(s, d).series("purchase")),
+    // TagIndex value enumeration: distinct values of one tag key
+    "ts_meta_tagvalues" -> ((s, d) => Db.fromEvents(s, d).tagValues("click", "k")),
     "ts_rate" -> ((s, d) => Db.fromEvents(s, d).rate("click")),
     "ts_increase" -> ((s, d) => Db.fromEvents(s, d).increase("click", Day)),
     "ts_irate" -> ((s, d) => Db.fromEvents(s, d).irate("click", Week)),
@@ -567,6 +569,10 @@ object SparkEntry {
       s"""$Ev
          |SELECT DISTINCT metric, tag_user, tag_k FROM ev
          |WHERE metric = 'purchase'""".stripMargin,
+    "ts_meta_tagvalues" ->
+      s"""$Ev
+         |SELECT DISTINCT tag_k AS value FROM ev
+         |WHERE metric = 'click' AND tag_k IS NOT NULL""".stripMargin,
     "ts_ingest_avg" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
     // IDENTICAL oracle for the streaming-fed layout round-trip
     "ts_ingest_streamed" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),

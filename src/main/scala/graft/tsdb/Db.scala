@@ -949,6 +949,18 @@ final class Db(val frame: DataFrame) {
       .select((col("metric") +: tagColumns.map(col)): _*)
       .distinct()
 
+  /** Distinct values of one tag key for a metric — the reference
+    * TagIndex's value enumeration (src/tag_index.rs): what a query
+    * builder's value dropdown lists. One column-pruned scan + a
+    * vocabulary-sized distinct; NULL tags are "key absent", not a
+    * value.
+    */
+  def tagValues(metric: String, key: String): DataFrame =
+    frame.where(col("metric") === lit(Db.validated(metric)))
+      .select(tagCol(key).as("value"))
+      .where(col("value").isNotNull)
+      .distinct()
+
   /** Tag keys that occur (non-null) on at least one point of a metric. */
   def tagKeys(metric: String): Seq[String] = {
     val tags = tagColumns
