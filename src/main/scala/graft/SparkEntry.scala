@@ -67,12 +67,14 @@ object SparkEntry {
     "ts_asof" -> ((s, d) => Db.fromEvents(s, d).asofAlign("click", "purchase")),
     "ts_quantile" -> ((s, d) =>
       Db.fromEvents(s, d).quantile("view", "user", 0.95).granularity(Day).build()),
-    // rows-only driver check (no oracleSql): the GK sketch returns a
-    // genuine data point, not an interpolated value — cross-engine
-    // bit-parity is impossible by design; the rank-error band vs the
-    // exact quantile is spec-asserted instead
+    // the GK sketch emits a genuine data point (cross-engine bit-parity
+    // impossible by design), so the driver entry is the BOOLEAN band
+    // frame: per (group, bucket), sketch-value ∈ exact discrete rank
+    // band [v_⌊0.94n⌋, v_⌈0.96n⌉] — both engines agree on booleans, so
+    // the 1% rank-error contract itself rides the hash gate
     "ts_quantile_approx" -> ((s, d) =>
-      Db.fromEvents(s, d).quantileApprox("view", "user", 0.95).granularity(Day).build()),
+      Db.fromEvents(s, d).quantileApprox("view", "user", 0.95)
+        .granularity(Day).buildBandCheck()),
     "ts_stddev" -> ((s, d) =>
       Db.fromEvents(s, d).stddev("error", "k").granularity(Day).build()),
     "ts_zscore" -> ((s, d) => Db.fromEvents(s, d).zscore("error", "user")),
@@ -167,6 +169,12 @@ object SparkEntry {
       val path = graft.streaming.StreamingSeriesState.ensureStreamedFlaps(s, d, "view")
       graft.streaming.StreamingSeriesState.openStreamed(s, path)
     }),
+    // the SAME fold replayed UNCACHED across 4 in-order micro-batches
+    // on every invocation: ts_flaps_streamed's landing is content-keyed
+    // (a state-contract change would serve the stale layout); this
+    // entry pins the cross-batch fold itself in the hash gate
+    "ts_flaps_replay" -> ((s, d) =>
+      graft.streaming.StreamingSeriesState.replayFlaps(s, d, "view")),
     // per-point z with bucket stats from the hourly PARTIALS broadcast
     // onto the unshuffled point scan; the oracle is ts_zscore's
     // raw-window SQL — the hash match proves the partial path exact
@@ -595,6 +603,11 @@ object SparkEntry {
          |GROUP BY 1, 2, 3""".stripMargin,
     "ts_quantile" -> tsAgg("view", "user",
       "round(quantile_cont(value, 0.95), 6) AS value"),
+    // the rank-error contract as booleans: the Spark side computes
+    // sketch-within-exact-band per (group, bucket); the oracle asserts
+    // the contract HOLDS by expecting TRUE on the identical groups —
+    // any sketch rank-error regression flips rows and fails the hash
+    "ts_quantile_approx" -> tsAgg("view", "user", "TRUE AS within_band"),
     // per-point z within (group × bucket): exact decimal window sums,
     // then the identical IEEE chain (no rounding — the rate/ewma
     // recipe) with `+ 0.0` signed-zero canonicalization; σ=0 → NULL
@@ -1093,6 +1106,29 @@ object SparkEntry {
     // duplicate-ts arrivals pair nothing) + running integer sums — the
     // batch re-derivation of the stateful fold, exact by construction
     "ts_flaps_streamed" ->
+      s"""$Ev
+         |, e2 AS (
+         |  SELECT tag_user || '|' || coalesce(tag_k, '∅') AS series, ts, value
+         |  FROM ev WHERE metric = 'view'
+         |), d AS (
+         |  SELECT series, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NOT NULL AND lag(ts) OVER w < ts
+         |              AND value < lag(value) OVER w THEN 1 ELSE 0 END AS is_reset,
+         |    CASE WHEN lag(ts) OVER w IS NOT NULL AND lag(ts) OVER w < ts
+         |              AND value <> lag(value) OVER w THEN 1 ELSE 0 END AS is_change
+         |  FROM e2
+         |  WINDOW w AS (PARTITION BY series ORDER BY ts, value)
+         |)
+         |SELECT series, ts, value,
+         |  CAST(SUM(is_reset) OVER c AS BIGINT) AS resets,
+         |  CAST(SUM(is_change) OVER c AS BIGINT) AS changes
+         |FROM d
+         |WINDOW c AS (PARTITION BY series ORDER BY ts, value
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // IDENTICAL oracle for the uncached 4-micro-batch replay: an
+    // in-order replay of the stateful fold must reproduce the batch
+    // lag re-derivation exactly, batch boundaries and all
+    "ts_flaps_replay" ->
       s"""$Ev
          |, e2 AS (
          |  SELECT tag_user || '|' || coalesce(tag_k, '∅') AS series, ts, value
@@ -2096,7 +2132,7 @@ object SparkEntry {
         |  FROM c CROSS JOIN m)
         |SELECT doc_id, d.lang, rate
         |FROM documents d JOIN r ON d.lang = r.lang
-        |WHERE rate >= 1.0
+        |WHERE rate >= 1.0 OR round(rate * 256) >= 256
         |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
         |      < lpad(lower(hex(CAST(round(rate * 256) AS BIGINT))), 2, '0')""".stripMargin,
     // curriculum: tier = least(floor(score*4), 3) over the shared
@@ -2142,7 +2178,7 @@ object SparkEntry {
     "sample_weighted" ->
       s"""WITH q AS ($TextQualitySql)
          |SELECT doc_id, quality_score FROM q
-         |WHERE quality_score >= 1.0
+         |WHERE quality_score >= 1.0 OR round(quality_score * 256) >= 256
          |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
          |      < lpad(lower(hex(CAST(round(quality_score * 256) AS BIGINT))), 2, '0')""".stripMargin,
     // sequence packing: same ws-token count as text_tokens, same

@@ -331,13 +331,15 @@ object Analytics {
 
   /** TPC-H Q18-flavor large-volume customers: orders whose total
     * quantity crosses a threshold, with customer context and the
-    * top-100 by order value. Plan shape: the qualifying set is a
-    * map-side-combined aggregate over ONLY (l_orderkey, l_quantity)
-    * (column-pruned scan), applied as a LEFT SEMI join before the
-    * customer join, so the wide joins see just qualifying orders; the
-    * final cut is TakeOrderedAndProject on the (o_totalprice DESC,
-    * o_orderkey) total order. Quantity sums stay DECIMAL-exact until
-    * one final cast.
+    * top-100 by order value. Plan shape: lineitem is scanned ONCE — the
+    * qualifying aggregate over (l_orderkey, l_quantity) (column-pruned,
+    * map-side-combined) CARRIES its quantity sum, so the answer is a
+    * key-grain join orders ⋈ qualifying ⋈ customer with no second fact
+    * scan and no wide re-aggregate (the r08 plan re-joined raw lineitem
+    * to recompute a sum it already had — a fact-fact join that spilled
+    * a 25 GB heap at 10×); the final cut is TakeOrderedAndProject on
+    * the (o_totalprice DESC, o_orderkey) total order. Quantity sums
+    * stay DECIMAL-exact until one final cast.
     */
   def q18LargeVolume(spark: SparkSession, dir: String,
                      minQty: Double = 250.0): DataFrame = {
@@ -345,14 +347,12 @@ object Analytics {
     val qualifying = li.groupBy(col("l_orderkey").as("q_orderkey"))
       .agg(sum(expr("CAST(l_quantity AS DECIMAL(12,2))")).as("qty"))
       .where(col("qty") > lit(minQty))
-      .select(col("q_orderkey"))
     t(spark, dir, "orders")
-      .join(qualifying, col("o_orderkey") === col("q_orderkey"), "left_semi")
-      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(qualifying, col("o_orderkey") === col("q_orderkey"))
       .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate"), col("o_totalprice"))
-      .agg(sum(expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double").as("sum_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("qty").cast("double").as("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }

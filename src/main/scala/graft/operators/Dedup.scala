@@ -580,17 +580,38 @@ object Dedup {
     * Output: every vector with its cluster and verdict —
     * (vec_id, list_id, keep).
     */
+  /** Corpus-sized cell count for [[semantic]]: `nlist ≈ √n` — the
+    * SemDeDup paper's regime, and the sizing that keeps intra-cell pair
+    * cost O(n²/nlist) = O(n^1.5) instead of quadratic. A FIXED nlist
+    * silently degrades: pairs/cell grow linearly with the corpus, so a
+    * 100× corpus pays 100× the per-cell work (the r08 scale10 ratio
+    * 4.06 was the early signature). Floored at 16 so tiny corpora keep
+    * enough cells to exercise the blocking at all; capped so the
+    * centroid broadcast stays bounded (64-dim doubles: 65536 centroids
+    * ≈ 34 MB — the k-means trainer and assignment broadcast both ride
+    * it). Mirrors [[lshPlanSized]]: the knob is derived from the data,
+    * so no per-scale configuration exists to mis-set.
+    */
+  def nlistSized(n: Long, min: Int = 16, max: Int = 65536): Int =
+    math.min(max.toLong, math.max(min.toLong,
+      math.round(math.sqrt(math.max(n, 0L).toDouble)))).toInt
+
   def semantic(spark: SparkSession, dir: String,
-               nlist: Int = 16, iters: Int = 3,
+               nlist: Int = -1, iters: Int = 3,
                threshold: Double = 0.35): DataFrame = {
-    // reuse the SAME cached kmeans index as ann_ivf_kmeans /
-    // ann_cluster_stats: the materialized `assign` layout IS the
-    // (vec_id, v, nrm, list_id) frame — no retrain, no re-assignment,
-    // and the dedup cells provably coincide with the index cells
+    // nlist < 0 → corpus-sized (√n from the parquet footers' row count,
+    // no scan): the default deployment never pins a cell count
+    val sized =
+      if (nlist > 0) nlist
+      else nlistSized(spark.read.parquet(s"$dir/embeddings.parquet").count())
+    // reuse the SAME cached kmeans trainer/assignment layout as the IVF
+    // family ([[IvfIndex.ensure]], keyed by (corpus content, variant,
+    // nlist, iters)): at matching nlist the dedup cells provably
+    // coincide with the index cells — no retrain, no re-assignment
     val e = Similarity.vecs(spark, dir)
     val index = graft.operators.IvfIndex.ensure(spark, dir, "kmeans",
-      nlist, iters,
-      train = () => Similarity.trainedCentroids(e, nlist, iters), corpus = e)
+      sized, iters,
+      train = () => Similarity.trainedCentroids(e, sized, iters), corpus = e)
     semanticOverAssigned(
       spark.read.parquet(s"${index.path}/assign")
         .select(col("vec_id"), col("v"), col("nrm"),
@@ -651,14 +672,17 @@ object Dedup {
     * exposed so a benchmark can materialize the candidates once and
     * time the verify phase as its own wall (the Probe decomposition,
     * in-artifact). Payload fetch: the side is only (vec_id, v, nrm) —
-    * broadcast it while the corpus fits executor memory (tens of
-    * millions of 64-dim vectors), making both fetches map-side with no
-    * shuffle of the candidate stream. Beyond that, `broadcastVerify =
-    * false` switches to shuffle-HASH joins: the post-join-1 rows carry
-    * a vector each, and a sort-merge join would sort that fat
-    * intermediate — measured 10-30× slower and spill-prone. Catalyst
-    * can't see this from size estimates (the frame is a union with
-    * generated columns), hence the explicit hints.
+    * broadcast it while the corpus stays under
+    * [[BroadcastVerifyMaxRows]] (measured, not guessed: at 400k rows
+    * the broadcast verify cost 97 s / 39 GB peak heap at 100× while
+    * shuffle-hash runs the same spec join on partitioned relations),
+    * making both fetches map-side with no shuffle of the candidate
+    * stream. Beyond the ceiling, `broadcastVerify = false` switches to
+    * shuffle-HASH joins: the post-join-1 rows carry a vector each, and
+    * a sort-merge join would sort that fat intermediate — measured
+    * 10-30× slower and spill-prone. Catalyst can't see this from size
+    * estimates (the frame is a union with generated columns), hence
+    * the explicit hints.
     */
   private[graft] def embeddingVerifyFrame(e: DataFrame, cand: DataFrame,
                                           threshold: Double,
@@ -723,12 +747,38 @@ object Dedup {
         val plan = lshPlanSized(0.9, n)
         val e = withPlantedNearDups(spark, dir)
         (embeddingCandFrame(e, plan._1, plan._2).count(),
-          embeddingCosineLshFrame(e, 0.9, planOverride = Some(plan)).count())
+          embeddingCosineLshFrame(e, 0.9, planOverride = Some(plan),
+            broadcastVerify = n <= BroadcastVerifyMaxRows).count())
       case "dedup_simhash_pairs" =>
         val d = docs(spark, dir)
         (simhashCandFrame(d).count(), simhashPairsFrame(d).count())
       case other => sys.error(s"no LSH stats for $other")
     }
+
+  /** Cell-blocking evidence for [[semantic]] at its production sizing:
+    * `(nlist, n_cells_used, max_cell_rows, intra_cell_pairs)` over the
+    * SAME cached assignment the query reads. The pair count is
+    * Σ c·(c−1)/2 over cell sizes — the exact candidate volume the
+    * intra-cell join generates — so the artifact can show pairs/cell
+    * staying bounded as the corpus grows (the whole point of
+    * [[nlistSized]]'s √n sizing; a fixed nlist shows pairs growing
+    * quadratically here long before the wall-clock does).
+    */
+  def semanticStats(spark: SparkSession, dir: String,
+                    iters: Int = 3): (Int, Long, Long, Long) = {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val sized = nlistSized(n)
+    val e = Similarity.vecs(spark, dir)
+    val index = graft.operators.IvfIndex.ensure(spark, dir, "kmeans",
+      sized, iters,
+      train = () => Similarity.trainedCentroids(e, sized, iters), corpus = e)
+    val row = spark.read.parquet(s"${index.path}/assign")
+      .groupBy(col("list_id")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("cells"), max(col("c")).as("max_c"),
+        sum(expr("c * (c - 1) div 2")).as("pairs"))
+      .head()
+    (sized, row.getLong(0), row.getLong(1), row.getLong(2))
+  }
 
   /** The clone-id offset for [[withPlantedNearDups]]: the smallest
     * power of ten above both `maxId` and 10^6, so clone ids can never
@@ -778,6 +828,19 @@ object Dedup {
     * thresholds where sign-LSH cannot separate pairs from noise (see
     * [[lshPlan]]).
     */
+  /** Verify-side fetch ceiling for the broadcast strategy: above this
+    * many corpus rows the (vec_id, v, nrm) payload relation stops being
+    * "dimension-table small" (64-dim double arrays ≈ 600 B/row unsafe —
+    * ~60 MB hashed at the ceiling) and the verify joins switch to
+    * shuffle-hash. The r08 100× leg measured the cost of NOT switching:
+    * a 400k-row broadcast verify ran 97 s with 12 s of GC and a 39 GB
+    * peak heap, while the plan's candidate volume held exactly the
+    * sized invariant — the wall was purely the oversized broadcast
+    * relation. Like the banding plan, the strategy is derived from the
+    * corpus size, so no per-scale knob exists to mis-set.
+    */
+  private[graft] val BroadcastVerifyMaxRows = 100000L
+
   def embeddingNearDup(spark: SparkSession, dir: String,
                        threshold: Double = 0.9,
                        candPerRow: Double = 32.0): DataFrame = {
@@ -785,7 +848,8 @@ object Dedup {
     // the planted frame doubles it
     val n = 2L * spark.read.parquet(s"$dir/embeddings.parquet").count()
     embeddingCosineLshFrame(withPlantedNearDups(spark, dir), threshold,
-      planOverride = Some(lshPlanSized(threshold, n, candPerRow = candPerRow)))
+      planOverride = Some(lshPlanSized(threshold, n, candPerRow = candPerRow)),
+      broadcastVerify = n <= BroadcastVerifyMaxRows)
   }
 
   // -------------------------------------------------- duplicate clustering

@@ -89,11 +89,14 @@ object Sampling {
     * pure string arithmetic every engine evaluates identically, like
     * [[assignSplit]]. Same contract: reproducible across engines,
     * reruns, partitionings, and appends; rates quantize to 1/256. A
-    * weight ≥ 1 keeps unconditionally ("100" has no 2-char bound, as
-    * in [[bucketBelow]]).
+    * weight ≥ 1 keeps unconditionally, and so does a weight that ROUNDS
+    * to bucket 256 (within half a bucket of 1.0): its hex threshold
+    * would be the 3-char "100", which lpad TRUNCATES to "10" — a ~6%
+    * keep rate instead of ~100% — so the keep-all guard must fire
+    * before the string compare ever sees it.
     */
   def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
-    df.where(weight >= 1.0 ||
+    df.where(weight >= 1.0 || round(weight * 256, 0) >= 256 ||
       hashBucket(key) < lpad(lower(hex(round(weight * 256, 0).cast("long"))), 2, "0"))
 
   /** Leakage-free TEMPORAL train/test split over the events stream —
@@ -263,8 +266,12 @@ object Sampling {
     val rates = counts.crossJoin(broadcast(minN))
       .select(col(key).as("r_key"),
         sqrt(col("n_min").cast("double") / col("n_src").cast("double")).as("rate"))
+    // keep-all guard covers BOTH exact 1.0 and rates that round to
+    // bucket 256 (a source within half a bucket of the smallest): the
+    // 3-char hex "100" would lpad-truncate to "10" and silently keep
+    // ~6% instead of ~100% — see [[weightedSample]]
     docs.join(broadcast(rates), col(key) === col("r_key"))
-      .where(col("rate") >= 1.0 ||
+      .where(col("rate") >= 1.0 || round(col("rate") * 256, 0) >= 256 ||
         hashBucket(col("doc_id")) <
           lpad(lower(hex(round(col("rate") * 256, 0).cast("long"))), 2, "0"))
       .select(col("doc_id"), col(key), col("rate"))

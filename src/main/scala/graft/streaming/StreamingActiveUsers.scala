@@ -41,8 +41,11 @@ object StreamingActiveUsers {
     * passes), and the per-day COUNT becomes a plain aggregate over the
     * deduped landing. The sketch variant above bounds state harder
     * (one HLL per window); this one is exact — which is what lets it
-    * sit under the DuckDB oracle. Generous default watermark = the
-    * replay posture (nothing dropped on an unordered landing).
+    * sit under the DuckDB oracle. The default watermark is only a
+    * fallback — the replay path derives the delay from the landing's
+    * actual event-time span ([[ReplayGuard.spanWatermark]]), because
+    * "nothing dropped on an unordered landing" is a property of the
+    * span, not of any fixed number of days.
     */
   def dedupedDayUsers(events: DataFrame,
                       watermark: String = "45 days"): DataFrame = {
@@ -85,7 +88,10 @@ object StreamingActiveUsers {
         .schema(spark.read.parquet(landing).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
-      val q = dedupedDayUsers(stream).writeStream
+      // span-derived replay watermark (see [[ReplayGuard]]): the fixed
+      // 45-day default only holds while the landing spans < 45 days
+      val q = dedupedDayUsers(stream,
+          watermark = ReplayGuard.spanWatermark(spark, landing)).writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")

@@ -90,10 +90,11 @@ object StreamingAgg {
     * value)` instead of an IEEE average, so every Update-mode emission
     * carries a running total independent of batch and merge order —
     * the property that lets a streamed landing answer the batch
-    * `ts_avg` oracle bit-exactly. The generous default watermark is
-    * the REPLAY posture (landing files arrive in no particular event
-    * order; nothing may be dropped) — a live deployment tightens it to
-    * its real lateness bound.
+    * `ts_avg` oracle bit-exactly. The default watermark is a fallback;
+    * the replay path passes a span-derived delay
+    * ([[ReplayGuard.spanWatermark]]) so the nothing-dropped posture
+    * holds for ANY landing span — a live deployment tightens it to its
+    * real lateness bound.
     */
   def bucketedPartials(events: DataFrame, width: String = "1 day",
                        watermark: String = "45 days"): DataFrame =
@@ -136,7 +137,11 @@ object StreamingAgg {
         .schema(spark.read.parquet(landing).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
-      val q = bucketedPartials(stream).writeStream
+      // replay posture derived from the DATA, not a fixed 45-day hope:
+      // the watermark must out-span the landing's actual event-time
+      // range or randomly-ordered batches silently drop late rows
+      val q = bucketedPartials(stream,
+          watermark = ReplayGuard.spanWatermark(spark, landing)).writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")

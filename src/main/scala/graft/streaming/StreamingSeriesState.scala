@@ -229,6 +229,70 @@ object StreamingSeriesState {
     path
   }
 
+  /** [[enrichFlaps]] replayed FRESH on every invocation — the
+    * gate-facing form of the in-order replay contract. The cached
+    * [[ensureStreamedFlaps]] layout is content-keyed, so a change to
+    * the state FOLD itself would never rebuild it and could hide
+    * behind the stale landing (the spec catches it only until someone
+    * edits the spec); this entry re-executes the cross-batch stateful
+    * fold from scratch each call, so the driver hash gate pins the
+    * fold, not a file.
+    *
+    * Replay shape: the landing is the events table range-split into 4
+    * files on (ts, value) — the fold's own sort key, so file k holds
+    * the k-th event-time quantile — with every part file's mtime
+    * normalized to one instant, because FileStreamSource orders files
+    * by (mtime, path) and task completion order would otherwise feed
+    * batches out of event-time order (flap counters are NOT
+    * replay-order-invariant: a late point pairs nothing and overwrites
+    * lastValue). `maxFilesPerTrigger = 1` then drains 4 genuine
+    * micro-batches through a THROWAWAY checkpoint into a memory sink —
+    * driver-bounded (one metric's points at verify scale): a
+    * VALIDATION query, not the serving path.
+    */
+  def replayFlaps(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                  metric: String = "view"): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
+    val landing = s"$base/graft_flaps_replay_landing_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    if (!Files.exists(Paths.get(landing, "_SUCCESS"))) {
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .repartitionByRange(4, col("ts"), col("value"))
+        .write.mode("overwrite").parquet(landing)
+      // STRICTLY INCREASING mtimes in partition order: part-0000k is
+      // range partition k by construction, but task completion order
+      // scrambles the written mtimes and FileStreamSource's tie-break
+      // on equal mtimes is filesystem-listing luck (measured: one
+      // equal-mtime replay delivered a batch out of event-time order —
+      // a single off-by-one `changes` counter at sf0.01). mtime =
+      // epoch + k seconds makes the (mtime, path) order unambiguous.
+      val ls = Files.list(Paths.get(landing))
+      try ls.forEach { p =>
+        val m = "part-(\\d+)".r.findFirstMatchIn(p.getFileName.toString)
+        m.foreach { mm =>
+          Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+            .fromMillis(1704067200000L + mm.group(1).toLong * 1000L))
+        }
+      } finally ls.close()
+    }
+    val schema = spark.read.parquet(landing).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val name = s"graft_flaps_replay_${replaySeq.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft_flaps_replay_ckpt").toString
+    val q = enrichFlapsEvents(stream, metric).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    StreamAwait.drain(q)
+    spark.table(name)
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Drain the events table through the [[enrichZ]] expanding-stats
     * fold once (same content-fingerprint-keyed, batch-id-staged,
     * `_DONE`-guarded recipe as [[ensureStreamed]]). Every point lands

@@ -1127,6 +1127,48 @@ final case class AggBuilder(
     base.groupBy(grpCol.as("grp"), bucketStart).agg(count(lit(1)).as("n"), aggValueCol)
   }
 
+  /** The GK sketch's rank-error contract as an ORACLE-CHECKABLE frame:
+    * per (group, bucket), a boolean asserting the [[AggKind
+    * .QuantileApprox]] value lies within the exact DISCRETE rank band
+    * `[v_⌊(q−m)·n⌋, v_⌈(q+m)·n⌉]` (sorted values, indices clamped to
+    * [1, n]). A sketch emits a genuine data point, so cross-engine
+    * bit-parity on the VALUE is structurally impossible — but both
+    * engines agree on booleans, so the 1% rank-error band moves from a
+    * spec-only assertion into the driver's hash gate (an oracle that
+    * simply emits TRUE per group; any sketch regression flips a row).
+    * Discrete indices, not interpolated percentiles: the sketch's
+    * guarantee is about the RANK of the returned data point, and for
+    * small groups an interpolated p94 can exceed every data point below
+    * the target rank (n = 2, values {0, 100}: interpolated p94 = 94,
+    * yet v₂ = 100 is the correct sketch answer). The band aggregate
+    * buffers each group's values exactly like [[AggKind.Quantile]] —
+    * this is a VALIDATION query; production serving stays on the
+    * bounded-state sketch via [[build]].
+    */
+  def buildBandCheck(rankMargin: Double = 0.01): DataFrame = {
+    val (q, acc) = kind match {
+      case AggKind.QuantileApprox(qq, a) => (qq, a)
+      case other => throw new IllegalArgumentException(
+        s"buildBandCheck applies to QuantileApprox, not $other")
+    }
+    require(rankMargin > 0 && q - rankMargin > 0 && q + rankMargin < 1,
+      "rank band must stay inside (0,1)")
+    val grpCol = db.tagCol(groupBy)
+    val base = db.scan(metric, filterExpr, minTs, maxTs)
+      .where(grpCol.isNotNull)
+    val bucketStart = (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start")
+    base.groupBy(grpCol.as("grp"), bucketStart)
+      .agg(count(lit(1)).as("n"),
+        expr(s"approx_percentile(value, ${q}d, $acc)").as("approx"),
+        array_sort(collect_list(col("value"))).as("vs"))
+      .select(col("grp"), col("bucket_start"), col("n"),
+        (col("approx") >= element_at(col("vs"),
+          greatest(lit(1L), floor(lit(q - rankMargin) * col("n"))).cast("int")) &&
+         col("approx") <= element_at(col("vs"),
+          least(col("n"), ceil(lit(q + rankMargin) * col("n"))).cast("int")))
+          .as("within_band"))
+  }
+
   /** Day-of-week seasonal profile — the `day_wise` baseline a weekly
     * dashboard overlays: the same exact-decimal aggregate chain as
     * [[build]], keyed by (group, day-of-week) instead of (group,

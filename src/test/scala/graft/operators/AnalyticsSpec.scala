@@ -335,7 +335,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "nation/region dims must broadcast")
   }
 
-  test("q18 keeps exactly the HAVING-qualified orders, semi-join before the wide joins") {
+  test("q18 keeps exactly the HAVING-qualified orders from a single lineitem scan") {
     val out = Analytics.q18LargeVolume(spark, sfDir).collect()
     assert(out.length <= 100)
     // every output order crosses the threshold, per a brute recompute
@@ -349,10 +349,14 @@ class AnalyticsSpec extends SparkSpec {
       assert(qty(ok) > 250.0, s"order $ok qty ${qty(ok)} below threshold")
       assert(r.getAs[Double]("sum_qty") == qty(ok))
     }
-    // plan: LEFT SEMI on the qualifying set, top-100 never global-sorts
+    // plan: the qualifying aggregate CARRIES its quantity sum, so
+    // lineitem is scanned exactly once (the r08 plan re-joined the raw
+    // fact to recompute the sum — a second scan + wide re-aggregate
+    // that spilled a 25 GB heap at 10×) and top-100 never global-sorts
     val plan = Analytics.q18LargeVolume(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), s"no LeftSemi in:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 3,
+      s"expected exactly one scan each of lineitem/orders/customer in:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
   }
 

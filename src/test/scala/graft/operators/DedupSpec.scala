@@ -167,6 +167,28 @@ class DedupSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("nlistSized tracks sqrt(n) within the floor/cap, so pairs/cell stay bounded") {
+    assert(Dedup.nlistSized(0) == 16)
+    assert(Dedup.nlistSized(100) == 16)           // floor
+    assert(Dedup.nlistSized(500) == 22)
+    assert(Dedup.nlistSized(2000) == 45)
+    assert(Dedup.nlistSized(200000) == 447)
+    assert(Dedup.nlistSized(20000000000L) == 65536) // cap
+    // the scale invariant the sizing exists for: intra-cell pair cost
+    // n²/nlist grows ~n^1.5, i.e. a 100× corpus costs ~1000× the pairs,
+    // not 10000× — check the implied ratio stays sub-quadratic
+    val small = 2000.0 * 2000.0 / Dedup.nlistSized(2000)
+    val big = 200000.0 * 200000.0 / Dedup.nlistSized(200000)
+    assert(big / small < 1200, s"pair-cost ratio ${big / small} not ~n^1.5")
+    // the production entry derives its nlist from the corpus (smoke:
+    // stats reflect the sized cell count and a bounded max cell)
+    val (nlist, cells, maxC, pairs) = Dedup.semanticStats(spark, sfDir)
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(nlist == Dedup.nlistSized(n))
+    assert(cells >= 1 && cells <= nlist)
+    assert(maxC >= 1 && pairs >= 0)
+  }
+
   test("embedding LSH fetches candidate payloads via broadcast joins") {
     // the candidate-payload joins must not fall to sort-merge: SMJ
     // sorts an intermediate that carries a vector per row (measured

@@ -125,6 +125,13 @@ class SamplingSpec extends SparkSpec {
     val sub = Sampling.weightedSample(many.where(col("doc_id") % 2 === 0),
       col("doc_id"), col("w")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sub == r1.filter(_ % 2 == 0))
+    // the rounding-overflow edge: a weight within half a bucket of 1.0
+    // rounds to bucket 256, whose 3-char hex threshold would
+    // lpad-TRUNCATE to "10" and keep ~6% — the keep-all guard must
+    // catch it before the string compare does
+    val near1 = (0L until 500L).map(i => (i, 0.999)).toDF("doc_id", "w")
+    assert(Sampling.weightedSample(near1, col("doc_id"), col("w")).count() == 500L,
+      "weight that rounds to bucket 256 must keep everything")
   }
 
   test("stratified sample keeps at most perLabel rows per label, deterministically") {

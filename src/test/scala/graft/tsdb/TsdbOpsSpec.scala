@@ -429,6 +429,29 @@ class TsdbOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantileApprox band check: every group within the exact discrete rank band") {
+    val d = Db.fromEvents(spark, sfDir)
+    val w = Duration.days(1)
+    val check = d.quantileApprox("view", "user", 0.95).granularity(w)
+      .buildBandCheck().collect()
+    assert(check.nonEmpty)
+    // the 1% rank-error contract holds on every group — this is exactly
+    // the boolean frame the driver oracle pins to TRUE
+    check.foreach { r =>
+      assert(r.getAs[Boolean]("within_band"),
+        s"group ${r.getString(0)} bucket ${r.getLong(1)} (n=${r.getLong(2)}) " +
+          "sketch value escaped the exact rank band")
+    }
+    // same group/bucket set as the plain build (the oracle's row contract)
+    val built = d.quantileApprox("view", "user", 0.95).granularity(w).build()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(check.map(r => (r.getString(0), r.getLong(1))).toSet == built)
+    // non-QuantileApprox kinds refuse the band check
+    intercept[IllegalArgumentException] {
+      d.avg("view", "user").buildBandCheck()
+    }
+  }
+
   test("resets counts value drops per bucket; changes counts value flips") {
     val day = 86_400_000_000_000L
     val d = db(Seq(
