@@ -257,6 +257,11 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => graft.operators.TextAnalysis.fingerprint(s, d)),
     "text_repetition" -> ((s, d) => graft.operators.TextAnalysis.repetition(s, d)),
     "text_decontaminate" -> ((s, d) => graft.operators.TextAnalysis.decontaminate(s, d)),
+    // the distributed-Bloom membership variant: the filter is a
+    // (word_id, bit_or word) frame, probes are equi-joins; the oracle
+    // pins the zero-false-negative implication per contaminated doc
+    "text_decontaminate_bloom" -> ((s, d) =>
+      graft.operators.TextAnalysis.bloomDecontaminate(s, d)),
     "text_filter_chain" -> ((s, d) => graft.operators.TextAnalysis.filterChain(s, d)),
     "text_pii_scrub" -> ((s, d) => graft.operators.TextAnalysis.piiScrub(s, d)),
     "text_vocab_topk" -> ((s, d) => graft.operators.TextAnalysis.vocabTopK(s, d)),
@@ -1834,6 +1839,24 @@ object SparkEntry {
         |  FROM w
         |), ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
         |SELECT g.doc_id, COUNT(*) AS n_shared_grams
+        |FROM g JOIN ev USING (gram)
+        |WHERE g.doc_id % 50 <> 0
+        |GROUP BY 1""".stripMargin,
+    // the Bloom variant: same exact contamination chain, plus the
+    // TRUE-pinned implication — a Bloom filter CANNOT false-negative,
+    // so every exactly-shared gram must be bloom-positive; any
+    // build/probe drift (m mismatch, seed skew, word packing) flips
+    // bloom_covers and fails the hash (the quantile-band gate pattern)
+    "text_decontaminate_bloom" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(wl) - 2, 1)),
+        |    i -> array_to_string(list_slice(wl, i, i + 2), ' ')))) AS gram
+        |  FROM w
+        |), ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_shared_grams, TRUE AS bloom_covers
         |FROM g JOIN ev USING (gram)
         |WHERE g.doc_id % 50 <> 0
         |GROUP BY 1""".stripMargin,

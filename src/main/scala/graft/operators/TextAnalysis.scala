@@ -333,6 +333,96 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** DISTRIBUTED-Bloom decontamination — the membership-test shape for
+    * a contamination set too large to broadcast as grams (dedup of new
+    * data against an existing trillion-gram corpus, leaked-benchmark
+    * scrubbing against a huge held-out suite). [[decontaminateFrame]]
+    * broadcasts the eval gram set itself — right while the set is
+    * benchmark-sized; this variant materializes a Bloom filter AS A
+    * DATAFRAME and keeps every step relational:
+    *
+    *  - build: each distinct eval gram sets `numHashes` bits at
+    *    `pmod(xxhash64(gram, seed), m)`; bits OR-pack into 64-bit words
+    *    by ONE `bit_or` aggregate keyed on `word_id = bit div 64` — the
+    *    filter is an (word_id, word) frame of m/64 rows, 64× denser
+    *    than a row-per-bit layout. m is data-derived (count ×
+    *    bitsPerItem, one broadcast row — no driver collect).
+    *  - probe: corpus grams explode to (word_id, mask) per seed and
+    *    equi-join the filter on word_id; a gram is bloom-positive iff
+    *    ALL `numHashes` probes find their bit set. At this scale the
+    *    filter broadcasts; at corpus scale the join shuffles on
+    *    word_id — co-partitioned, no driver filter, no UDF, and the
+    *    filter build is a single associative aggregate (the property a
+    *    billion-gram set needs; 10 bits/item ≈ 1.2 GB per 10⁹ grams).
+    *
+    * Output: the exact-contaminated docs with their shared-gram counts
+    * plus `bloom_covers` — TRUE iff every exactly-shared gram is also
+    * bloom-positive. Bloom filters cannot false-negative, so the
+    * column is the gate-checkable implication (the oracle pins TRUE,
+    * like the quantile band): any build/probe drift — m mismatch, seed
+    * skew, packing bug — flips rows and fails the hash. The FP rate
+    * (possible but harmless for decontamination: an extra doc gets
+    * reviewed) is spec-bounded near the designed ~0.8% for k=7,
+    * 10 bits/item.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String,
+                         evalMod: Int = 50, bitsPerItem: Int = 10,
+                         numHashes: Int = 7): DataFrame =
+    bloomDecontaminateFrame(docs(spark, dir), evalMod, bitsPerItem, numHashes)
+
+  /** [[bloomDecontaminate]] over an arbitrary (doc_id, text) frame. */
+  def bloomDecontaminateFrame(d: DataFrame, evalMod: Int = 50,
+                              bitsPerItem: Int = 10,
+                              numHashes: Int = 7): DataFrame =
+    bloomGramVerdicts(d, evalMod, bitsPerItem, numHashes)
+      .where(col("exact_hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"),
+        min(col("bloom_hit")).as("bloom_covers"))
+
+  /** The build + probe shared by the entry and the FP-rate spec:
+    * per corpus gram, `(doc_id, gram, bloom_hit, exact_hit)`.
+    */
+  private[graft] def bloomGramVerdicts(d: DataFrame, evalMod: Int = 50,
+                                       bitsPerItem: Int = 10,
+                                       numHashes: Int = 7): DataFrame = {
+    require(bitsPerItem >= 1, "bitsPerItem must be >= 1")
+    require(numHashes >= 1 && numHashes <= 32, "numHashes must be in [1,32]")
+    graft.expressions.GraftFunctions.register(d.sparkSession)
+    val grams = call_function("graft_word_shingles", col("text"))
+    val evalGrams = d.where(col("doc_id") % evalMod === 0)
+      .select(explode(grams).as("gram")).distinct()
+    val mB = broadcast(evalGrams.agg(
+      greatest(lit(64L), count(lit(1)) * bitsPerItem).as("m_bits")))
+    val seed = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
+    val filterWords = evalGrams.crossJoin(mB)
+      .select(col("gram"), col("m_bits"), seed)
+      .select(pmod(xxhash64(col("gram"), col("seed")), col("m_bits")).as("bit"))
+      .select(expr("bit div 64").as("word_id"),
+        expr("shiftleft(1L, cast(bit % 64 AS INT))").as("mask"))
+      .groupBy(col("word_id")).agg(expr("bit_or(mask)").as("word"))
+    val corpus = d.where(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    val hits = corpus.crossJoin(mB)
+      .select(col("doc_id"), col("gram"), col("m_bits"), seed)
+      .select(col("doc_id"), col("gram"),
+        pmod(xxhash64(col("gram"), col("seed")), col("m_bits")).as("bit"))
+      .select(col("doc_id"), col("gram"),
+        expr("bit div 64").as("word_id"),
+        expr("shiftleft(1L, cast(bit % 64 AS INT))").as("mask"))
+      .join(broadcast(filterWords), Seq("word_id"))
+      .where(col("word").bitwiseAND(col("mask")) === col("mask"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg((count(lit(1)) === numHashes).as("bloom_hit"))
+    corpus
+      .join(hits, Seq("doc_id", "gram"), "left_outer")
+      .join(broadcast(evalGrams.withColumn("exact_hit", lit(true))),
+        Seq("gram"), "left_outer")
+      .select(col("doc_id"), col("gram"),
+        coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"),
+        coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+  }
+
   /** The quality-filter chain a corpus pipeline runs before training:
     * keep documents passing the heuristic quality score, the repetition
     * bounds, and the language gate — all computed in ONE scan (the

@@ -131,6 +131,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("bloom decontamination: zero false negatives, bounded FP rate, same docs as exact") {
+    // the boolean contract the driver oracle pins: every exactly-shared
+    // gram is bloom-positive (a Bloom filter cannot false-negative)
+    val out = TextAnalysis.bloomDecontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._3), "bloom missed an exactly-shared gram (false negative)")
+    // identical doc/count output to the exact broadcast-set path
+    val exact = TextAnalysis.decontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet == exact)
+    // FP rate near the designed fpp (~0.8% for k=7, 10 bits/item):
+    // bloom-positive among truly-absent grams, bounded with slack for
+    // the small filter
+    val v = TextAnalysis.bloomGramVerdicts(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))).collect()
+      .map(r => (r.getBoolean(2), r.getBoolean(3)))
+    val absent = v.filter(!_._2)
+    val fp = absent.count(_._1)
+    assert(absent.nonEmpty)
+    assert(fp.toDouble / absent.size < 0.03,
+      s"FP rate ${fp.toDouble / absent.size} (${fp}/${absent.size})")
+  }
+
   test("filter chain keeps a strict subset and every kept row passes every gate") {
     val out = TextAnalysis.filterChain(spark, sfDir).collect()
     val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
