@@ -134,6 +134,15 @@ object SparkEntry {
         s, graft.tsdb.Ingest.ensureRollup(s, d, Duration.hours(1)), Duration.hours(1))
       rollup.avg("purchase", "user", Day)
     }),
+    // WEEKLY avg answered from the multi-resolution LADDER: a daily
+    // rollup built FROM the hourly rollup's partials (never from raw),
+    // the M3/Thanos downsampling posture — matching the raw-points
+    // oracle proves level-cascade associativity end-to-end
+    "ts_rollup_cascade" -> ((s, d) => {
+      val path = graft.tsdb.Ingest.ensureRollupCascade(
+        s, d, Duration.hours(1), Day)
+      graft.tsdb.Ingest.openRollup(s, path, Day).avg("purchase", "user", Week)
+    }),
     // the same daily avg answered from a rollup built by the STREAMING
     // landing path (micro-batched foreachBatch, batch-id-staged
     // exactly-once dirs): matching the raw-points oracle proves the
@@ -631,6 +640,10 @@ object SparkEntry {
     // from hourly rollup partials, and matching this hash proves the
     // re-aggregation is exact
     "ts_rollup_avg" -> tsAgg("purchase", "user", AvgV),
+    // cascade: RAW-points weekly aggregation — the Spark side answers
+    // from day partials that were themselves folded from hour partials;
+    // the hash match proves two levels of partial re-aggregation exact
+    "ts_rollup_cascade" -> tsAgg("purchase", "user", AvgV, width = Week),
     // SAME raw-points oracle for the STREAMED rollup: the Spark side
     // answers from batch-id-staged partials landed by the streaming
     // path — the hash match is the exactly-once landing proof

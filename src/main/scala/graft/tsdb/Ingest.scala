@@ -241,6 +241,55 @@ object Ingest {
     path
   }
 
+  /** Downsample an existing rollup layout one level COARSER — the
+    * multi-resolution ladder (1 m → 1 h → 1 d → …) every production
+    * metrics store maintains (the M3/Thanos downsampling posture):
+    * the coarser level's partials are built FROM the finer level's,
+    * never from raw points, so each additional level costs one
+    * aggregate over data already orders of magnitude smaller than the
+    * source — at 100 TB the ladder build is a rounding error next to
+    * the first rollup. Counts and decimal sums add, Σv² adds,
+    * mins/maxes combine — the SAME associativity that makes
+    * query-time width re-aggregation exact makes the level build
+    * exact, so a query answered from a cascaded level is bit-equal to
+    * one answered from raw points (the ts_rollup_cascade oracle's
+    * hash-checked claim, and the property that lets a deployment
+    * route each query to the coarsest level satisfying its
+    * granularity).
+    */
+  def writeRollupFrom(spark: SparkSession, srcPath: String, srcWidth: Long,
+                      path: String, widthNs: Long): Unit = {
+    require(widthNs % srcWidth == 0,
+      s"cascade width $widthNs is not a multiple of the source width $srcWidth")
+    val src = openRollup(spark, srcPath, srcWidth).frame
+    val tags = src.columns.filter(_.startsWith(Db.TagPrefix)).sorted.toSeq.map(col)
+    src
+      .groupBy(col("metric") +: tags :+
+        (expr(s"bucket_start div ${widthNs}L") * lit(widthNs)).as("bucket_start"): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_value")).as("sum_value"),
+        sum(col("sum_sq")).as("sum_sq"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+      .write.partitionBy("metric").mode("overwrite").parquet(path)
+  }
+
+  /** Write-once cached two-level cascade: the `widthNs` rollup built
+    * from the `srcWidth` rollup (which [[ensureRollup]] builds from
+    * raw). Cache-keyed by BOTH widths so a ladder and a direct build
+    * at the same width never collide.
+    */
+  def ensureRollupCascade(spark: SparkSession, sfDir: String,
+                          srcWidth: Long, widthNs: Long,
+                          base: String = ""): String = {
+    val srcPath = ensureRollup(spark, sfDir, srcWidth, base)
+    val path = rollupPath(sfDir, widthNs,
+      graft.Conf.resolveWorkDir(spark, base)) + s"_from${srcWidth}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      writeRollupFrom(spark, srcPath, srcWidth, path, widthNs)
+    path
+  }
+
   /** The content-fingerprinted cache path [[ensureRollup]] uses for a
     * source dir (no side effects — lets a benchmark evict the cache to
     * time the build separately from the query).

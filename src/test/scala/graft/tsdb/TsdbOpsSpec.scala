@@ -329,6 +329,48 @@ class TsdbOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("cascaded rollup (day-from-hour) equals both the direct day build and raw points") {
+    val src = "/root/repo/out/test_rollup_cascade_src"
+    val dst = "/root/repo/out/test_rollup_cascade_dst"
+    Seq(src, dst).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val db = Db.fromEvents(spark, sfDir)
+    Ingest.writeRollup(db, src, Duration.hours(1))
+    Ingest.writeRollupFrom(spark, src, Duration.hours(1), dst, Duration.days(1))
+    val day = Ingest.openRollup(spark, dst, Duration.days(1))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // weekly query from the LADDER level vs the same query over raw
+    // points: two stacked partial folds must stay bit-exact
+    for ((kind, name) <- Seq[(AggKind, String)](
+      (AggKind.Avg, "avg"), (AggKind.Sum, "sum"), (AggKind.Min, "min"),
+      (AggKind.Max, "max"), (AggKind.Count, "count"),
+      (AggKind.Stddev, "stddev"))) {
+      val direct = AggBuilder(db, kind, "purchase", "user")
+        .granularity(Duration.weeks(1)).build()
+      assert(key(day.agg(kind, "purchase", "user", Duration.weeks(1))) == key(direct),
+        s"kind $name")
+    }
+    // the cascaded level's PARTIALS are row-identical to a direct
+    // day-level build from raw (associativity at the layout level, not
+    // just the query level)
+    val direct = "/root/repo/out/test_rollup_cascade_direct"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(direct))
+    Ingest.writeRollup(db, direct, Duration.days(1))
+    val a = Ingest.openRollup(spark, dst, Duration.days(1)).frame.collect()
+      .map(_.toString).sorted
+    val b = Ingest.openRollup(spark, direct, Duration.days(1)).frame.collect()
+      .map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+    // misaligned cascade width is a clean rejection
+    intercept[IllegalArgumentException] {
+      Ingest.writeRollupFrom(spark, src, Duration.hours(1), dst,
+        Duration.hours(1) + 1)
+    }
+    Seq(src, dst, direct).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+
   test("incremental rollup append merges partials exactly (no read-modify-write)") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/repo/out/test_rollup_inc"
