@@ -58,6 +58,13 @@ object SparkEntry {
     // TagIndex value enumeration: distinct values of one tag key
     "ts_meta_tagvalues" -> ((s, d) => Db.fromEvents(s, d).tagValues("click", "k")),
     "ts_rate" -> ((s, d) => Db.fromEvents(s, d).rate("click")),
+    // PromQL sum(rate(m[1d])): cross-series total rate per bucket —
+    // rounded-decimal cross-series sum (a raw double fold would be
+    // engine/partitioning-order-sensitive)
+    "ts_rate_sum" -> ((s, d) => Db.fromEvents(s, d).rateSum("click", Day)),
+    // PromQL quantile(0.9, sum by(user)(m)): p90 ACROSS series per day
+    "ts_quantile_across" -> ((s, d) =>
+      Db.fromEvents(s, d).quantileAcross("click", "user", 0.9, Day)),
     "ts_increase" -> ((s, d) => Db.fromEvents(s, d).increase("click", Day)),
     "ts_irate" -> ((s, d) => Db.fromEvents(s, d).irate("click", Week)),
     "ts_ewma" -> ((s, d) => Db.fromEvents(s, d).ewma("view")),
@@ -141,6 +148,16 @@ object SparkEntry {
     "ts_rollup_cascade" -> ((s, d) => {
       val path = graft.tsdb.Ingest.ensureRollupCascade(
         s, d, Duration.hours(1), Day)
+      graft.tsdb.Ingest.openRollup(s, path, Day).avg("purchase", "user", Week)
+    }),
+    // the LADDER over the STREAMED hourly landing: day partials folded
+    // from the batch-id-staged streaming rollup — the downsampling
+    // cascade does not care how its source level was landed
+    "ts_rollup_cascade_streamed" -> ((s, d) => {
+      val hourly = graft.streaming.StreamingRollup.ensureStreamed(
+        s, d, Duration.hours(1))
+      val path = graft.tsdb.Ingest.ensureRollupCascadeFrom(
+        s, hourly, Duration.hours(1), Day)
       graft.tsdb.Ingest.openRollup(s, path, Day).avg("purchase", "user", Week)
     }),
     // the same daily avg answered from a rollup built by the STREAMING
@@ -307,6 +324,9 @@ object SparkEntry {
     // SemDeDup: k-means blocks, intra-cluster cosine pruning
     "dedup_semantic" -> ((s, d) => graft.operators.Dedup.semantic(s, d)),
     "dedup_cluster" -> ((s, d) => graft.operators.Dedup.cluster(s, d)),
+    // duplicate-cluster size census: the dashboard-sized distribution
+    // an operator reads before trusting a dedup run's keep rate
+    "dedup_cluster_hist" -> ((s, d) => graft.operators.Dedup.clusterSizeHist(s, d)),
     "dedup_pipeline" -> ((s, d) => graft.operators.Dedup.pipeline(s, d)),
     "dedup_pipeline_quality" -> ((s, d) => graft.operators.Dedup.pipelineQuality(s, d)),
     "dedup_pipeline_simhash" -> ((s, d) => graft.operators.Dedup.pipelineSimhash(s, d)),
@@ -342,6 +362,8 @@ object SparkEntry {
     "sample_kfold" -> ((s, d) => graft.operators.Sampling.docKfold(s, d)),
     "sample_shuffle" -> ((s, d) => graft.operators.Sampling.shuffleDocs(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
+    // label-balanced cut at the data-derived minority-class count
+    "sample_balanced" -> ((s, d) => graft.operators.Sampling.balancedSample(s, d)),
     "sample_mix" -> ((s, d) => graft.operators.Sampling.sourceMix(s, d)),
     "sample_pack" -> ((s, d) => graft.operators.Sampling.packDocs(s, d)),
     "sample_weighted" -> ((s, d) => {
@@ -644,6 +666,9 @@ object SparkEntry {
     // from day partials that were themselves folded from hour partials;
     // the hash match proves two levels of partial re-aggregation exact
     "ts_rollup_cascade" -> tsAgg("purchase", "user", AvgV, width = Week),
+    // SAME raw oracle for the cascade over the STREAMED hourly landing:
+    // streaming staging + two partial folds, all exact end-to-end
+    "ts_rollup_cascade_streamed" -> tsAgg("purchase", "user", AvgV, width = Week),
     // SAME raw-points oracle for the STREAMED rollup: the Spark side
     // answers from batch-id-staged partials landed by the streaming
     // path — the hash match is the exactly-once landing proof
@@ -691,6 +716,35 @@ object SparkEntry {
          |  FROM ev WHERE metric = 'click'
          |  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
          |) WHERE prev_ts IS NOT NULL AND prev_ts < ts""".stripMargin,
+    // sum(rate): the identical per-series quotient chain, each value
+    // rounded to 6 then summed as DECIMAL — associative on both engines
+    "ts_rate_sum" ->
+      s"""$Ev
+         |, r AS (
+         |  SELECT ts, lag(ts) OVER w AS prev_ts,
+         |    round((value - lag(value) OVER w)
+         |      / ((ts - lag(ts) OVER w) / 1e9) + 0.0, 6) AS rr
+         |  FROM ev WHERE metric = 'click'
+         |  WINDOW w AS (PARTITION BY tag_user, tag_k ORDER BY ts, value)
+         |)
+         |SELECT ${bucket(Day)} AS bucket_start, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CAST(rr AS DECIMAL(28,6))) AS DOUBLE) AS value
+         |FROM r WHERE prev_ts IS NOT NULL AND prev_ts < ts
+         |GROUP BY 1""".stripMargin,
+    // quantile-across: level one is the exact decimal per-series sum
+    // (engine-identical doubles), level two quantile_cont + round —
+    // the ts_quantile recipe applied horizontally
+    "ts_quantile_across" ->
+      s"""$Ev
+         |, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+         |  FROM ev WHERE metric = 'click' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT bucket_start, COUNT(*) AS n_series,
+         |       round(quantile_cont(value, 0.9), 6) AS value
+         |FROM a GROUP BY 1""".stripMargin,
     // counter increase: positive deltas only (reset-aware), attributed
     // to the later point's bucket, DECIMAL-exact summation like every
     // other ts_* sum
@@ -2110,6 +2164,12 @@ object SparkEntry {
         |       s.cluster_size, (c.id = c.comp) AS is_keeper
         |FROM c JOIN (SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp) s
         |  ON c.comp = s.comp""".stripMargin,
+    // cluster-size census over the identical recursive closure
+    "dedup_cluster_hist" ->
+      s"""$NgramClusterCtes
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM (SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp)
+        |GROUP BY 1""".stripMargin,
     // quality-ranked keeper: components re-derived recursively, the
     // quality score re-derived from text, the SAME (score desc, id)
     // per-cluster argmax, singletons via NOT IN the paired set
@@ -2246,6 +2306,18 @@ object SparkEntry {
         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
         |  FROM embeddings)
         |WHERE rnk <= 10""".stripMargin,
+    // balanced cut: the same md5-rank chain with the cap DERIVED from
+    // the minority class count instead of declared
+    "sample_balanced" ->
+      """WITH m AS (SELECT MIN(n) AS n_min FROM (
+        |  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1)),
+        |r AS (
+        |  SELECT vec_id, label, row_number() OVER (
+        |    PARTITION BY label
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+        |  FROM embeddings)
+        |SELECT vec_id, label, CAST(rnk AS BIGINT) AS rnk
+        |FROM r CROSS JOIN m WHERE rnk <= n_min""".stripMargin,
 
     // ---- Similarity search ----
     "ann_bruteforce" ->

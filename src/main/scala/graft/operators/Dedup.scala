@@ -956,6 +956,22 @@ object Dedup {
               threshold: Double = 0.3): DataFrame =
     clusterPairs(ngramJaccard(spark, dir, threshold))
 
+  /** Duplicate-cluster size census — the observability read an operator
+    * does BEFORE trusting a dedup run at 100 TB: the size distribution
+    * says whether duplication is long-tail pairs (healthy crawl) or a
+    * few giant boilerplate clusters (the regime where verify joins go
+    * quadratic per cluster and hot-bucket salting starts paying — see
+    * the minhash 100× finding). One distinct + one aggregate over the
+    * LABELED (paired) subset; output rows ≤ the max cluster size, so
+    * the census is dashboard-sized no matter the corpus.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String,
+                      threshold: Double = 0.3): DataFrame =
+    cluster(spark, dir, threshold)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** The dedup pipeline END-TO-END — what a training-data run actually
     * executes: MinHash-LSH near-dup pairs → connected components →
     * keep one canonical document per cluster (plus every unpaired

@@ -319,4 +319,30 @@ object Sampling {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= perLabel)
   }
+
+  /** Label-BALANCED deterministic downsample — the class-rebalancing
+    * cut a training pipeline applies to a skewed label distribution:
+    * every label keeps exactly the MINORITY class's count. Unlike
+    * [[stratifiedSample]]'s declared per-label cap, the cap here is
+    * DATA-DERIVED (one bounded label-count aggregate, its min
+    * broadcast back as a one-row cross join — no driver collect), and
+    * rows are chosen per label by the same content-stable md5 shuffle
+    * rank, so membership is engine-reproducible and stable under
+    * repartitioning. One shuffle on the label (the stratum grain a
+    * 100 TB corpus is naturally partitioned by); appending data can
+    * shrink the minority count and re-cut, as balancing must.
+    */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+    val minN = broadcast(e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("n_min")))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    e.withColumn("rnk", row_number().over(w).cast("long"))
+      .crossJoin(minN)
+      .where(col("rnk") <= col("n_min"))
+      .select(col("vec_id"), col("label"), col("rnk"))
+  }
 }

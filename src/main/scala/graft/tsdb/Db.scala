@@ -148,6 +148,47 @@ final class Db(val frame: DataFrame) {
       .drop("prev_ts", "prev_value")
   }
 
+  /** PromQL `sum(rate(m[w]))` — the single most common dashboard
+    * expression (cross-series total request rate per bucket): every
+    * series' pairwise rates from the exact [[rate]] chain, re-bucketed
+    * and totaled ACROSS series. The cross-series sum must not be a
+    * raw double fold — addition order differs per engine and per
+    * partitioning and double addition is not associative — so each
+    * rate is rounded to 6 and summed as DECIMAL(28,6) (exact,
+    * associative, engine-stable; the decimal also kills the signed
+    * zero a tiny negative rate would round to), with one final double
+    * cast. Plan: one window pass on the series partitioning + one
+    * map-side-combined aggregate; output rows = buckets — the
+    * bounded-output shape a 100 TB fleet dashboard needs.
+    */
+  def rateSum(metric: String, widthNs: Long,
+              filterExpr: String = "*"): DataFrame =
+    rate(metric, filterExpr)
+      .groupBy((expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_pairs"),
+        org.apache.spark.sql.functions.sum(
+          round(col("rate_per_s"), 6).cast("decimal(28,6)"))
+          .cast("double").as("value"))
+
+  /** PromQL `quantile(q, sum by(group)(m))` — the cross-SERIES
+    * quantile per bucket ("p90 per-pod daily volume"), the horizontal
+    * sibling of [[quantile]]'s within-group percentile: level one is
+    * the exact-decimal per-(group, bucket) sum (AggBuilder's op
+    * chain, so the quantile's inputs are engine-identical doubles),
+    * level two an exact interpolated percentile ACROSS the bucket's
+    * group values, rounded like ts_quantile. The second level buffers
+    * only the bucket's GROUP VALUES (series-cardinality-bounded,
+    * never points); output rows = buckets.
+    */
+  def quantileAcross(metric: String, groupBy: String, q: Double,
+                     widthNs: Long, filterExpr: String = "*"): DataFrame = {
+    require(q > 0 && q < 1, "quantile must be in (0,1)")
+    sum(metric, groupBy).filter(filterExpr).granularity(widthNs).build()
+      .groupBy(col("bucket_start"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_series"),
+        round(expr(s"percentile(value, ${q}d)"), 6).as("value"))
+  }
+
   /** Gauge delta per (series × bucket) — Datadog `diff`-style
     * last-minus-first (PromQL `delta()` without the extrapolation
     * term, which assumes scrape-interval regularity this store does

@@ -290,6 +290,22 @@ object Ingest {
     path
   }
 
+  /** [[ensureRollupCascade]] over an EXISTING rollup path — e.g. the
+    * batch-id-staged layout a streaming landing maintains
+    * ([[graft.streaming.StreamingRollup.ensureStreamed]]): the ladder
+    * does not care how its source level was landed, because
+    * [[openRollup]] already normalizes staged layouts. The cache key
+    * derives from the source path (itself content-fingerprinted), so
+    * a re-landed source re-keys the cascade.
+    */
+  def ensureRollupCascadeFrom(spark: SparkSession, srcPath: String,
+                              srcWidth: Long, widthNs: Long): String = {
+    val path = s"${srcPath}_cascade_w$widthNs"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      writeRollupFrom(spark, srcPath, srcWidth, path, widthNs)
+    path
+  }
+
   /** The content-fingerprinted cache path [[ensureRollup]] uses for a
     * source dir (no side effects — lets a benchmark evict the cache to
     * time the build separately from the query).

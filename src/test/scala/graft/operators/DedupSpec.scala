@@ -212,6 +212,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs(4) == unsalted)
   }
 
+  test("cluster-size census partitions the paired docs; every cluster has >= 2 members") {
+    val hist = Dedup.clusterSizeHist(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(hist.nonEmpty)
+    // clusters only exist over PAIRED documents, so no singleton rows
+    hist.foreach { case (size, n) => assert(size >= 2 && n >= 1) }
+    // the census is a partition of the labeled set: sizes weighted by
+    // cluster counts must re-total the member rows exactly
+    val members = Dedup.cluster(spark, sfDir).count()
+    assert(hist.map { case (size, n) => size * n }.sum == members)
+  }
+
   test("quality keeper keeps the best-scoring member of every cluster, same kept count") {
     val quality = Dedup.pipelineQuality(spark, sfDir)
     // same partition of the corpus as the canonical keeper over the SAME

@@ -134,6 +134,22 @@ class SamplingSpec extends SparkSpec {
       "weight that rounds to bucket 256 must keep everything")
   }
 
+  test("balanced sample keeps exactly the minority-class count per label") {
+    val out = Sampling.balancedSample(spark, sfDir)
+    val minN = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .groupBy("label").count().collect().map(_.getLong(1)).min
+    val perLabel = out.groupBy("label").count().collect()
+      .map(r => r.get(0) -> r.getLong(1))
+    assert(perLabel.nonEmpty)
+    perLabel.foreach { case (l, n) =>
+      assert(n == minN, s"label $l kept $n, expected $minN")
+    }
+    // deterministic: the same cut on a rerun
+    val again = Sampling.balancedSample(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(out.collect().map(_.toString).sorted))
+  }
+
   test("stratified sample keeps at most perLabel rows per label, deterministically") {
     val out = Sampling.stratifiedSample(spark, sfDir, perLabel = 5)
     val perLabel = out.groupBy("label").count().collect()

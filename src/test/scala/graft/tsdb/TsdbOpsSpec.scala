@@ -471,6 +471,38 @@ class TsdbOpsSpec extends SparkSpec {
     }
   }
 
+  test("rateSum totals the rounded per-series rates exactly per bucket") {
+    val d = Db.fromEvents(spark, sfDir)
+    val day = Duration.days(1)
+    val rs = d.rateSum("click", day).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // driver-side recompute of the identical round→decimal-sum chain
+    val rates = d.rate("click")
+      .select((expr(s"ts div ${day}L") * lit(day)).as("b"), col("rate_per_s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val exp = rates.groupBy(_._1).view.mapValues { vs =>
+      val s = vs.map(v => BigDecimal(v._2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      (vs.size.toLong, s.toDouble)
+    }.toMap
+    assert(rs.nonEmpty && rs == exp)
+  }
+
+  test("quantileAcross: one row per bucket, series-count exact, value within the value spread") {
+    val d = Db.fromEvents(spark, sfDir)
+    val day = Duration.days(1)
+    val inner = d.sum("click", "user").granularity(day).build().collect()
+      .map(r => r.getLong(1) -> r.getDouble(3))
+    val out = d.quantileAcross("click", "user", 0.9, day).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val byBucket = inner.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.nonEmpty && out.keySet == byBucket.keySet)
+    out.foreach { case (b, (n, v)) =>
+      assert(n == byBucket(b).size)
+      assert(v >= byBucket(b).min - 1e-6 && v <= byBucket(b).max + 1e-6)
+    }
+  }
+
   test("quantileApprox band check: every group within the exact discrete rank band") {
     val d = Db.fromEvents(spark, sfDir)
     val w = Duration.days(1)
