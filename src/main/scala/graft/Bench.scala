@@ -243,7 +243,11 @@ object Bench {
     // (O(n²/nlist) — the ratio evidences the cell-blocking claim),
     // the banded phash pair join (simhash's curve on the image side),
     // and the two new TPC-H join shapes
-    "dedup_semantic", "mm_phash_pairs", "q10_returns", "q18_large_volume")
+    "dedup_semantic", "mm_phash_pairs", "q10_returns", "q18_large_volume",
+    // round-9 additions: the cross-series rate total (window + bounded
+    // aggregate — should track ts_rate's curve) and the distributed-
+    // Bloom probe joins (corpus-gram-volume-bound)
+    "ts_rate_sum", "text_decontaminate_bloom")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
@@ -690,6 +694,14 @@ object Bench {
       val dir100 = ScaleData.ensure(spark, sfDir, 100,
         tables = ScaleData.AllTables)
       def leg(dir: String, prefix: String): String = {
+        // drop stale tables AND their warehouse locations: the
+        // in-memory catalog dies with the JVM but spark-warehouse
+        // survives, and saveAsTable trips over the orphaned path
+        for (t <- Seq("lineitem_b", "orders_b", "customer_b")) {
+          spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"spark-warehouse/${prefix}_$t"))
+        }
         val t0 = System.nanoTime()
         graft.operators.Analytics.bucketFacts(spark, dir, buckets = 32,
           prefix = prefix)

@@ -57,6 +57,9 @@ object SparkEntry {
     "ts_meta_series" -> ((s, d) => Db.fromEvents(s, d).series("purchase")),
     // TagIndex value enumeration: distinct values of one tag key
     "ts_meta_tagvalues" -> ((s, d) => Db.fromEvents(s, d).tagValues("click", "k")),
+    // per-tag-key cardinality: the "which label explodes my series
+    // count" dashboard — one aggregate, vocabulary-sized output
+    "ts_meta_cardinality" -> ((s, d) => Db.fromEvents(s, d).tagCardinality("click")),
     "ts_rate" -> ((s, d) => Db.fromEvents(s, d).rate("click")),
     // PromQL sum(rate(m[1d])): cross-series total rate per bucket —
     // rounded-decimal cross-series sum (a raw double fold would be
@@ -82,6 +85,12 @@ object SparkEntry {
     "ts_quantile_approx" -> ((s, d) =>
       Db.fromEvents(s, d).quantileApprox("view", "user", 0.95)
         .granularity(Day).buildBandCheck()),
+    // the STREAMED sketch under the same band gate: GK merge order
+    // differs across micro-batches (values need not match the batch
+    // sketch), but the rank-error contract must hold — the boolean
+    // frame pins the cross-batch sketch-state merge
+    "ts_quantile_approx_streamed" -> ((s, d) =>
+      graft.streaming.StreamingAgg.streamedQuantileBand(s, d, "view")),
     "ts_stddev" -> ((s, d) =>
       Db.fromEvents(s, d).stddev("error", "k").granularity(Day).build()),
     "ts_zscore" -> ((s, d) => Db.fromEvents(s, d).zscore("error", "user")),
@@ -617,6 +626,16 @@ object SparkEntry {
       s"""$Ev
          |SELECT DISTINCT tag_k AS value FROM ev
          |WHERE metric = 'click' AND tag_k IS NOT NULL""".stripMargin,
+    // per-tag-key cardinality census (keys in sorted column order; the
+    // driver compare is order-insensitive anyway)
+    "ts_meta_cardinality" ->
+      s"""$Ev
+         |SELECT 'k' AS tag_key, COUNT(DISTINCT tag_k) AS n_values,
+         |       COUNT(tag_k) AS n_points
+         |FROM ev WHERE metric = 'click'
+         |UNION ALL
+         |SELECT 'user', COUNT(DISTINCT tag_user), COUNT(tag_user)
+         |FROM ev WHERE metric = 'click'""".stripMargin,
     "ts_ingest_avg" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
     // IDENTICAL oracle for the streaming-fed layout round-trip
     "ts_ingest_streamed" -> tsAgg("purchase", "user", AvgV, "tag_k LIKE '1%'"),
@@ -644,6 +663,9 @@ object SparkEntry {
     // the contract HOLDS by expecting TRUE on the identical groups —
     // any sketch rank-error regression flips rows and fails the hash
     "ts_quantile_approx" -> tsAgg("view", "user", "TRUE AS within_band"),
+    // IDENTICAL oracle for the STREAMED sketch: same groups, same
+    // TRUE-pinned rank-band contract over the cross-batch merged state
+    "ts_quantile_approx_streamed" -> tsAgg("view", "user", "TRUE AS within_band"),
     // per-point z within (group × bucket): exact decimal window sums,
     // then the identical IEEE chain (no rounding — the rate/ewma
     // recipe) with `+ 0.0` signed-zero canonicalization; σ=0 → NULL

@@ -114,6 +114,93 @@ object StreamingAgg {
       .select(col("metric"), col("tag_user"),
         col("window.start").as("bucket_ts"), col("n"), col("sum_dec"))
 
+  /** Drain the events table through [[bucketedQuantile]] once — the
+    * STREAMED GK sketch landed under the same four-file, Update-mode,
+    * batch-id-staged exactly-once recipe as [[ensureStreamed]]. Every
+    * re-emission of a (metric, tag, window) key carries the sketch's
+    * current answer plus its count `n`, and `n` strictly grows per
+    * re-emission, so the final sketch answer per key is the
+    * `max(struct(n, value))` compaction — the [[streamedAvg]] trick
+    * applied to sketch state.
+    */
+  def ensureStreamedQuantile(spark: SparkSession, sfDir: String,
+                             q: Double = 0.95,
+                             accuracy: Int = 10000): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
+    val path = s"$base/graft_quantile_streamed_q${(q * 1000).toInt}_a${accuracy}_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      val landing = s"$path.landing"
+      if (!Files.exists(Paths.get(landing, "_SUCCESS"))) {
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .repartition(4)
+          .write.mode("overwrite").parquet(landing)
+      }
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+      val quant = bucketedQuantile(stream, q, accuracy,
+        watermark = ReplayGuard.spanWatermark(spark, landing))
+      val qy = quant.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }
+        .option("checkpointLocation", s"$path.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      StreamAwait.drain(qy)
+      Files.createFile(done)
+    }
+    path
+  }
+
+  /** The STREAMED sketch under the hash gate, via the rank-band
+    * pattern (`AggBuilder.buildBandCheck`): the landed sketch's final
+    * per-key answer joined against the exact discrete rank band
+    * [v_⌊(q−m)n⌋, v_⌈(q+m)n⌉] computed from raw points — per (group,
+    * bucket), a BOOLEAN both engines agree on, pinned TRUE by the
+    * oracle. GK merge order differs between streamed and batch
+    * sketches (compression decisions are order-dependent), so their
+    * VALUES need not match — but both honor the same rank-error
+    * contract, and that contract is exactly what this frame checks:
+    * the cross-batch sketch-state merge cannot silently degrade
+    * without flipping a row.
+    */
+  def streamedQuantileBand(spark: SparkSession, sfDir: String,
+                           metric: String = "view", q: Double = 0.95,
+                           accuracy: Int = 10000,
+                           rankMargin: Double = 0.01): DataFrame = {
+    val path = ensureStreamedQuantile(spark, sfDir, q, accuracy)
+    val last = StreamingSeriesState.openStreamed(spark, path)
+      .where(col("metric") === metric && col("grp").isNotNull)
+      .groupBy(col("metric"), col("grp"), col("bucket_start"))
+      .agg(max(struct(col("n"), col("value"))).as("last"))
+      .select(col("grp"),
+        (unix_micros(col("bucket_start")) * lit(1000L)).as("bucket_start"),
+        col("last.n").as("n"), col("last.value").as("approx"))
+    val db = graft.tsdb.Db.fromEvents(spark, sfDir)
+    val grpCol = db.tagCol("user")
+    val dayNs = 86400L * 1000000000L
+    val exact = db.scan(metric).where(grpCol.isNotNull)
+      .select(grpCol.as("grp"),
+        (expr(s"ts div ${dayNs}L") * lit(dayNs)).as("bucket_start"),
+        col("value"))
+      .groupBy(col("grp"), col("bucket_start"))
+      .agg(array_sort(collect_list(col("value"))).as("vs"))
+    last.join(exact, Seq("grp", "bucket_start"))
+      .select(col("grp"), col("bucket_start"), col("n"),
+        (col("approx") >= element_at(col("vs"),
+          greatest(lit(1L), floor(lit(q - rankMargin) * col("n"))).cast("int")) &&
+         col("approx") <= element_at(col("vs"),
+          least(col("n"), ceil(lit(q + rankMargin) * col("n"))).cast("int")))
+          .as("within_band"))
+  }
+
   /** Drain the events table through [[bucketedPartials]] once — four
     * landing files, one micro-batch each, Update-mode changelog staged
     * exactly-once per batch — under the content-fingerprint-keyed

@@ -1002,6 +1002,31 @@ final class Db(val frame: DataFrame) {
       .where(col("value").isNotNull)
       .distinct()
 
+  /** Per-tag-key live cardinality for a metric — the introspection
+    * read behind every "which label is exploding my series count"
+    * dashboard (the TSDB operational question at 100 TB: cardinality,
+    * not volume, is what kills a metrics store). One exact
+    * count-distinct per tag key folded into a single aggregate over
+    * one metric-pruned scan (the tag columns are independent
+    * count_distincts in ONE hash aggregate — no per-key jobs, no
+    * union of scans); output rows = tag keys, vocabulary-sized.
+    */
+  def tagCardinality(metric: String): DataFrame = {
+    val tags = tagColumns
+    require(tags.nonEmpty, "frame has no tag columns")
+    import org.apache.spark.sql.functions.{countDistinct, count => cnt}
+    val m = frame.where(col("metric") === lit(Db.validated(metric)))
+    val agged = m.agg(
+      countDistinct(col(tags.head)).as(tags.head),
+      tags.tail.flatMap(t => Seq(countDistinct(col(t)).as(t))) ++
+        tags.map(t => cnt(col(t)).as(s"__n_$t")): _*)
+    val perKey = tags.map(t =>
+      struct(lit(t.stripPrefix(TagPrefix)).as("tag_key"),
+        col(t).as("n_values"), col(s"__n_$t").as("n_points")))
+    agged.select(explode(array(perKey: _*)).as("r"))
+      .select(col("r.tag_key"), col("r.n_values"), col("r.n_points"))
+  }
+
   /** Tag keys that occur (non-null) on at least one point of a metric. */
   def tagKeys(metric: String): Seq[String] = {
     val tags = tagColumns

@@ -471,6 +471,19 @@ class TsdbOpsSpec extends SparkSpec {
     }
   }
 
+  test("tagCardinality counts distinct live values and points per tag key") {
+    val d = Db.fromEvents(spark, sfDir)
+    val out = d.tagCardinality("click").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set("k", "user"))
+    val pts = d.scan("click")
+    assert(out("user")._1 ==
+      pts.select("tag_user").where(col("tag_user").isNotNull).distinct().count())
+    assert(out("k")._1 ==
+      pts.select("tag_k").where(col("tag_k").isNotNull).distinct().count())
+    assert(out("k")._2 == pts.where(col("tag_k").isNotNull).count())
+  }
+
   test("rateSum totals the rounded per-series rates exactly per bucket") {
     val d = Db.fromEvents(spark, sfDir)
     val day = Duration.days(1)
