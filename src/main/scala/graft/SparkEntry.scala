@@ -96,6 +96,11 @@ object SparkEntry {
     "ts_zscore" -> ((s, d) => Db.fromEvents(s, d).zscore("error", "user")),
     "ts_gapfill" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
+    // TimescaleDB interpolate(): linear fill between nearest observed
+    // neighbors, ffill/bfill at the edges
+    "ts_gapfill_lerp" -> ((s, d) =>
+      Db.fromEvents(s, d).avg("purchase", "user").granularity(Day)
+        .buildGapFilledLerp()),
     "ts_topk_series" -> ((s, d) =>
       Db.fromEvents(s, d).sum("click", "user").granularity(Day).buildTopK(5)),
     // PromQL bottomk(): the n smallest series per bucket
@@ -361,6 +366,9 @@ object SparkEntry {
     "ann_knn_join" -> ((s, d) => graft.operators.Similarity.knnJoin(s, d)),
     "ann_knn_join_ivf" -> ((s, d) => graft.operators.Similarity.knnJoinIvf(s, d)),
     "ann_recall_eval" -> ((s, d) => graft.operators.Similarity.recallEval(s, d)),
+    // the recall-vs-nprobe sweep: the quality/cost knob measured in one
+    // frame (each probe count reads nprobe/nlist of the corpus)
+    "ann_recall_curve" -> ((s, d) => graft.operators.Similarity.recallCurve(s, d)),
     "ann_knn_classify" -> ((s, d) => graft.operators.Similarity.knnClassify(s, d)),
 
     // ---- Deterministic sampling / splits ----
@@ -1378,6 +1386,44 @@ object SparkEntry {
          |  a2.value AS value,
          |  (a2.b <> d.bucket_start) AS filled
          |FROM d ASOF LEFT JOIN a a2 ON d.grp = a2.grp AND d.bucket_start >= a2.b""".stripMargin,
+    // linear-interpolation gapfill: the identical dense spine, prev AND
+    // next observed neighbors via ignore-nulls windows, the same
+    // fixed-order RAW IEEE lerp chain + 0.0 on both engines (a final
+    // round() would split one ulp at decimal boundaries — measured)
+    "ts_gapfill_lerp" ->
+      s"""$Ev
+         |, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS b, COUNT(*) AS n, $AvgV
+         |  FROM ev WHERE metric = 'purchase' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), s AS (SELECT grp, min(b) AS lo, max(b) AS hi FROM a GROUP BY 1),
+         |d AS (SELECT grp, unnest(generate_series(lo, hi, ${Day})) AS bucket_start FROM s),
+         |j AS (
+         |  SELECT d.grp, d.bucket_start, a.n, a.value
+         |  FROM d LEFT JOIN a ON d.grp = a.grp AND d.bucket_start = a.b
+         |), w AS (
+         |  SELECT grp, bucket_start, n, value,
+         |    last_value(value IGNORE NULLS) OVER behind AS pv,
+         |    last_value(CASE WHEN value IS NOT NULL THEN bucket_start END IGNORE NULLS)
+         |      OVER behind AS pb,
+         |    first_value(value IGNORE NULLS) OVER ahead AS nv,
+         |    first_value(CASE WHEN value IS NOT NULL THEN bucket_start END IGNORE NULLS)
+         |      OVER ahead AS nb
+         |  FROM j
+         |  WINDOW behind AS (PARTITION BY grp ORDER BY bucket_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  ahead AS (PARTITION BY grp ORDER BY bucket_start
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT grp, bucket_start, CAST(coalesce(n, 0) AS BIGINT) AS n,
+         |  CASE WHEN pv IS NULL THEN nv
+         |       WHEN nv IS NULL THEN pv
+         |       WHEN nb = pb THEN pv
+         |       ELSE pv + (nv - pv)
+         |         * (CAST(bucket_start - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) + 0.0
+         |  END AS value,
+         |  (value IS NULL) AS filled
+         |FROM w""".stripMargin,
     // right side pre-merged to one row per (tag, ts) — ASOF tie choice
     // at identical timestamps is engine-defined otherwise
     "ts_asof" ->
@@ -2484,6 +2530,53 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall
         |FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
         |GROUP BY bf.q_id""".stripMargin,
+    // the nprobe SWEEP: probes keep their centroid rank so each sweep
+    // point takes crnk <= nprobe, the IVF rank re-partitions per
+    // (nprobe, query), and the recall join fans out over the sweep
+    "ann_recall_curve" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |ac AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cent_id,
+        |    round(list_reduce(list_transform(list_zip(n.v, cv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / (n.nrm * cnrm), 6) AS ccos
+        |  FROM n, cent),
+        |assigned AS (SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+        |  FROM ac) WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS list_id, crnk FROM (
+        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+        |  FROM (SELECT * FROM ac WHERE vec_id < 5)) WHERE crnk <= 8),
+        |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+        |ivf AS (SELECT nprobe, q_id, vec_id FROM (
+        |  SELECT np.nprobe, q.q_id, a.vec_id,
+        |    rank() OVER (PARTITION BY np.nprobe, q.q_id ORDER BY
+        |      round(list_reduce(list_transform(list_zip(q.qv, a.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a2, b2) -> a2 + b2)
+        |        / (q.qnrm * a.nrm), 6) DESC, a.vec_id) AS rnk
+        |  FROM assigned a JOIN probes q ON a.list_id = q.list_id AND a.vec_id <> q.q_id
+        |  JOIN np ON q.crnk <= np.nprobe)
+        |  WHERE rnk <= 5),
+        |q2 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |bf AS (SELECT q_id, vec_id FROM (
+        |  SELECT q2.q_id, n.vec_id,
+        |    rank() OVER (PARTITION BY q2.q_id ORDER BY
+        |      round(list_reduce(list_transform(list_zip(q2.qv, n.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |        / (q2.qnrm * n.nrm), 6) DESC, n.vec_id) AS rnk
+        |  FROM q2, n WHERE n.vec_id <> q2.q_id)
+        |  WHERE rnk <= 5)
+        |SELECT np.nprobe, bf.q_id,
+        |  CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall
+        |FROM np CROSS JOIN bf
+        |LEFT JOIN ivf ON ivf.nprobe = np.nprobe AND bf.q_id = ivf.q_id
+        |  AND bf.vec_id = ivf.vec_id
+        |GROUP BY 1, 2""".stripMargin,
     // the kNN JOIN through the IVF probe: identical assignment/probe
     // re-derivation as ann_ivf, with the query side = the label-0 SET
     "ann_knn_join_ivf" ->

@@ -352,6 +352,24 @@ object Similarity {
     * whole evaluation is SQL-expressible — so the driver gate checks
     * it end-to-end, unlike eval harnesses bolted outside the engine.
     */
+  /** The recall/cost CURVE an IVF deployment reads before picking its
+    * nprobe: [[recallEval]] swept across probe counts in one frame —
+    * per (nprobe, query), hits@k against the exact top-k. Each probe
+    * count re-ranks only nprobe/nlist of the corpus, so the curve IS
+    * the quality-vs-bytes trade made measurable (recall monitoring as
+    * a query, not a notebook); the oracle re-derives every sweep point
+    * relationally. Bounded output: |nprobes| × numQueries rows.
+    */
+  def recallCurve(spark: SparkSession, dir: String,
+                  numQueries: Int = 5, k: Int = 5, nlist: Int = 16,
+                  nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(nprobes.nonEmpty, "nprobes must be non-empty")
+    nprobes.map(np =>
+      recallEval(spark, dir, numQueries, k, nlist, np)
+        .select(lit(np).as("nprobe"), col("q_id"), col("hits"), col("recall")))
+      .reduce(_ unionByName _)
+  }
+
   def recallEval(spark: SparkSession, dir: String,
                  numQueries: Int = 5, k: Int = 5,
                  nlist: Int = 16, nprobe: Int = 4): DataFrame = {

@@ -1410,4 +1410,60 @@ final case class AggBuilder(
         last(col("value"), ignoreNulls = true).over(w).as("value"),
         col("value").isNull.as("filled"))
   }
+
+  /** [[buildGapFilled]] with LINEAR interpolation instead of forward
+    * fill — TimescaleDB's `interpolate()` / the dashboard "connect the
+    * dots" fill: a missing bucket gets
+    * `prev + (next − prev) · (b − b_prev)/(b_next − b_prev)` between
+    * its nearest OBSERVED neighbors (two window passes over the dense
+    * spine: last-non-null behind, first-non-null ahead — no
+    * self-join). Edges degrade gracefully: before the first
+    * observation the fill is the next value, after the last it is the
+    * previous (ffill/bfill at the boundaries, interpolation between).
+    * The lerp is the RAW IEEE chain in a FIXED operand order over the
+    * already-rounded bucket values, `+ 0.0` signed-zero canonicalized
+    * — the rate/zscore recipe. Deliberately NOT rounded: a final
+    * `round(x, 6)` re-introduces the engine-divergent decimal-boundary
+    * behavior this codebase avoids (measured: a one-ulp HALF_UP vs
+    * multiply-round split on this exact chain), while identical
+    * doubles through identical ops are bit-stable. Same in-plan
+    * bucket-explosion guard as [[buildGapFilled]].
+    */
+  def buildGapFilledLerp(maxBucketsPerSeries: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = build()
+    val span = (col("hi") - col("lo")) / lit(widthNs)
+    val dense = base.groupBy(col("grp"))
+      .agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
+      .withColumn("hi", when(span <= maxBucketsPerSeries, col("hi"))
+        .otherwise(raise_error(concat(
+          lit(s"gapfill would emit more than $maxBucketsPerSeries buckets for group '"),
+          col("grp"), lit("' (span "), span.cast("long").cast("string"),
+          lit(" buckets); raise granularity or maxBucketsPerSeries")))))
+      .select(col("grp"),
+        explode(sequence(col("lo"), col("hi"), lit(widthNs))).as("bucket_start"))
+    val behind = Window.partitionBy(col("grp")).orderBy(col("bucket_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ahead = Window.partitionBy(col("grp")).orderBy(col("bucket_start"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col("value").isNotNull, col("bucket_start"))
+    val pv = last(col("value"), ignoreNulls = true).over(behind)
+    val pb = last(obsBucket, ignoreNulls = true).over(behind)
+    val nv = first(col("value"), ignoreNulls = true).over(ahead)
+    val nb = first(obsBucket, ignoreNulls = true).over(ahead)
+    val lerp =
+      pv + (nv - pv) * ((col("bucket_start") - pb).cast("double")
+        / (nb - pb).cast("double")) + lit(0.0)
+    dense.join(base, Seq("grp", "bucket_start"), "left")
+      .select(col("grp"), col("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(pv.isNull, nv)           // before the first observation
+          .when(nv.isNull, pv)        // after the last observation
+          // observed rows (and only they) have pb = nb = b: the lerp
+          // span is degenerate (0/0 → NaN), the value is their own
+          .when(nb === pb, pv)
+          .otherwise(lerp)
+          .as("value"),
+        col("value").isNull.as("filled"))
+  }
 }

@@ -86,6 +86,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recall curve: recall non-decreasing in nprobe, full-probe row matches recallEval") {
+    val out = Similarity.recallCurve(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("q_id")) ->
+        r.getAs[Double]("recall")).toMap
+    assert(out.size == 4 * 5)
+    // more probed lists can only add candidates: per query, recall is
+    // monotone in nprobe
+    val qs = out.keys.map(_._2).toSet
+    for (q <- qs; Seq(a, b) <- Seq(1, 2, 4, 8).sliding(2))
+      assert(out((a, q)) <= out((b, q)),
+        s"query $q: recall@nprobe=$a ${out((a, q))} > @nprobe=$b ${out((b, q))}")
+    // the nprobe=4 sweep point IS recallEval's answer
+    val single = Similarity.recallEval(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
+    qs.foreach(q => assert(out((4, q)) == single(q)))
+  }
+
   test("filtered topk: pre-filter semantics — true top-k of the matching subset") {
     val out = Similarity.filteredTopK(spark, sfDir, numQueries = 3, k = 5).collect()
     assert(out.nonEmpty)

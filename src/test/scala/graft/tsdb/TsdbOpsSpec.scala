@@ -275,6 +275,27 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out(("v", 0L)) == (1L, 9.0, false))
   }
 
+  test("lerp gapfill interpolates gaps linearly; edges and observed rows keep their values") {
+    val day = Duration.days(1)
+    val d = db(Seq(
+      ("m", 0L, 2.0, "u"),
+      ("m", 0L, 4.0, "u"),           // day 0: avg 3.0
+      ("m", 3 * day + 7L, 9.0, "u"), // day 3: 9.0 — days 1, 2 interpolate
+      ("m", 0L, 9.0, "v")))          // single-bucket series: no gaps
+    val out = d.avg("m", "user").granularity(day).buildGapFilledLerp()
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.size == 5)
+    assert(out(("u", 0L)) == ((2L, 3.0, false)))
+    // 3.0 → 9.0 over 3 buckets: +2.0 per bucket
+    assert(out(("u", day)) == ((0L, 5.0, true)))
+    assert(out(("u", 2 * day)) == ((0L, 7.0, true)))
+    assert(out(("u", 3 * day)) == ((1L, 9.0, false)))
+    assert(out(("v", 0L)) == ((1L, 9.0, false)))
+    // no NaN anywhere (the degenerate-span branch): every value finite
+    out.values.foreach { case (_, v, _) => assert(!v.isNaN) }
+  }
+
   test("buildTopK keeps exactly the n best groups per bucket with deterministic ties") {
     val d = db(Seq(
       ("m", 1L, 5.0, "a"), ("m", 2L, 5.0, "b"),    // tie at 5.0: 'a' before 'b'
