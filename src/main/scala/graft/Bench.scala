@@ -170,7 +170,10 @@ object Bench {
     * 0.05 s → 0.08 s as a "regression"). The r08 judge assembled this
     * diff by hand from two artifacts — the artifact is now
     * self-auditing. Returns (json, count); a missing/unparseable
-    * previous record degrades to an empty diff, never a crash.
+    * previous record degrades to an empty diff, never a crash — and so
+    * does a record from a DIFFERENT scale factor (diffing an sf1 run
+    * against a committed sf0.1 record would flag every query; the
+    * record carries its `sf`, so a mismatch is detectable).
     */
   private def regressionsJson(prevRecord: String,
                               current: Seq[(String, Double)]): (String, Int) =
@@ -178,9 +181,13 @@ object Bench {
       val f = new java.io.File(prevRecord)
       if (!f.exists()) (s"""{"prev":null,"items":{}}""", 0)
       else {
-        val q = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(f).get("queries")
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val q = root.get("queries")
+        val prevSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        val curSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         if (q == null) (s"""{"prev":null,"items":{}}""", 0)
+        else if (prevSf != curSf)
+          (s"""{"prev":"$prevRecord","skipped":"sf mismatch: prev '$prevSf' vs current '$curSf'","items":{}}""", 0)
         else {
           val items = current.flatMap { case (name, sec) =>
             Option(q.get(name)).map(_.asDouble(-1)).filter(_ > 0).flatMap { p =>
@@ -695,12 +702,18 @@ object Bench {
         tables = ScaleData.AllTables)
       def leg(dir: String, prefix: String): String = {
         // drop stale tables AND their warehouse locations: the
-        // in-memory catalog dies with the JVM but spark-warehouse
-        // survives, and saveAsTable trips over the orphaned path
+        // in-memory catalog dies with the JVM but the warehouse dir
+        // survives, and saveAsTable trips over the orphaned path.
+        // Resolve the ACTUAL warehouse dir from the session (a
+        // hardcoded relative "spark-warehouse" misses a configured
+        // warehouse or a different launch cwd)
+        val warehouse = new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+            .getPath)
         for (t <- Seq("lineitem_b", "orders_b", "customer_b")) {
           spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
           org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(s"spark-warehouse/${prefix}_$t"))
+            new java.io.File(warehouse, s"${prefix}_$t"))
         }
         val t0 = System.nanoTime()
         graft.operators.Analytics.bucketFacts(spark, dir, buckets = 32,

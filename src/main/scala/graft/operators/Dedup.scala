@@ -556,9 +556,15 @@ object Dedup {
   def embeddingCosineLsh(spark: SparkSession, dir: String,
                          threshold: Double = 0.35,
                          targetRecall: Double = 0.98,
-                         maxPlanes: Int = 192, salt: Int = 1): DataFrame =
+                         maxPlanes: Int = 192, salt: Int = 1): DataFrame = {
+    // verify strategy sized from the parquet footers like the banding
+    // plan — the dir-level entry must never broadcast an oversized
+    // payload (the measured 39 GB-heap failure mode); only the
+    // frame-level API leaves the knob to callers who cannot count
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     embeddingCosineLshFrame(embFrame(spark, dir), threshold, targetRecall,
-      maxPlanes, salt)
+      maxPlanes, salt, broadcastVerify = n <= BroadcastVerifyMaxRows)
+  }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-partition the embedding space, then
@@ -767,6 +773,9 @@ object Dedup {
   def semanticStats(spark: SparkSession, dir: String,
                     iters: Int = 3): (Int, Long, Long, Long) = {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // fail with the actual problem, not the NullPointerException a
+    // zero-row aggregate's null max/sum would deref below
+    require(n > 0, s"semanticStats: empty embeddings corpus under $dir")
     val sized = nlistSized(n)
     val e = Similarity.vecs(spark, dir)
     val index = graft.operators.IvfIndex.ensure(spark, dir, "kmeans",

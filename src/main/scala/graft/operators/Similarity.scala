@@ -359,6 +359,13 @@ object Similarity {
     * the quality-vs-bytes trade made measurable (recall monitoring as
     * a query, not a notebook); the oracle re-derives every sweep point
     * relationally. Bounded output: |nprobes| × numQueries rows.
+    *
+    * Deliberate simplicity over speed: each sweep point re-runs the
+    * full eval (baseline + assignment re-derived per point, ~4× one
+    * eval's cost — 2.1 s in-suite). A shared-baseline formulation
+    * (rank probes once at max(nprobes), cut crnk ≤ np per point) would
+    * run in ~one eval's cost; worth it only if the sweep ever leaves
+    * validation duty for a hot path.
     */
   def recallCurve(spark: SparkSession, dir: String,
                   numQueries: Int = 5, k: Int = 5, nlist: Int = 16,

@@ -257,10 +257,16 @@ object StreamingSeriesState {
     val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
     val landing = s"$base/graft_flaps_replay_landing_" +
       s"${Integer.toHexString(sfDir.hashCode)}_$fp"
-    if (!Files.exists(Paths.get(landing, "_SUCCESS"))) {
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .repartitionByRange(4, col("ts"), col("value"))
-        .write.mode("overwrite").parquet(landing)
+    // the landing is usable only after BOTH the parquet commit AND the
+    // mtime normalization below — gate the cache on an own marker, not
+    // parquet's _SUCCESS (a crash between the two would otherwise
+    // serve scrambled mtimes forever)
+    if (!Files.exists(Paths.get(landing, "_MTIMES"))) {
+      if (!Files.exists(Paths.get(landing, "_SUCCESS"))) {
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .repartitionByRange(4, col("ts"), col("value"))
+          .write.mode("overwrite").parquet(landing)
+      }
       // STRICTLY INCREASING mtimes in partition order: part-0000k is
       // range partition k by construction, but task completion order
       // scrambles the written mtimes and FileStreamSource's tie-break
@@ -276,22 +282,33 @@ object StreamingSeriesState {
             .fromMillis(1704067200000L + mm.group(1).toLong * 1000L))
         }
       } finally ls.close()
+      Files.createFile(Paths.get(landing, "_MTIMES"))
     }
     val schema = spark.read.parquet(landing).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
     val name = s"graft_flaps_replay_${replaySeq.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft_flaps_replay_ckpt").toString
+    val ckpt = Files.createTempDirectory("graft_flaps_replay_ckpt")
     val q = enrichFlapsEvents(stream, metric).writeStream
       .format("memory").queryName(name).outputMode("append")
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     StreamAwait.drain(q)
+    // bound the per-invocation debris: the throwaway checkpoint dies
+    // with the drained query, and only the LATEST replay's memory-sink
+    // table stays registered (a bench runs this entry 4× per round —
+    // without the drop each run would pin another full output copy in
+    // driver memory for the session lifetime)
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    val prev = lastReplayTable.getAndSet(name)
+    if (prev != null) spark.catalog.dropTempView(prev)
     spark.table(name)
   }
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val lastReplayTable =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Drain the events table through the [[enrichZ]] expanding-stats
     * fold once (same content-fingerprint-keyed, batch-id-staged,
