@@ -349,11 +349,16 @@ object TextAnalysis {
     *    bitsPerItem, one broadcast row — no driver collect).
     *  - probe: corpus grams explode to (word_id, mask) per seed and
     *    equi-join the filter on word_id; a gram is bloom-positive iff
-    *    ALL `numHashes` probes find their bit set. At this scale the
-    *    filter broadcasts; at corpus scale the join shuffles on
-    *    word_id — co-partitioned, no driver filter, no UDF, and the
+    *    ALL `numHashes` probes find their bit set. The filter-side
+    *    join strategy is SIZED FROM THE DATA, not hard-coded (the
+    *    [[graft.operators.Dedup.BroadcastVerifyMaxRows]] contract):
+    *    below [[BroadcastFilterMaxWords]] packed words the filter (and
+    *    the gram set feeding the exact-hit column) broadcast; beyond
+    *    the ceiling both joins switch to shuffle-hash on word_id /
+    *    gram — co-partitioned, no driver filter, no UDF, and the
     *    filter build is a single associative aggregate (the property a
-    *    billion-gram set needs; 10 bits/item ≈ 1.2 GB per 10⁹ grams).
+    *    billion-gram set needs; 10 bits/item ≈ 1.2 GB per 10⁹ grams,
+    *    which would have been force-broadcast before the gate).
     *
     * Output: the exact-contaminated docs with their shared-gram counts
     * plus `bloom_covers` — TRUE iff every exactly-shared gram is also
@@ -373,25 +378,54 @@ object TextAnalysis {
   /** [[bloomDecontaminate]] over an arbitrary (doc_id, text) frame. */
   def bloomDecontaminateFrame(d: DataFrame, evalMod: Int = 50,
                               bitsPerItem: Int = 10,
-                              numHashes: Int = 7): DataFrame =
-    bloomGramVerdicts(d, evalMod, bitsPerItem, numHashes)
+                              numHashes: Int = 7,
+                              broadcastFilter: Option[Boolean] = None)
+      : DataFrame =
+    bloomGramVerdicts(d, evalMod, bitsPerItem, numHashes, broadcastFilter)
       .where(col("exact_hit"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"),
         min(col("bloom_hit")).as("bloom_covers"))
 
+  /** Filter-side broadcast ceiling, in PACKED 64-BIT WORDS (the unit
+    * the probe join actually ships: m/64 rows of (word_id, word) ≈
+    * 16 B/row unsafe — ~16 MB hashed at the ceiling). The filter's
+    * word count is `⌈distinct-grams × bitsPerItem / 64⌉`, derived from
+    * one bounded count over the eval slice (1/evalMod of the corpus —
+    * vocabulary-sized next to the probe scan), so the strategy is
+    * sized from the data with no per-corpus knob to mis-set: a
+    * 10⁹-gram contamination set (~150M words ≈ 1.2 GB packed) lands
+    * far beyond the ceiling and BOTH filter-side joins — the word_id
+    * probe and the exact-hit gram join — shuffle-hash instead of
+    * broadcasting, each co-partitioned on its own key. The spec pins
+    * the two strategies row-identical over the same corpus (the
+    * dedup-verify contract, Dedup.BroadcastVerifyMaxRows).
+    */
+  private[graft] val BroadcastFilterMaxWords = 1000000L
+
   /** The build + probe shared by the entry and the FP-rate spec:
     * per corpus gram, `(doc_id, gram, bloom_hit, exact_hit)`.
+    * `broadcastFilter = None` sizes the filter-side join strategy from
+    * the eval-gram count against [[BroadcastFilterMaxWords]];
+    * Some(x) pins it (the spec uses both pins to prove equality).
     */
   private[graft] def bloomGramVerdicts(d: DataFrame, evalMod: Int = 50,
                                        bitsPerItem: Int = 10,
-                                       numHashes: Int = 7): DataFrame = {
+                                       numHashes: Int = 7,
+                                       broadcastFilter: Option[Boolean] = None)
+      : DataFrame = {
     require(bitsPerItem >= 1, "bitsPerItem must be >= 1")
     require(numHashes >= 1 && numHashes <= 32, "numHashes must be in [1,32]")
     graft.expressions.GraftFunctions.register(d.sparkSession)
     val grams = call_function("graft_word_shingles", col("text"))
     val evalGrams = d.where(col("doc_id") % evalMod === 0)
       .select(explode(grams).as("gram")).distinct()
+    val bcastFilter = broadcastFilter.getOrElse {
+      val words = evalGrams.count() * bitsPerItem / 64 + 1
+      words <= BroadcastFilterMaxWords
+    }
+    def filterSide(f: DataFrame): DataFrame =
+      if (bcastFilter) broadcast(f) else f.hint("shuffle_hash")
     val mB = broadcast(evalGrams.agg(
       greatest(lit(64L), count(lit(1)) * bitsPerItem).as("m_bits")))
     val seed = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
@@ -410,13 +444,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("gram"),
         expr("bit div 64").as("word_id"),
         expr("shiftleft(1L, cast(bit % 64 AS INT))").as("mask"))
-      .join(broadcast(filterWords), Seq("word_id"))
+      .join(filterSide(filterWords), Seq("word_id"))
       .where(col("word").bitwiseAND(col("mask")) === col("mask"))
       .groupBy(col("doc_id"), col("gram"))
       .agg((count(lit(1)) === numHashes).as("bloom_hit"))
     corpus
       .join(hits, Seq("doc_id", "gram"), "left_outer")
-      .join(broadcast(evalGrams.withColumn("exact_hit", lit(true))),
+      .join(filterSide(evalGrams.withColumn("exact_hit", lit(true))),
         Seq("gram"), "left_outer")
       .select(col("doc_id"), col("gram"),
         coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"),

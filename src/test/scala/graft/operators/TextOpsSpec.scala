@@ -157,6 +157,28 @@ class TextOpsSpec extends SparkSpec {
       s"FP rate ${fp.toDouble / absent.size} (${fp}/${absent.size})")
   }
 
+  test("bloom probe: broadcast and shuffle-hash filter joins are row-identical") {
+    // the dedup-verify contract (Dedup.BroadcastVerifyMaxRows) applied
+    // to the Bloom filter side: the strategy gate may only change the
+    // physical join, never the verdicts
+    def key(bf: Boolean) = TextAnalysis.bloomDecontaminateFrame(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+      broadcastFilter = Some(bf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = key(true)
+    assert(b.nonEmpty)
+    assert(b == key(false))
+    // the auto gate derives broadcast at this scale (eval grams ≪ ceiling)
+    val auto = TextAnalysis.bloomDecontaminateFrame(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(auto == b)
+  }
+
   test("filter chain keeps a strict subset and every kept row passes every gate") {
     val out = TextAnalysis.filterChain(spark, sfDir).collect()
     val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
