@@ -612,23 +612,49 @@ object Bench {
       val plan = planFor(dir100)
       val e = graft.operators.Dedup.withPlantedNearDups(spark, dir100)
       val tmpC = graft.Conf.resolveWorkDir(spark, "") + "/bench_emb100_cand"
-      System.gc()
-      val (candSec, candTel) = legTelemetry(tally) {
-        val t0 = System.nanoTime()
-        graft.operators.Dedup.embeddingCandFrame(e, plan._1, plan._2)
-          .write.mode("overwrite").parquet(tmpC)
-        (System.nanoTime() - t0) / 1e9
+      // the candidate phase runs THREE back-to-back times with per-run
+      // telemetry: the r9 committed record's 49.4 s / 24.7 GB-heap cand
+      // wall was measured under sys_load ~20, while quiet-host repeats
+      // land ~12 s / ~8 GB — repeated same-JVM walls plus sys_load per
+      // run make plan-vs-host attribution READABLE FROM THE ARTIFACT
+      // (the treatment the verify legs already get). Run 1 writes the
+      // candidates the verify legs read; repeats sink to noop.
+      val candRuns = (1 to 3).map { i =>
+        System.gc()
+        val (sec, tel) = legTelemetry(tally) {
+          val t0 = System.nanoTime()
+          val c = graft.operators.Dedup.embeddingCandFrame(e, plan._1, plan._2)
+          if (i == 1) c.write.mode("overwrite").parquet(tmpC)
+          else c.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        s"""{"sec":${fmt(sec, 2)},"tel":$tel}"""
       }
       val cand = spark.read.parquet(tmpC)
       val nCand = cand.count()
+      // the broadcast-verify 100× leg is KNOWN-pathological (measured
+      // 97 s / 39 GB heap in r08 — the reason BroadcastVerifyMaxRows
+      // exists) and its number is already pinned in the committed r09
+      // record; re-courting a 39 GB heap on every routine bench risks
+      // destabilizing the whole single-JVM run, so it only reruns when
+      // explicitly asked for (ADVICE r09)
+      val runBc = sys.env.get("SPARK_GRAFT_BENCH_BROADCAST_VERIFY")
+        .contains("1")
       var nBc = -1L
-      System.gc()
-      val (bcSec, bcTel) = legTelemetry(tally) {
-        val t0 = System.nanoTime()
-        nBc = graft.operators.Dedup
-          .embeddingVerifyFrame(e, cand, 0.9, broadcastVerify = true).count()
-        (System.nanoTime() - t0) / 1e9
-      }
+      val bcJson = if (runBc) {
+        System.gc()
+        val (bcSec, bcTel) = legTelemetry(tally) {
+          val t0 = System.nanoTime()
+          nBc = graft.operators.Dedup
+            .embeddingVerifyFrame(e, cand, 0.9, broadcastVerify = true).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        s""""verify_broadcast_sec":${fmt(bcSec, 2)},""" +
+          s""""verify_broadcast_tel":$bcTel,"verified_broadcast":$nBc,"""
+      } else
+        """"verify_broadcast":"skipped (known-pathological; r09 record """ +
+          """pins 4.9s broadcast vs 6.3s shuffle-hash over identical """ +
+          """candidates, counts equal; SPARK_GRAFT_BENCH_BROADCAST_VERIFY=1 reruns)","""
       var nShj = -1L
       System.gc()
       val (shjSec, shjTel) = legTelemetry(tally) {
@@ -638,10 +664,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       System.gc()
-      s"""{"dedup_embedding_lsh_x100":{"cand_sec":${fmt(candSec, 2)},""" +
-        s""""cand_tel":$candTel,"candidates":$nCand,""" +
-        s""""verify_broadcast_sec":${fmt(bcSec, 2)},"verify_broadcast_tel":$bcTel,""" +
-        s""""verified_broadcast":$nBc,""" +
+      s"""{"dedup_embedding_lsh_x100":{"cand_runs":[${candRuns.mkString(",")}],""" +
+        s""""candidates":$nCand,""" +
+        bcJson +
         s""""verify_shuffle_hash_sec":${fmt(shjSec, 2)},"verify_shuffle_hash_tel":$shjTel,""" +
         s""""verified_shuffle_hash":$nShj,""" +
         s""""default_at_this_scale":"shuffle_hash"}}"""

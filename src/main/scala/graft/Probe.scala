@@ -48,6 +48,52 @@ object Probe {
       return
     }
 
+    if (args.headOption.contains("candjoin")) {
+      // attribute the 100× candidate phase: SMJ (default) vs
+      // shuffle-hash self-join, wall + peak heap per repeat
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      val dir = ScaleData.ensure(spark, sfDir, 100, tables = Seq("embeddings"))
+      val n = 2L * spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val plan = Dedup.lshPlanSized(0.9, n)
+      println(s"## n=$n plan=$plan")
+      graft.expressions.GraftFunctions.register(spark)
+      val e = Dedup.withPlantedNearDups(spark, dir)
+      val banded = e.select(col("vec_id"),
+        posexplode(call_function("graft_lsh_bands", col("v"),
+          lit(plan._1), lit(plan._2))).as(Seq("band", "bucket")))
+      def run(label: String, hint: Option[String]): Unit = {
+        for (i <- 1 to 3) {
+          pools.foreach(_.resetPeakUsage())
+          System.gc()
+          val t0 = System.nanoTime()
+          val b = hint.fold(banded)(banded.hint(_))
+          val cand = b.as("a").join(b.as("b"),
+              col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+            .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+            .repartition(spark.sparkContext.defaultParallelism)
+          cand.write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val peak = pools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+          println(f"## $label run$i: $sec%.2f s peak_heap=${peak} MB")
+        }
+      }
+      run("smj", None)
+      run("shuffle_hash", Some("shuffle_hash"))
+      println("## plan (shuffle_hash):")
+      banded.hint("shuffle_hash").as("a").join(
+        banded.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id")).explain()
+      spark.stop()
+      return
+    }
+
     val dir = if (factor == 1) sfDir
               else ScaleData.ensure(spark, sfDir, factor, tables = Seq("embeddings"))
     def timed[A](label: String)(f: => A): A = {

@@ -164,6 +164,14 @@ object SparkEntry {
         s, d, Duration.hours(1), Day)
       graft.tsdb.Ingest.openRollup(s, path, Day).avg("purchase", "user", Week)
     }),
+    // storage-aware ROUTING over the hour→day ladder: the router picks
+    // the coarsest level dividing the query width (Week → the DAY
+    // level, never raw events — spec-asserted on the physical plan)
+    // and the raw-points oracle hash proves the routed answer exact;
+    // weekly MAX exercises the min/max partial combine through BOTH
+    // cascade folds, where the cascade entries prove avg
+    "ts_ladder_route" -> ((s, d) =>
+      graft.tsdb.Ladder.ensure(s, d).max("purchase", "user", Week)),
     // the LADDER over the STREAMED hourly landing: day partials folded
     // from the batch-id-staged streaming rollup — the downsampling
     // cascade does not care how its source level was landed
@@ -699,6 +707,11 @@ object SparkEntry {
     // SAME raw oracle for the cascade over the STREAMED hourly landing:
     // streaming staging + two partial folds, all exact end-to-end
     "ts_rollup_cascade_streamed" -> tsAgg("purchase", "user", AvgV, width = Week),
+    // RAW-points weekly MAX: the Spark side routes through the ladder
+    // (day level, itself folded from hour partials) — the hash match
+    // proves level SELECTION can never change a result, only its cost
+    "ts_ladder_route" -> tsAgg("purchase", "user", "MAX(value) AS value",
+      width = Week),
     // SAME raw-points oracle for the STREAMED rollup: the Spark side
     // answers from batch-id-staged partials landed by the streaming
     // path — the hash match is the exactly-once landing proof

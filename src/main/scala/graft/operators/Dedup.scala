@@ -81,8 +81,19 @@ object Dedup {
                                            salt: Int, hotMin: Long): DataFrame = {
     val keyEq = (a: String, b: String) =>
       keyCols.map(k => col(s"$a.$k") === col(s"$b.$k")).reduce(_ && _)
+    // SHUFFLE-HASH, not sort-merge: banded rows are ids-only (~24 B)
+    // and the join key is the band bucket, so the per-partition hash
+    // build is small and cheap while SMJ pays TWO full sorts of the
+    // banded volume (n × bands rows per side) for nothing — the
+    // round-10 100× embedding leg measured 17.5 s SMJ vs 11.8 s SHJ
+    // at equal (~8 GB) peak heap over identical 24.05M candidates.
+    // The in-memory footprint argument is unchanged: SMJ buffers a
+    // bucket's matching group per key, SHJ hashes the partition's
+    // rows — both bounded by the same sized-banding invariant that
+    // keeps bucket volume ∝ candPerRow.
     if (salt <= 1) {
-      banded.as("a").join(banded.as("b"),
+      val h = banded.hint("shuffle_hash")
+      h.as("a").join(h.as("b"),
         keyEq("a", "b") && col(s"a.$idCol") < col(s"b.$idCol"))
     } else {
       val hot = banded.groupBy(keyCols.map(col): _*)
@@ -94,7 +105,7 @@ object Dedup {
       val b = tagged.withColumn("salt",
         explode(when(col("is_hot"), expr(s"sequence(0, ${salt - 1})"))
           .otherwise(array(lit(0)))))
-      a.as("a").join(b.as("b"),
+      a.hint("shuffle_hash").as("a").join(b.hint("shuffle_hash").as("b"),
         keyEq("a", "b") && col("a.salt") === col("b.salt") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
     }
@@ -117,8 +128,96 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String,
                  numHashes: Int = 32, bands: Int = 16,
-                 threshold: Double = 0.5, salt: Int = 1): DataFrame =
-    minhashLshFrame(parallelize(docs(spark, dir)), numHashes, bands, threshold, salt)
+                 threshold: Double = 0.5, salt: Int = 1): DataFrame = {
+    val d = parallelize(docs(spark, dir))
+    // CENSUS-ROUTED (round 10): one fingerprint aggregate — the cheap
+    // exact precursor of [[clusterSizeHist]]'s census — detects the
+    // giant-boilerplate regime where the verify goes per-cluster-
+    // quadratic (candidates ∝ Σ cluster²; the r9 100× leg's 22.6 s was
+    // exactly this: exact-duplicate groups of ~4 from the generator's
+    // 26-periodic rotation). Above the gate the query routes through
+    // [[minhashLshCollapsed]]: the set-intersection kernel runs once
+    // per DISTINCT-text pair and member pairs inherit the verdict —
+    // identical output (spec-pinned), verify work divided by the
+    // squared mean group size. Below the gate the census costs one
+    // vocabulary-sized aggregate and the direct path runs unchanged.
+    val maxGroup = d.groupBy(md5Fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("c")).agg(max(col("c"))).head().getLong(0)
+    if (maxGroup >= CollapseMinGroup)
+      minhashLshCollapsed(d, numHashes, bands, threshold, salt)
+    else
+      minhashLshFrame(d, numHashes, bands, threshold, salt)
+  }
+
+  /** Exact-group census gate for [[minhashLsh]]: route through the
+    * collapsed plan once any exact-duplicate group reaches this size.
+    * At 3 the collapse already deletes ≥ 3× the kernel work of the
+    * group's candidates while its own overhead is two id-only joins;
+    * below it the direct path is never worse.
+    */
+  private[graft] val CollapseMinGroup = 3L
+
+  /** [[minhashLshFrame]] with EXACT-DUPLICATE COLLAPSE — the
+    * boilerplate-regime plan [[minhashLsh]]'s census routes to: docs
+    * with identical text share one REPRESENTATIVE (min doc_id per text
+    * fingerprint), LSH + verify run over representatives only, then
+    * pairs expand back to members relationally:
+    *
+    *  - cross-group: every (member of A, member of B) pair inherits
+    *    the representative pair's jaccard — texts are identical within
+    *    a group, so the per-member kernel calls the direct path makes
+    *    are literally re-computing the same number;
+    *  - intra-group: members of one group pair with jaccard(s, s)
+    *    evaluated ONCE per group (not per pair) — same kernel, same
+    *    rounding, so parity holds even for degenerate shingle sets.
+    *
+    * The pair SET is identical to the direct path's (spec-pinned on a
+    * planted giant cluster): identical texts ⇒ identical signatures ⇒
+    * a member pair shares a band bucket iff its representative pair
+    * does. Verify work drops from Σ(candidates over members) to
+    * Σ(candidates over groups) — the r9 100× minhash leg's quadratic
+    * term divided by the squared mean group size (~14× on the
+    * 26-periodic generator corpus at 100×). All joins are id-only
+    * equi-joins on rep/fp keys; the expansion's output volume equals
+    * the direct path's output, which any formulation pays.
+    */
+  private[graft] def minhashLshCollapsed(docsDf: DataFrame,
+                                         numHashes: Int = 32, bands: Int = 16,
+                                         threshold: Double = 0.5,
+                                         salt: Int = 1,
+                                         broadcastVerify: Boolean = true,
+                                         hotMin: Long = 128): DataFrame = {
+    GraftFunctions.register(docsDf.sparkSession)
+    val m = docsDf.select(col("doc_id"),
+      md5Fingerprint(col("text")).as("fp"), col("text"))
+    val reps = m.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"),
+        count(lit(1)).as("group_size"))
+    val members = m.select(col("doc_id"), col("fp"))
+      .join(reps.select(col("fp"), col("rep")), "fp")
+    val repDocs = m.join(reps.select(col("rep")),
+      m("doc_id") === col("rep")).select(col("doc_id"), col("text"))
+    val repPairs = minhashLshFrame(repDocs, numHashes, bands, threshold,
+      salt, broadcastVerify, hotMin)
+    val ma = members.select(col("doc_id").as("a_id"), col("rep").as("doc_a"))
+    val mb = members.select(col("doc_id").as("b_id"), col("rep").as("doc_b"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"), col("jaccard"))
+    // one jaccard(s, s) per multi-member group, inherited by its pairs
+    val selfJ = minhashBase(repDocs, numHashes)
+      .select(col("doc_id").as("rep"),
+        jaccard(col("shingles"), col("shingles")).as("jaccard"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.fp") === col("y.fp") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.rep").as("rep"))
+      .join(selfJ, "rep")
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    cross.unionByName(intra)
+  }
 
   /** [[minhashLsh]] over an arbitrary (doc_id, text) frame.
     *

@@ -77,6 +77,32 @@ class DedupSpec extends SparkSpec {
     assert(salted == unsalted)
   }
 
+  test("collapsed minhash equals the direct path pair-for-pair on a planted giant cluster") {
+    // the census-routed boilerplate plan: a 40-member exact-duplicate
+    // cluster plus two smaller ones — the regime where direct verify
+    // pays O(c^2) kernel calls per cluster and the collapse pays one
+    // per representative pair
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seeds = docs.orderBy("doc_id").limit(3).collect()
+    import spark.implicits._
+    val clones = ((1 to 40).map(i => (1000000L + i, seeds(0).getString(1))) ++
+      (1 to 5).map(i => (2000000L + i, seeds(1).getString(1))) ++
+      (1 to 3).map(i => (3000000L + i, seeds(2).getString(1))))
+      .toDF("doc_id", "text")
+    val frame = docs.union(clones)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = key(Dedup.minhashLshFrame(frame))
+    val collapsed = key(Dedup.minhashLshCollapsed(frame))
+    // the giant cluster alone contributes C(41,2) intra pairs
+    assert(direct.size > 800)
+    assert(collapsed == direct)
+    // and the census gate routes this frame through the collapse
+    assert(41L >= Dedup.CollapseMinGroup)
+  }
+
   test("simhash emits one 64-bit signature per doc") {
     val out = Dedup.simhash(spark, sfDir)
     assert(out.count() == spark.read.parquet(s"$sfDir/documents.parquet").count())

@@ -392,6 +392,40 @@ class TsdbOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
 
+  test("ladder routes each query to the coarsest satisfying level, raw fallback, results exact") {
+    val ladder = Ladder.ensure(spark, sfDir)
+    val db = ladder.db
+    // selection: Week → day (coarsest dividing), 4h → hour, quantile →
+    // raw (not decomposable), non-multiple width → raw
+    assert(ladder.select(AggKind.Avg, Duration.weeks(1))
+      .map(_.widthNs).contains(Duration.days(1)))
+    assert(ladder.select(AggKind.Max, Duration.hours(4))
+      .map(_.widthNs).contains(Duration.hours(1)))
+    assert(ladder.select(AggKind.Quantile(0.5), Duration.weeks(1)).isEmpty)
+    assert(ladder.select(AggKind.Avg, Duration.minutes(90)).isEmpty)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // routed answers equal the raw-points build for every routed shape
+    val routedWeek = ladder.max("purchase", "user", Duration.weeks(1))
+    assert(key(routedWeek) == key(db.max("purchase", "user")
+      .granularity(Duration.weeks(1)).build()))
+    assert(key(ladder.avg("purchase", "user", Duration.hours(4))) ==
+      key(db.avg("purchase", "user").granularity(Duration.hours(4)).build()))
+    // raw fallback produces the identical frame as the direct builder
+    assert(key(ladder.agg(AggKind.Quantile(0.95), "purchase", "user",
+        Duration.days(1))) ==
+      key(db.quantile("purchase", "user", 0.95).granularity(Duration.days(1))
+        .build()))
+    // the routed weekly plan READS THE DAY LEVEL, never raw events:
+    // the scan's file listing carries the day-rollup path and no
+    // events parquet appears anywhere in the physical plan
+    val plan = routedWeek.queryExecution.executedPlan.toString
+    assert(plan.contains("_w86400000000000_"),
+      s"weekly query did not read the day level:\n$plan")
+    assert(!plan.contains("events.parquet"),
+      s"weekly query scanned raw events:\n$plan")
+  }
+
   test("incremental rollup append merges partials exactly (no read-modify-write)") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/repo/out/test_rollup_inc"
