@@ -22,6 +22,29 @@ object Bench {
   private def fmt(x: Double, dp: Int): String =
     if (x < 0) "-1" else s"%.${dp}f".format(x)
 
+  /** Strip characters that would corrupt hand-assembled JSON (quotes,
+    * backslashes, control chars) from an interpolated string — the
+    * error paths already did this; names/paths now ride it too
+    * (ADVICE r09: a future query name with a quote would corrupt the
+    * record).
+    */
+  private def jstr(s: String): String =
+    s.replaceAll("[\"\\\\\\p{Cntrl}]", " ")
+
+  /** Driver entries that are deliberately-uncached VALIDATION CONTRACT
+    * replays, not queries: ts_flaps_replay re-runs a 4-micro-batch
+    * stateful replay per invocation, ann_recall_curve runs a full
+    * recall sweep, dedup_cluster_hist re-clusters, and
+    * text_decontaminate_bloom rebuilds + probes the filter against the
+    * exact chain. Their cost is the contract being re-proven, so the
+    * artifact tags them and reports the suite total BOTH ways — mixing
+    * them into one number made cross-round per-query totals
+    * incomparable (r09 verdict item 7).
+    */
+  private val ValidationEntries: Set[String] = Set(
+    "ts_flaps_replay", "ann_recall_curve", "dedup_cluster_hist",
+    "text_decontaminate_bloom")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,6 +97,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalQuery = results.filterNot(r => ValidationEntries(r._1))
+      .map(_._2).filter(_ >= 0).sum
+    val totalValidation = total - totalQuery
     println(s"# queries: $qs")
     // diff vs the PREVIOUS committed record, read before this run
     // overwrites it — the self-auditing regression list the r08 judge
@@ -122,12 +148,24 @@ object Bench {
     val minhash100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) "{}"
                      else minhash100Json(spark, sfDir)
     println(s"# minhash100: $minhash100")
+    val recallScale = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+                      else recallCurveScaleJson(spark, sfDir)
+    println(s"# recall_curve_scale: $recallScale")
+    val bloomPaths = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+                     else bloomPathsJson(spark, sfDir)
+    println(s"# bloom_paths: $bloomPaths")
+    val validationJson = ValidationEntries.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+      s""""total_query_sec":${fmt(totalQuery, 2)},""" +
+      s""""total_validation_sec":${fmt(totalValidation, 2)},""" +
+      s""""validation_queries":$validationJson,"queries":$qs,""" +
       s""""errors":$errJson,"ingest":$ingest,"scale10":$scale10,"scale100":$scale100,""" +
       s""""skew":$skew,"lsh_counts":$lshCounts,"minhash100":$minhash100,""" +
       s""""lsh_phases":$lshPhases,"regressions":$regressions,""" +
       s""""semantic_counts":$semanticCounts,"q5_bucketed100":$q5b,""" +
+      s""""recall_curve_scale":$recallScale,"bloom_paths":$bloomPaths,""" +
       s""""fmt":"scale entries are [base_sec,xN_sec,ratio]; lsh_counts entries are [candidates,verified]; telemetry spans each leg's warm+timed runs","sf":"$sfDir"}"""
     // partial dev runs (query subset / skipped sections) must never
     // clobber the committed full-run record
@@ -148,7 +186,9 @@ object Bench {
       .map(r => "\"" + r.name + "\":" + fmt(r.ratio, 1))
       .mkString("{", ",", "}")
     def line(rows: Seq[ScaleRow]) =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs2,""" +
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+      s""""value_query":${fmt(totalQuery, 2)},""" +
+      s""""value_validation":${fmt(totalValidation, 2)},"queries":$qs2,""" +
       s""""ingest_pps":$ingestCompact,"scale10_ratio":${ratioJson(rows)},""" +
       s""""regressions_n":$nRegressions,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     // degrade cascade: full ratios → dedup/ann heavy family → none;
@@ -187,16 +227,16 @@ object Bench {
         val curSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         if (q == null) (s"""{"prev":null,"items":{}}""", 0)
         else if (prevSf != curSf)
-          (s"""{"prev":"$prevRecord","skipped":"sf mismatch: prev '$prevSf' vs current '$curSf'","items":{}}""", 0)
+          (s"""{"prev":"${jstr(prevRecord)}","skipped":"sf mismatch: prev '${jstr(prevSf)}' vs current '${jstr(curSf)}'","items":{}}""", 0)
         else {
           val items = current.flatMap { case (name, sec) =>
             Option(q.get(name)).map(_.asDouble(-1)).filter(_ > 0).flatMap { p =>
               if (sec > 0 && sec >= 1.5 * p && sec - p >= 0.3)
-                Some(s""""$name":[${fmt(p, 3)},${fmt(sec, 3)},${fmt(sec / p, 2)}]""")
+                Some(s""""${jstr(name)}":[${fmt(p, 3)},${fmt(sec, 3)},${fmt(sec / p, 2)}]""")
               else None
             }
           }
-          (s"""{"prev":"$prevRecord","threshold":1.5,"abs_floor_sec":0.3,""" +
+          (s"""{"prev":"${jstr(prevRecord)}","threshold":1.5,"abs_floor_sec":0.3,""" +
             s""""fmt":"[prev_sec,now_sec,ratio]",""" +
             s""""items":{${items.mkString(",")}}}""", items.size)
         }
@@ -706,6 +746,82 @@ object Bench {
     }.mkString("{\"fmt\":\"[nlist,cells_used,max_cell_rows,intra_cell_pairs]\",",
       ",", "}")
   }
+
+  /** Recall-vs-nprobe ON THE SCALE CURVE at the sized nlist (round 10):
+    * the r9 curve ran at fixed nlist=16 while the index a deployment
+    * would actually build sizes nlist ≈ √n ([[graft.operators.Dedup
+    * .nlistSized]]) — a probe-count recommendation read off a 16-cell
+    * index is wrong for a 632-cell one (each probe covers 40× less
+    * corpus). Per leg: corpus size, sized nlist, the mean recall@k per
+    * sweep point over the SHARED-BASELINE one-pass curve, and the
+    * wall — so the artifact carries the nprobe-for-recall-target
+    * answer at every corpus the bench models.
+    */
+  private def recallCurveScaleJson(spark: SparkSession, sfDir: String): String = {
+    val nprobes = Seq(1, 2, 4, 8, 16)
+    val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)
+    val legs = Seq("base" -> sfDir, "x10" -> dir10) ++
+      (if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) Nil
+       else Seq("x100" -> ScaleData.ensure(spark, sfDir, 100,
+         tables = Seq("documents", "embeddings", "events"))))
+    legs.map { case (k, d) =>
+      val cell =
+        try {
+          val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+          val nlist = graft.operators.Dedup.nlistSized(n)
+          val t0 = System.nanoTime()
+          val mean = graft.operators.Similarity
+            .recallCurve(spark, d, nlist = nlist, nprobes = nprobes)
+            .groupBy(org.apache.spark.sql.functions.col("nprobe"))
+            .agg(org.apache.spark.sql.functions.avg(
+              org.apache.spark.sql.functions.col("recall")).as("r"))
+            .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+          val sec = (System.nanoTime() - t0) / 1e9
+          val curve = nprobes
+            .map(np => s""""$np":${fmt(mean.getOrElse(np, -1.0), 3)}""")
+            .mkString(",")
+          s"""{"n":$n,"nlist":$nlist,"sec":${fmt(sec, 2)},"mean_recall":{$curve}}"""
+        } catch {
+          case e: Throwable =>
+            val msg = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")).take(120)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
+            s"""{"error":"$msg"}"""
+        }
+      s""""$k":$cell"""
+    }.mkString("{", ",", "}")
+  }
+
+  /** Both Bloom filter-side join strategies over the 10× corpus
+    * (round 10): the probe entry auto-gates to broadcast while the
+    * eval-gram set is benchmark-sized, so the gated SHUFFLE path —
+    * the whole point of the operator per SURVEY 31n — would otherwise
+    * never run at scale. Walls for both pins over the identical
+    * corpus plus the row counts, whose equality is the in-artifact
+    * twin of the spec's row-identity contract.
+    */
+  private def bloomPathsJson(spark: SparkSession, sfDir: String): String =
+    try {
+      import org.apache.spark.sql.functions.col
+      val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)
+      val d = spark.read.parquet(s"$dir10/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def leg(bf: Boolean): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = graft.operators.TextAnalysis
+          .bloomDecontaminateFrame(d, broadcastFilter = Some(bf)).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      leg(true); leg(false) // warm both codegen shapes
+      val (bSec, bN) = leg(true)
+      val (sSec, sN) = leg(false)
+      s"""{"broadcast_sec":${fmt(bSec, 2)},"shuffle_hash_sec":${fmt(sSec, 2)},""" +
+        s""""rows_broadcast":$bN,"rows_shuffle_hash":$sN,"rows_equal":${bN == sN}}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${jstr((e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(120))}"}"""
+    }
 
   /** The 100× q5 leg over the layout that answers it: rounds 3–8
     * SKIPPED q5_multijoin at 100× ("1jvm-smj-sort-spill") while its

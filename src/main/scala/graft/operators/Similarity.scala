@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 import graft.expressions.GraftFunctions
 
@@ -360,21 +361,63 @@ object Similarity {
     * a query, not a notebook); the oracle re-derives every sweep point
     * relationally. Bounded output: |nprobes| × numQueries rows.
     *
-    * Deliberate simplicity over speed: each sweep point re-runs the
-    * full eval (baseline + assignment re-derived per point, ~4× one
-    * eval's cost — 2.1 s in-suite). A shared-baseline formulation
-    * (rank probes once at max(nprobes), cut crnk ≤ np per point) would
-    * run in ~one eval's cost; worth it only if the sweep ever leaves
-    * validation duty for a hot path.
+    * SHARED-BASELINE formulation (round 10 — the documented ~4× → ~1×
+    * rewrite, adopted when the curve joined the scale legs): the exact
+    * baseline and the candidate scoring run ONCE at max(nprobes) with
+    * the probe rank carried per candidate; each candidate then
+    * replicates to exactly the sweep points whose probe budget
+    * includes its list (`crnk ≤ np`), and one (q_id, nprobe) window
+    * ranks every sweep point's top-k in a single pass. A candidate's
+    * list rank is fixed per query, so the per-point selection is
+    * IDENTICAL to running [[recallEval]] at that nprobe (same
+    * (cos desc, vec_id) total order) — the spec pins the equality —
+    * while the corpus join and the brute-force baseline are paid once
+    * instead of |nprobes| times.
     */
   def recallCurve(spark: SparkSession, dir: String,
                   numQueries: Int = 5, k: Int = 5, nlist: Int = 16,
                   nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     require(nprobes.nonEmpty, "nprobes must be non-empty")
-    nprobes.map(np =>
-      recallEval(spark, dir, numQueries, k, nlist, np)
-        .select(lit(np).as("nprobe"), col("q_id"), col("hits"), col("recall")))
-      .reduce(_ unionByName _)
+    require(nprobes.forall(_ >= 1), "every nprobe must be >= 1")
+    val maxNp = nprobes.max
+    val e = vecs(spark, dir)
+    val index = IvfIndex.ensure(spark, dir, "first", nlist, iters = 0,
+      train = () => firstVectorCentroids(e, nlist), corpus = e)
+    val assigned = IvfIndex.open(spark, index)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val ids = packCentroids(index.centroids)._1
+    val probes = e.where(col("vec_id") < numQueries)
+      .withColumn("cc", centScores(index.centroids, rounded = true))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), posexplode(col("cc")).as(Seq("pos", "ccos")))
+      .withColumn("cent_id", element_at(typedLit(ids), (col("pos") + 1).cast("int")))
+      .withColumn("crnk", rank().over(wProbe))
+      .where(col("crnk") <= maxNp)
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        col("cent_id").as("list_id"), col("crnk"))
+    val scored = assigned.as("e")
+      .join(broadcast(probes.as("q")),
+        col("e.list_id") === col("q.list_id") && col("e.vec_id") =!= col("q.q_id"))
+      .select(col("q_id"), col("vec_id"), cosAB.as("cos"), col("crnk"))
+    val npArr = typedLit(nprobes.sorted)
+    val byQN = Window.partitionBy(col("q_id"), col("nprobe"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val approx = scored
+      .select(col("q_id"), col("vec_id"), col("cos"),
+        explode(functions.filter(npArr, np => np >= col("crnk"))).as("nprobe"))
+      .withColumn("rnk", row_number().over(byQN))
+      .where(col("rnk") <= k)
+      .select(col("q_id").as("a_qid"), col("nprobe").as("a_np"),
+        col("vec_id").as("a_vid"))
+    bruteForceTopK(spark, dir, numQueries, k)
+      .select(col("q_id"), col("vec_id"), explode(npArr).as("nprobe"))
+      .join(approx, col("q_id") === col("a_qid") &&
+        col("nprobe") === col("a_np") && col("vec_id") === col("a_vid"), "left")
+      .groupBy(col("nprobe"), col("q_id"))
+      .agg(sum(when(col("a_vid").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("nprobe"), col("q_id"), col("hits"),
+        (col("hits").cast("double") / lit(k)).as("recall"))
   }
 
   def recallEval(spark: SparkSession, dir: String,

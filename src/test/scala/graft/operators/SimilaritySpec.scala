@@ -97,10 +97,15 @@ class SimilaritySpec extends SparkSpec {
     for (q <- qs; Seq(a, b) <- Seq(1, 2, 4, 8).sliding(2))
       assert(out((a, q)) <= out((b, q)),
         s"query $q: recall@nprobe=$a ${out((a, q))} > @nprobe=$b ${out((b, q))}")
-    // the nprobe=4 sweep point IS recallEval's answer
-    val single = Similarity.recallEval(spark, sfDir).collect()
-      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
-    qs.foreach(q => assert(out((4, q)) == single(q)))
+    // the shared-baseline contract: EVERY sweep point equals the
+    // independent per-nprobe eval — the one-pass (q_id, nprobe) window
+    // may only change the cost, never a selection
+    for (np <- Seq(1, 2, 4, 8)) {
+      val single = Similarity.recallEval(spark, sfDir, nprobe = np).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
+      qs.foreach(q => assert(out((np, q)) == single(q),
+        s"sweep point nprobe=$np query $q: ${out((np, q))} != ${single(q)}"))
+    }
   }
 
   test("filtered topk: pre-filter semantics — true top-k of the matching subset") {
