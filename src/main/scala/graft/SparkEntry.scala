@@ -148,6 +148,11 @@ object SparkEntry {
       Db.fromEvents(s, d).predictLinear("view", Day, Duration.hours(4))),
     "ts_corr" -> ((s, d) =>
       Db.fromEvents(s, d).corrAligned("click", "purchase", "user", Day)),
+    // PromQL binary operator (a / b with on(group) matching): per-k
+    // daily error-per-view rate — one scan of metric IN (a,b),
+    // conditional decimal bucket sums, one raw IEEE division
+    "ts_ratio" -> ((s, d) =>
+      Db.fromEvents(s, d).ratioAligned("error", "view", "k", Day)),
     // daily avg answered from an HOURLY materialized rollup — the oracle
     // is the raw-data SQL, so the hash match IS the associativity proof
     "ts_rollup_avg" -> ((s, d) => {
@@ -401,6 +406,10 @@ object SparkEntry {
 
     // ---- Multimodal plumbing ----
     "mm_meta" -> ((s, d) => graft.operators.Multimodal.extractMeta(s, d)),
+    // audio-side feature pass: integer-exact PCM stats (count, peak,
+    // energy) from one codegen'd byte kernel, duration/RMS as the only
+    // float steps — the silence/clipping screen before transcription
+    "mm_audio_stats" -> ((s, d) => graft.operators.Multimodal.audioStats(s, d)),
     // frame stride over the per-partition batch loop; the compared
     // output fingerprints each frame (length + md5) so the check rides
     // primitive columns, not raw binary
@@ -1101,6 +1110,25 @@ object SparkEntry {
          |  END AS r
          |FROM p WHERE x IS NOT NULL AND y IS NOT NULL
          |GROUP BY 1""".stripMargin,
+    // the same conditional-decimal-sum alignment frame as ts_corr,
+    // then ONE raw IEEE division (+ 0.0) — zero denominator → NULL
+    "ts_ratio" ->
+      s"""$Ev
+         |, p AS (
+         |  SELECT tag_k AS grp, ${bucket(Day)} AS bucket_start,
+         |    CAST(SUM(CASE WHEN metric = 'error'
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DECIMAL(18,6)) AS x,
+         |    CAST(SUM(CASE WHEN metric = 'view'
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DECIMAL(18,6)) AS y
+         |  FROM ev WHERE metric IN ('error', 'view')
+         |    AND tag_k IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT grp, bucket_start,
+         |  CASE WHEN y = 0 THEN NULL
+         |       ELSE CAST(x AS DOUBLE) / CAST(y AS DOUBLE) + 0.0
+         |  END AS ratio
+         |FROM p WHERE x IS NOT NULL AND y IS NOT NULL""".stripMargin,
     // per-point EWMA: list_reduce over the window prefix array is the
     // same left fold (seeded with the first element) as the graft_ewma
     // kernel, with the identical IEEE op chain — DOUBLE casts defeat
@@ -2027,6 +2055,9 @@ object SparkEntry {
     "mm_meta" ->
       """SELECT doc_id, n_bytes, mime, width, height, sample_rate, channels
         |FROM read_parquet('/root/repo/golden/mm_meta/*.parquet')""".stripMargin,
+    "mm_audio_stats" ->
+      """SELECT doc_id, sample_rate, channels, n_samples, peak, duration_ms, rms
+        |FROM read_parquet('/root/repo/golden/mm_audio_stats/*.parquet')""".stripMargin,
     "dedup_minhash" ->
       "SELECT doc_a, doc_b, jaccard FROM read_parquet('/root/repo/golden/dedup_minhash/*.parquet')",
     "dedup_embedding_lsh" ->

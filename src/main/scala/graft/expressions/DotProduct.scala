@@ -239,6 +239,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_mm_meta"),
       new ExpressionInfo(classOf[MmHeaderMeta].getName, "graft_mm_meta"),
       (cs: Seq[Expression]) => { arity("graft_mm_meta", 1, cs); MmHeaderMeta(cs.head) }),
+    (FunctionIdentifier("graft_wav_stats"),
+      new ExpressionInfo(classOf[WavStats].getName, "graft_wav_stats"),
+      (cs: Seq[Expression]) => { arity("graft_wav_stats", 1, cs); WavStats(cs.head) }),
     (FunctionIdentifier("graft_jitter"),
       new ExpressionInfo(classOf[Jitter].getName, "graft_jitter"),
       (cs: Seq[Expression]) => {

@@ -189,6 +189,58 @@ object MmFormat {
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true)))
 
+  /** The `graft_wav_stats` struct layout: integer-exact PCM facts —
+    * n_samples = -1 marks a non-WAV/headerless payload (a sentinel
+    * keeps the expression non-nullable and codegen branch-free; the
+    * operator filters on it).
+    */
+  val WavStatsStruct: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  /** PCM sample statistics from a RIFF/WAVE `data` chunk: sample
+    * count, peak |amplitude|, and Σ sample² — all integer-exact (the
+    * float steps, duration and RMS, happen relationally downstream so
+    * the kernel stays engine-reproducible). 16-bit little-endian PCM
+    * per the `fmt ` contract [[Synth.wav]] writes; a trailing odd byte
+    * is ignored. Walks chunks with the same strictly-advancing guard
+    * as [[HeaderParser.parse]].
+    */
+  def wavStatsKernel(b: Array[Byte]): InternalRow = {
+    def tag(o: Int) = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    val none = new GenericInternalRow(Array[Any](-1L, 0, 0L))
+    if (b.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") return none
+    var o = 12
+    while (o + 8 <= b.length) {
+      val id = tag(o)
+      val sz = le32(o + 4)
+      if (sz < 0) return none
+      if (id == "data") {
+        val end = math.min(b.length, o + 8 + sz)
+        var i = o + 8
+        var n = 0L
+        var peak = 0
+        var energy = 0L
+        while (i + 1 < end) {
+          val s = ((b(i) & 0xff) | (b(i + 1) << 8)).toShort.toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          energy += s.toLong * s.toLong
+          n += 1
+          i += 2
+        }
+        return new GenericInternalRow(Array[Any](n, peak, energy))
+      }
+      val next = o + 8 + sz + (sz & 1)
+      if (next <= o) return none
+      o = next
+    }
+    none
+  }
+
   // ---- static kernels called from generated code ----
   def synthKernel(docId: Long, text: UTF8String): Array[Byte] =
     Synth.payload(docId, text.toString)
@@ -225,6 +277,29 @@ case class MmSynthPayload(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MmSynthPayload =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_wav_stats(payload)` — integer-exact PCM statistics of a
+  * RIFF/WAVE data chunk as a codegen'd `binary → struct` call (see
+  * [[MmFormat.wavStatsKernel]]); non-WAV payloads yield the
+  * `n_samples = -1` sentinel row.
+  */
+case class WavStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MmFormat.WavStatsStruct
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_wav_stats expects binary, got $t")
+  }
+
+  override protected def nullSafeEval(b: Any): Any =
+    MmFormat.wavStatsKernel(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expressions.MmFormat.wavStatsKernel($b)")
+
+  override protected def withNewChildInternal(newChild: Expression): WavStats =
+    copy(child = newChild)
 }
 
 /** `graft_mm_meta(payload)` — container-header parse as a codegen'd

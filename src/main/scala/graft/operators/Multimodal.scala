@@ -66,6 +66,36 @@ object Multimodal {
         col("m.sample_rate").as("sample_rate"),
         col("m.channels").as("channels"))
 
+  /** Audio feature extraction over the WAV blobs — the audio-side
+    * sibling of the image header/phash passes: per audio payload,
+    * PCM frame count, duration, peak amplitude, and RMS level (the
+    * silence/clipping screens an audio-curation pipeline runs before
+    * paying for transcription). The byte-level work
+    * (`graft_wav_stats`) is INTEGER-exact — sample count, peak,
+    * Σ sample² — inside one codegen'd projection with the header
+    * parse; the only float steps are the final duration division and
+    * the RMS sqrt, computed relationally from the exact integers (the
+    * docFreq convention). One scan, no joins, no shuffle; output ∝
+    * audio blobs.
+    */
+  def audioStats(spark: SparkSession, dir: String): DataFrame =
+    blobFrame(spark, dir)
+      .withColumn("m", call_function("graft_mm_meta", col("payload")))
+      .withColumn("s", call_function("graft_wav_stats", col("payload")))
+      .where(col("s.n_samples") >= 0 && col("m.mime") === "audio/wav")
+      .select(col("doc_id"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("s.n_samples").as("n_samples"),
+        col("s.peak").as("peak"),
+        // PCM frames = samples div channels (exact); duration is one
+        // IEEE division over exact integers
+        round(expr("(s.n_samples div m.channels) * 1000.0d")
+          / col("m.sample_rate"), 6).as("duration_ms"),
+        when(col("s.n_samples") === 0, lit(null).cast("double"))
+          .otherwise(round(sqrt(col("s.energy").cast("double")
+            / col("s.n_samples")), 6)).as("rms"))
+
   /** The codec-decode slot: per-partition batch iteration over blobs —
     * one decoder/context init per partition, streaming over rows, no
     * driver collect. This is where a real deployment plugs an image or

@@ -922,6 +922,49 @@ final class Db(val frame: DataFrame) {
       .drop("st", "stt", "sv", "stv")
   }
 
+  /** The shared alignment frame of the cross-metric operators
+    * ([[corrAligned]], [[ratioAligned]]): per (group × bucket), both
+    * metrics' bucket SUMS side by side from ONE scan of
+    * `metric IN (a, b)` — conditional aggregates, no self-join/pivot,
+    * one point-volume shuffle. Buckets missing either side are dropped
+    * (the PromQL vector-matching semantics). Sums, not averages: every
+    * input stays an exact decimal end-to-end.
+    */
+  private def alignedBucketSums(metricA: String, metricB: String,
+                                groupBy: String, widthNs: Long): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val a = Db.validated(metricA); val b = Db.validated(metricB)
+    val grpCol = tagCol(groupBy)
+    val dec = col("value").cast("decimal(28,6)")
+    def sumOf(m: String) =
+      F.sum(when(col("metric") === lit(m), dec)).cast("decimal(18,6)")
+    frame
+      .where(col("metric") === lit(a) || col("metric") === lit(b))
+      .where(grpCol.isNotNull)
+      .groupBy(grpCol.as("grp"),
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"))
+      .agg(sumOf(a).as("x"), sumOf(b).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+  }
+
+  /** Cross-metric per-bucket RATIO — the PromQL binary-operator
+    * surface (`a / b` with `on(group)` vector matching): error rate =
+    * errors ÷ requests per host, cache hit ratio, conversion rate.
+    * One scan, one shuffle ([[alignedBucketSums]]); the ratio is a
+    * single RAW IEEE division over the two exact decimal bucket sums
+    * with `+ 0.0` signed-zero canonicalization (the [[rate]] recipe —
+    * identical op chain on any engine), and a zero denominator yields
+    * NULL (no ratio exists), like [[zscore]]'s σ = 0 contract.
+    */
+  def ratioAligned(metricA: String, metricB: String, groupBy: String,
+                   widthNs: Long): DataFrame =
+    alignedBucketSums(metricA, metricB, groupBy, widthNs)
+      .select(col("grp"), col("bucket_start"),
+        when(col("y") === lit(0).cast("decimal(18,6)"),
+          lit(null).cast("double"))
+          .otherwise((col("x").cast("double") / col("y").cast("double"))
+            + lit(0.0)).as("ratio"))
+
   /** Pearson correlation between two metrics per `groupBy` tag, across
     * their aligned per-bucket TOTALS — "do click totals move with
     * purchase totals, per user?". ONE scan (metric IN (a, b)) and ONE
@@ -943,18 +986,7 @@ final class Db(val frame: DataFrame) {
   def corrAligned(metricA: String, metricB: String, groupBy: String,
                   widthNs: Long): DataFrame = {
     import org.apache.spark.sql.{functions => F}
-    val a = Db.validated(metricA); val b = Db.validated(metricB)
-    val grpCol = tagCol(groupBy)
-    val dec = col("value").cast("decimal(28,6)")
-    def sumOf(m: String) =
-      F.sum(when(col("metric") === lit(m), dec)).cast("decimal(18,6)")
-    val pairs = frame
-      .where(col("metric") === lit(a) || col("metric") === lit(b))
-      .where(grpCol.isNotNull)
-      .groupBy(grpCol.as("grp"),
-        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"))
-      .agg(sumOf(a).as("x"), sumOf(b).as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull)
+    val pairs = alignedBucketSums(metricA, metricB, groupBy, widthNs)
     val x = col("x"); val y = col("y")
     val stats = pairs.groupBy(col("grp"))
       .agg(F.count(lit(1)).as("n"),

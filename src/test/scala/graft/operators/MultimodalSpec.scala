@@ -42,6 +42,46 @@ class MultimodalSpec extends SparkSpec {
     assert(m.width.isEmpty && m.height.isEmpty)
   }
 
+  test("wav stats kernel: exact sample count, peak, energy on known PCM") {
+    // body = three known 16-bit LE samples: 1000, -2000, 3000
+    val body = java.nio.ByteBuffer.allocate(6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(1000.toShort).putShort((-2000).toShort).putShort(3000.toShort)
+      .array()
+    val r = graft.expressions.MmFormat.wavStatsKernel(
+      Multimodal.Synth.wav(8000, 1, body))
+    assert(r.getLong(0) == 3L)
+    assert(r.getInt(1) == 3000)
+    assert(r.getLong(2) == 1000L * 1000 + 2000L * 2000 + 3000L * 3000)
+    // a trailing odd byte is ignored, not misread as half a sample
+    val r2 = graft.expressions.MmFormat.wavStatsKernel(
+      Multimodal.Synth.wav(8000, 1, body :+ 0x7f.toByte))
+    assert(r2.getLong(0) == 3L && r2.getLong(2) == r.getLong(2))
+    // non-WAV payloads yield the sentinel
+    val r3 = graft.expressions.MmFormat.wavStatsKernel("not audio".getBytes)
+    assert(r3.getLong(0) == -1L)
+  }
+
+  test("audioStats: WAV blobs only, duration/rms derived from the exact integers") {
+    val out = Multimodal.audioStats(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 5 == 1) // the synth's WAV residue class
+      val rate = r.getInt(1); val ch = r.getInt(2)
+      val n = r.getLong(3)
+      assert(rate >= 8000 && ch >= 1 && n > 0)
+      assert(r.getInt(4) >= 0) // peak is an |amplitude|
+      val expDur = BigDecimal((n / ch) * 1000.0 / rate)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == expDur)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 32768.0)
+    }
+    // coverage: every WAV blob of the corpus appears exactly once
+    val wavDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") % 5 === 1).count()
+    assert(out.length == wavDocs)
+  }
+
   test("header parser falls back to octet-stream on unknown bytes") {
     val m = Multimodal.HeaderParser.parse("just some text".getBytes)
     assert(m.mime == "application/octet-stream")

@@ -392,6 +392,29 @@ class TsdbOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
 
+  test("ratioAligned: shared buckets only, zero denominator NULL, one point shuffle") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val day = Duration.days(1)
+    val frame = Seq(
+      ("err", 0L, 2.0, "a"), ("req", 1L, 8.0, "a"),       // a day0: 2/8
+      ("err", day + 1, 1.0, "a"),                          // a day1: no req → dropped
+      ("req", day + 2, 5.0, "b"), ("req", day + 3, -5.0, "b"),
+      ("err", day + 4, 3.0, "b"),                          // b day1: denom 0 → NULL
+      ("req", 5L, 4.0, null.asInstanceOf[String])          // NULL group dropped
+    ).toDF("metric", "ts", "value", "tag_k")
+    val out = new Db(frame).ratioAligned("err", "req", "k", day)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set(("a", 0L, Some(0.25)), ("b", day, None)))
+    // the alignment is ONE conditional aggregate over one scan: a
+    // single exchange, no self-join of the two metrics
+    val plan = new Db(frame).ratioAligned("err", "req", "k", day)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("ladder routes each query to the coarsest satisfying level, raw fallback, results exact") {
     val ladder = Ladder.ensure(spark, sfDir)
     val db = ladder.db
