@@ -268,6 +268,12 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => graft.operators.Analytics.q10Returns(s, d)),
     "q18_large_volume" -> ((s, d) => graft.operators.Analytics.q18LargeVolume(s, d)),
     "q8_market_share" -> ((s, d) => graft.operators.Analytics.q8MarketShare(s, d)),
+    // Q7 volume shipping: filtered nation sides broadcast; the only
+    // fact-grain exchange is lineitem x orders on the order key
+    "q7_volume" -> ((s, d) => graft.operators.Analytics.q7Volume(s, d)),
+    // Q14 promotion effect: two conditional aggregates in one pass,
+    // part broadcast, year predicate at the scan
+    "q14_promo" -> ((s, d) => graft.operators.Analytics.q14Promo(s, d)),
     "q6_forecast" -> ((s, d) => graft.operators.Analytics.q6Forecast(s, d)),
     // perceptual average-hash fingerprint per blob (image near-dup key)
     "mm_phash" -> ((s, d) => graft.operators.Multimodal
@@ -1779,6 +1785,36 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1""".stripMargin,
+    // Q7: same decimal revenue chain; either-direction nation pairs
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM (
+        |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+        |    AND nc.n_name IN ('NATION_1', 'NATION_2')
+        |    AND ns.n_name <> nc.n_name)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Q14: conditional-aggregate promo share, one IEEE chain at the end
+    "q14_promo" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+        |  * 100.0 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |  + 0.0 AS promo_pct,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE year(l_shipdate) = 1998""".stripMargin,
     // NOT EXISTS via LEFT ANTI: orders that never shipped anything
     "q_anti_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -404,6 +404,60 @@ object Analytics {
         sum(revTerm).cast("double").as("region_revenue"))
   }
 
+  /** TPC-H Q7-flavor volume shipping between two nations: revenue per
+    * (supplier nation, customer nation, ship year) for cross-nation
+    * trade in either direction. The scale shape: BOTH nation sides are
+    * filtered to the two named nations BEFORE their joins, collapsing
+    * supplier and customer to name-tagged key lists that broadcast —
+    * the only fact-cardinality exchange is the unavoidable
+    * lineitem ⋈ orders shuffle on the order key (orders contributes
+    * o_custkey only, pruned to two columns at the scan). Revenue is
+    * the exact decimal [[revTerm]] sum, one IEEE cast at the end.
+    */
+  def q7Volume(spark: SparkSession, dir: String,
+               nationA: String = "NATION_1",
+               nationB: String = "NATION_2"): DataFrame = {
+    val n = t(spark, dir, "nation")
+      .where(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revTerm).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q14-flavor promotion effect: the promo share of one ship
+    * year's revenue — `100 × Σ promo revenue / Σ revenue` as TWO
+    * conditional aggregates in ONE pass over the filtered fact scan
+    * (the q8 market-share recipe: never a second scan or self-join);
+    * part is the broadcast dim, the year predicate reaches the scan,
+    * and the division is one IEEE chain over two exact decimal sums.
+    */
+  def q14Promo(spark: SparkSession, dir: String,
+               shipYear: Int = 1998): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(year(col("l_shipdate")) === shipYear)
+      .join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", revTerm)).cast("double")
+          * lit(100.0) / sum(revTerm).cast("double") + lit(0.0))
+          .as("promo_pct"),
+        sum(revTerm).cast("double").as("total_revenue"))
+
   def q17AvgSubquery(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
     val th = l.groupBy(col("l_partkey").as("t_partkey"))

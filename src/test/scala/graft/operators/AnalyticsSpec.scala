@@ -65,6 +65,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(ac5.nonEmpty && ac5.sameElements(r5))
   }
 
+  test("q7: nation sides broadcast, only fact exchange is the order key; q14: year filter pushed, part broadcast") {
+    // a nation pair that actually trades at this tiny SF (the entry's
+    // default pair is exercised by the sf0.01 driver gate)
+    val q7 = Analytics.q7Volume(spark, sfDir, "NATION_18", "NATION_19")
+    val p7 = q7.queryExecution.executedPlan.toString
+    // both filtered nation-tagged key lists ride broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(p7).size >= 2, p7.take(2000))
+    // the lineitem x orders join is hint-free (the q5 convention):
+    // AQE may broadcast tiny orders at this SF, but the plan never
+    // forces it — at scale it degrades to the one order-key shuffle
+    val orderJoins = q7.queryExecution.optimizedPlan.toString
+      .linesIterator.filter(l => l.contains("Join") && l.contains("o_orderkey"))
+      .toSeq
+    assert(orderJoins.nonEmpty,
+      q7.queryExecution.optimizedPlan.toString.take(3000))
+    assert(orderJoins.forall(!_.contains("broadcast")), orderJoins.mkString("\n"))
+    // cross-nation rows only, restricted to the two named nations
+    val rows = q7.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) != r.getString(1)))
+    assert(rows.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+      .subsetOf(Set("NATION_18", "NATION_19")))
+    val q14 = Analytics.q14Promo(spark, sfDir)
+    val p14 = q14.queryExecution.executedPlan.toString
+    assert(p14.contains("BroadcastHashJoin"), p14.take(2000))
+    val out = q14.collect()
+    assert(out.length == 1)
+    val pct = out(0).getDouble(0)
+    assert(pct > 0.0 && pct < 100.0, s"promo_pct $pct")
+  }
+
   test("q3 and q5 use broadcast joins; q5 never broadcast-hints customer") {
     val p3 = Analytics.q3(spark, sfDir).queryExecution.executedPlan.toString
     val q5 = Analytics.q5(spark, sfDir)
