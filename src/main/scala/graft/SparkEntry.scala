@@ -379,6 +379,10 @@ object SparkEntry {
     // per-cell population + cosine-to-centroid spread diagnostics
     "ann_cluster_stats" -> ((s, d) => graft.operators.Similarity.clusterStats(s, d)),
     "ann_filtered" -> ((s, d) => graft.operators.Similarity.filteredTopK(s, d)),
+    // pre-filter semantics composed with the IVF probe: the predicate
+    // runs against the label column STORED in the list layout
+    "ann_ivf_filtered" ->
+      ((s, d) => graft.operators.Similarity.ivfFilteredTopK(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.Similarity.pqTopK(s, d)),
     "ann_ivfpq" -> ((s, d) => graft.operators.Similarity.ivfPqTopK(s, d)),
     "ann_range" -> ((s, d) => graft.operators.Similarity.rangeSearch(s, d)),
@@ -2560,6 +2564,38 @@ object SparkEntry {
         |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
         |WHERE rnk <= 10""".stripMargin,
     "ann_ivf" -> AnnIvfSql,
+    // the IVF re-derivation with the label predicate applied to the
+    // assigned (corpus) side before ranking — pre-filter within the
+    // probed lists, exactly the Spark plan's semantics
+    "ann_ivf_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |ac AS (
+        |  SELECT n.vec_id, n.label, n.v, n.nrm, cent_id,
+        |    round(list_reduce(list_transform(list_zip(n.v, cv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / (n.nrm * cnrm), 6) AS ccos
+        |  FROM n, cent),
+        |assigned AS (SELECT vec_id, label, v, nrm, cent_id AS list_id FROM (
+        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+        |  FROM ac) WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS list_id FROM (
+        |  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crnk
+        |  FROM (SELECT * FROM ac WHERE vec_id < 5)) WHERE crnk <= 4),
+        |c AS (
+        |  SELECT q.q_id, a.vec_id,
+        |    round(list_reduce(list_transform(list_zip(q.qv, a.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a2, b2) -> a2 + b2)
+        |      / (q.qnrm * a.nrm), 6) AS cos
+        |  FROM assigned a JOIN probes q
+        |    ON a.list_id = q.list_id AND a.vec_id <> q.q_id
+        |  WHERE a.label % 4 = 1)
+        |SELECT q_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        |WHERE rnk <= 5""".stripMargin,
     // IDENTICAL independent re-derivation for the STREAMED index: the
     // stored centroids and assignment are the same by construction, so
     // matching this hash proves the streaming append path end-to-end

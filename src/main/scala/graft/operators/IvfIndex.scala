@@ -67,7 +67,7 @@ object IvfIndex {
              base: String = ""): Index = {
     val fp = graft.tsdb.Ingest.contentFingerprint(s"$dir/embeddings.parquet")
     val root = graft.Conf.resolveWorkDir(spark, base)
-    val path = s"$root/ivf_v1_${Integer.toHexString(dir.hashCode)}_${fp}_" +
+    val path = s"$root/ivf_v2_${Integer.toHexString(dir.hashCode)}_${fp}_" +
       s"${variant}_n${nlist}_i$iters"
     cached(cache, path) {
       if (!java.nio.file.Files.exists(
@@ -155,7 +155,7 @@ object IvfIndex {
                           corpus: => DataFrame, base: String = ""): Index = {
     val fp = graft.tsdb.Ingest.contentFingerprint(s"$dir/embeddings.parquet")
     val root = graft.Conf.resolveWorkDir(spark, base)
-    val path = s"$root/ivf_streamed_v1_${Integer.toHexString(dir.hashCode)}_" +
+    val path = s"$root/ivf_streamed_v2_${Integer.toHexString(dir.hashCode)}_" +
       s"${fp}_n$nlist"
     cached(cache, path) {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_DONE"))) {
@@ -270,7 +270,7 @@ object IvfIndex {
     // every knob that shapes the stored layout — coarse (nlist, iters)
     // AND fine (m, trainSample) — is in the cache key, so requesting a
     // different PQ geometry never silently reuses the old codes
-    val path = s"$root/ivfpq_v1_${Integer.toHexString(dir.hashCode)}_${fp}_" +
+    val path = s"$root/ivfpq_v2_${Integer.toHexString(dir.hashCode)}_${fp}_" +
       s"${variant}_n${nlist}_i${iters}_m${m}_t$trainSample"
     cached(pqCache, path) {
       import spark.implicits._

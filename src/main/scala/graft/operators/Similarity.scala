@@ -257,10 +257,19 @@ object Similarity {
   /** Corpus → inverted-list assignment as a pure projection (score
     * array + argmax): the shape that scales — one scan, no shuffle.
     */
-  private[operators] def assignFrame(e: DataFrame, data: Centroids): DataFrame =
+  /** The inverted-list row layout. `label` travels INTO the layout
+    * when the input carries it (round 10): filtered ANN needs its
+    * predicate columns stored NEXT TO the lists — a post-probe join
+    * back to the corpus for metadata would re-shuffle at corpus
+    * cardinality, while a stored column is pruned with the same
+    * parquet machinery as everything else.
+    */
+  private[operators] def assignFrame(e: DataFrame, data: Centroids): DataFrame = {
+    val meta = if (e.columns.contains("label")) Seq(col("label")) else Nil
     e.withColumn("cc", centScores(data, rounded = true))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        nearestCentroid(data, col("cc")).as("list_id"))
+      .select(Seq(col("vec_id")) ++ meta ++ Seq(col("v"), col("nrm"),
+        nearestCentroid(data, col("cc")).as("list_id")): _*)
+  }
 
   /** IVF search over a materialized [[IvfIndex]]: per-query work is
     * probe selection (a per-row kernel over the tiny query set + a rank
@@ -272,9 +281,11 @@ object Similarity {
     * corpus.
     */
   private def ivfSearch(index: IvfIndex.Index, queries: DataFrame,
-                        numQueries: Int, k: Int, nprobe: Int): DataFrame = {
+                        numQueries: Int, k: Int, nprobe: Int,
+                        corpusFilter: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
-    val assigned = IvfIndex.open(spark, index)
+    val assigned = corpusFilter
+      .foldLeft(IvfIndex.open(spark, index))((d, p) => d.where(p))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cent_id"))
     val ids = packCentroids(index.centroids)._1
     val probes = queries
@@ -304,6 +315,29 @@ object Similarity {
     val index = IvfIndex.ensure(spark, dir, "first", nlist, iters = 0,
       train = () => firstVectorCentroids(e, nlist), corpus = e)
     ivfSearch(index, e.where(col("vec_id") < numQueries), numQueries, k, nprobe)
+  }
+
+  /** FILTERED IVF ANN (round 10): [[filteredTopK]]'s pre-filter
+    * semantics composed with the IVF probe — top-k among the probed
+    * lists' vectors that satisfy the metadata predicate, the shape the
+    * ann_filtered docstring promises at scale ("the same predicate
+    * composes with the IVF probe"). The predicate runs against the
+    * `label` column STORED IN THE LIST LAYOUT ([[assignFrame]] carries
+    * it), so it prunes with the scan — never a post-probe join back to
+    * the corpus for metadata, which would shuffle at corpus
+    * cardinality. Per-query cost stays `nprobe/nlist` of the corpus ×
+    * the predicate's selectivity; results are the true top-k of the
+    * (probed ∩ matching) set with exact re-scored cosines.
+    */
+  def ivfFilteredTopK(spark: SparkSession, dir: String,
+                      numQueries: Int = 5, k: Int = 5,
+                      nlist: Int = 16, nprobe: Int = 4,
+                      labelMod: Int = 4, labelRes: Int = 1): DataFrame = {
+    val e = vecs(spark, dir)
+    val index = IvfIndex.ensure(spark, dir, "first", nlist, iters = 0,
+      train = () => firstVectorCentroids(e, nlist), corpus = e)
+    ivfSearch(index, e.where(col("vec_id") < numQueries), numQueries, k,
+      nprobe, corpusFilter = Some(pmod(col("label"), lit(labelMod)) === labelRes))
   }
 
   /** The sub-linear variant of [[knnJoin]]: the whole label-set query

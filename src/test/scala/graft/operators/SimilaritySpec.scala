@@ -108,6 +108,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf filtered topk: predicate holds, full k per query, cosines exact vs the filtered baseline") {
+    val out = Similarity.ivfFilteredTopK(spark, sfDir, numQueries = 3, k = 5)
+      .collect()
+    assert(out.nonEmpty)
+    // the filtered exhaustive baseline: label % 4 == 1 over the WHOLE
+    // corpus — the IVF hits must be a subset with identical cosines
+    val exact = Similarity.filteredTopK(spark, sfDir, numQueries = 3, k = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"hit $key fails the label predicate " +
+        "or is outside the filtered ranking")
+      assert(exact(key) == r.getAs[Double]("cos"))
+    }
+    // pre-filter within the probed lists: every query still fills k
+    // (enough matching vectors exist in 4 probed lists at this SF)
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 5))
+  }
+
   test("filtered topk: pre-filter semantics — true top-k of the matching subset") {
     val out = Similarity.filteredTopK(spark, sfDir, numQueries = 3, k = 5).collect()
     assert(out.nonEmpty)
