@@ -294,7 +294,11 @@ object Bench {
     // round-9 additions: the cross-series rate total (window + bounded
     // aggregate — should track ts_rate's curve) and the distributed-
     // Bloom probe joins (corpus-gram-volume-bound)
-    "ts_rate_sum", "text_decontaminate_bloom")
+    "ts_rate_sum", "text_decontaminate_bloom",
+    // round-10 additions: the conditional-aggregate ratio (ts_corr's
+    // alignment shape), the predicate-pruned IVF probe, and the two
+    // new TPC-H join shapes (order-key shuffle + broadcast dims)
+    "ts_ratio", "ann_ivf_filtered", "q7_volume", "q14_promo")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
