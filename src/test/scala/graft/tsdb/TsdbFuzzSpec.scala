@@ -100,6 +100,39 @@ class TsdbFuzzSpec extends SparkSpec {
     }
   }
 
+  test("ratioAligned == Scala reference on random two-metric streams") {
+    import spark.implicits._
+    (1 to 4).foreach { trial =>
+      val users = 1 + rnd.nextInt(5)
+      val span = Duration.days(2)
+      val rows = (1 to 300 + rnd.nextInt(500)).map { _ =>
+        (if (rnd.nextBoolean()) "a" else "b",
+          (rnd.nextDouble() * span).toLong,
+          (rnd.nextInt(2000) - 1000) / 10.0,
+          s"u${rnd.nextInt(users)}")
+      }
+      val width = Duration.hours(1 + rnd.nextInt(47))
+      val out = new Db(rows.toDF("metric", "ts", "value", "tag_user"))
+        .ratioAligned("a", "b", "user", width).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      // reference: exact decimal bucket sums, buckets missing either
+      // side dropped, zero denominator → None, raw IEEE division
+      val ref = rows.groupBy { case (_, ts, _, u) => (u, ts / width * width) }
+        .flatMap { case ((u, bucket), pts) =>
+          def s(m: String) = {
+            val of = pts.filter(_._1 == m)
+            if (of.isEmpty) None
+            else Some(of.map(p => BigDecimal(p._3).setScale(6)).sum)
+          }
+          for (x <- s("a"); y <- s("b")) yield (u, bucket,
+            if (y == BigDecimal(0)) None
+            else Some(x.toDouble / y.toDouble + 0.0))
+        }.toSet
+      assert(out == ref, s"trial $trial width $width")
+    }
+  }
+
   test("resets/changes/deriv match Scala references on random series") {
     (1 to 3).foreach { trial =>
       val db = randomDb(150 + rnd.nextInt(400), 1 + rnd.nextInt(5),
