@@ -298,7 +298,15 @@ object Bench {
     // round-10 additions: the conditional-aggregate ratio (ts_corr's
     // alignment shape), the predicate-pruned IVF probe, and the two
     // new TPC-H join shapes (order-key shuffle + broadcast dims)
-    "ts_ratio", "ann_ivf_filtered", "q7_volume", "q14_promo")
+    "ts_ratio", "ann_ivf_filtered", "q7_volume", "q14_promo",
+    // round-10 second batch — the four distinct join/aggregate scale
+    // shapes of the remaining TPC-H queries: stacked argmin aggregates
+    // (q2), the 4-way join with one fact-grain shuffle (q9), the
+    // outer-join histogram shuffling both sides on the customer key
+    // (q13), and the order-grain conditional-distinct aggregate (q21)
+    // (q16 adds the distinct-count-over-anti-join shape)
+    "q2_min_cost_supp", "q9_profit", "q13_order_dist", "q21_waiting",
+    "q16_parts_supplier")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost

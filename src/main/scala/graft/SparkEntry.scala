@@ -274,6 +274,34 @@ object SparkEntry {
     // Q14 promotion effect: two conditional aggregates in one pass,
     // part broadcast, year predicate at the scan
     "q14_promo" -> ((s, d) => graft.operators.Analytics.q14Promo(s, d)),
+    // Q2 min-cost supplier: correlated MIN subquery as stacked argmin
+    // aggregates (min over struct), region-filtered suppliers broadcast
+    "q2_min_cost_supp" -> ((s, d) => graft.operators.Analytics.q2MinCostSupp(s, d)),
+    // Q9 product-type profit: exact-decimal profit per (nation, year)
+    "q9_profit" -> ((s, d) => graft.operators.Analytics.q9Profit(s, d)),
+    // Q12 late-shipment priority audit: conditional counts, one pass
+    "q12_priority" -> ((s, d) => graft.operators.Analytics.q12Priority(s, d)),
+    // Q13 order-count distribution: LEFT OUTER join keeps the k=0 bucket
+    "q13_order_dist" -> ((s, d) => graft.operators.Analytics.q13OrderDist(s, d)),
+    // Q15 top supplier: scalar MAX subquery as a one-row broadcast
+    "q15_top_supplier" -> ((s, d) => graft.operators.Analytics.q15TopSupplier(s, d)),
+    // Q19 disjunctive brand/size/quantity predicate, single codegen pass
+    "q19_disjunctive" -> ((s, d) => graft.operators.Analytics.q19Disjunctive(s, d)),
+    // Q21 suppliers who kept orders waiting: double-correlated EXISTS
+    // collapsed to one order-grain aggregate (no fact self-join)
+    "q21_waiting" -> ((s, d) => graft.operators.Analytics.q21Waiting(s, d)),
+    // Q22 global sales opportunity: division-free balance threshold +
+    // LEFT ANTI against urgent-order customers
+    "q22_global" -> ((s, d) => graft.operators.Analytics.q22Global(s, d)),
+    // Q11 important stock: division-free fraction-of-total threshold
+    // over the part-grain aggregate (global window, one fact scan)
+    "q11_important_stock" -> ((s, d) => graft.operators.Analytics.q11ImportantStock(s, d)),
+    // Q16 parts/supplier: distinct-supplier count per (brand,type,size),
+    // NOT IN as LEFT ANTI on the flagged-supplier keys
+    "q16_parts_supplier" -> ((s, d) => graft.operators.Analytics.q16PartsSupplier(s, d)),
+    // Q20 potential promotion: above-average shipped-quantity suppliers,
+    // division-free threshold over the supplier-grain aggregate
+    "q20_potential_promo" -> ((s, d) => graft.operators.Analytics.q20PotentialPromo(s, d)),
     "q6_forecast" -> ((s, d) => graft.operators.Analytics.q6Forecast(s, d)),
     // perceptual average-hash fingerprint per blob (image near-dup key)
     "mm_phash" -> ((s, d) => graft.operators.Multimodal
@@ -1819,6 +1847,138 @@ object SparkEntry {
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |WHERE year(l_shipdate) = 1998""".stripMargin,
+    // Q2: argmin via window rank — equivalent to Spark's min(struct)
+    // with the same (cost, suppkey) tie-break
+    "q2_min_cost_supp" ->
+      """WITH supp AS (
+        |  SELECT s_suppkey, s_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |costs AS (
+        |  SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS cost
+        |  FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT p_partkey, s_suppkey, s_name, cost,
+        |    row_number() OVER (PARTITION BY p_partkey ORDER BY cost, s_suppkey) AS rn
+        |  FROM costs)
+        |SELECT p_partkey, s_suppkey, s_name, CAST(cost AS DOUBLE) AS min_cost
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    // Q9: exact-decimal profit (revenue minus 10%-of-retail unit cost)
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(3,2))) AS DOUBLE) AS sum_profit,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+    // Q12: late-line priority counts per linestatus (no shipmode in
+    // this schema; late = shipped >60 days after order date)
+    "q12_priority" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+    // Q13: order-count histogram, left outer keeps the zero bucket
+    "q13_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY 1""".stripMargin,
+    // Q15: supplier(s) at the quarterly revenue maximum (exact-decimal
+    // equality, ties surface)
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT MAX(rev) FROM rev)""".stripMargin,
+    // Q19: OR of (brand x size x quantity-band) conjuncts, one pass
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // Q21: one order-grain aggregate replaces the double-correlated
+    // EXISTS/NOT EXISTS pair; late = shipped >60 days after order date
+    "q21_waiting" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS n_late,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS lone_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1)
+        |SELECT lone_late AS s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM per_order JOIN supplier ON lone_late = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1, 2""".stripMargin,
+    // Q11: fraction-of-total threshold, division-free exact decimal
+    "q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY 1)
+        |SELECT p_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v WHERE val * 1000 > (SELECT SUM(val) FROM v)""".stripMargin,
+    // Q16: distinct suppliers per bucket, NOT IN flagged suppliers
+    "q16_parts_supplier" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 9, 16, 25, 36)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Q20: above-average shipped quantity, division-free threshold
+    "q20_potential_promo" ->
+      """WITH q AS (
+        |  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%' AND year(l_shipdate) = 1997
+        |  GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n, SUM(qty) AS tot FROM q)
+        |SELECT s_suppkey, s_name, CAST(qty AS DOUBLE) AS qty
+        |FROM q, s JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty * n * 10 > 12 * tot""".stripMargin,
+    // Q22: division-free above-average-balance threshold
+    // (bal * n_pos > sum_pos, exact decimal) + NOT EXISTS on urgent orders
+    "q22_global" ->
+      """WITH stats AS (
+        |  SELECT COUNT(*) AS n_pos, SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, stats
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_pos
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
     // NOT EXISTS via LEFT ANTI: orders that never shipped anything
     "q_anti_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

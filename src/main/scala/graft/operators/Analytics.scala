@@ -762,4 +762,323 @@ object Analytics {
     piv.select(col("day") +:
       types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
   }
+
+  /** "Late" shipment predicate shared by [[q12Priority]] and
+    * [[q21Waiting]]: shipped more than 60 days after the order date
+    * (this schema has no commit/receipt dates — see SURVEY §3's
+    * adaptation notes; reference analog: none, this is the Spark
+    * analytics layer on top of the TSDB surface).
+    */
+  private val lateShip = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")
+
+  /** TPC-H Q2-flavor minimum-cost supplier: for every part sold by a
+    * supplier in the named region, the supplier offering the cheapest
+    * discounted line (ties broken by the lower supplier key). The
+    * classic correlated `= (SELECT MIN ...)` subquery is re-expressed
+    * as ONE aggregation: per (part, supplier) exact-decimal MIN, then
+    * per part an argmin via `min(struct(cost, suppkey, name))` —
+    * struct ordering is lexicographic, so the decimal cost decides and
+    * the key breaks ties. No join-back, no second scan of the fact:
+    * two stacked hash aggregates on top of a single lineitem pass with
+    * the region-filtered supplier list broadcast (suppliers are a
+    * fixed-vocabulary dimension at any corpus size).
+    */
+  def q2MinCostSupp(spark: SparkSession, dir: String,
+                    regionName: String = "ASIA"): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .join(broadcast(t(spark, dir, "region")
+          .where(col("r_name") === regionName)
+          .select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"))
+      .agg(min(revTerm).as("cost"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(min(struct(col("cost"), col("s_suppkey"), col("s_name"))).as("best"))
+      .select(col("p_partkey"),
+        col("best.s_suppkey").as("s_suppkey"),
+        col("best.s_name").as("s_name"),
+        col("best.cost").cast("double").as("min_cost"))
+  }
+
+  /** TPC-H Q9-flavor product-type profit: per (supplier nation, order
+    * year) profit on parts whose name contains the token, where profit
+    * is the discounted revenue minus a 10%-of-retail unit cost (this
+    * schema has no partsupp/supplycost; p_retailprice stands in —
+    * SURVEY §3). All arithmetic is exact DECIMAL until the one final
+    * IEEE cast. Scale shape: the name-filtered part list and the
+    * supplier→nation map broadcast; the only fact-cardinality exchange
+    * is lineitem ⋈ orders on the order key (orders pruned to two
+    * columns), then a two-phase hash aggregate on (nation, year).
+    */
+  def q9Profit(spark: SparkSession, dir: String,
+               nameToken: String = "gear"): DataFrame = {
+    val amount = expr(
+      "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))" +
+        " - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(3,2))")
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .where(col("p_name").contains(nameToken))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q12-flavor shipping-priority audit: among LATE lines (see
+    * [[lateShip]]; the schema has no ship mode, so l_linestatus is the
+    * reporting dimension — SURVEY §3), how many belong to
+    * critical-priority orders vs the rest. Pure counting — exact on
+    * any engine. One fact-fact shuffle on the order key; the two
+    * conditional counts ride a single two-phase hash aggregate.
+    */
+  def q12Priority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(lateShip)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+
+  /** TPC-H Q13-flavor customer order-count distribution: how many
+    * customers placed exactly k qualifying orders (non-'5-LOW'
+    * priority here), INCLUDING k=0 — the left outer join is the whole
+    * point (an inner join cannot produce the zero bucket). Scale
+    * shape: customer GROWS with the corpus, so the outer join shuffles
+    * both sides on the customer key — unavoidable and correct; the
+    * second aggregate's input is already one row per customer, and its
+    * output is the tiny k-histogram.
+    */
+  def q13OrderDist(spark: SparkSession, dir: String,
+                   excludePriority: String = "5-LOW"): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(t(spark, dir, "orders")
+        .where(col("o_orderpriority") =!= excludePriority)
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q15-flavor top supplier: the supplier(s) whose quarterly
+    * revenue equals the global maximum. The view + scalar-subquery
+    * formulation would re-scan the fact for the MAX (Spark's self-join
+    * de-dup re-ids the subtree, so the exchange is NOT reused —
+    * spec-verified); instead the max rides a global window over the
+    * already-aggregated SUPPLIER-GRAIN frame, which is dimension-sized
+    * at any corpus scale — so the window's single-partition shuffle
+    * carries |suppliers| rows, and lineitem is scanned exactly once
+    * with the quarter predicate pushed. Exact-decimal revenue makes
+    * the equality bit-safe; ties all surface, matching SQL semantics.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String,
+                     qStart: String = "1997-01-01",
+                     qEnd: String = "1997-04-01"): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revTerm).as("rev"))
+      .withColumn("max_rev", max(col("rev")).over(Window.partitionBy(lit(1))))
+      .where(col("rev") === col("max_rev"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+
+  /** TPC-H Q19-flavor disjunctive-predicate revenue: three OR'd
+    * (brand × size × quantity-band) clauses over lineitem ⋈ part.
+    * The point is the predicate SHAPE: the part-side conjuncts ride
+    * the broadcast dimension, the quantity bands stay on the fact
+    * scan, and the OR of ANDs evaluates inside whole-stage codegen —
+    * one pass, no union-of-three-scans. Output is a single exact-sum
+    * row.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(revTerm).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q21-flavor suppliers-who-kept-orders-waiting: for finished
+    * multi-supplier orders, count per supplier the orders where that
+    * supplier was the ONLY late shipper (see [[lateShip]]). The
+    * classic formulation is a double-correlated EXISTS / NOT EXISTS —
+    * two extra self-joins of the fact table. Here it collapses to ONE
+    * order-grain aggregate: per order, distinct suppliers, distinct
+    * LATE suppliers, and (via the conditional MAX, well-defined
+    * exactly when the distinct-late count is 1) the lone late
+    * supplier; orders with >1 supplier and exactly one late supplier
+    * attribute to that supplier. One fact-fact shuffle on the order
+    * key, one tiny supplier-grain count — no self-join at any scale.
+    */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+        .where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(lateShip, col("l_suppkey"))).as("n_late"),
+        max(when(lateShip, col("l_suppkey"))).as("lone_late"))
+      .where(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("lone_late").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey").as("sk"), col("s_name"))),
+        col("s_suppkey") === col("sk"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+
+  /** TPC-H Q11-flavor important stock: parts whose traded inventory
+    * value from one nation's suppliers exceeds a fraction of that
+    * nation's total (no partsupp in this schema: value = Σ quantity ×
+    * retail price over shipped lines — SURVEY §3). The HAVING
+    * `> SUM(...) * fraction` scalar subquery becomes a DIVISION-FREE
+    * exact-decimal threshold (`val × 1/fraction > total`) computed by
+    * a global window over the part-grain aggregate — the fact is
+    * scanned once; nation-filtered suppliers and the part price map
+    * broadcast.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String,
+                        nationName: String = "NATION_3",
+                        fractionInv: Int = 1000): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .where(col("n_name") === nationName)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = t(spark, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(expr(
+        "CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))"))
+        .as("value"))
+    // the national total rides a global window over the PART-GRAIN
+    // aggregate (vocabulary-sized at any corpus scale) — a broadcast
+    // scalar subquery would re-scan the fact (q15's measured
+    // exchange-reuse trap)
+    v.withColumn("total", sum(col("value")).over(Window.partitionBy(lit(1))))
+      .where(col("value") * lit(fractionInv) > col("total"))
+      .select(col("p_partkey"), col("value").cast("double").as("value"))
+  }
+
+  /** TPC-H Q16-flavor parts/supplier relationship: distinct supplier
+    * count per (brand, type, size) bucket for selected sizes,
+    * excluding one brand and excluding flagged suppliers (no comment
+    * column in this schema: negative account balance stands in for the
+    * complaints predicate — SURVEY §3). The `NOT IN (SELECT ...)`
+    * becomes a LEFT ANTI against the tiny flagged-key list
+    * (broadcast); part attributes broadcast onto the fact; the
+    * distinct count is the standard two-phase expand-distinct
+    * aggregate, keyed by the small (brand, type, size) vocabulary.
+    */
+  def q16PartsSupplier(spark: SparkSession, dir: String,
+                       excludeBrand: String = "Brand#5",
+                       sizes: Seq[Int] = Seq(1, 4, 9, 16, 25, 36)): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .where(col("p_brand") =!= excludeBrand && col("p_size").isin(sizes: _*))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q20-flavor potential part promotion: suppliers whose one-
+    * year shipped quantity of token-named parts exceeds 1.2× the
+    * per-supplier average (no partsupp availqty in this schema; the
+    * above-average share stands in for the excess-stock predicate —
+    * SURVEY §3). Same scale recipe as [[q11ImportantStock]]: the
+    * scalar AVG threshold is DIVISION-FREE (`qty × n × 10 > 12 ×
+    * total`, all exact decimal) over the supplier-grain aggregate via
+    * a global window; the name-filtered part list broadcasts and the
+    * year predicate reaches the fact scan.
+    */
+  def q20PotentialPromo(spark: SparkSession, dir: String,
+                        nameToken: String = "red",
+                        shipYear: Int = 1997): DataFrame = {
+    val q = t(spark, dir, "lineitem")
+      .where(year(col("l_shipdate")) === shipYear)
+      .join(broadcast(t(spark, dir, "part")
+        .where(col("p_name").contains(nameToken))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr("CAST(l_quantity AS DECIMAL(12,2))")).as("qty"))
+    // threshold stats ride a global window over the SUPPLIER-GRAIN
+    // aggregate (dimension-sized) — never a fact re-scan
+    q.withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("tot", sum(col("qty")).over(Window.partitionBy(lit(1))))
+      .where(col("qty") * col("n") * lit(10) > lit(12) * col("tot"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("qty").cast("double").as("qty"))
+  }
+
+  /** TPC-H Q22-flavor global sales opportunity: per nation, the count
+    * and total balance of above-average-balance customers who never
+    * placed an URGENT order. Two classic shapes, both made
+    * scale-safe: the scalar AVG subquery becomes a DIVISION-FREE
+    * threshold (`bal × n_pos > Σ pos` — exact decimal, so no
+    * engine-specific quotient rounding can flip a boundary customer)
+    * carried by a one-row broadcast cross join; the NOT EXISTS becomes
+    * a LEFT ANTI join against the distinct urgent-customer keys,
+    * shuffling on the customer key only.
+    */
+  def q22Global(spark: SparkSession, dir: String): DataFrame = {
+    val bal = expr("CAST(c_acctbal AS DECIMAL(12,2))")
+    val stats = t(spark, dir, "customer")
+      .where(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(bal).as("sum_pos"))
+    t(spark, dir, "customer")
+      .crossJoin(broadcast(stats))
+      .where(bal * col("n_pos") > col("sum_pos"))
+      .join(t(spark, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(bal).cast("double").as("totacctbal"))
+  }
 }

@@ -418,4 +418,154 @@ class AnalyticsSpec extends SparkSpec {
     val plan = Analytics.q10Returns(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
   }
+
+  test("q2 argmin picks the cheapest (then lowest-key) supplier per part") {
+    val df = Analytics.q2MinCostSupp(spark, sfDir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("p_partkey")).distinct.length == out.length,
+      "one row per part")
+    // brute recompute of one part's winner
+    val sample = out.head.getAs[Long]("p_partkey")
+    val brute = spark.sql(
+      s"""SELECT s_suppkey,
+         |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS c
+         |FROM parquet.`$sfDir/lineitem.parquet`
+         |JOIN parquet.`$sfDir/supplier.parquet` ON l_suppkey = s_suppkey
+         |JOIN parquet.`$sfDir/nation.parquet` ON s_nationkey = n_nationkey
+         |JOIN parquet.`$sfDir/region.parquet` ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND l_partkey = $sample
+         |GROUP BY 1 ORDER BY c, s_suppkey LIMIT 1""".stripMargin).collect()
+    val win = out.find(_.getAs[Long]("p_partkey") == sample).get
+    assert(win.getAs[Long]("s_suppkey") == brute.head.getLong(0))
+    assert(win.getAs[Double]("min_cost") == brute.head.getDouble(1))
+    // no join-back: exactly one lineitem scan; supplier dims broadcast
+    // (fresh frame: a collected AQE plan prints Final+Initial sections,
+    // double-counting scans)
+    val plan = Analytics.q2MinCostSupp(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 4,
+      s"expected one scan each of lineitem/supplier/nation/region in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "supplier side must broadcast")
+  }
+
+  test("q12/q13/q19/q22 shapes: conditional counts, zero bucket, disjunction, threshold") {
+    val q12 = Analytics.q12Priority(spark, sfDir).collect()
+    assert(q12.nonEmpty && q12.forall(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count") > 0))
+
+    val q13 = Analytics.q13OrderDist(spark, sfDir).collect()
+    val total = q13.map(_.getAs[Long]("custdist")).sum
+    val nCust = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(total == nCust, "histogram must partition ALL customers (incl. k=0)")
+
+    val q19 = Analytics.q19Disjunctive(spark, sfDir).collect()
+    assert(q19.length == 1 && q19.head.getAs[Long]("n_items") > 0)
+    // part-side conjuncts must not collapse to a full-dim broadcast:
+    // the disjunction of brands reaches the part scan as a filter
+    val p19 = Analytics.q19Disjunctive(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p19.contains("BroadcastHashJoin"), "part must broadcast")
+
+    val q22 = Analytics.q22Global(spark, sfDir).collect()
+    assert(q22.nonEmpty)
+    // every qualifying customer is strictly above the positive average
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(expr("CAST(c_acctbal AS DECIMAL(12,2))")).cast("double"), count(lit(1)))
+      .collect().head
+    val avg = pos.getDouble(0) / pos.getLong(1)
+    val nQual = q22.map(_.getAs[Long]("numcust")).sum
+    val bruteQual = cust.filter(col("c_acctbal") > avg).count()
+    assert(nQual <= bruteQual, "threshold customers bounded by the IEEE-avg count")
+  }
+
+  test("q15 reuses the supplier-revenue exchange for its scalar MAX") {
+    val df = Analytics.q15TopSupplier(spark, sfDir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    val revs = out.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1, "all rows tie at the maximum")
+    // the MAX rides a window over the supplier-grain aggregate — the
+    // fact is scanned once (scalar-subquery formulations scan it twice)
+    val plan = Analytics.q15TopSupplier(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 2,
+      s"expected one scan each of lineitem/supplier in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "quarter predicate must reach the scan")
+  }
+
+  test("q21 attributes lone-late multi-supplier orders without a fact self-join") {
+    val df = Analytics.q21Waiting(spark, sfDir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // brute per-order recompute on the tiny SF
+    val brute = spark.sql(
+      s"""WITH per_order AS (
+         |  SELECT l_orderkey,
+         |    COUNT(DISTINCT l_suppkey) AS n_supp,
+         |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS n_late,
+         |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS lone
+         |  FROM parquet.`$sfDir/lineitem.parquet`
+         |  JOIN parquet.`$sfDir/orders.parquet` ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'F' GROUP BY 1)
+         |SELECT lone, COUNT(*) FROM per_order
+         |WHERE n_supp > 1 AND n_late = 1 GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("numwait") == brute(r.getAs[Long]("s_suppkey")))
+    }
+    // exactly one scan each of lineitem/orders/supplier — the EXISTS /
+    // NOT EXISTS pair must NOT become two more lineitem scans
+    val plan = Analytics.q21Waiting(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 3,
+      s"fact self-join detected in:\n$plan")
+  }
+
+  test("q11/q20 scalar thresholds ride dimension-grain windows, one fact scan each") {
+    val q11 = Analytics.q11ImportantStock(spark, sfDir)
+    val out11 = q11.collect()
+    assert(out11.nonEmpty)
+    // threshold honored: every kept part's value exceeds total/1000
+    val total = out11.map(_.getAs[Double]("value")).sum // upper bound check only
+    out11.foreach(r => assert(r.getAs[Double]("value") * 1000 > total * 0.999,
+      "kept value must clear a fraction of even the KEPT total"))
+    val p11 = Analytics.q11ImportantStock(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p11).length == 4,
+      s"expected one scan each of lineitem/supplier/nation/part in:\n$p11")
+
+    val out20 = Analytics.q20PotentialPromo(spark, sfDir).collect()
+    assert(out20.nonEmpty)
+    val p20 = Analytics.q20PotentialPromo(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p20).length == 3,
+      s"expected one scan each of lineitem/part/supplier in:\n$p20")
+  }
+
+  test("q16 counts distinct suppliers with flagged keys anti-joined out") {
+    val df = Analytics.q16PartsSupplier(spark, sfDir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    val nSupp = spark.read.parquet(s"$sfDir/supplier.parquet").count()
+    out.foreach(r => assert(r.getAs[Long]("supplier_cnt") <= nSupp))
+    // no flagged supplier survives: recompute one bucket by brute force
+    val flagged = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    val h = out.head
+    val brute = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .join(spark.read.parquet(s"$sfDir/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === h.getAs[String]("p_brand") &&
+        col("p_type") === h.getAs[String]("p_type") &&
+        col("p_size") === h.getAs[Int]("p_size"))
+      .select("l_suppkey").collect().map(_.getLong(0))
+      .filterNot(flagged).distinct.length
+    assert(h.getAs[Long]("supplier_cnt") == brute)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT IN must plan as LEFT ANTI:\n$plan")
+  }
 }
