@@ -117,6 +117,9 @@ object SparkEntry {
     "ts_topk_movers" -> ((s, d) => Db.fromEvents(s, d).topMovers("click", "user", Day)),
     "ts_m4" -> ((s, d) => Db.fromEvents(s, d).m4("view", Day)),
     "ts_active_series" -> ((s, d) => Db.fromEvents(s, d).activeSeries("view", Day)),
+    // HLL++ cardinality sketch, band-gated against the exact count
+    // (the buildBandCheck recipe applied to approx_count_distinct)
+    "ts_active_series_sketch" -> ((s, d) => Db.fromEvents(s, d).activeSeriesApprox("view", Day)),
     "ts_sma" -> ((s, d) => Db.fromEvents(s, d).sma("purchase")),
     // per-group daily buckets PLUS the all-groups margin in one Expand
     "ts_grouping_sets" -> ((s, d) =>
@@ -771,6 +774,15 @@ object SparkEntry {
          |SELECT ${bucket(Day)} AS bucket_start,
          |  COUNT(DISTINCT coalesce(tag_k, '-') || '|' || coalesce(tag_user, '-')) AS n_series,
          |  COUNT(*) AS n_points
+         |FROM ev WHERE metric = 'view'
+         |GROUP BY 1""".stripMargin,
+    // HLL band gate: the oracle pins TRUE per bucket (cross-engine
+    // parity on the estimate itself is impossible; booleans agree)
+    "ts_active_series_sketch" ->
+      s"""$Ev
+         |SELECT ${bucket(Day)} AS bucket_start,
+         |  COUNT(DISTINCT coalesce(tag_k, '-') || '|' || coalesce(tag_user, '-')) AS n_series,
+         |  TRUE AS within_band
          |FROM ev WHERE metric = 'view'
          |GROUP BY 1""".stripMargin,
     // trailing 5-point moving average: same frame, same (ts, value)

@@ -234,6 +234,39 @@ object Analytics {
       .agg(sum(col("rev_partial")).cast("double").as("revenue"))
   }
 
+  /** [[q9Profit]] over the co-bucketed fact layout ([[bucketFacts]]):
+    * the query's ONLY fact-grain exchange is lineitem ⋈ orders on the
+    * order key — bucketed on exactly that key, the join rides the
+    * layout and the plan has ZERO fact-key exchanges (spec-asserted);
+    * what remains is broadcast dims and the tiny (nation, year)
+    * aggregate exchange. Results are bit-identical to the plain-parquet
+    * plan — the layout changes cost, never answers.
+    */
+  def q9Bucketed(spark: SparkSession, dir: String,
+                 nameToken: String = "gear",
+                 prefix: String = "graft"): DataFrame = {
+    val amount = expr(
+      "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))" +
+        " - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(3,2))")
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    spark.table(s"${prefix}_lineitem_b")
+      .join(broadcast(t(spark, dir, "part")
+        .where(col("p_name").contains(nameToken))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(spark.table(s"${prefix}_orders_b")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Sessionize the event stream: 30-min-gap sessions per user (lag +
     * running sum — the classic distributed sessionization shape; one
     * shuffle on user_id, no state on the driver).

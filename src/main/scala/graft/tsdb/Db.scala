@@ -374,6 +374,39 @@ final class Db(val frame: DataFrame) {
         org.apache.spark.sql.functions.count(lit(1)).as("n_points"))
   }
 
+  /** [[activeSeries]]'s SCALE path plus its oracle gate in one frame:
+    * the exact distinct count is replaced in production by Spark's
+    * native HLL++ (`approx_count_distinct` — bounded sketch state per
+    * bucket, associative merge, partitioning-independent), and this
+    * frame carries the sketch's accuracy contract the way
+    * [[AggBuilder.buildBandCheck]] carries the GK sketch's: a boolean
+    * asserting the HLL estimate lies within `relBand` of the exact
+    * count. Cross-engine parity on the ESTIMATE is structurally
+    * impossible (engines hash differently), but booleans agree — the
+    * oracle pins TRUE per bucket, so any sketch regression flips a
+    * hash-gated row. The exact `countDistinct` here makes this the
+    * VALIDATION query (it pays the expand the sketch exists to avoid);
+    * production serving uses the sketch column alone. `relBand` is 5×
+    * the requested rsd — HLL++'s rsd is a standard deviation, not a
+    * bound, so the gate band is generous while still catching any
+    * implementation break (a broken sketch is off by orders of
+    * magnitude, not percent).
+    */
+  def activeSeriesApprox(metric: String, widthNs: Long,
+                         filterExpr: String = "*",
+                         rsd: Double = 0.02,
+                         relBand: Double = 0.10): DataFrame = {
+    val parts = tagColumns.map(c => coalesce(col(c), lit("-")))
+    val sid = concat(parts.flatMap(p => Seq(p, lit("|"))).dropRight(1): _*)
+    scan(metric, filterExpr)
+      .groupBy((expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"))
+      .agg(countDistinct(sid).as("n_series"),
+        approx_count_distinct(sid, rsd).as("approx"))
+      .select(col("bucket_start"), col("n_series"),
+        (abs(col("approx") - col("n_series")).cast("double")
+          <= col("n_series").cast("double") * lit(relBand)).as("within_band"))
+  }
+
   /** Median absolute deviation per (group × bucket) — the ROBUST
     * anomaly baseline (`k·MAD` bands shrug off the outliers that
     * inflate a σ band, so a single spike can't widen its own alert

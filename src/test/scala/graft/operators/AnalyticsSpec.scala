@@ -48,6 +48,18 @@ class AnalyticsSpec extends SparkSpec {
     val r5 = Analytics.q5(spark, sfDir).collect().map(_.toString).sorted
     assert(a5.nonEmpty && a5.sameElements(r5))
 
+    // q9 over the same layout: its ONLY fact-grain exchange was the
+    // lineitem x orders order-key shuffle — bucketed on that key, the
+    // plan has ZERO fact-key exchanges; results bit-identical
+    val b9 = Analytics.q9Bucketed(spark, sfDir)
+    val p9 = b9.queryExecution.executedPlan.toString
+    assert(!p9.contains("hashpartitioning(l_orderkey") &&
+      !p9.contains("hashpartitioning(o_orderkey"),
+      s"fact tables must not shuffle on the order key in q9Bucketed:\n${p9.take(3000)}")
+    val a9 = b9.collect().map(_.toString).sorted
+    val r9 = Analytics.q9Profit(spark, sfDir).collect().map(_.toString).sorted
+    assert(a9.nonEmpty && a9.sameElements(r9))
+
     // co-bucketed customer: q5's last per-query table shuffle is gone —
     // the customer scan rides its bucketing (no exchange on c_custkey
     // anywhere), and the only custkey exchange left is the aggregated

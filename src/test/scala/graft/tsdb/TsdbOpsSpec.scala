@@ -108,6 +108,30 @@ class TsdbOpsSpec extends SparkSpec {
     assert(buckets.map(_.getAs[Long]("n_points")).sum == db.scan("view").count())
   }
 
+  test("activeSeriesApprox: HLL estimate in-band everywhere, partitioning-independent") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val db = Db.fromEvents(spark, sfDir)
+    val out = db.activeSeriesApprox("view", day).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("within_band")),
+      "every bucket's HLL estimate must sit within the gate band")
+    // exact column matches activeSeries bit-for-bit
+    val exact = db.activeSeries("view", day).collect()
+      .map(r => r.getAs[Long]("bucket_start") -> r.getAs[Long]("n_series")).toMap
+    out.foreach(r => assert(
+      r.getAs[Long]("n_series") == exact(r.getAs[Long]("bucket_start"))))
+    // the sketch is merge-deterministic: a different physical
+    // partitioning of the same points yields the same booleans (HLL
+    // registers merge associatively — the property that makes the
+    // sketch the 100 TB path)
+    val spark2 = spark
+    import spark2.implicits._
+    val re = new Db(db.frame.repartition(7)).activeSeriesApprox("view", day)
+      .collect().map(r => r.getAs[Long]("bucket_start") ->
+        r.getAs[Boolean]("within_band")).toMap
+    out.foreach(r => assert(re(r.getAs[Long]("bucket_start"))))
+  }
+
   test("histogram bins by floor(value/width)*width with exact counts") {
     val d = db(Seq(
       ("m", 1L, 0.4, "u"), ("m", 2L, 9.99, "u"),   // bin 0.0
