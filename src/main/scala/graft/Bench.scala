@@ -306,7 +306,10 @@ object Bench {
     // (q13), and the order-grain conditional-distinct aggregate (q21)
     // (q16 adds the distinct-count-over-anti-join shape)
     "q2_min_cost_supp", "q9_profit", "q13_order_dist", "q21_waiting",
-    "q16_parts_supplier")
+    "q16_parts_supplier",
+    // HLL sketch vs its exact anchor: the sketch's claim is bounded
+    // state per bucket — its ratio should track ts_avg's scan curve
+    "ts_active_series_sketch")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
@@ -348,6 +351,10 @@ object Bench {
     "ts_avg" -> SparkEntry.queries("ts_avg"),
     "ts_latest" -> SparkEntry.queries("ts_latest"),
     "ts_raw" -> SparkEntry.queries("ts_raw"),
+    // the sketch at 100×: bounded register state per bucket — the
+    // curve should stay scan-bound while the exact distinct's expand
+    // grows with series cardinality
+    "ts_active_series_sketch" -> SparkEntry.queries("ts_active_series_sketch"),
     "text_decontaminate" -> SparkEntry.queries("text_decontaminate"),
     // round-8 late additions: the chunk-key corpus shuffle and the
     // gram-vocabulary broadcast — the two text ops whose scale story

@@ -120,6 +120,11 @@ object SparkEntry {
     // HLL++ cardinality sketch, band-gated against the exact count
     // (the buildBandCheck recipe applied to approx_count_distinct)
     "ts_active_series_sketch" -> ((s, d) => Db.fromEvents(s, d).activeSeriesApprox("view", Day)),
+    // the STREAMED sketch: exact countDistinct is unsupported in
+    // streaming aggs — HLL's fixed-width merge-by-max registers are
+    // the only streaming distinct-count shape; same band gate
+    "ts_active_series_sketch_streamed" -> ((s, d) =>
+      graft.streaming.StreamingAgg.streamedHllBand(s, d)),
     "ts_sma" -> ((s, d) => Db.fromEvents(s, d).sma("purchase")),
     // per-group daily buckets PLUS the all-groups margin in one Expand
     "ts_grouping_sets" -> ((s, d) =>
@@ -779,6 +784,15 @@ object SparkEntry {
     // HLL band gate: the oracle pins TRUE per bucket (cross-engine
     // parity on the estimate itself is impossible; booleans agree)
     "ts_active_series_sketch" ->
+      s"""$Ev
+         |SELECT ${bucket(Day)} AS bucket_start,
+         |  COUNT(DISTINCT coalesce(tag_k, '-') || '|' || coalesce(tag_user, '-')) AS n_series,
+         |  TRUE AS within_band
+         |FROM ev WHERE metric = 'view'
+         |GROUP BY 1""".stripMargin,
+    // streamed HLL: same TRUE-pin band gate; the exact count is the
+    // hash anchor, recomputed from raw points on both engines
+    "ts_active_series_sketch_streamed" ->
       s"""$Ev
          |SELECT ${bucket(Day)} AS bucket_start,
          |  COUNT(DISTINCT coalesce(tag_k, '-') || '|' || coalesce(tag_user, '-')) AS n_series,

@@ -85,6 +85,108 @@ object StreamingAgg {
       .select(col("metric"), col("tag_user").as("grp"),
         col("window.start").as("bucket_start"), col("n"), col("value"))
 
+  /** Streaming active-series cardinality via HLL++ — the streamed face
+    * of `Db.activeSeriesApprox`, and the ONLY streaming shape for
+    * distinct counting at all: Spark rejects exact `countDistinct` in
+    * a streaming aggregation (unbounded per-key state), while the HLL
+    * sketch is a FIXED-WIDTH register buffer merged by element-wise
+    * max — associative and idempotent, so cross-micro-batch merge
+    * order cannot change the estimate (unlike GK, streamed ≡ batch
+    * BIT-EXACTLY for identical inputs; spec-asserted). The series id
+    * re-derives `Db.fromEvents`'s canonicalization (tag_k from props
+    * via the same regexp, user id as tag) so the streamed sketch
+    * counts exactly the series the batch surface counts.
+    */
+  def bucketedHll(events: DataFrame, width: String = "1 day",
+                  watermark: String = "1 hour",
+                  rsd: Double = 0.02): DataFrame = {
+    val tagK = nullif(
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1), lit(""))
+    val sid = concat(coalesce(tagK, lit("-")), lit("|"),
+      coalesce(col("user_id").cast("string"), lit("-")))
+    events
+      .select(
+        col("event_type").as("metric"),
+        (events.schema("ts").dataType match {
+          case LongType => timestamp_micros(expr("ts div 1000L"))
+          case _        => col("ts").cast("timestamp")
+        }).as("ts"),
+        sid.as("sid"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("metric"), window(col("ts"), width))
+      .agg(count(lit(1)).as("n_points"),
+        approx_count_distinct(col("sid"), rsd).as("approx"))
+      .select(col("metric"), col("window.start").as("bucket_start"),
+        col("n_points"), col("approx"))
+  }
+
+  /** Drain the events table through [[bucketedHll]] once (four landing
+    * files, one micro-batch each) under the content-fingerprint-keyed
+    * workDir recipe shared by every `ensure*` layout.
+    */
+  def ensureStreamedHll(spark: SparkSession, sfDir: String,
+                        rsd: Double = 0.02): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
+    val path = s"$base/graft_hll_streamed_r${(rsd * 1000).toInt}_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      val landing = s"$path.landing"
+      if (!Files.exists(Paths.get(landing, "_SUCCESS"))) {
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .repartition(4)
+          .write.mode("overwrite").parquet(landing)
+      }
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+      val q = bucketedHll(stream, rsd = rsd,
+          watermark = ReplayGuard.spanWatermark(spark, landing)).writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }
+        .option("checkpointLocation", s"$path.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      StreamAwait.drain(q)
+      Files.createFile(done)
+    }
+    path
+  }
+
+  /** The STREAMED HLL under the hash gate, `Db.activeSeriesApprox`'s
+    * band recipe: per bucket, the landed sketch's final emission (the
+    * argmax-by-`n_points` row — a window's point count strictly grows
+    * on re-emission) against the exact distinct count recomputed from
+    * raw points; the oracle pins the band boolean TRUE and the exact
+    * count is the hash anchor. A cross-batch register-merge regression
+    * flips a row.
+    */
+  def streamedHllBand(spark: SparkSession, sfDir: String,
+                      metric: String = "view",
+                      rsd: Double = 0.02,
+                      relBand: Double = 0.10): DataFrame = {
+    val path = ensureStreamedHll(spark, sfDir, rsd)
+    val last = StreamingSeriesState.openStreamed(spark, path)
+      .where(col("metric") === metric)
+      .groupBy(col("metric"), col("bucket_start"))
+      .agg(max(struct(col("n_points"), col("approx"))).as("last"))
+      .select(
+        (unix_micros(col("bucket_start")) * lit(1000L)).as("bucket_start"),
+        col("last.approx").as("approx"))
+    val dayNs = 86400L * 1000000000L
+    graft.tsdb.Db.fromEvents(spark, sfDir)
+      .activeSeries(metric, dayNs)
+      .join(last, Seq("bucket_start"))
+      .select(col("bucket_start"), col("n_series"),
+        (abs(col("approx") - col("n_series")).cast("double")
+          <= col("n_series").cast("double") * lit(relBand)).as("within_band"))
+  }
+
   /** Decimal-EXACT tumbling-window partials per (metric, tag_user):
     * like [[bucketedAvg]] but the window state is `(n, Σ decimal(28,6)
     * value)` instead of an IEEE average, so every Update-mode emission

@@ -77,4 +77,39 @@ class StreamingAggSpec extends SparkSpec with graft.TimedSpec {
         ((r.getAs[Long]("n"), r.getAs[Double]("value")))).toMap
     assert(got == batch)
   }
+
+  test("streamed HLL merges to the batch estimate bit-exactly, in-band everywhere") {
+    // band gate: every bucket TRUE, exact anchor matches activeSeries
+    val band = StreamingAgg.streamedHllBand(spark, sfDir).collect()
+    assert(band.nonEmpty)
+    assert(band.forall(_.getAs[Boolean]("within_band")))
+    val exact = graft.tsdb.Db.fromEvents(spark, sfDir)
+      .activeSeries("view", 86400L * 1000000000L).collect()
+      .map(r => r.getAs[Long]("bucket_start") -> r.getAs[Long]("n_series")).toMap
+    assert(band.map(_.getAs[Long]("bucket_start")).toSet == exact.keySet)
+    band.foreach(r => assert(
+      r.getAs[Long]("n_series") == exact(r.getAs[Long]("bucket_start"))))
+
+    // HLL registers merge by element-wise max (associative, idempotent)
+    // — unlike GK, the cross-micro-batch streamed estimate must equal
+    // the single-pass batch estimate EXACTLY
+    val path = StreamingAgg.ensureStreamedHll(spark, sfDir)
+    val streamed = StreamingSeriesState.openStreamed(spark, path)
+      .where(col("metric") === "view")
+      .groupBy(col("bucket_start"))
+      .agg(max(struct(col("n_points"), col("approx"))).as("last"))
+      .select((unix_micros(col("bucket_start")) * lit(1000L)).as("bucket_start"),
+        col("last.approx").as("approx"))
+      .collect().map(r => r.getAs[Long]("bucket_start") -> r.getAs[Long]("approx")).toMap
+    val db = graft.tsdb.Db.fromEvents(spark, sfDir)
+    val sid = concat(coalesce(col("tag_k"), lit("-")), lit("|"),
+      coalesce(col("tag_user"), lit("-")))
+    val batchEst = db.scan("view")
+      .groupBy((expr(s"ts div ${86400L * 1000000000L}L") * lit(86400L * 1000000000L))
+        .as("bucket_start"))
+      .agg(approx_count_distinct(sid, 0.02).as("approx"))
+      .collect().map(r => r.getAs[Long]("bucket_start") -> r.getAs[Long]("approx")).toMap
+    assert(streamed == batchEst,
+      "cross-batch register merge must reproduce the one-pass estimate")
+  }
 }
