@@ -154,6 +154,9 @@ object Bench {
     val bloomPaths = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
                      else bloomPathsJson(spark, sfDir)
     println(s"# bloom_paths: $bloomPaths")
+    val runtimeBloom = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+                       else runtimeBloomJson(spark, sfDir)
+    println(s"# runtime_bloom: $runtimeBloom")
     val validationJson = ValidationEntries.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
@@ -166,6 +169,7 @@ object Bench {
       s""""lsh_phases":$lshPhases,"regressions":$regressions,""" +
       s""""semantic_counts":$semanticCounts,"q5_bucketed100":$q5b,""" +
       s""""recall_curve_scale":$recallScale,"bloom_paths":$bloomPaths,""" +
+      s""""runtime_bloom":$runtimeBloom,""" +
       s""""fmt":"scale entries are [base_sec,xN_sec,ratio]; lsh_counts entries are [candidates,verified]; telemetry spans each leg's warm+timed runs","sf":"$sfDir"}"""
     // partial dev runs (query subset / skipped sections) must never
     // clobber the committed full-run record
@@ -836,6 +840,58 @@ object Bench {
       val (sSec, sN) = leg(false)
       s"""{"broadcast_sec":${fmt(bSec, 2)},"shuffle_hash_sec":${fmt(sSec, 2)},""" +
         s""""rows_broadcast":$bN,"rows_shuffle_hash":$sN,"rows_equal":${bN == sN}}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${jstr((e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(120))}"}"""
+    }
+
+  /** Spark's RUNTIME bloom-filter join pruning (injected semi-join
+    * filter: the filtered orders side builds a bloom the lineitem scan
+    * probes via `might_contain` BEFORE the shuffle) measured A/B on q3
+    * at 10×. The default thresholds (creation ≤ 10 MB, probe-side scan
+    * ≥ 10 GB) are sized for real clusters and never fire at bench
+    * scale, so the leg lowers them to force the decision the optimizer
+    * WOULD take at 100 TB — the measurement is the shape's value, the
+    * thresholds document when production plans adopt it on their own.
+    * Both legs warmed; result-count equality recorded (an injected
+    * filter must never change answers, only pruned volume).
+    */
+  private def runtimeBloomJson(spark: SparkSession, sfDir: String): String =
+    try {
+      val dir10 = ScaleData.ensure(spark, sfDir, 10,
+        tables = Seq("lineitem", "orders", "customer", "nation", "region"))
+      def leg(on: Boolean): (Double, Long, Boolean) = {
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", on)
+        spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+        spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1MB")
+        val df = graft.operators.Analytics.q3(spark, dir10)
+        val injected = df.queryExecution.executedPlan.toString.contains("might_contain")
+        val t0 = System.nanoTime()
+        // count + row-hash checksum in one aggregate: a bare count()
+        // lets ColumnPruning drop the revenue computation (the SKILL
+        // noop-write rule); the checksum keeps every column live AND
+        // witnesses both legs computed identical answers
+        import org.apache.spark.sql.functions.{count => fCount, lit, sum, hash, col}
+        val r = df.agg(fCount(lit(1)).as("n"),
+          sum(hash(df.columns.map(col): _*).cast("long")).as("chk")).collect()(0)
+        ((System.nanoTime() - t0) / 1e9, r.getLong(0) ^ r.getLong(1), injected)
+      }
+      try {
+        leg(false); leg(true) // warm both plan shapes
+        val (offSec, offN, offInj) = leg(false)
+        val (onSec, onN, onInj) = leg(true)
+        s"""{"off_sec":${fmt(offSec, 2)},"on_sec":${fmt(onSec, 2)},""" +
+          s""""injected_off":$offInj,"injected_on":$onInj,"results_equal":${offN == onN}}"""
+      } finally {
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        spark.conf.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      }
     } catch {
       case e: Throwable =>
         s"""{"error":"${jstr((e.getClass.getSimpleName + ": " +

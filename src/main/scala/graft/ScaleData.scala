@@ -43,7 +43,7 @@ object ScaleData {
   private val GenVersion = 4
 
   val AllTables: Seq[String] = Seq("documents", "embeddings", "lineitem",
-    "orders", "customer", "supplier", "events", "nation", "region")
+    "orders", "customer", "supplier", "events", "nation", "region", "part")
 
   /** Ensure the `factor`× dir holds (at least) `tables`, generating only
     * the missing ones — per-table `_SUCCESS` markers make the cache
@@ -123,6 +123,11 @@ object ScaleData {
           .withColumn("event_id", col("event_id") + i * Stride)
       })
 
+      // part is a shared dimension like nation/region: lineitem copies
+      // keep their l_partkey, so the part table passes through unscaled
+      // (its absence made every part-reading 10x/100x leg record -1 —
+      // q14_promo's silent-fail in the r10 interim record)
+      case "part" => out(src("part"))
       case "nation" => out(src("nation"))
       case "region" => out(src("region"))
       case other => throw new IllegalArgumentException(s"unknown table $other")
