@@ -359,6 +359,11 @@ object Bench {
     // curve should stay scan-bound while the exact distinct's expand
     // grows with series cardinality
     "ts_active_series_sketch" -> SparkEntry.queries("ts_active_series_sketch"),
+    // the outer-join histogram at 100×: both sides shuffle on the
+    // customer key (1.5M customers × 15M orders here) but the
+    // post-join reduce is one row per customer — the bounded-output
+    // claim that keeps the 100 TB shape viable
+    "q13_order_dist" -> SparkEntry.queries("q13_order_dist"),
     "text_decontaminate" -> SparkEntry.queries("text_decontaminate"),
     // round-8 late additions: the chunk-key corpus shuffle and the
     // gram-vocabulary broadcast — the two text ops whose scale story

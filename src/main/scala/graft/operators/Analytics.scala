@@ -267,6 +267,23 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** [[q21Waiting]] over the co-bucketed fact layout: the collapsed
+    * double-EXISTS query is ONE order-key join + ONE order-grain
+    * aggregate — and the bucketing satisfies BOTH (the join's required
+    * distribution and the groupBy(l_orderkey) clustering come straight
+    * from the layout), so the entire fact-volume portion of the plan
+    * runs with ZERO exchanges (spec-asserted); the only shuffle left
+    * carries supplier-grain counts. The strongest single argument for
+    * bucketing the fact tables on the order key: a three-scan TPC-H
+    * query whose fact data never crosses the wire.
+    */
+  def q21Bucketed(spark: SparkSession, dir: String,
+                  prefix: String = "graft"): DataFrame =
+    q21Frame(
+      spark.table(s"${prefix}_lineitem_b"),
+      spark.table(s"${prefix}_orders_b"),
+      t(spark, dir, "supplier"))
+
   /** Sessionize the event stream: 30-min-gap sessions per user (lag +
     * running sum — the classic distributed sessionization shape; one
     * shuffle on user_id, no state on the driver).
@@ -967,29 +984,49 @@ object Analytics {
     * multi-supplier orders, count per supplier the orders where that
     * supplier was the ONLY late shipper (see [[lateShip]]). The
     * classic formulation is a double-correlated EXISTS / NOT EXISTS —
-    * two extra self-joins of the fact table. Here it collapses to ONE
-    * order-grain aggregate: per order, distinct suppliers, distinct
-    * LATE suppliers, and (via the conditional MAX, well-defined
-    * exactly when the distinct-late count is 1) the lone late
-    * supplier; orders with >1 supplier and exactly one late supplier
-    * attribute to that supplier. One fact-fact shuffle on the order
-    * key, one tiny supplier-grain count — no self-join at any scale.
+    * two extra self-joins of the fact table. Here it collapses to two
+    * stacked PLAIN aggregates (see [[q21Frame]] for why not a double
+    * `countDistinct`): any-late per (order, supplier), then per order
+    * the supplier count, late count, and (conditional MAX, well-defined
+    * exactly when the late count is 1) the lone late supplier; orders
+    * with >1 supplier and exactly one late supplier attribute to that
+    * supplier. One fact-fact shuffle on the order key, one tiny
+    * supplier-grain count — no self-join at any scale.
     */
   def q21Waiting(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .join(t(spark, dir, "orders")
+    q21Frame(
+      t(spark, dir, "lineitem"),
+      t(spark, dir, "orders"),
+      t(spark, dir, "supplier"))
+
+  /** The q21 aggregate chain over caller-supplied frames (plain or
+    * bucketed tables). TWO STACKED plain aggregates, deliberately NOT
+    * a double `countDistinct`: multi-distinct triggers Spark's Expand
+    * rewrite — 3× the fact rows through an intermediate aggregate
+    * whose shuffle keys on the EXPANDED tuple (orderkey, cond-key,
+    * suppkey, gid), which no order-key layout can satisfy. The
+    * supplier-grain first level (any-late per (order, supplier)) and
+    * the order-grain second level both cluster on the order key, so
+    * the whole fact path is one shuffle unbucketed and ZERO shuffles
+    * over the bucketed layout.
+    */
+  private def q21Frame(li: DataFrame, ord: DataFrame,
+                       supp: DataFrame): DataFrame =
+    li.join(ord
         .where(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(lateShip, 1L).otherwise(0L)).as("late"))
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(lateShip, col("l_suppkey"))).as("n_late"),
-        max(when(lateShip, col("l_suppkey"))).as("lone_late"))
+        count(lit(1)).as("n_supp"),
+        sum(col("late")).as("n_late"),
+        max(when(col("late") === 1L, col("l_suppkey"))).as("lone_late"))
       .where(col("n_supp") > 1 && col("n_late") === 1)
       .groupBy(col("lone_late").as("s_suppkey"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(t(spark, dir, "supplier")
+      .join(broadcast(supp
         .select(col("s_suppkey").as("sk"), col("s_name"))),
         col("s_suppkey") === col("sk"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))

@@ -48,6 +48,18 @@ class AnalyticsSpec extends SparkSpec {
     val r5 = Analytics.q5(spark, sfDir).collect().map(_.toString).sorted
     assert(a5.nonEmpty && a5.sameElements(r5))
 
+    // q21 over the same layout: the order-key join AND the order-grain
+    // aggregate both ride the bucketing — zero exchanges touch fact
+    // data; only the supplier-grain count shuffles
+    val b21 = Analytics.q21Bucketed(spark, sfDir)
+    val p21 = b21.queryExecution.executedPlan.toString
+    assert(!p21.contains("hashpartitioning(l_orderkey") &&
+      !p21.contains("hashpartitioning(o_orderkey"),
+      s"fact data must not shuffle in q21Bucketed:\n${p21.take(3000)}")
+    val a21 = b21.collect().map(_.toString).sorted
+    val r21 = Analytics.q21Waiting(spark, sfDir).collect().map(_.toString).sorted
+    assert(a21.nonEmpty && a21.sameElements(r21))
+
     // q9 over the same layout: its ONLY fact-grain exchange was the
     // lineitem x orders order-key shuffle — bucketed on that key, the
     // plan has ZERO fact-key exchanges; results bit-identical
@@ -459,6 +471,32 @@ class AnalyticsSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).length == 4,
       s"expected one scan each of lineitem/supplier/nation/region in:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), "supplier side must broadcast")
+  }
+
+  test("stacked argmin (the q2 recipe) equals brute force under tie-heavy fuzz") {
+    // min(struct(cost, key)) must order by cost FIRST then key — a
+    // narrow cost domain forces frequent ties so the tie-break is
+    // actually exercised, and DECIMAL costs make comparisons exact
+    val rnd = new scala.util.Random(2024)
+    import spark.implicits._
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 600).map { _ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(12).toLong,
+          rnd.nextInt(8) / 100.0) }
+      val df = rows.toDF("p", "s", "c")
+        .select(col("p"), col("s"), col("c").cast("decimal(10,2)").as("c"))
+        .groupBy(col("p"), col("s")).agg(min(col("c")).as("cost"))
+        .groupBy(col("p")).agg(min(struct(col("cost"), col("s"))).as("best"))
+        .select(col("p"), col("best.s").as("s"), col("best.cost").as("cost"))
+      val got = df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+      val brute = rows.groupBy(_._1).map { case (p, rs) =>
+        val perSupp = rs.groupBy(_._2).view
+          .mapValues(xs => BigDecimal(xs.map(_._3).min).setScale(2)).toSeq
+        p -> perSupp.minBy { case (s, c) => (c, s) }
+      }
+      assert(got == brute)
+    }
   }
 
   test("q12/q13/q19/q22 shapes: conditional counts, zero bucket, disjunction, threshold") {
