@@ -184,25 +184,36 @@ object Bench {
     // 2000-char tail capture. Queries at 2dp, ingest as pts/s only,
     // scale10 as ratios only; if the line still outgrows the budget,
     // the ratio map degrades to the dedup/ann heavy family.
-    val qs2 = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+    // the queries dict itself must degrade too: at 180+ entries the
+    // full dict alone is ~5 KB, so EVERY cascade variant overflowed the
+    // tail budget and the driver recorded parsed=null (measured, r09).
+    // Slowest-first keeps the entries a cross-round diff cares about;
+    // "queries_n" always carries the true count.
+    def qsJson(k: Int) = results.toSeq.sortBy(-_._2).take(k)
+      .map { case (n, v) => "\"" + n + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     def ratioJson(rows: Seq[ScaleRow]) = rows
       .map(r => "\"" + r.name + "\":" + fmt(r.ratio, 1))
       .mkString("{", ",", "}")
-    def line(rows: Seq[ScaleRow]) =
+    def line(rows: Seq[ScaleRow], k: Int) =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
       s""""value_query":${fmt(totalQuery, 2)},""" +
-      s""""value_validation":${fmt(totalValidation, 2)},"queries":$qs2,""" +
+      s""""value_validation":${fmt(totalValidation, 2)},""" +
+      s""""queries_n":${results.size},"queries":${qsJson(k)},""" +
       s""""ingest_pps":$ingestCompact,"scale10_ratio":${ratioJson(rows)},""" +
       s""""regressions_n":$nRegressions,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    // degrade cascade: full ratios → dedup/ann heavy family → none;
-    // the queries dict and ingest pts/s always survive
+    // degrade cascade: full ratios → dedup/ann heavy family → none,
+    // then shrink the queries dict to the slowest 40/15; ingest pts/s
+    // and the totals always survive
+    val heavy = s10rows.filter(r =>
+      r.name.startsWith("dedup") || r.name.startsWith("ann"))
     println(Seq(
-        line(s10rows),
-        line(s10rows.filter(r =>
-          r.name.startsWith("dedup") || r.name.startsWith("ann"))),
-        line(Nil))
-      .find(_.length <= 1900).getOrElse(line(Nil)))
+        line(s10rows, results.size),
+        line(heavy, results.size),
+        line(heavy, 40),
+        line(Nil, 40),
+        line(Nil, 15))
+      .find(_.length <= 1900).getOrElse(line(Nil, 15)))
     spark.stop()
   }
 

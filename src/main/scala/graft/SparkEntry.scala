@@ -320,6 +320,8 @@ object SparkEntry {
     "mm_dedup_images" -> ((s, d) => graft.operators.Multimodal.dedupImages(s, d)),
     "q_anti_join" -> ((s, d) => graft.operators.Analytics.qOrdersNoLineitem(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
+    // Markov transition matrix: adjacent event-type pairs per user
+    "q_event_transitions" -> ((s, d) => graft.operators.Analytics.eventTransitions(s, d)),
     // the same gap-sessionization from the STATEFUL streaming path,
     // replayed as four TIME-ORDERED micro-batches so sessions genuinely
     // span per-user state across batch boundaries; matching the batch
@@ -368,6 +370,8 @@ object SparkEntry {
     "text_vocab_streamed" -> ((s, d) =>
       graft.streaming.StreamingVocab.streamedVocabTopK(s, d)),
     "text_doc_freq" -> ((s, d) => graft.operators.TextAnalysis.docFreq(s, d)),
+    // corpus-bigram LM cohesion: ratio-of-sums conditional probability
+    "text_bigram_lm" -> ((s, d) => graft.operators.TextAnalysis.bigramLm(s, d)),
     // keyword extraction: df-discounted top-5 terms per doc (linear idf)
     "text_top_terms" -> ((s, d) => graft.operators.TextAnalysis.topTerms(s, d)),
     "text_chunk_dedup" -> ((s, d) => graft.operators.TextAnalysis.chunkDedup(s, d)),
@@ -2027,6 +2031,23 @@ object SparkEntry {
         |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM s""".stripMargin,
+    // transition matrix: (ts, event_id) totally orders each user
+    // stream; exact counts, one IEEE division per (src, dst) row
+    "q_event_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type FROM events
+        |), tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS src,
+        |         event_type AS dst
+        |  FROM ev
+        |), c AS (
+        |  SELECT src, dst, COUNT(*) AS n FROM tr
+        |  WHERE src IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT src, dst, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
     // IDENTICAL oracle for the streamed sessionization: the
     // time-ordered replay must reproduce the batch window's ids
     "q_event_sessionize_streamed" ->
@@ -2150,6 +2171,27 @@ object SparkEntry {
         |    / CAST(COUNT(*) AS DOUBLE) AS commonness
         |FROM tt JOIN v USING (token)
         |GROUP BY doc_id""".stripMargin,
+    // bigram-LM cohesion: ratio-of-sums (exact BIGINT → one IEEE
+    // division) — a mean of per-bigram quotients would be summation-
+    // order-dependent and never hash-match; aligned unnests zip w1/w2
+    "text_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i + 1])) AS w2
+        |  FROM t WHERE len(l) > 1
+        |), uni AS (SELECT unnest(l) AS token FROM t),
+        |v1 AS (SELECT token, COUNT(*) AS c1 FROM uni GROUP BY 1),
+        |v2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(c12) AS BIGINT) AS joint_sum,
+        |  CAST(SUM(c1) AS BIGINT) AS cond_sum,
+        |  CAST(SUM(c12) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS cohesion
+        |FROM bg JOIN v2 USING (w1, w2) JOIN v1 ON bg.w1 = v1.token
+        |GROUP BY bg.doc_id""".stripMargin,
     // top terms: linear idf (integers → one division → one multiply)
     // — a log idf would ride libm ln, which is not correctly rounded
     "text_top_terms" ->

@@ -585,6 +585,40 @@ object Analytics {
       .drop("new_sess")
   }
 
+  /** Event-type transition matrix over per-user time-ordered streams —
+    * the Markov surface behind next-action prediction and funnel
+    * discovery: count every adjacent (src → dst) event-type pair within
+    * a user's stream, then `p = n / Σn over src` (the empirical
+    * conditional transition probability). (ts, event_id) totally orders
+    * each stream, so same-timestamp events adjacency is
+    * engine-deterministic; counts are exact BIGINTs with ONE final IEEE
+    * division per row (the rate recipe).
+    *
+    * Scale shape: one shuffle on user_id for the lag window (partition
+    * size = one user's history), then a map-side-combined aggregate
+    * down to the TRANSITION VOCABULARY (≤ |event_type|² rows,
+    * corpus-size-independent); the per-src normalizing sum is a window
+    * over that bounded frame — never a second pass over events. Output
+    * is the tiny transition matrix at any corpus scale.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("user_id"),
+      graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+      col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = ev
+      .select(lag(col("event_type"), 1).over(w).as("src"),
+        col("event_type").as("dst"))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val ws = Window.partitionBy(col("src"))
+    counts.select(col("src"), col("dst"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(ws).cast("double"))
+        .as("p"))
+  }
+
   /** Per-customer running spend: cumulative order total and order count
     * in (date, key) order — the customer-lifetime-value curve, the
     * canonical cumulative-frame window. One shuffle on the customer

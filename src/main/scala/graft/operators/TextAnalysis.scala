@@ -229,6 +229,63 @@ object TextAnalysis {
           / col("n_tokens").cast("double")).as("commonness"))
   }
 
+  /** Corpus-bigram LM cohesion per document — the quality-filter
+    * signal a CCNet-style pipeline derives from a language model, here
+    * from the corpus's OWN bigram statistics (the LM a pipeline can
+    * always afford): per document, over its adjacent token pairs,
+    * `cohesion = Σ count(w1,w2) / Σ count(w1)` — the count-weighted
+    * conditional bigram probability. Low = token sequences the corpus
+    * never produces (garbled/boilerplate-free junk); high = heavily
+    * templated text. The textbook statistic is the mean of per-bigram
+    * ratios (log-perplexity), but a mean of IEEE quotients is
+    * order-dependent and a log rides libm — this ratio-of-sums cousin
+    * is exact BIGINT until ONE final IEEE division (the [[docFreq]]
+    * contract), so it hash-matches across engines.
+    *
+    * Scale shape: bigrams come from one array `transform` over the
+    * whitespace-filtered token array — in-codegen, no shuffle, no
+    * self-join on position. Both count tables are VOCABULARY-sized
+    * (bigram vocabulary ≪ corpus; map-side-combined aggregates), and
+    * join back broadcast while they fit — `broadcastVocab = false`
+    * switches both probes to shuffle-hash on the gram key for
+    * open-vocabulary corpora (the dedup-verify contract, spec-proven
+    * row-identical). The per-doc re-aggregate reduces ~per-partition
+    * before the doc_id shuffle (scan co-location). Docs with <2
+    * tokens have no bigrams and drop on both engines.
+    */
+  def bigramLm(spark: SparkSession, dir: String,
+               broadcastVocab: Boolean = true): DataFrame =
+    bigramLmFrame(docs(spark, dir), broadcastVocab)
+
+  /** [[bigramLm]] over a caller-supplied `(doc_id, text)` frame. */
+  def bigramLmFrame(d: DataFrame,
+                    broadcastVocab: Boolean = true): DataFrame = {
+    val toksArr = filter(split(col("text"), " "), (t: Column) => t =!= "")
+    val base = d.select(col("doc_id"), toksArr.as("toks"))
+    val bg = base.where(size(col("toks")) > 1)
+      .select(col("doc_id"), explode(transform(
+        slice(col("toks"), lit(1), size(col("toks")) - lit(1)),
+        (w: Column, i: Column) => struct(w.as("w1"),
+          element_at(col("toks"), i + lit(2)).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni0 = base.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val big0 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val (uniC, bigC) =
+      if (broadcastVocab) (broadcast(uni0), broadcast(big0))
+      else (uni0.hint("shuffle_hash"), big0.hint("shuffle_hash"))
+    bg.join(bigC, Seq("w1", "w2"))
+      .join(uniC, col("w1") === col("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c12")).as("joint_sum"),
+        sum(col("c1")).as("cond_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("joint_sum"),
+        col("cond_sum"),
+        (col("joint_sum").cast("double") / col("cond_sum").cast("double"))
+          .as("cohesion"))
+  }
+
   /** DF-discounted top-k terms per document — the keyword-extraction
     * pass (TF-IDF-family): `score = tf · (n_docs / df)` with a LINEAR
     * idf, because a log idf would hinge on libm `ln` parity — `log` is

@@ -209,6 +209,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(rowsTotal == spark.read.parquet(s"$sfDir/events.parquet").count())
   }
 
+  test("eventTransitions matches a driver-side Markov recompute; rows sum to 1 per src") {
+    val out = Analytics.eventTransitions(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // brute force: per user order by (ts, event_id), count adjacent pairs
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = raw.select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val brute = ev.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+      seq.zip(seq.drop(1))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == brute)
+    // p is the exact-count quotient, and per-src rows partition the mass
+    val srcTot = brute.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    out.foreach { r =>
+      assert(r.getDouble(3) ==
+        r.getLong(2).toDouble / srcTot(r.getString(0)).toDouble)
+    }
+    out.groupBy(_.getString(0)).values.foreach { rows =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    }
+    // output is the transition matrix: bounded by |event_type|^2
+    val nTypes = ev.map(_._4).distinct.length.toLong
+    assert(out.length.toLong <= nTypes * nTypes)
+  }
+
   test("retention: offset-0 cell equals the cohort's signup count") {
     val ret = Analytics.retention(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -109,6 +109,55 @@ class TextOpsSpec extends SparkSpec {
     assert(shuffled.sameElements(out.map(_.toString).sorted))
   }
 
+  test("bigramLm cohesion is the ratio-of-sums bigram probability; join modes agree") {
+    val out = TextAnalysis.bigramLm(spark, sfDir).collect()
+    // recompute the contract on the driver from the raw text
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty)).toMap
+    val uni = texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = texts.values.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // docs with <2 tokens have no bigrams and must be absent
+    assert(out.length == texts.count(_._2.length > 1))
+    out.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id"))
+      val bgs = toks.zip(toks.drop(1))
+      assert(r.getAs[Long]("n_bigrams") == bgs.length.toLong)
+      val joint = bgs.map(big).sum
+      val cond = bgs.map(p => uni(p._1)).sum
+      assert(r.getAs[Long]("joint_sum") == joint)
+      assert(r.getAs[Long]("cond_sum") == cond)
+      assert(r.getAs[Double]("cohesion") == joint.toDouble / cond.toDouble)
+    }
+    // every bigram counts itself, so 0 < cohesion ≤ 1
+    assert(out.forall { r =>
+      val c = r.getAs[Double]("cohesion"); c > 0.0 && c <= 1.0 })
+    // the beyond-memory shuffle-join path is result-identical
+    val shuffled = TextAnalysis.bigramLm(spark, sfDir, broadcastVocab = false)
+      .collect().map(_.toString).sorted
+    assert(shuffled.sameElements(out.map(_.toString).sorted))
+  }
+
+  test("bigramLm adjacency skips empty tokens and short docs") {
+    val out = TextAnalysis.bigramLmFrame(docsDf(Seq(
+      (0L, "a  b c"),  // double space: bigrams (a,b),(b,c) after filtering
+      (1L, "x"),       // no bigrams → absent
+      (2L, ""),        // empty → absent
+      (3L, "a b"))))   // bigram (a,b) — shared with doc 0
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(0L, 3L))
+    // corpus: uni a=2 b=2 c=1 x=1; big (a,b)=2 (b,c)=1
+    // doc 0: joint 2+1=3, cond a+b=4; doc 3: joint 2, cond a=2
+    assert(out(0L).getAs[Long]("n_bigrams") == 2)
+    assert(out(0L).getAs[Long]("joint_sum") == 3)
+    assert(out(0L).getAs[Long]("cond_sum") == 4)
+    assert(out(0L).getAs[Double]("cohesion") == 0.75)
+    assert(out(3L).getAs[Long]("joint_sum") == 2)
+    assert(out(3L).getAs[Long]("cond_sum") == 2)
+    assert(out(3L).getAs[Double]("cohesion") == 1.0)
+  }
+
   test("vocab top-k matches a driver-side word count with (cnt desc, token) order") {
     val out = TextAnalysis.vocabTopK(spark, sfDir, k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))
