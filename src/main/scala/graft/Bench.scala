@@ -324,7 +324,11 @@ object Bench {
     "q16_parts_supplier",
     // HLL sketch vs its exact anchor: the sketch's claim is bounded
     // state per bucket — its ratio should track ts_avg's scan curve
-    "ts_active_series_sketch")
+    "ts_active_series_sketch",
+    // third batch: the bigram-LM two-pass vocab shape (gram volume
+    // linear in corpus, count tables vocabulary-sized) and the Markov
+    // transition aggregate (one user_id shuffle, bounded output)
+    "text_bigram_lm", "q_event_transitions")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
