@@ -322,6 +322,10 @@ object SparkEntry {
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
     // Markov transition matrix: adjacent event-type pairs per user
     "q_event_transitions" -> ((s, d) => graft.operators.Analytics.eventTransitions(s, d)),
+    // streamed twin: per-user last-event state carries transitions
+    // across micro-batch boundaries; same oracle as the batch matrix
+    "q_event_transitions_streamed" -> ((s, d) =>
+      graft.streaming.StreamingTransitions.streamedTransitions(s, d)),
     // the same gap-sessionization from the STATEFUL streaming path,
     // replayed as four TIME-ORDERED micro-batches so sessions genuinely
     // span per-user state across batch boundaries; matching the batch
@@ -2034,6 +2038,24 @@ object SparkEntry {
     // transition matrix: (ts, event_id) totally orders each user
     // stream; exact counts, one IEEE division per (src, dst) row
     "q_event_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type FROM events
+        |), tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS src,
+        |         event_type AS dst
+        |  FROM ev
+        |), c AS (
+        |  SELECT src, dst, COUNT(*) AS n FROM tr
+        |  WHERE src IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT src, dst, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
+    // IDENTICAL oracle for the streamed transition matrix: the
+    // four-batch replay's per-user state carry must reproduce every
+    // boundary-spanning pair the batch lag window sees
+    "q_event_transitions_streamed" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type FROM events
         |), tr AS (
