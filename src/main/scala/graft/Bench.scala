@@ -326,9 +326,11 @@ object Bench {
     // state per bucket — its ratio should track ts_avg's scan curve
     "ts_active_series_sketch",
     // third batch: the bigram-LM two-pass vocab shape (gram volume
-    // linear in corpus, count tables vocabulary-sized) and the Markov
-    // transition aggregate (one user_id shuffle, bounded output)
-    "text_bigram_lm", "q_event_transitions")
+    // linear in corpus, count tables vocabulary-sized), the Markov
+    // transition aggregate (one user_id shuffle, bounded output), and
+    // the incremental dedup probe (delta×persisted-index, no
+    // index self-join — compare its ratio against dedup_minhash's)
+    "text_bigram_lm", "q_event_transitions", "dedup_minhash_incremental")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
@@ -344,6 +346,12 @@ object Bench {
     // 94.4 s on identical candidate counts) — the per-leg telemetry
     // and lsh_counts are what make a given run's number attributable
     "dedup_minhash" -> SparkEntry.queries("dedup_minhash"),
+    // the incremental posture NEXT TO the full run it replaces: the
+    // delta probes the persisted band index (built outside the timed
+    // query, as a deployment would), so its 100× wall should sit at
+    // ~d/n of the full re-run's — the measured case for maintaining a
+    // corpus instead of re-deduping it
+    "dedup_minhash_incremental" -> SparkEntry.queries("dedup_minhash_incremental"),
     "dedup_embedding_lsh" -> SparkEntry.queries("dedup_embedding_lsh"),
     // the END-TO-END dedup composition at 100×: SimHash pairs keep the
     // verify constant per candidate, so the pipeline stays linear where

@@ -392,6 +392,9 @@ object SparkEntry {
     "dedup_exact_streamed" -> ((s, d) =>
       graft.streaming.StreamingDedup.streamedFingerprints(s, d)),
     "dedup_minhash" -> ((s, d) => graft.operators.Dedup.minhashLsh(s, d)),
+    // incremental posture: delta shard probes the persisted band index
+    "dedup_minhash_incremental" -> ((s, d) =>
+      graft.operators.Dedup.minhashIncremental(s, d)),
     "dedup_simhash" -> ((s, d) => graft.operators.Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => graft.operators.Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
@@ -2350,6 +2353,8 @@ object SparkEntry {
         |FROM read_parquet('/root/repo/golden/mm_audio_stats/*.parquet')""".stripMargin,
     "dedup_minhash" ->
       "SELECT doc_a, doc_b, jaccard FROM read_parquet('/root/repo/golden/dedup_minhash/*.parquet')",
+    "dedup_minhash_incremental" ->
+      "SELECT doc_a, doc_b, jaccard FROM read_parquet('/root/repo/golden/dedup_minhash_incremental/*.parquet')",
     "dedup_embedding_lsh" ->
       "SELECT vec_a, vec_b, cos FROM read_parquet('/root/repo/golden/dedup_embedding_lsh/*.parquet')",
     "dedup_semantic" ->

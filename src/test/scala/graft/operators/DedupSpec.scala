@@ -103,6 +103,51 @@ class DedupSpec extends SparkSpec {
     assert(41L >= Dedup.CollapseMinGroup)
   }
 
+  test("incremental minhash equals the full run restricted to delta-involving pairs") {
+    val mod = 10
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = key(Dedup.minhashIncremental(spark, sfDir, deltaMod = mod))
+    val frame = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val full = key(Dedup.minhashLshFrame(frame))
+    val restricted = full.filter(p => p._1 % mod == 0 || p._2 % mod == 0)
+    assert(restricted.nonEmpty, "delta shard produced no pairs; the spec proves nothing")
+    assert(inc == restricted)
+  }
+
+  test("incremental minhash exercises both probe legs on a planted delta shard") {
+    // clones of one seed land on BOTH sides of the split: two delta ids
+    // (1000000, 2000000) and one index id (1000001) — so the contract
+    // needs delta×index (clone↔clone across the split, clone↔seed) AND
+    // delta×delta (the two delta clones)
+    val mod = 10
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seed = docs.orderBy("doc_id").limit(1).collect()(0)
+    import spark.implicits._
+    val clones = Seq(1000000L, 2000000L, 1000001L)
+      .map(i => (i, seed.getString(1))).toDF("doc_id", "text")
+    val frame = docs.union(clones)
+    val idxBands = Dedup.bandFrame(
+      frame.where(col("doc_id") % mod =!= 0), 32, 16)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = key(Dedup.minhashIncrementalFrame(frame, idxBands,
+      32, 16, 0.5, mod, broadcastVerify = true))
+    val restricted = key(Dedup.minhashLshFrame(frame))
+      .filter(p => p._1 % mod == 0 || p._2 % mod == 0)
+    assert(inc == restricted)
+    assert(restricted.exists(p => p._1 % mod != 0 || p._2 % mod != 0))
+    assert(restricted.exists(p => p._1 % mod == 0 && p._2 % mod == 0))
+    // the shuffle-hash fallback is pair-identical (beyond-memory posture)
+    val incShj = key(Dedup.minhashIncrementalFrame(frame, idxBands,
+      32, 16, 0.5, mod, broadcastVerify = false))
+    assert(incShj == restricted)
+  }
+
   test("simhash emits one 64-bit signature per doc") {
     val out = Dedup.simhash(spark, sfDir)
     assert(out.count() == spark.read.parquet(s"$sfDir/documents.parquet").count())
