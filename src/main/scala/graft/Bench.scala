@@ -330,7 +330,8 @@ object Bench {
     // transition aggregate (one user_id shuffle, bounded output), and
     // the incremental dedup probe (delta×persisted-index, no
     // index self-join — compare its ratio against dedup_minhash's)
-    "text_bigram_lm", "q_event_transitions", "dedup_minhash_incremental")
+    "text_bigram_lm", "q_event_transitions", "dedup_minhash_incremental",
+    "dedup_embedding_lsh_incremental")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
@@ -353,6 +354,11 @@ object Bench {
     // corpus instead of re-deduping it
     "dedup_minhash_incremental" -> SparkEntry.queries("dedup_minhash_incremental"),
     "dedup_embedding_lsh" -> SparkEntry.queries("dedup_embedding_lsh"),
+    // the embedding incremental next to ITS full run: the 100× leg
+    // whose candidate phase is the engine's last wall — probed, not
+    // re-paired
+    "dedup_embedding_lsh_incremental" ->
+      SparkEntry.queries("dedup_embedding_lsh_incremental"),
     // the END-TO-END dedup composition at 100×: SimHash pairs keep the
     // verify constant per candidate, so the pipeline stays linear where
     // the minhash variant's true-dup clusters go quadratic (see skips)

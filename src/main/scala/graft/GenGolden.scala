@@ -31,7 +31,8 @@ object GenGolden {
     "dedup_simhash", "mm_meta", "mm_framesample", "mm_resize", "mm_phash",
     "mm_audio_stats",
     "dedup_minhash", "dedup_minhash_incremental",
-    "dedup_embedding_lsh", "dedup_semantic",
+    "dedup_embedding_lsh", "dedup_embedding_lsh_incremental",
+    "dedup_semantic",
     "ann_lsh", "ann_lsh_multiprobe", "ann_ivf_kmeans", "ann_cluster_stats", "ann_pq",
     "ann_ivfpq", "dedup_pipeline")
 

@@ -395,6 +395,10 @@ object SparkEntry {
     // incremental posture: delta shard probes the persisted band index
     "dedup_minhash_incremental" -> ((s, d) =>
       graft.operators.Dedup.minhashIncremental(s, d)),
+    // embedding sibling: the banded self-join that dominates the full
+    // run's 100x wall never forms — delta probes the persisted layout
+    "dedup_embedding_lsh_incremental" -> ((s, d) =>
+      graft.operators.Dedup.embeddingLshIncremental(s, d)),
     "dedup_simhash" -> ((s, d) => graft.operators.Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => graft.operators.Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
@@ -2355,6 +2359,8 @@ object SparkEntry {
       "SELECT doc_a, doc_b, jaccard FROM read_parquet('/root/repo/golden/dedup_minhash/*.parquet')",
     "dedup_minhash_incremental" ->
       "SELECT doc_a, doc_b, jaccard FROM read_parquet('/root/repo/golden/dedup_minhash_incremental/*.parquet')",
+    "dedup_embedding_lsh_incremental" ->
+      "SELECT vec_a, vec_b, cos FROM read_parquet('/root/repo/golden/dedup_embedding_lsh_incremental/*.parquet')",
     "dedup_embedding_lsh" ->
       "SELECT vec_a, vec_b, cos FROM read_parquet('/root/repo/golden/dedup_embedding_lsh/*.parquet')",
     "dedup_semantic" ->

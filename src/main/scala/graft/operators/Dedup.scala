@@ -924,13 +924,109 @@ object Dedup {
                                         bands: Int, salt: Int = 1,
                                         hotMin: Long = 128): DataFrame = {
     GraftFunctions.register(e.sparkSession)
-    val banded = e.select(
-      col("vec_id"),
-      posexplode(call_function("graft_lsh_bands", col("v"),
-        lit(rowsPerBand), lit(bands))).as(Seq("band", "bucket")))
+    val banded = embBandFrame(e, rowsPerBand, bands)
     hotSaltedSelfJoin(banded, Seq("band", "bucket"), "vec_id", salt, hotMin)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .repartition(e.sparkSession.sparkContext.defaultParallelism)
+  }
+
+  /** The sign-LSH banded rows `(vec_id, band, bucket)` — the embedding
+    * index representation; deterministic per vector given the plan, so
+    * a persisted copy and a fresh banding bucket identically (the
+    * [[bandFrame]] property, embedding-side).
+    */
+  private[graft] def embBandFrame(e: DataFrame, rowsPerBand: Int,
+                                  bands: Int): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    e.select(
+      col("vec_id"),
+      posexplode(call_function("graft_lsh_bands", col("v"),
+        lit(rowsPerBand), lit(bands))).as(Seq("band", "bucket")))
+  }
+
+  /** Persisted sign-LSH band layout for the embedding INDEX side
+    * (`vec_id % deltaMod != 0` of [[withPlantedNearDups]]'s corpus —
+    * the same frame the full entry runs on) — [[ensureBandIndex]]'s
+    * embedding sibling, keyed by content fingerprint AND the banding
+    * plan (a re-planned corpus re-banding is a new index version).
+    */
+  private[graft] def ensureEmbBandIndex(spark: SparkSession, dir: String,
+                                        rowsPerBand: Int, bands: Int,
+                                        deltaMod: Int = 10): String = {
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$dir/embeddings.parquet")
+    val root = graft.Conf.resolveWorkDir(spark, "")
+    val path = s"$root/emb_bands_${Integer.toHexString(dir.hashCode)}_" +
+      s"${fp}_r${rowsPerBand}_b${bands}_m$deltaMod"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      embBandFrame(
+        withPlantedNearDups(spark, dir).where(col("vec_id") % deltaMod =!= 0),
+        rowsPerBand, bands)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** INCREMENTAL embedding-LSH dedup — [[minhashIncremental]]'s
+    * embedding sibling, and the OPERATIONAL answer to the candidate
+    * phase being the cost center at 100× (r9 verdict): a daily delta
+    * (`vec_id % deltaMod == 0`) probes the persisted band layout with
+    * one equi-join plus a delta-only salted self-join — the index
+    * never self-joins, so the banded self-join whose intermediate
+    * dominates the full run's wall simply never forms. Candidate work
+    * drops from O((n+d)²/2^b) to O((n·d + d²)/2^b); at a daily
+    * d ≪ n the full-corpus re-pair is a one-time backfill, not a
+    * recurring cost.
+    *
+    * Deliberately IDENTICAL knobs to the full entry it replaces
+    * ([[embeddingNearDup]]: planted corpus, t = 0.9, corpus-sized
+    * [[lshPlanSized]] banding, sized verify strategy), so a scale
+    * leg's wall next to `dedup_embedding_lsh`'s measures exactly the
+    * probe-vs-re-pair difference. Contract: pairs equal the full run
+    * restricted to delta-involving rows (spec-pinned; banding is
+    * deterministic per vector under a fixed plan, so persisted and
+    * fresh bands agree).
+    */
+  def embeddingLshIncremental(spark: SparkSession, dir: String,
+                              threshold: Double = 0.9,
+                              candPerRow: Double = 32.0,
+                              deltaMod: Int = 10): DataFrame = {
+    val n = 2L * spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val (rowsPerBand, bands) = lshPlanSized(threshold, n, candPerRow = candPerRow)
+    val idxBands = spark.read.parquet(
+      ensureEmbBandIndex(spark, dir, rowsPerBand, bands, deltaMod))
+    embeddingLshIncrementalFrame(withPlantedNearDups(spark, dir), idxBands,
+      rowsPerBand, bands, threshold, deltaMod,
+      broadcastVerify = n <= BroadcastVerifyMaxRows)
+  }
+
+  /** [[embeddingLshIncremental]] over caller-supplied frames. */
+  private[graft] def embeddingLshIncrementalFrame(e: DataFrame,
+                                                  idxBands: DataFrame,
+                                                  rowsPerBand: Int, bands: Int,
+                                                  threshold: Double,
+                                                  deltaMod: Int,
+                                                  broadcastVerify: Boolean): DataFrame = {
+    val delta = e.where(col("vec_id") % deltaMod === 0)
+    val deltaBands = embBandFrame(delta, rowsPerBand, bands)
+    // the probe leg: ids-only rows, shuffle-hash on the band key (the
+    // hotSaltedSelfJoin SMJ argument); the index side arrives from its
+    // pruned layout scan
+    val cross = deltaBands.as("a").hint("shuffle_hash")
+      .join(idxBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val intra = hotSaltedSelfJoin(deltaBands, Seq("band", "bucket"),
+        "vec_id", 1, 128)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val cand = cross.unionByName(intra)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    // multiplicity candidates, like the full path; the verify's
+    // exactly-once distinct runs on the thresholded output
+    embeddingVerifyFrame(e, cand, threshold, broadcastVerify)
   }
 
   /** Candidate + verified pair counts for an LSH-family bench query at

@@ -148,6 +148,52 @@ class DedupSpec extends SparkSpec {
     assert(incShj == restricted)
   }
 
+  test("incremental embedding LSH equals the full run restricted to delta pairs") {
+    val mod = 10
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the comparator is the FULL entry the incremental replaces —
+    // identical corpus (planted frame), threshold, sized plan
+    val inc = key(Dedup.embeddingLshIncremental(spark, sfDir, deltaMod = mod))
+    val restricted = key(Dedup.embeddingNearDup(spark, sfDir))
+      .filter(p => p._1 % mod == 0 || p._2 % mod == 0)
+    assert(restricted.nonEmpty, "delta shard produced no pairs; the spec proves nothing")
+    assert(inc == restricted)
+  }
+
+  test("incremental embedding LSH covers both probe legs on a planted split") {
+    val mod = 10
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val seed = raw.orderBy("vec_id").limit(1).collect()(0)
+    import spark.implicits._
+    // two delta clones + one index clone of one seed vector: the
+    // contract needs delta×index AND delta×delta
+    val clones = Seq(1000000L, 2000000L, 1000001L)
+      .map(i => (i, seed.getInt(1), seed.getSeq[Float](2)))
+      .toDF("vec_id", "label", "embedding")
+    val e = raw.union(clones)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val (rpb, bands) = Dedup.lshPlan(0.35)
+    val idxBands = Dedup.embBandFrame(e.where(col("vec_id") % mod =!= 0), rpb, bands)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val restricted = key(Dedup.embeddingCosineLshFrame(e, 0.35))
+      .filter(p => p._1 % mod == 0 || p._2 % mod == 0)
+    val inc = key(Dedup.embeddingLshIncrementalFrame(e, idxBands,
+      rpb, bands, 0.35, mod, broadcastVerify = true))
+    assert(inc == restricted)
+    assert(restricted.exists(p => p._1 % mod != 0 || p._2 % mod != 0))
+    assert(restricted.exists(p => p._1 % mod == 0 && p._2 % mod == 0))
+    // shuffle-hash verify fallback is pair-identical
+    val incShj = key(Dedup.embeddingLshIncrementalFrame(e, idxBands,
+      rpb, bands, 0.35, mod, broadcastVerify = false))
+    assert(incShj == restricted)
+  }
+
   test("simhash emits one 64-bit signature per doc") {
     val out = Dedup.simhash(spark, sfDir)
     assert(out.count() == spark.read.parquet(s"$sfDir/documents.parquet").count())
