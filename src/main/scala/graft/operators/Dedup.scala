@@ -471,12 +471,27 @@ object Dedup {
     val intra = hotSaltedSelfJoin(deltaBands, Seq("band", "band_hash"),
         "doc_id", 1, 128)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // cache the candidate ids once: they feed BOTH the verify join and
+    // the involved-docs restriction below. persist, NOT localCheckpoint
+    // — a checkpoint's LogicalRDD re-enters downstream zipped codegen
+    // stages with its frozen partition count and trips "Can't zip RDDs
+    // with unequal numbers of partitions" under AQE (measured in-spec);
+    // persist keeps the plan and dedups the banding work the same way
     val cand = cross.unionByName(intra)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
       .repartition(spark.sparkContext.defaultParallelism)
-    minhashVerify(minhashBase(d, numHashes), cand, threshold, broadcastVerify)
+      .persist()
+    // shingle ONLY candidate-involved docs: the full path pays the
+    // kernel over the whole corpus because ~every doc appears in some
+    // candidate; here involved ≈ delta + its matches ≪ n, so the
+    // verify side shrinks with the delta, not the corpus
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val involved = d.join(ids, Seq("doc_id"), "left_semi")
+    minhashVerify(minhashBase(involved, numHashes), cand, threshold,
+      broadcastVerify)
   }
 
   // ---------------------------------------------------------------- simhash
@@ -1020,13 +1035,23 @@ object Dedup {
     val intra = hotSaltedSelfJoin(deltaBands, Seq("band", "bucket"),
         "vec_id", 1, 128)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // multiplicity candidates, like the full path; the verify's
+    // exactly-once distinct runs on the thresholded output. Cached
+    // once (persist, not checkpoint — see [[minhashIncrementalFrame]]):
+    // the frame feeds both the verify join and the ids restriction
     val cand = cross.unionByName(intra)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
       .repartition(e.sparkSession.sparkContext.defaultParallelism)
-    // multiplicity candidates, like the full path; the verify's
-    // exactly-once distinct runs on the thresholded output
-    embeddingVerifyFrame(e, cand, threshold, broadcastVerify)
+      .persist()
+    // fetch payloads ONLY for candidate-involved vectors: the r8/r9
+    // broadcast-verify lesson applied at the source — the payload
+    // relation shrinks with the delta, not the corpus, so the sized
+    // broadcast strategy stays in its fast regime far longer
+    val ids = cand.select(col("vec_a").as("vec_id"))
+      .unionByName(cand.select(col("vec_b").as("vec_id"))).distinct()
+    val involved = e.join(ids, Seq("vec_id"), "left_semi")
+    embeddingVerifyFrame(involved, cand, threshold, broadcastVerify)
   }
 
   /** Candidate + verified pair counts for an LSH-family bench query at
