@@ -110,6 +110,11 @@ object SparkEntry {
     // worst-case rate over the exact ts_rate chain
     "ts_max_over_rate" -> ((s, d) => Db.fromEvents(s, d).maxOverRate("click", Day)),
     "ts_histogram" -> ((s, d) => Db.fromEvents(s, d).histogram("click", 10.0)),
+    // histogram × time: the Grafana heatmap grid, one hash aggregate
+    "ts_heatmap" -> ((s, d) => Db.fromEvents(s, d).heatmap("click", Day, 10.0)),
+    // Tukey-fence outlier buckets over the daily per-user error sums
+    "ts_outliers_iqr" -> ((s, d) =>
+      Db.fromEvents(s, d).sum("error", "user").granularity(Day).buildOutliersIqr()),
     // PromQL count_values: per-bucket census of exact values
     "ts_count_values" -> ((s, d) => Db.fromEvents(s, d).countValues("signup", Day)),
     "ts_hist_quantile" -> ((s, d) =>
@@ -322,6 +327,12 @@ object SparkEntry {
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
     // Markov transition matrix: adjacent event-type pairs per user
     "q_event_transitions" -> ((s, d) => graft.operators.Analytics.eventTransitions(s, d)),
+    // top-10 first-5-event paths: bounded per-user collect, two-phase
+    // top-k (TakeOrderedAndProject), ties broken on the path string
+    "q_path_topk" -> ((s, d) => graft.operators.Analytics.pathTopK(s, d)),
+    // last-touch attribution: one running-frame window pass, purchases
+    // credited to the latest preceding non-purchase event
+    "q_attribution" -> ((s, d) => graft.operators.Analytics.attribution(s, d)),
     // streamed twin: per-user last-event state carries transitions
     // across micro-batch boundaries; same oracle as the batch matrix
     "q_event_transitions_streamed" -> ((s, d) =>
@@ -447,6 +458,9 @@ object SparkEntry {
 
     // ---- Deterministic sampling / splits ----
     "sample_split" -> ((s, d) => graft.operators.Sampling.docSplit(s, d)),
+    // cluster-aware split: near-dup clusters assigned atomically by
+    // the hash of their component id — eval-leakage decontamination
+    "sample_split_decontam" -> ((s, d) => graft.operators.Sampling.decontamSplit(s, d)),
     "sample_temporal_split" -> ((s, d) => graft.operators.Sampling.temporalSplit(s, d)),
     "sample_curriculum" -> ((s, d) => graft.operators.Sampling.curriculum(s, d)),
     "sample_temperature" -> ((s, d) => graft.operators.Sampling.temperatureMix(s, d)),
@@ -1422,6 +1436,34 @@ object SparkEntry {
          |SELECT metric, floor(value / 10.0) * 10.0 AS bin_lo, COUNT(*) AS n
          |FROM ev WHERE metric = 'click'
          |GROUP BY 1, 2""".stripMargin,
+    // heatmap grid = histogram × time: same floor-division bin math,
+    // same ts-div bucket math, grouped on both
+    "ts_heatmap" ->
+      s"""$Ev
+         |SELECT metric, ${bucket(Day)} AS bucket_start,
+         |       floor(value / 10.0) * 10.0 AS bin_lo, COUNT(*) AS n
+         |FROM ev WHERE metric = 'click'
+         |GROUP BY 1, 2, 3""".stripMargin,
+    // Tukey fences over the daily aggregate frame: quantile_cont +
+    // round-6 (the ts_quantile parity recipe), then a fixed 2-op IEEE
+    // fence chain — identical multiply/subtract order on both engines
+    "ts_outliers_iqr" ->
+      s"""$Ev, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+         |  FROM ev WHERE metric = 'error' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), f AS (
+         |  SELECT grp, round(quantile_cont(value, 0.25), 6) AS q1,
+         |         round(quantile_cont(value, 0.75), 6) AS q3
+         |  FROM a GROUP BY grp
+         |)
+         |SELECT a.grp, a.bucket_start, a.value, f.q1, f.q3,
+         |       f.q1 - CAST(1.5 AS DOUBLE) * (f.q3 - f.q1) AS lo,
+         |       f.q3 + CAST(1.5 AS DOUBLE) * (f.q3 - f.q1) AS hi
+         |FROM a JOIN f ON a.grp = f.grp
+         |WHERE a.value < f.q1 - CAST(1.5 AS DOUBLE) * (f.q3 - f.q1)
+         |   OR a.value > f.q3 + CAST(1.5 AS DOUBLE) * (f.q3 - f.q1)""".stripMargin,
     // exact-value census: no arithmetic on the double, so grouping is
     // bit-stable on both engines by construction
     "ts_count_values" ->
@@ -2042,6 +2084,40 @@ object SparkEntry {
         |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM s""".stripMargin,
+    // top-10 first-5-event paths: same (ts, event_id) total order,
+    // ORDER BY (n_users DESC, path) LIMIT 10 — a deterministic cut
+    "q_path_topk" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type FROM events
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM ev
+        |), p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id
+        |)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
+    // last-touch attribution: running last-non-purchase frame under
+    // the same total order; exact-decimal revenue cast once
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type, value
+        |  FROM events
+        |), tc AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM ev
+        |)
+        |SELECT touch, COUNT(*) AS n_conv,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM tc WHERE event_type = 'purchase' AND touch IS NOT NULL
+        |GROUP BY touch""".stripMargin,
     // transition matrix: (ts, event_id) totally orders each user
     // stream; exact counts, one IEEE division per (src, dst) row
     "q_event_transitions" ->
@@ -2673,6 +2749,16 @@ object SparkEntry {
         |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // cluster-aware split: the recursive-CTE components re-derive the
+    // same near-dup clusters; split decided by md5 of the COMPONENT id
+    // (unpaired docs fall back to their own id = the sample_split rule)
+    "sample_split_decontam" ->
+      s"""$NgramClusterCtes
+         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS group_id,
+         | CASE WHEN substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |      WHEN substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN c ON c.id = d.doc_id""".stripMargin,
     // per-source keep rates over the same md5 hex buckets as
     // sample_split: 1.0 / 0.5 (< '80') / 0.25 (< '40') / 0.125 default
     "sample_mix" ->

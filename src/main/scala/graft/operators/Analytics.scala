@@ -1185,4 +1185,80 @@ object Analytics {
       .agg(count(lit(1)).as("numcust"),
         sum(bal).cast("double").as("totacctbal"))
   }
+
+  /** Top-k onboarding paths: the k most common first-`steps`
+    * event-type sequences across users — the product-analytics "what
+    * do new users actually do" read (Amplitude/Mixpanel Pathfinder
+    * surface; the reference has no event layer, this extends the
+    * events stream the same way [[eventTransitions]] does).
+    *
+    * Scale shape: the per-user window ranks events once (one shuffle
+    * on the user key — partition size is ONE user's history), the
+    * `rn <= steps` filter bounds the collect_list at `steps` elements
+    * per user BEFORE any buffering happens, the path census reduces
+    * user-count rows onto a vocabulary of at most |event_type|^steps
+    * paths with map-side combine, and the final top-k rides
+    * `orderBy().limit()` → TakeOrderedAndProject (per-partition heaps
+    * + one k-row merge, never a global sort). Ties at the k boundary
+    * break on the path string, so the cut is engine-deterministic.
+    * (ts, event_id) totally orders each user stream — the
+    * [[eventTransitions]] contract.
+    */
+  def pathTopK(spark: SparkSession, dir: String,
+               steps: Int = 5, k: Int = 10): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("user_id"),
+      graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+      col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = ev
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= steps)
+    val paths = ranked.groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          s => s.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Last-touch attribution: each purchase is credited to the latest
+    * preceding NON-purchase event in the same user's stream (the
+    * marketing-attribution read: which interaction "caused" the
+    * conversion). Output per touch channel: conversions credited and
+    * exact-decimal revenue (the purchase `value`), cast to double
+    * once.
+    *
+    * Scale shape: ONE pass over the events stream — the credited
+    * touch is `last(non-purchase event, ignoreNulls)` over the
+    * running per-user frame (rows unbounded-preceding → 1 preceding),
+    * which Spark evaluates in a single running-frame window after the
+    * one user-key shuffle; no self-join of the stream against itself
+    * (the naive as-of formulation), no event-grain second shuffle.
+    * The final aggregate reduces purchase-count rows onto the
+    * |event_type| vocabulary. Purchases with no preceding touch
+    * (stream starts with a purchase) drop — attribution credits
+    * interactions, not spontaneity; the oracle encodes the same rule.
+    * (ts, event_id) totally orders the frame, so the credited touch
+    * is engine-deterministic even for same-timestamp arrivals.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("user_id"),
+      graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+      col("event_id"), col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("event_type"), col("value"),
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w).as("touch"))
+      .where(col("event_type") === "purchase" && col("touch").isNotNull)
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_conv"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("revenue"))
+  }
 }

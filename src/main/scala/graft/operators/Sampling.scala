@@ -133,6 +133,42 @@ object Sampling {
       assignSplit(docs, col("doc_id"), trainPct, valPct).as("split"))
   }
 
+  /** Cluster-aware decontaminated split — [[docSplit]] with the
+    * near-dup structure respected: every document in a near-duplicate
+    * cluster (n-gram-Jaccard pairs → connected components, the
+    * [[graft.operators.Dedup.cluster]] labeling) is assigned by the
+    * hash of its CLUSTER id, not its own id, so two near-duplicates
+    * can never straddle train/test. This is the eval-leakage guard a
+    * plain per-doc split silently violates: a test document whose
+    * near-twin sits in train inflates every benchmark number it
+    * touches, and at crawl scale near-twins are the norm, not the
+    * edge case.
+    *
+    * Scale shape: the component labeling is the pointer-doubling CC
+    * already sized for the corpus (checkpoint-switched, O(log d)
+    * rounds); the label frame covers only PAIRED docs, left-joined
+    * back on the doc key (one doc-key shuffle — the labels side is
+    * the duplicate subset, typically a small fraction of the corpus);
+    * unpaired docs fall back to their own id, making the assignment
+    * identical to [[docSplit]] on the duplicate-free subset (so
+    * adopting the guard re-splits only documents that have a twin).
+    * Same md5 bucket thresholds as every split in this file —
+    * append-stable, engine-reproducible.
+    */
+  def decontamSplit(spark: SparkSession, dir: String,
+                    trainPct: Double = 0.8, valPct: Double = 0.1,
+                    threshold: Double = 0.3): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+    val labels = Dedup.cluster(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val grouped = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    grouped.select(col("doc_id"), col("group_id"),
+      assignSplit(grouped, col("group_id"), trainPct, valPct).as("split"))
+  }
+
   /** Deterministic source mixing — the corpus-composition step every
     * pretraining pipeline applies: each source is kept at its own rate
     * (e.g. keep all of a high-quality source, an eighth of a crawl),

@@ -254,6 +254,25 @@ final class Db(val frame: DataFrame) {
         (floor(col("value") / lit(width)) * lit(width)).as("bin_lo"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
 
+  /** Heatmap grid: [[histogram]] × time — per (time bucket, value
+    * bin) point counts, the Grafana heatmap panel's exact input (the
+    * "latency distribution drifting over the day" visualization a
+    * flat histogram collapses and a p95 line hides). Same
+    * floor-division bin math as [[histogram]] (one multiply + one
+    * floor — identical IEEE chain on any engine) and the shared
+    * `ts div width` bucket math; ONE map-side-combined hash aggregate
+    * over the scan, output rows ∝ buckets × occupied bins — bounded
+    * by the grid, not the point volume, which is what makes the panel
+    * renderable (and this query cheap) at any corpus scale.
+    */
+  def heatmap(metric: String, widthNs: Long, binWidth: Double,
+              filterExpr: String = "*"): DataFrame =
+    scan(metric, filterExpr)
+      .groupBy(col("metric"),
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"),
+        (floor(col("value") / lit(binWidth)) * lit(binWidth)).as("bin_lo"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+
   /** PromQL `count_values()`: per time bucket, the number of points
     * carrying each EXACT value — the "how many servers report version
     * X" / discrete-value census. Grouping on the raw double is
@@ -1338,6 +1357,39 @@ final case class AggBuilder(
     build().withColumn("trailing",
       round(sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
         / count(lit(1)).over(w), 6))
+  }
+
+  /** Tukey-fence outlier buckets: per group, the buckets whose
+    * aggregate value falls outside [Q1 − k·IQR, Q3 + k·IQR] — the
+    * boxplot/IQR anomaly read ("which days were abnormal for this
+    * host"), [[Db.zscore]]'s distribution-free sibling: quartile
+    * fences don't assume normality and a single spike can't drag its
+    * own threshold the way it drags a mean and σ.
+    *
+    * Scale shape: quartiles are computed over the ALREADY-AGGREGATED
+    * groups × buckets frame (bounded — days per group, never the raw
+    * points), with the same exact-interpolated `percentile` + round-6
+    * recipe the quantile builder uses (cross-engine parity proven by
+    * ts_quantile); the group-vocabulary-sized fence frame broadcasts
+    * back onto the aggregate, and the fence arithmetic is a fixed
+    * 2-op IEEE chain (one multiply, one add/sub) on the rounded
+    * quartiles — bit-identical on any engine, so the boundary
+    * comparison can never flip between Spark and the oracle.
+    */
+  def buildOutliersIqr(k: Double = 1.5): DataFrame = {
+    require(k > 0, "fence multiplier must be > 0")
+    val agg = build()
+    val fences = agg.groupBy(col("grp"))
+      .agg(round(expr("percentile(value, 0.25d)"), 6).as("q1"),
+        round(expr("percentile(value, 0.75d)"), 6).as("q3"))
+      .select(col("grp").as("f_grp"), col("q1"), col("q3"),
+        (col("q1") - lit(k) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(k) * (col("q3") - col("q1"))).as("hi"))
+    agg.join(org.apache.spark.sql.functions.broadcast(fences),
+        col("grp") === col("f_grp"))
+      .where(col("value") < col("lo") || col("value") > col("hi"))
+      .select(col("grp"), col("bucket_start"), col("value"),
+        col("q1"), col("q3"), col("lo"), col("hi"))
   }
 
   /** Week-over-week comparison — the PromQL `offset 1w` ratio line

@@ -646,4 +646,59 @@ class AnalyticsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), s"NOT IN must plan as LEFT ANTI:\n$plan")
   }
+
+  test("pathTopK: brute per-user recompute, bounded paths, two-phase top-k plan") {
+    val df = Analytics.pathTopK(spark, sfDir, steps = 5, k = 10)
+    val out = df.collect()
+    assert(out.length <= 10)
+    // every path is at most 5 steps from the event-type vocabulary
+    val vocab = Set("signup", "click", "view", "purchase", "error")
+    out.foreach { r =>
+      val steps = r.getString(0).split(">")
+      assert(steps.length <= 5 && steps.forall(vocab.contains))
+    }
+    // brute force: collect the raw stream, sort per user in Scala
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val brute = raw
+      .select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1).values
+      .map(_.map(_._2).sortBy(t => (t._1, t._2)).take(5).map(_._3).mkString(">"))
+      .groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
+    val expected = brute.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == expected)
+    // top-k must be two-phase, never a global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should plan as TakeOrderedAndProject:\n${plan.take(1500)}")
+  }
+
+  test("attribution: brute per-user recompute, purchases never credit purchases") {
+    val out = Analytics.attribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.nonEmpty && out.forall(_._1 != "purchase"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val brute = raw
+      .select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+        col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))))
+      .groupBy(_._1).values.flatMap { evs =>
+        val sorted = evs.map(_._2).sortBy(t => (t._1, t._2))
+        var lastTouch: Option[String] = None
+        sorted.flatMap { case (_, _, typ, v) =>
+          val credit = if (typ == "purchase") lastTouch.map(t => (t, v)) else None
+          if (typ != "purchase") lastTouch = Some(typ)
+          credit
+        }
+      }.toSeq.groupBy(_._1).map { case (t, g) =>
+        // exact decimal sum mirrors the operator's DECIMAL(28,6) chain
+        (t, g.size.toLong,
+          g.map(x => BigDecimal(x._2).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble)
+      }.toSeq.sortBy(_._1)
+    assert(out.map(x => (x._1, x._2)) sameElements brute.map(x => (x._1, x._2)))
+    out.zip(brute).foreach { case (a, b) => assert(math.abs(a._3 - b._3) < 1e-6) }
+  }
 }

@@ -262,4 +262,27 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(again.toSet == out.toSet)
   }
+
+  test("decontamSplit: near-dup pairs never straddle splits; singletons match docSplit") {
+    val out = Sampling.decontamSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.length == docs, "split must cover every document exactly once")
+    val split = out.map(t => t._1 -> t._3).toMap
+    // THE contract: both sides of every near-dup pair share a split
+    val pairs = Dedup.ngramJaccard(spark, sfDir, 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus has no near-dup pairs; spec is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles ${split(a)}/${split(b)}")
+    }
+    // unpaired docs: group_id falls back to doc_id → same split as docSplit
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val plain = Sampling.docSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filterNot(t => paired.contains(t._1)).foreach { t =>
+      assert(t._2 == t._1 && t._3 == plain(t._1))
+    }
+  }
 }

@@ -364,7 +364,7 @@ class SimilaritySpec extends SparkSpec {
   test("ivf index is materialized once and reused: inverted-list partition dirs on disk") {
     val a = Similarity.ivfTopK(spark, sfDir, numQueries = 5, k = 5).collect()
     val layouts = new java.io.File("/root/repo/out").listFiles()
-      .filter(f => f.getName.startsWith("ivf_v1_") && f.getName.contains("_first_n16_i0"))
+      .filter(f => f.getName.startsWith("ivf_v") && f.getName.contains("_first_n16_i0"))
     assert(layouts.nonEmpty, "no materialized ivf layout written")
     val assignDir = new java.io.File(layouts.head, "assign")
     val listDirs = assignDir.listFiles().filter(_.getName.startsWith("list_id="))

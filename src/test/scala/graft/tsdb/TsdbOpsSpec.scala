@@ -1042,4 +1042,58 @@ class TsdbOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("no quantile sketch partials"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
+
+  test("heatmap: grid counts collapse to the flat histogram and the bucket totals") {
+    val day = 86400L * 1000000000L
+    val grid = Db.fromEvents(spark, sfDir).heatmap("click", day, 10.0)
+    val rows = grid.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) > 0))
+    // summing the grid over time reproduces the flat histogram exactly
+    val collapsed = grid.groupBy(col("metric"), col("bin_lo"))
+      .agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getDouble(1), r.getLong(2))).toMap
+    val hist = Db.fromEvents(spark, sfDir).histogram("click", 10.0)
+      .collect().map(r => (r.getDouble(1), r.getLong(2))).toMap
+    assert(collapsed == hist)
+    // and summing over bins reproduces the per-bucket point counts
+    val byBucket = grid.groupBy(col("bucket_start")).agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val counts = Db.fromEvents(spark, sfDir).count("click", "user")
+      .granularity(day).build()
+      .groupBy(col("bucket_start")).agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byBucket == counts)
+  }
+
+  test("outliersIqr: every row is outside its own fences; brute quartile recompute") {
+    val day = 86400L * 1000000000L
+    val agg = Db.fromEvents(spark, sfDir).sum("error", "user")
+      .granularity(day)
+    val out = agg.buildOutliersIqr().collect()
+    out.foreach { r =>
+      val (v, q1, q3, lo, hi) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(q1 <= q3)
+      assert(lo == q1 - 1.5 * (q3 - q1) && hi == q3 + 1.5 * (q3 - q1))
+      assert(v < lo || v > hi, s"in-fence row emitted: $r")
+    }
+    // brute: recompute the interpolated quartiles per group in Scala
+    val base = agg.build().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    def quant(vs: Array[Double], q: Double): Double = {
+      val s = vs.sorted
+      val pos = (s.length - 1) * q
+      val (lo, frac) = (pos.toInt, pos - pos.toInt)
+      val raw = if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = base.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val vs = rows.map(_._3)
+      val (q1, q3) = (quant(vs, 0.25), quant(vs, 0.75))
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      rows.filter(r => r._3 < lo || r._3 > hi).map(r => (g, r._2, r._3)).toSeq
+    }.toSet
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      == expected)
+  }
 }
