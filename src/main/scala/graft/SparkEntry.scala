@@ -333,10 +333,18 @@ object SparkEntry {
     // last-touch attribution: one running-frame window pass, purchases
     // credited to the latest preceding non-purchase event
     "q_attribution" -> ((s, d) => graft.operators.Analytics.attribution(s, d)),
+    // RFM segmentation: customer-grain aggregate + one-row broadcast
+    // quartile boundaries — never an ntile through a single partition
+    "q_rfm" -> ((s, d) => graft.operators.Analytics.rfm(s, d)),
     // streamed twin: per-user last-event state carries transitions
     // across micro-batch boundaries; same oracle as the batch matrix
     "q_event_transitions_streamed" -> ((s, d) =>
       graft.streaming.StreamingTransitions.streamedTransitions(s, d)),
+    // streamed twin: per-user last-touch state credits purchases whose
+    // interaction landed in an earlier micro-batch; same oracle as the
+    // batch attribution entry
+    "q_attribution_streamed" -> ((s, d) =>
+      graft.streaming.StreamingAttribution.streamedAttribution(s, d)),
     // the same gap-sessionization from the STATEFUL streaming path,
     // replayed as four TIME-ORDERED micro-batches so sessions genuinely
     // span per-user state across batch boundaries; matching the batch
@@ -2103,6 +2111,72 @@ object SparkEntry {
     // last-touch attribution: running last-non-purchase frame under
     // the same total order; exact-decimal revenue cast once
     "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type, value
+        |  FROM events
+        |), tc AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM ev
+        |)
+        |SELECT touch, COUNT(*) AS n_conv,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM tc WHERE event_type = 'purchase' AND touch IS NOT NULL
+        |GROUP BY touch""".stripMargin,
+    // RFM: recency in pure int64 nanosecond div, quantile_cont +
+    // round-6 quartiles (the ts_quantile parity recipe), scores as
+    // boolean-to-int sums on bit-identical operands
+    "q_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust_key, epoch_ns(o_orderdate) AS ns,
+        |         o_totalprice
+        |  FROM orders
+        |), c AS (
+        |  SELECT cust_key, MAX(ns) AS last_ns, COUNT(*) AS frequency,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |           AS monetary
+        |  FROM o GROUP BY 1
+        |), r AS (
+        |  SELECT cust_key,
+        |         ((SELECT MAX(last_ns) FROM c) - last_ns) // 86400000000000
+        |           AS recency_days,
+        |         frequency, monetary
+        |  FROM c
+        |), b AS (
+        |  SELECT round(quantile_cont(CAST(recency_days AS DOUBLE), 0.25), 6) AS r25,
+        |         round(quantile_cont(CAST(recency_days AS DOUBLE), 0.5), 6) AS r50,
+        |         round(quantile_cont(CAST(recency_days AS DOUBLE), 0.75), 6) AS r75,
+        |         round(quantile_cont(CAST(frequency AS DOUBLE), 0.25), 6) AS f25,
+        |         round(quantile_cont(CAST(frequency AS DOUBLE), 0.5), 6) AS f50,
+        |         round(quantile_cont(CAST(frequency AS DOUBLE), 0.75), 6) AS f75,
+        |         round(quantile_cont(monetary, 0.25), 6) AS m25,
+        |         round(quantile_cont(monetary, 0.5), 6) AS m50,
+        |         round(quantile_cont(monetary, 0.75), 6) AS m75
+        |  FROM r
+        |), s AS (
+        |  SELECT cust_key, recency_days, frequency, monetary,
+        |    1 + CAST(CAST(recency_days AS DOUBLE) > r25 AS INT)
+        |      + CAST(CAST(recency_days AS DOUBLE) > r50 AS INT)
+        |      + CAST(CAST(recency_days AS DOUBLE) > r75 AS INT) AS r_score,
+        |    1 + CAST(CAST(frequency AS DOUBLE) > f25 AS INT)
+        |      + CAST(CAST(frequency AS DOUBLE) > f50 AS INT)
+        |      + CAST(CAST(frequency AS DOUBLE) > f75 AS INT) AS f_score,
+        |    1 + CAST(CAST(monetary AS DOUBLE) > m25 AS INT)
+        |      + CAST(CAST(monetary AS DOUBLE) > m50 AS INT)
+        |      + CAST(CAST(monetary AS DOUBLE) > m75 AS INT) AS m_score
+        |  FROM r CROSS JOIN b
+        |)
+        |SELECT cust_key, recency_days, frequency, monetary,
+        |       r_score, f_score, m_score,
+        |       r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM s""".stripMargin,
+    // IDENTICAL oracle for the streamed attribution: the four-batch
+    // replay's per-user last-touch state must credit every purchase
+    // whose interaction landed in an earlier micro-batch
+    "q_attribution_streamed" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type, value
         |  FROM events

@@ -1261,4 +1261,64 @@ object Analytics {
       .agg(count(lit(1)).as("n_conv"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("revenue"))
   }
+
+  /** RFM customer segmentation — per customer: recency (days since
+    * their last order, relative to the corpus's latest order),
+    * frequency (order count), monetary (exact-decimal lifetime spend),
+    * each scored 1–4 by which side of the three population quartiles
+    * the value falls on, plus the composite `segment = r·100+f·10+m`
+    * (the marketing-ops read: 144 ≈ "lapsed whale", 411 ≈ "fresh
+    * one-timer"). The reference has no customer axis; this extends the
+    * star schema the way [[q10Returns]] does.
+    *
+    * Scale shape: ONE orders scan collapses to the customer-grain
+    * frame (one custkey shuffle, map-side combine); the global
+    * latest-order timestamp and the nine quartile boundaries are each
+    * ONE-ROW bounded aggregates broadcast back (never a global window
+    * — an `ntile(5)` formulation would funnel every customer through a
+    * single partition). Recency is pure int64 nanosecond arithmetic
+    * (`div` on positive operands — engine-exact); quartiles ride the
+    * exact-interpolated `percentile` + round-6 recipe whose
+    * cross-engine parity ts_quantile proves (exact percentile buffers
+    * the customer-grain frame in the one-row reduce — at true corpus
+    * scale swap in approx_percentile under a band gate, the 15g/15t
+    * treatment); scores are `1 + Σ(v > q_k)` — boolean-to-int sums on
+    * bit-identical operands, so a boundary can never flip between
+    * engines.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val ns = expr("unix_micros(cast(o_orderdate as timestamp)) * 1000")
+    val cust = orders
+      .groupBy(col("o_custkey").as("cust_key"))
+      .agg(max(ns).as("last_ns"), count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+          .as("monetary"))
+    val now = cust.agg(max(col("last_ns")).as("now_ns"))
+    val rf = cust.crossJoin(broadcast(now))
+      .select(col("cust_key"),
+        expr("(now_ns - last_ns) div 86400000000000").as("recency_days"),
+        col("frequency"), col("monetary"))
+    def q(c: String, p: Double, as: String) =
+      round(expr(s"percentile(cast($c as double), ${p}d)"), 6).as(as)
+    val bounds = rf.agg(
+      q("recency_days", 0.25, "r25"), q("recency_days", 0.5, "r50"),
+      q("recency_days", 0.75, "r75"),
+      q("frequency", 0.25, "f25"), q("frequency", 0.5, "f50"),
+      q("frequency", 0.75, "f75"),
+      q("monetary", 0.25, "m25"), q("monetary", 0.5, "m50"),
+      q("monetary", 0.75, "m75"))
+    def score(c: String, p: String) =
+      (lit(1) + (col(c).cast("double") > col(s"${p}25")).cast("int")
+        + (col(c).cast("double") > col(s"${p}50")).cast("int")
+        + (col(c).cast("double") > col(s"${p}75")).cast("int"))
+    rf.crossJoin(broadcast(bounds))
+      .select(col("cust_key"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        score("recency_days", "r").as("r_score"),
+        score("frequency", "f").as("f_score"),
+        score("monetary", "m").as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
 }

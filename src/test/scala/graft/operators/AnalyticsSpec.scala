@@ -701,4 +701,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(x => (x._1, x._2)) sameElements brute.map(x => (x._1, x._2)))
     out.zip(brute).foreach { case (a, b) => assert(math.abs(a._3 - b._3) < 1e-6) }
   }
+
+  test("rfm: brute per-customer recompute with interpolated quartiles; broadcast plan") {
+    val df = Analytics.rfm(spark, sfDir)
+    val out = df.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+    assert(out.nonEmpty)
+    // brute: per-customer last order / count / decimal spend in Scala
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) * 1000").as("ns"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cust = raw.groupBy(_._1).map { case (k, rows) =>
+      (k, rows.map(_._2).max, rows.length.toLong,
+        rows.map(x => BigDecimal(x._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble)
+    }.toArray
+    val nowNs = cust.map(_._2).max
+    val rf = cust.map { case (k, last, freq, mon) =>
+      (k, (nowNs - last) / 86400000000000L, freq, mon)
+    }
+    def quant(vs: Array[Double], q: Double): Double = {
+      val s = vs.sorted
+      val pos = (s.length - 1) * q
+      val (lo, frac) = (pos.toInt, pos - pos.toInt)
+      val raw = if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def qs(vs: Array[Double]) = (quant(vs, 0.25), quant(vs, 0.5), quant(vs, 0.75))
+    val (rq, fq, mq) = (qs(rf.map(_._2.toDouble)), qs(rf.map(_._3.toDouble)),
+      qs(rf.map(_._4)))
+    def score(v: Double, q: (Double, Double, Double)) =
+      1 + (if (v > q._1) 1 else 0) + (if (v > q._2) 1 else 0) +
+        (if (v > q._3) 1 else 0)
+    rf.foreach { case (k, rec, freq, mon) =>
+      val (r, f, m) = (score(rec.toDouble, rq), score(freq.toDouble, fq),
+        score(mon, mq))
+      assert(out(k) == ((rec, freq, mon, r, f, m, r * 100 + f * 10 + m)),
+        s"customer $k mismatch: got ${out(k)}")
+    }
+    assert(out.size == rf.length)
+    // every one-row side must ride a broadcast, never a shuffled join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"one-row bounds should broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), "bounds cross join must not plan cartesian")
+  }
 }
