@@ -331,7 +331,13 @@ object Bench {
     // the incremental dedup probe (delta×persisted-index, no
     // index self-join — compare its ratio against dedup_minhash's)
     "text_bigram_lm", "q_event_transitions", "dedup_minhash_incremental",
-    "dedup_embedding_lsh_incremental")
+    "dedup_embedding_lsh_incremental",
+    // fourth batch: the running-frame attribution and bounded-collect
+    // path census (both one user_id shuffle — should track
+    // q_event_transitions' curve), the customer-grain RFM aggregate
+    // (orders-scan-linear, one-row broadcast boundaries), and the
+    // heatmap grid (ts_histogram's curve with a bounded bucket axis)
+    "q_attribution", "q_path_topk", "q_rfm", "ts_heatmap")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost

@@ -115,6 +115,13 @@ object SparkEntry {
     // Tukey-fence outlier buckets over the daily per-user error sums
     "ts_outliers_iqr" -> ((s, d) =>
       Db.fromEvents(s, d).sum("error", "user").granularity(Day).buildOutliersIqr()),
+    // Page's CUSUM drift detector: two stacked running windows via the
+    // drawdown identity, pure int64 half-micro arithmetic; h=2.5 is
+    // the short-window setting (the ~10-bucket daily series here never
+    // accumulate to the textbook h=4)
+    "ts_cusum" -> ((s, d) =>
+      Db.fromEvents(s, d).sum("error", "user").granularity(Day)
+        .buildCusum(h = 2.5)),
     // PromQL count_values: per-bucket census of exact values
     "ts_count_values" -> ((s, d) => Db.fromEvents(s, d).countValues("signup", Day)),
     "ts_hist_quantile" -> ((s, d) =>
@@ -1472,6 +1479,54 @@ object SparkEntry {
          |FROM a JOIN f ON a.grp = f.grp
          |WHERE a.value < f.q1 - CAST(1.5 AS DOUBLE) * (f.q3 - f.q1)
          |   OR a.value > f.q3 + CAST(1.5 AS DOUBLE) * (f.q3 - f.q1)""".stripMargin,
+    // CUSUM drawdown identity in pure int64 half-micros: the stddev
+    // round-6 chain feeds exact integer thresholds, and the running
+    // sum/min windows are integer — associative, so DuckDB's
+    // segment-tree windows bit-match Spark's running fold
+    "ts_cusum" ->
+      s"""$Ev, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+         |  FROM ev WHERE metric = 'error' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), st AS (
+         |  SELECT grp,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mu,
+         |    round(sqrt(greatest((CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+         |      / COUNT(*), 0)), 6) AS sigma
+         |  FROM a GROUP BY grp
+         |), t AS (
+         |  SELECT grp,
+         |    CAST(CAST(mu AS DECIMAL(28,6)) * 2000000 AS BIGINT)
+         |      + 1 * CAST(CAST(sigma AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS th_hi2,
+         |    CAST(CAST(mu AS DECIMAL(28,6)) * 2000000 AS BIGINT)
+         |      - 1 * CAST(CAST(sigma AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS th_lo2,
+         |    5 * CAST(CAST(sigma AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS alarm_h2
+         |  FROM st
+         |), j AS (
+         |  SELECT a.grp, a.bucket_start, a.value,
+         |    CAST(CAST(a.value AS DECIMAL(28,6)) * 2000000 AS BIGINT) AS v2,
+         |    t.th_hi2, t.th_lo2, t.alarm_h2
+         |  FROM a JOIN t ON a.grp = t.grp
+         |), p AS (
+         |  SELECT *, SUM(v2 - th_hi2) OVER wr AS p_hi,
+         |            SUM(th_lo2 - v2) OVER wr AS p_lo
+         |  FROM j
+         |  WINDOW wr AS (PARTITION BY grp ORDER BY bucket_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), m AS (
+         |  SELECT *, p_hi - LEAST(0, MIN(p_hi) OVER wr) AS s_hi2,
+         |            p_lo - LEAST(0, MIN(p_lo) OVER wr) AS s_lo2
+         |  FROM p
+         |  WINDOW wr AS (PARTITION BY grp ORDER BY bucket_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT grp, bucket_start, value,
+         |  CAST(s_hi2 AS DOUBLE) / 2000000.0 AS s_hi,
+         |  CAST(s_lo2 AS DOUBLE) / 2000000.0 AS s_lo,
+         |  (s_hi2 > alarm_h2 OR s_lo2 > alarm_h2) AS alarm
+         |FROM m""".stripMargin,
     // exact-value census: no arithmetic on the double, so grouping is
     // bit-stable on both engines by construction
     "ts_count_values" ->

@@ -1392,6 +1392,83 @@ final case class AggBuilder(
         col("q1"), col("q3"), col("lo"), col("hi"))
   }
 
+  /** Page's CUSUM drift detector over the bucketed aggregate — the
+    * anomaly read for SMALL SUSTAINED shifts ("this host's error sum
+    * has run a quarter-sigma hot for two weeks") that every point-wise
+    * detector in this file ([[Db.zscore]], [[Db.mad]],
+    * [[buildOutliersIqr]]) is blind to by construction: a per-bucket
+    * threshold never accumulates evidence. Two-sided: `s⁺` tracks
+    * upward drift vs target `μ + k·σ`, `s⁻` downward vs `μ − k·σ`;
+    * `alarm` fires when either exceeds `h·σ` (k=½, h=4 — the textbook
+    * CUSUM parameterization).
+    *
+    * The recursion `s_i = max(0, s_{i-1} + d_i)` is NOT a window
+    * aggregate, but its closed form is: `s_i = P_i − min(0,
+    * min_{j≤i} P_j)` (the running-drawdown identity, P = prefix sum of
+    * d), so the whole operator is TWO stacked running-frame windows
+    * over the already-aggregated groups × buckets frame — one series
+    * shuffle total, no fold kernel, no per-series collect.
+    *
+    * Cross-engine exactness: every post-aggregate step is PURE INT64
+    * in half-micro units (2·10⁻⁷ of a value unit). μ and σ ride the
+    * [[AggKind.Stddev]] round-6 chain, so `μ·2e6`, `σ·1e6` and every
+    * round-6 `value·2e6` are exact integers (recovered through an
+    * exact decimal multiply, never a double multiply that could slip
+    * an ulp); with k and h restricted to half-integers the thresholds,
+    * prefix sums, running mins, drawdown subtractions and the alarm
+    * comparison are all int64 — exact AND associative, so an engine
+    * computing windowed aggregates via segment trees (DuckDB)
+    * bit-matches Spark's left-to-right running fold, which a double
+    * formulation could not guarantee, and decimal type-widening rules
+    * (which differ between engines past scale 6) never engage.
+    * Doubles appear only in the final display division.
+    */
+  def buildCusum(k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val k2 = math.round(k * 2).toInt
+    val h2 = math.round(h * 2).toInt
+    require(k2 == k * 2 && k >= 0, s"cusum k must be a non-negative half-integer, got $k")
+    require(h2 == h * 2 && h > 0, s"cusum h must be a positive half-integer, got $h")
+    import org.apache.spark.sql.{functions => F}
+    val agg = build()
+    val sDec = F.sum(col("value").cast("decimal(28,6)")).cast("double")
+    val sqDec = F.sum(col("value").cast("decimal(18,6)") *
+      col("value").cast("decimal(18,6)")).cast("double")
+    val cnt = F.count(lit(1))
+    val stats = agg.groupBy(col("grp")).agg(
+      round(sDec / cnt, 6).as("mu"),
+      round(sqrt(greatest((sqDec - sDec * sDec / cnt) / cnt, lit(0.0))), 6)
+        .as("sigma"))
+    // exact int64 half-micros: mu2 = μ·2e6, sig1 = σ·1e6 — integers
+    // because μ/σ carry exactly 6 decimals
+    val th = stats.select(col("grp").as("t_grp"),
+      expr("cast(cast(mu as decimal(28,6)) * 2000000 as bigint) + " +
+        s"$k2 * cast(cast(sigma as decimal(28,6)) * 1000000 as bigint)")
+        .as("th_hi2"),
+      expr("cast(cast(mu as decimal(28,6)) * 2000000 as bigint) - " +
+        s"$k2 * cast(cast(sigma as decimal(28,6)) * 1000000 as bigint)")
+        .as("th_lo2"),
+      expr(s"$h2 * cast(cast(sigma as decimal(28,6)) * 1000000 as bigint)")
+        .as("alarm_h2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("bucket_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    agg.join(F.broadcast(th), col("grp") === col("t_grp"))
+      .withColumn("v2",
+        expr("cast(cast(value as decimal(28,6)) * 2000000 as bigint)"))
+      .withColumn("p_hi", F.sum(col("v2") - col("th_hi2")).over(w))
+      .withColumn("p_lo", F.sum(col("th_lo2") - col("v2")).over(w))
+      .withColumn("s_hi2",
+        col("p_hi") - least(lit(0L), F.min(col("p_hi")).over(w)))
+      .withColumn("s_lo2",
+        col("p_lo") - least(lit(0L), F.min(col("p_lo")).over(w)))
+      .select(col("grp"), col("bucket_start"), col("value"),
+        (col("s_hi2").cast("double") / lit(2000000.0)).as("s_hi"),
+        (col("s_lo2").cast("double") / lit(2000000.0)).as("s_lo"),
+        (col("s_hi2") > col("alarm_h2") || col("s_lo2") > col("alarm_h2"))
+          .as("alarm"))
+  }
+
   /** Week-over-week comparison — the PromQL `offset 1w` ratio line
     * every capacity dashboard overlays: each (group, daily bucket)
     * aggregate joined to the SAME group's bucket exactly 7 days

@@ -1096,4 +1096,46 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       == expected)
   }
+
+  test("cusum: drawdown identity matches the textbook max(0, s+d) recursion") {
+    val day = 86400L * 1000000000L
+    val agg = Db.fromEvents(spark, sfDir).sum("error", "user").granularity(day)
+    val out = agg.buildCusum(h = 2.5).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out.nonEmpty)
+    // brute: per group, the literal CUSUM recursion in int64 half-micros
+    val base = agg.build().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var anyAlarm = false
+    base.groupBy(_._1).foreach { case (g, rows) =>
+      val vs = rows.map(_._3)
+      val mu = r6(vs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / vs.length)
+      val s = vs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val sq = vs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .map(d => d * d).sum.toDouble
+      val sigma = r6(math.sqrt(math.max((sq - s * s / vs.length) / vs.length, 0.0)))
+      def hm(x: Double): Long =
+        (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          * BigDecimal(2000000)).toLongExact
+      val (mu2, sig1) = (hm(mu), hm(sigma) / 2)
+      val (thHi, thLo, alarmH) = (mu2 + sig1, mu2 - sig1, 5 * sig1)
+      var (sHi, sLo) = (0L, 0L)
+      rows.sortBy(_._2).foreach { case (_, b, v) =>
+        sHi = math.max(0L, sHi + hm(v) - thHi)
+        sLo = math.max(0L, sLo + thLo - hm(v))
+        val expect = (sHi.toDouble / 2000000.0, sLo.toDouble / 2000000.0,
+          sHi > alarmH || sLo > alarmH)
+        assert(out((g, b)) == expect, s"cusum mismatch at ($g, $b)")
+        if (sHi > alarmH || sLo > alarmH) anyAlarm = true
+      }
+    }
+    assert(out.size == base.length)
+    // the detector must actually fire somewhere, else the gate is vacuous
+    assert(anyAlarm, "no group ever alarms at sf0.001; spec is vacuous")
+  }
 }
