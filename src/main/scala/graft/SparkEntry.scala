@@ -122,6 +122,12 @@ object SparkEntry {
     "ts_cusum" -> ((s, d) =>
       Db.fromEvents(s, d).sum("error", "user").granularity(Day)
         .buildCusum(h = 2.5)),
+    // streamed per-point CUSUM: batch-calibrated int64 thresholds
+    // stream-static-joined, two-long integer state per series — the
+    // eighteenth streamed driver entry, bit-equal to the batch
+    // drawdown windows by integer construction
+    "ts_cusum_streamed" -> ((s, d) =>
+      graft.streaming.StreamingCusum.streamedCusum(s, d, "signup")),
     // PromQL count_values: per-bucket census of exact values
     "ts_count_values" -> ((s, d) => Db.fromEvents(s, d).countValues("signup", Day)),
     "ts_hist_quantile" -> ((s, d) =>
@@ -1523,6 +1529,53 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |)
          |SELECT grp, bucket_start, value,
+         |  CAST(s_hi2 AS DOUBLE) / 2000000.0 AS s_hi,
+         |  CAST(s_lo2 AS DOUBLE) / 2000000.0 AS s_lo,
+         |  (s_hi2 > alarm_h2 OR s_lo2 > alarm_h2) AS alarm
+         |FROM m""".stripMargin,
+    // streamed per-point CUSUM: the batch drawdown windows over raw
+    // points re-derive the exact integers the two-long streamed state
+    // fold lands — a dropped or re-ordered cross-batch point breaks
+    // the running sums and fails the hash
+    "ts_cusum_streamed" ->
+      s"""$Ev, p AS (
+         |  SELECT concat_ws('|', tag_user, coalesce(tag_k, '∅')) AS series,
+         |         ts, value
+         |  FROM ev WHERE metric = 'signup'
+         |), st AS (
+         |  SELECT series,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mu,
+         |    round(sqrt(greatest((CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |      - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+         |      / COUNT(*), 0)), 6) AS sigma
+         |  FROM p GROUP BY series
+         |), t AS (
+         |  SELECT series,
+         |    CAST(CAST(mu AS DECIMAL(28,6)) * 2000000 AS BIGINT)
+         |      + 1 * CAST(CAST(sigma AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS th_hi2,
+         |    CAST(CAST(mu AS DECIMAL(28,6)) * 2000000 AS BIGINT)
+         |      - 1 * CAST(CAST(sigma AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS th_lo2,
+         |    5 * CAST(CAST(sigma AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS alarm_h2
+         |  FROM st
+         |), j AS (
+         |  SELECT p.series, p.ts, p.value,
+         |    CAST(CAST(p.value AS DECIMAL(28,6)) * 2000000 AS BIGINT) AS v2,
+         |    t.th_hi2, t.th_lo2, t.alarm_h2
+         |  FROM p JOIN t ON p.series = t.series
+         |), w AS (
+         |  SELECT *, SUM(v2 - th_hi2) OVER wr AS p_hi,
+         |            SUM(th_lo2 - v2) OVER wr AS p_lo
+         |  FROM j
+         |  WINDOW wr AS (PARTITION BY series ORDER BY ts, value
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), m AS (
+         |  SELECT *, p_hi - LEAST(0, MIN(p_hi) OVER wr) AS s_hi2,
+         |            p_lo - LEAST(0, MIN(p_lo) OVER wr) AS s_lo2
+         |  FROM w
+         |  WINDOW wr AS (PARTITION BY series ORDER BY ts, value
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT series, ts, value,
          |  CAST(s_hi2 AS DOUBLE) / 2000000.0 AS s_hi,
          |  CAST(s_lo2 AS DOUBLE) / 2000000.0 AS s_lo,
          |  (s_hi2 > alarm_h2 OR s_lo2 > alarm_h2) AS alarm

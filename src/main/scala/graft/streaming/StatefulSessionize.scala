@@ -65,34 +65,8 @@ object StatefulSessionize {
       s"${Integer.toHexString(sfDir.hashCode)}_$fp"
     val done = Paths.get(path, "_DONE")
     if (!Files.exists(done)) {
-      val landing = Paths.get(s"$path.landing")
-      if (!Files.exists(landing.resolve("_READY"))) {
-        val raw = spark.read.parquet(s"$sfDir/events.parquet")
-        val tsNs = graft.tsdb.Db.tsNs(raw.schema)
-        val ev = raw.withColumn("_tsns", tsNs)
-        // two-value driver read: the span bounds, not the data
-        val Array(lo, hi) = ev.agg(min(col("_tsns")), max(col("_tsns")))
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        val span = math.max(hi - lo + 1, 4L)
-        Files.createDirectories(landing)
-        for (i <- 0 until 4) {
-          val a = lo + span * i / 4
-          val b = if (i == 3) hi + 1 else lo + span * (i + 1) / 4
-          val tmp = s"$path.chunk_$i"
-          ev.where(col("_tsns") >= a && col("_tsns") < b).drop("_tsns")
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .head.toPath
-          val dst = landing.resolve(f"chunk_$i%d.parquet")
-          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-          // ascending mtimes = deterministic oldest-first replay order
-          Files.setLastModifiedTime(dst,
-            FileTime.fromMillis(1704067200000L + i * 60000L))
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-        }
-        Files.createFile(landing.resolve("_READY"))
-      }
+      val landing =
+        Paths.get(TimeChunkedLanding.ensure(spark, sfDir, path))
       val stream = spark.readStream
         .schema(spark.read.parquet(landing.toString).schema)
         .option("maxFilesPerTrigger", 1)
