@@ -1210,14 +1210,24 @@ object Bench {
     val n = sys.env.getOrElse("SPARK_GRAFT_INGEST_POINTS", "10000000").toLong
     val metrics = array(Seq("cpu.user", "cpu.sys", "mem.free", "disk.io",
       "net.rx", "net.tx", "load.one", "io.wait").map(lit): _*)
-    val synth = spark.range(n).select(
+    def synthFrame(count: Long) = spark.range(count).select(
       element_at(metrics, (col("id") % 8 + 1).cast("int")).as("metric"),
       (lit(1704067200000000000L) + col("id") * 700000000L).as("ts"),
       (col("id") % 997).cast("double").as("value"),
       (col("id") % 1000).cast("string").as("tag_user"))
+    // untimed n/10 warm-up first: after ~200 query executions the
+    // codegen cache and JIT state this write path needs are cold (and
+    // the heap fragmented), which measured as a 3-6x throughput swing
+    // for the SAME write; the timed number should be steady-state
+    // throughput — the reference's resident-process writer never pays
+    // first-run compilation either
     clean(s"$base/synthetic")
+    graft.tsdb.Ingest.write(new graft.tsdb.Db(synthFrame(n / 10)),
+      s"$base/synthetic")
+    clean(s"$base/synthetic")
+    System.gc()
     val synthSec = timed {
-      graft.tsdb.Ingest.write(new graft.tsdb.Db(synth), s"$base/synthetic")
+      graft.tsdb.Ingest.write(new graft.tsdb.Db(synthFrame(n)), s"$base/synthetic")
     }
     System.gc()
     // --- real events through the batch path ---

@@ -128,6 +128,10 @@ object SparkEntry {
     // drawdown windows by integer construction
     "ts_cusum_streamed" -> ((s, d) =>
       graft.streaming.StreamingCusum.streamedCusum(s, d, "signup")),
+    // SRE dual-window error-budget burn: one scan, one shuffle,
+    // integer counts + trailing frames, two IEEE divisions per row
+    "ts_burnrate" -> ((s, d) =>
+      Db.fromEvents(s, d).burnRate("error", "view", "user", Day)),
     // PromQL count_values: per-bucket census of exact values
     "ts_count_values" -> ((s, d) => Db.fromEvents(s, d).countValues("signup", Day)),
     "ts_hist_quantile" -> ((s, d) =>
@@ -349,6 +353,9 @@ object SparkEntry {
     // RFM segmentation: customer-grain aggregate + one-row broadcast
     // quartile boundaries — never an ntile through a single partition
     "q_rfm" -> ((s, d) => graft.operators.Analytics.rfm(s, d)),
+    // per-cohort median time-to-convert: equi-join + post-filter
+    // (never a range join), percentile parity recipe on the median
+    "q_funnel_time" -> ((s, d) => graft.operators.Analytics.funnelTime(s, d)),
     // streamed twin: per-user last-event state carries transitions
     // across micro-batch boundaries; same oracle as the batch matrix
     "q_event_transitions_streamed" -> ((s, d) =>
@@ -1580,6 +1587,36 @@ object SparkEntry {
          |  CAST(s_lo2 AS DOUBLE) / 2000000.0 AS s_lo,
          |  (s_hi2 > alarm_h2 OR s_lo2 > alarm_h2) AS alarm
          |FROM m""".stripMargin,
+    // SRE dual-window burn rate: integer counts and trailing sums,
+    // burn = (err/tot)/(1-slo) as identical IEEE chains; zero
+    // denominators yield NULL and never alarm
+    "ts_burnrate" ->
+      s"""$Ev, c AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |    CAST(SUM(CASE WHEN metric = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+         |    CAST(SUM(CASE WHEN metric = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_tot
+         |  FROM ev WHERE metric IN ('error', 'view') AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), t AS (
+         |  SELECT *,
+         |    CAST(SUM(n_err) OVER wr AS BIGINT) AS err_l,
+         |    CAST(SUM(n_tot) OVER wr AS BIGINT) AS tot_l
+         |  FROM c
+         |  WINDOW wr AS (PARTITION BY grp ORDER BY bucket_start
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |), b AS (
+         |  SELECT grp, bucket_start, n_err, n_tot,
+         |    CASE WHEN n_tot = 0 THEN NULL
+         |         ELSE (CAST(n_err AS DOUBLE) / CAST(n_tot AS DOUBLE))
+         |              / (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) END AS burn_short,
+         |    CASE WHEN tot_l = 0 THEN NULL
+         |         ELSE (CAST(err_l AS DOUBLE) / CAST(tot_l AS DOUBLE))
+         |              / (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) END AS burn_long
+         |  FROM t
+         |)
+         |SELECT grp, bucket_start, n_err, n_tot, burn_short, burn_long,
+         |  coalesce(burn_short > 1 AND burn_long > 1, FALSE) AS alarm
+         |FROM b""".stripMargin,
     // exact-value census: no arithmetic on the double, so grouping is
     // bit-stable on both engines by construction
     "ts_count_values" ->
@@ -2234,6 +2271,28 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM tc WHERE event_type = 'purchase' AND touch IS NOT NULL
         |GROUP BY touch""".stripMargin,
+    // funnel latency: first-signup per user, earliest at-or-after
+    // purchase via equi-join + filter, int64 second gaps, cohort
+    // median through the quantile_cont + round-6 parity recipe
+    "q_funnel_time" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+        |), s AS (
+        |  SELECT user_id, MIN(ts) AS from_ts FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, s.from_ts, MIN(e.ts) AS to_ts
+        |  FROM ev e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s.from_ts
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT (from_ts // 86400000000000) * 86400000000000 AS cohort_day,
+        |         (to_ts - from_ts) // 1000000000 AS delta_s
+        |  FROM c
+        |)
+        |SELECT cohort_day, COUNT(*) AS n_conv,
+        |       round(quantile_cont(CAST(delta_s AS DOUBLE), 0.5), 6) AS median_s
+        |FROM d GROUP BY 1""".stripMargin,
     // RFM: recency in pure int64 nanosecond div, quantile_cont +
     // round-6 quartiles (the ts_quantile parity recipe), scores as
     // boolean-to-int sums on bit-identical operands

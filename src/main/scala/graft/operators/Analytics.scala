@@ -1262,6 +1262,49 @@ object Analytics {
         sum(col("value").cast("decimal(28,6)")).cast("double").as("revenue"))
   }
 
+  /** Time-to-convert funnel latency: per user, the gap between their
+    * FIRST `fromType` event and their first `toType` event at-or-after
+    * it, rolled up per signup-day cohort as a conversion count and the
+    * median gap in seconds — the "how long does onboarding take, and
+    * is it getting slower for new cohorts" read [[funnel]]'s pure
+    * counts can't answer.
+    *
+    * Scale shape: the first-`fromType` frame is a user-grain aggregate
+    * (one user shuffle, map-side combine); conversions come from an
+    * EQUI-join of `toType` events on the user key with the inequality
+    * as a post-join filter — never a range join, and never a window
+    * over the merged stream that would re-shuffle all event types;
+    * a second user-grain aggregate takes the earliest qualifying
+    * conversion. Gaps are pure int64 nanosecond arithmetic (`div` on
+    * non-negative operands); the cohort median rides the
+    * exact-interpolated `percentile` + round-6 parity recipe (15g)
+    * over the cohort-day-grain frame. Users who never convert simply
+    * drop from the inner join — the funnel denominator lives in
+    * [[funnelSteps]], this operator measures latency.
+    */
+  def funnelTime(spark: SparkSession, dir: String,
+                 fromType: String = "signup",
+                 toType: String = "purchase"): DataFrame = {
+    val day = 86400L * 1000000000L
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("user_id"),
+      graft.tsdb.Db.tsNs(raw.schema).as("ts"), col("event_type"))
+    val first = ev.where(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("from_ts"))
+    val conv = ev.where(col("event_type") === toType)
+      .join(first, Seq("user_id"))
+      .where(col("ts") >= col("from_ts"))
+      .groupBy(col("user_id"), col("from_ts"))
+      .agg(min(col("ts")).as("to_ts"))
+    conv
+      .select((expr(s"from_ts div ${day}L") * lit(day)).as("cohort_day"),
+        expr("(to_ts - from_ts) div 1000000000").as("delta_s"))
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_conv"),
+        round(expr("percentile(cast(delta_s as double), 0.5d)"), 6)
+          .as("median_s"))
+  }
+
   /** RFM customer segmentation — per customer: recency (days since
     * their last order, relative to the corpus's latest order),
     * frequency (order count), monetary (exact-decimal lifetime spend),

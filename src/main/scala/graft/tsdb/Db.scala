@@ -999,6 +999,61 @@ final class Db(val frame: DataFrame) {
       .where(col("x").isNotNull && col("y").isNotNull)
   }
 
+  /** Multi-window SLO burn rate — the Google SRE-workbook alerting
+    * surface: per (group, bucket), the error-budget burn
+    * `(errors/total) / (1 − slo)` over the bucket itself (the SHORT
+    * window — catches fast burns) and over the trailing `longBuckets`
+    * frame (the LONG window — rides out blips), alarming only when
+    * BOTH exceed 1 — the dual-window condition that kills the
+    * false-page/slow-page trade every single-window alert forces.
+    * The reference has no SLO layer; this composes its counter
+    * surface the way [[ratioAligned]] composes its binary-op surface.
+    *
+    * Scale shape: ONE scan (`metric IN (err, total)`), ONE
+    * (group, bucket) shuffle computing both counts as conditional
+    * aggregates side by side, then one ROWS-frame window pass on the
+    * bucket-grain frame (the [[AggBuilder.buildTrailing]] posture —
+    * missing buckets compress the frame, documented). Counts and
+    * trailing sums are pure integers; each burn is exact ints →
+    * two IEEE divisions — bit-identical on any engine; a zero
+    * denominator yields NULL burn (no SLI exists) and never alarms,
+    * the [[zscore]] σ=0 contract.
+    */
+  def burnRate(errMetric: String, totalMetric: String, groupBy: String,
+               widthNs: Long, slo: Double = 0.9,
+               longBuckets: Int = 3): DataFrame = {
+    require(slo > 0 && slo < 1, s"slo must be in (0,1), got $slo")
+    require(longBuckets >= 1, "longBuckets must be >= 1")
+    import org.apache.spark.sql.{functions => F}
+    val e = Db.validated(errMetric); val t = Db.validated(totalMetric)
+    val grpCol = tagCol(groupBy)
+    def cnt(m: String) =
+      F.sum(when(col("metric") === lit(m), lit(1L)).otherwise(lit(0L)))
+    val base = frame
+      .where(col("metric") === lit(e) || col("metric") === lit(t))
+      .where(grpCol.isNotNull)
+      .groupBy(grpCol.as("grp"),
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"))
+      .agg(cnt(e).as("n_err"), cnt(t).as("n_tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("bucket_start"))
+      .rowsBetween(-(longBuckets - 1).toLong,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def burn(err: Column, tot: Column): Column =
+      when(tot === lit(0L), lit(null).cast("double"))
+        .otherwise((err.cast("double") / tot.cast("double"))
+          / (lit(1.0) - lit(slo)))
+    base
+      .withColumn("err_l", F.sum(col("n_err")).over(w))
+      .withColumn("tot_l", F.sum(col("n_tot")).over(w))
+      .withColumn("burn_short", burn(col("n_err"), col("n_tot")))
+      .withColumn("burn_long", burn(col("err_l"), col("tot_l")))
+      .select(col("grp"), col("bucket_start"), col("n_err"), col("n_tot"),
+        col("burn_short"), col("burn_long"),
+        coalesce(col("burn_short") > lit(1.0) && col("burn_long") > lit(1.0),
+          lit(false)).as("alarm"))
+  }
+
   /** Cross-metric per-bucket RATIO — the PromQL binary-operator
     * surface (`a / b` with `on(group)` vector matching): error rate =
     * errors ÷ requests per host, cache hit ratio, conversion rate.

@@ -702,6 +702,39 @@ class AnalyticsSpec extends SparkSpec {
     out.zip(brute).foreach { case (a, b) => assert(math.abs(a._3 - b._3) < 1e-6) }
   }
 
+  test("funnelTime: brute first-signup-to-first-purchase recompute per cohort") {
+    val day = 86400L * 1000000000L
+    val out = Analytics.funnelTime(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.nonEmpty)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = raw.select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val deltas = ev.groupBy(_._1).values.flatMap { rows =>
+      val signups = rows.filter(_._3 == "signup").map(_._2)
+      if (signups.isEmpty) None
+      else {
+        val s = signups.min
+        val purch = rows.filter(r => r._3 == "purchase" && r._2 >= s).map(_._2)
+        if (purch.isEmpty) None else Some((s / day * day, (purch.min - s) / 1000000000L))
+      }
+    }.toSeq
+    def quant(vs: Array[Double], q: Double): Double = {
+      val s = vs.sorted
+      val pos = (s.length - 1) * q
+      val (lo, frac) = (pos.toInt, pos - pos.toInt)
+      val raw = if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = deltas.groupBy(_._1).map { case (c, g) =>
+      c -> ((g.size.toLong, quant(g.map(_._2.toDouble).toArray, 0.5)))
+    }
+    assert(out == expected)
+    // latency must be non-trivial somewhere or the median is meaningless
+    assert(deltas.exists(_._2 > 0), "every conversion is instant; spec is vacuous")
+  }
+
   test("rfm: brute per-customer recompute with interpolated quartiles; broadcast plan") {
     val df = Analytics.rfm(spark, sfDir)
     val out = df.collect().map(r => (r.getLong(0),

@@ -1138,4 +1138,41 @@ class TsdbOpsSpec extends SparkSpec {
     // the detector must actually fire somewhere, else the gate is vacuous
     assert(anyAlarm, "no group ever alarms at sf0.001; spec is vacuous")
   }
+
+  test("burnRate: brute dual-window recompute; alarms non-degenerate") {
+    val day = 86400L * 1000000000L
+    val out = Db.fromEvents(spark, sfDir).burnRate("error", "view", "user", day)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getBoolean(6)))).toMap
+    assert(out.nonEmpty)
+    val ev = Db.fromEvents(spark, sfDir).frame
+      .where(col("metric").isin("error", "view") && col("tag_user").isNotNull)
+      .select(col("tag_user"), col("ts"), col("metric")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / day * day, r.getString(2)))
+    val counts = ev.groupBy(e => (e._1, e._2)).map { case (k, rows) =>
+      (k._1, k._2, rows.count(_._3 == "error").toLong,
+        rows.count(_._3 == "view").toLong)
+    }.toArray
+    def burn(e: Long, t: Long): Option[Double] =
+      if (t == 0L) None else Some((e.toDouble / t.toDouble) / (1.0 - 0.9))
+    var (fired, quiet) = (0, 0)
+    counts.groupBy(_._1).foreach { case (g, rows) =>
+      val seq = rows.sortBy(_._2)
+      seq.zipWithIndex.foreach { case ((_, b, ne, nt), i) =>
+        val win = seq.slice(math.max(0, i - 2), i + 1)
+        val (el, tl) = (win.map(_._3).sum, win.map(_._4).sum)
+        val (bs, bl) = (burn(ne, nt), burn(el, tl))
+        val alarm = bs.exists(_ > 1) && bl.exists(_ > 1)
+        assert(out((g, b)) == ((ne, nt, bs, bl, alarm)), s"burn mismatch at ($g, $b)")
+        if (alarm) fired += 1 else quiet += 1
+      }
+    }
+    assert(fired + quiet == out.size)
+    assert(fired > 0 && quiet > 0,
+      s"degenerate alarm split ($fired fired / $quiet quiet); the gate proves nothing")
+  }
 }
