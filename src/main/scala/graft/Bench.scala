@@ -337,7 +337,12 @@ object Bench {
     // q_event_transitions' curve), the customer-grain RFM aggregate
     // (orders-scan-linear, one-row broadcast boundaries), and the
     // heatmap grid (ts_histogram's curve with a bounded bucket axis)
-    "q_attribution", "q_path_topk", "q_rfm", "ts_heatmap")
+    "q_attribution", "q_path_topk", "q_rfm", "ts_heatmap",
+    // fifth batch: the CUSUM window pass (bucket-grain frame — should
+    // track ts_trailing), the burn-rate conditional-count aggregate
+    // (ts_ratio's alignment shape plus one frame pass), and the
+    // funnel-latency equi-join (user-grain reduce, q_funnel's curve)
+    "ts_cusum", "ts_burnrate", "q_funnel_time")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost

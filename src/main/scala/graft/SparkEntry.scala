@@ -2293,8 +2293,10 @@ object SparkEntry {
         |SELECT cohort_day, COUNT(*) AS n_conv,
         |       round(quantile_cont(CAST(delta_s AS DOUBLE), 0.5), 6) AS median_s
         |FROM d GROUP BY 1""".stripMargin,
-    // RFM: recency in pure int64 nanosecond div, quantile_cont +
-    // round-6 quartiles (the ts_quantile parity recipe), scores as
+    // RFM: one customer-grain pass + ONE bounded boundary aggregate;
+    // recency scored on the last_day axis via the linear-transform
+    // identity (reversed comparisons), quantile_cont + round-6
+    // quartiles (the ts_quantile parity recipe), scores as
     // boolean-to-int sums on bit-identical operands
     "q_rfm" ->
       """WITH o AS (
@@ -2302,39 +2304,36 @@ object SparkEntry {
         |         o_totalprice
         |  FROM orders
         |), c AS (
-        |  SELECT cust_key, MAX(ns) AS last_ns, COUNT(*) AS frequency,
+        |  SELECT cust_key, MAX(ns) // 86400000000000 AS last_day,
+        |         COUNT(*) AS frequency,
         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
         |           AS monetary
         |  FROM o GROUP BY 1
-        |), r AS (
-        |  SELECT cust_key,
-        |         ((SELECT MAX(last_ns) FROM c) - last_ns) // 86400000000000
-        |           AS recency_days,
-        |         frequency, monetary
-        |  FROM c
         |), b AS (
-        |  SELECT round(quantile_cont(CAST(recency_days AS DOUBLE), 0.25), 6) AS r25,
-        |         round(quantile_cont(CAST(recency_days AS DOUBLE), 0.5), 6) AS r50,
-        |         round(quantile_cont(CAST(recency_days AS DOUBLE), 0.75), 6) AS r75,
+        |  SELECT MAX(last_day) AS now_day,
+        |         round(quantile_cont(CAST(last_day AS DOUBLE), 0.25), 6) AS l25,
+        |         round(quantile_cont(CAST(last_day AS DOUBLE), 0.5), 6) AS l50,
+        |         round(quantile_cont(CAST(last_day AS DOUBLE), 0.75), 6) AS l75,
         |         round(quantile_cont(CAST(frequency AS DOUBLE), 0.25), 6) AS f25,
         |         round(quantile_cont(CAST(frequency AS DOUBLE), 0.5), 6) AS f50,
         |         round(quantile_cont(CAST(frequency AS DOUBLE), 0.75), 6) AS f75,
         |         round(quantile_cont(monetary, 0.25), 6) AS m25,
         |         round(quantile_cont(monetary, 0.5), 6) AS m50,
         |         round(quantile_cont(monetary, 0.75), 6) AS m75
-        |  FROM r
+        |  FROM c
         |), s AS (
-        |  SELECT cust_key, recency_days, frequency, monetary,
-        |    1 + CAST(CAST(recency_days AS DOUBLE) > r25 AS INT)
-        |      + CAST(CAST(recency_days AS DOUBLE) > r50 AS INT)
-        |      + CAST(CAST(recency_days AS DOUBLE) > r75 AS INT) AS r_score,
+        |  SELECT cust_key, now_day - last_day AS recency_days,
+        |         frequency, monetary,
+        |    1 + CAST(CAST(last_day AS DOUBLE) < l75 AS INT)
+        |      + CAST(CAST(last_day AS DOUBLE) < l50 AS INT)
+        |      + CAST(CAST(last_day AS DOUBLE) < l25 AS INT) AS r_score,
         |    1 + CAST(CAST(frequency AS DOUBLE) > f25 AS INT)
         |      + CAST(CAST(frequency AS DOUBLE) > f50 AS INT)
         |      + CAST(CAST(frequency AS DOUBLE) > f75 AS INT) AS f_score,
         |    1 + CAST(CAST(monetary AS DOUBLE) > m25 AS INT)
         |      + CAST(CAST(monetary AS DOUBLE) > m50 AS INT)
         |      + CAST(CAST(monetary AS DOUBLE) > m75 AS INT) AS m_score
-        |  FROM r CROSS JOIN b
+        |  FROM c CROSS JOIN b
         |)
         |SELECT cust_key, recency_days, frequency, monetary,
         |       r_score, f_score, m_score,

@@ -1315,21 +1315,31 @@ object Analytics {
     * star schema the way [[q10Returns]] does.
     *
     * Scale shape: ONE orders scan collapses to the customer-grain
-    * frame (one custkey shuffle, map-side combine); the global
-    * latest-order timestamp and the nine quartile boundaries are each
-    * ONE-ROW bounded aggregates broadcast back (never a global window
-    * — an `ntile(5)` formulation would funnel every customer through a
-    * single partition). Recency is pure int64 nanosecond arithmetic
+    * frame (one custkey shuffle, map-side combine), and ONE bounded
+    * one-row aggregate over it computes the corpus "now" AND all nine
+    * quartile boundaries together, broadcast back (never a global
+    * window — an `ntile(5)` formulation would funnel every customer
+    * through a single partition). Recency needs no second pass: with
+    * `last_day = last_ns div day` (order dates are day-aligned, so
+    * this commutes with the subtraction) the linear-transform identity
+    * `quantile_p(now − X) = now − quantile_{1−p}(X)` lets recency be
+    * SCORED directly against the `last_day` quartiles — older last
+    * order ⇒ smaller `last_day` ⇒ more `<` comparisons true ⇒ higher
+    * r_score, the same direction as scoring recency itself (a naive
+    * recency-quartile formulation costs an extra full pass over the
+    * customer frame just to materialize `now` first — this one's plan
+    * has exactly two aggregates, total). Day arithmetic is pure int64
     * (`div` on positive operands — engine-exact); quartiles ride the
     * exact-interpolated `percentile` + round-6 recipe whose
     * cross-engine parity ts_quantile proves (exact percentile buffers
     * the customer-grain frame in the one-row reduce — at true corpus
     * scale swap in approx_percentile under a band gate, the 15g/15t
-    * treatment); scores are `1 + Σ(v > q_k)` — boolean-to-int sums on
+    * treatment); scores are `1 + Σ(boolean)` — boolean-to-int sums on
     * bit-identical operands, so a boundary can never flip between
     * engines.
     */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val ns = expr("unix_micros(cast(o_orderdate as timestamp)) * 1000")
     val cust = orders
@@ -1337,16 +1347,14 @@ object Analytics {
       .agg(max(ns).as("last_ns"), count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
           .as("monetary"))
-    val now = cust.agg(max(col("last_ns")).as("now_ns"))
-    val rf = cust.crossJoin(broadcast(now))
-      .select(col("cust_key"),
-        expr("(now_ns - last_ns) div 86400000000000").as("recency_days"),
+      .select(col("cust_key"), expr(s"last_ns div ${dayNs}L").as("last_day"),
         col("frequency"), col("monetary"))
     def q(c: String, p: Double, as: String) =
       round(expr(s"percentile(cast($c as double), ${p}d)"), 6).as(as)
-    val bounds = rf.agg(
-      q("recency_days", 0.25, "r25"), q("recency_days", 0.5, "r50"),
-      q("recency_days", 0.75, "r75"),
+    val bounds = cust.agg(
+      max(col("last_day")).as("now_day"),
+      q("last_day", 0.25, "l25"), q("last_day", 0.5, "l50"),
+      q("last_day", 0.75, "l75"),
       q("frequency", 0.25, "f25"), q("frequency", 0.5, "f50"),
       q("frequency", 0.75, "f75"),
       q("monetary", 0.25, "m25"), q("monetary", 0.5, "m50"),
@@ -1355,10 +1363,17 @@ object Analytics {
       (lit(1) + (col(c).cast("double") > col(s"${p}25")).cast("int")
         + (col(c).cast("double") > col(s"${p}50")).cast("int")
         + (col(c).cast("double") > col(s"${p}75")).cast("int"))
-    rf.crossJoin(broadcast(bounds))
-      .select(col("cust_key"), col("recency_days"), col("frequency"),
-        col("monetary"),
-        score("recency_days", "r").as("r_score"),
+    // recency scored on the last_day axis (reversed comparisons — the
+    // linear-transform identity above)
+    def rScore =
+      (lit(1) + (col("last_day").cast("double") < col("l75")).cast("int")
+        + (col("last_day").cast("double") < col("l50")).cast("int")
+        + (col("last_day").cast("double") < col("l25")).cast("int"))
+    cust.crossJoin(broadcast(bounds))
+      .select(col("cust_key"),
+        (col("now_day") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary"),
+        rScore.as("r_score"),
         score("frequency", "f").as("f_score"),
         score("monetary", "m").as("m_score"))
       .withColumn("segment",

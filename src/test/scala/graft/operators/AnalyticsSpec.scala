@@ -748,14 +748,11 @@ class AnalyticsSpec extends SparkSpec {
         col("o_totalprice")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val cust = raw.groupBy(_._1).map { case (k, rows) =>
-      (k, rows.map(_._2).max, rows.length.toLong,
+      (k, rows.map(_._2).max / 86400000000000L, rows.length.toLong,
         rows.map(x => BigDecimal(x._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
           .sum.toDouble)
     }.toArray
-    val nowNs = cust.map(_._2).max
-    val rf = cust.map { case (k, last, freq, mon) =>
-      (k, (nowNs - last) / 86400000000000L, freq, mon)
-    }
+    val nowDay = cust.map(_._2).max
     def quant(vs: Array[Double], q: Double): Double = {
       val s = vs.sorted
       val pos = (s.length - 1) * q
@@ -764,18 +761,22 @@ class AnalyticsSpec extends SparkSpec {
       BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     def qs(vs: Array[Double]) = (quant(vs, 0.25), quant(vs, 0.5), quant(vs, 0.75))
-    val (rq, fq, mq) = (qs(rf.map(_._2.toDouble)), qs(rf.map(_._3.toDouble)),
-      qs(rf.map(_._4)))
+    val (lq, fq, mq) = (qs(cust.map(_._2.toDouble)), qs(cust.map(_._3.toDouble)),
+      qs(cust.map(_._4)))
     def score(v: Double, q: (Double, Double, Double)) =
       1 + (if (v > q._1) 1 else 0) + (if (v > q._2) 1 else 0) +
         (if (v > q._3) 1 else 0)
-    rf.foreach { case (k, rec, freq, mon) =>
-      val (r, f, m) = (score(rec.toDouble, rq), score(freq.toDouble, fq),
+    // recency scored on the last_day axis: older ⇒ smaller ⇒ higher
+    def rScore(lastDay: Double) =
+      1 + (if (lastDay < lq._3) 1 else 0) + (if (lastDay < lq._2) 1 else 0) +
+        (if (lastDay < lq._1) 1 else 0)
+    cust.foreach { case (k, lastDay, freq, mon) =>
+      val (r, f, m) = (rScore(lastDay.toDouble), score(freq.toDouble, fq),
         score(mon, mq))
-      assert(out(k) == ((rec, freq, mon, r, f, m, r * 100 + f * 10 + m)),
-        s"customer $k mismatch: got ${out(k)}")
+      assert(out(k) == ((nowDay - lastDay, freq, mon, r, f, m,
+        r * 100 + f * 10 + m)), s"customer $k mismatch: got ${out(k)}")
     }
-    assert(out.size == rf.length)
+    assert(out.size == cust.length)
     // every one-row side must ride a broadcast, never a shuffled join
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
