@@ -342,7 +342,9 @@ object Bench {
     // track ts_trailing), the burn-rate conditional-count aggregate
     // (ts_ratio's alignment shape plus one frame pass), and the
     // funnel-latency equi-join (user-grain reduce, q_funnel's curve)
-    "ts_cusum", "ts_burnrate", "q_funnel_time")
+    "ts_cusum", "ts_burnrate", "q_funnel_time",
+    // the bollinger window pass shares ts_trailing's frame shape
+    "ts_bollinger")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost

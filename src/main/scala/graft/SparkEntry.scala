@@ -132,6 +132,11 @@ object SparkEntry {
     // integer counts + trailing frames, two IEEE divisions per row
     "ts_burnrate" -> ((s, d) =>
       Db.fromEvents(s, d).burnRate("error", "view", "user", Day)),
+    // Bollinger band breakouts: trailing mean ± 2σ from one window
+    // pass of side-by-side decimal frame sums
+    "ts_bollinger" -> ((s, d) =>
+      Db.fromEvents(s, d).sum("click", "user").granularity(Day)
+        .buildBollinger()),
     // PromQL count_values: per-bucket census of exact values
     "ts_count_values" -> ((s, d) => Db.fromEvents(s, d).countValues("signup", Day)),
     "ts_hist_quantile" -> ((s, d) =>
@@ -1067,6 +1072,36 @@ object SparkEntry {
          |FROM a
          |WINDOW w AS (PARTITION BY grp ORDER BY bucket_start
          |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // Bollinger: trailing decimal frame sums (exact + associative, so
+    // segment-tree windows bit-match running folds), the stddev
+    // round-6 chain per frame, 2-op IEEE band edges
+    "ts_bollinger" ->
+      s"""$Ev
+         |, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |         COUNT(*) AS n, $SumV
+         |  FROM ev WHERE metric = 'click' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), t AS (
+         |  SELECT grp, bucket_start, n, value,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sq,
+         |    COUNT(*) OVER w AS wn
+         |  FROM a
+         |  WINDOW w AS (PARTITION BY grp ORDER BY bucket_start
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |), b AS (
+         |  SELECT grp, bucket_start, n, value,
+         |    round(s / wn, 6) AS mean_t,
+         |    round(sqrt(greatest((sq - s * s / wn) / wn, 0)), 6) AS sigma_t
+         |  FROM t
+         |)
+         |SELECT grp, bucket_start, n, value, mean_t, sigma_t,
+         |  mean_t - CAST(2.0 AS DOUBLE) * sigma_t AS lo,
+         |  mean_t + CAST(2.0 AS DOUBLE) * sigma_t AS hi,
+         |  (value < mean_t - CAST(2.0 AS DOUBLE) * sigma_t
+         |   OR value > mean_t + CAST(2.0 AS DOUBLE) * sigma_t) AS breakout
+         |FROM b""".stripMargin,
     // week-over-week: the bounded aggregated frame self-joined at a
     // 7-day offset; one IEEE ratio, + 0.0 canonicalized
     "ts_wow" ->

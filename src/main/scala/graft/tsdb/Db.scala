@@ -1414,6 +1414,48 @@ final case class AggBuilder(
         / count(lit(1)).over(w), 6))
   }
 
+  /** Bollinger band breakouts: per (group, bucket), the TRAILING
+    * `nBuckets` mean ± k·σ band and whether the bucket's value breaks
+    * it — the rolling-window anomaly read between [[Db.zscore]] (whose
+    * baseline is the bucket's own points) and [[buildCusum]] (which
+    * accumulates): the band adapts to recent level shifts, so a
+    * step-change stops alarming once the window absorbs it — the
+    * "alert on change, not on the new normal" posture.
+    *
+    * Scale shape: ONE series shuffle, ONE window pass computing the
+    * trailing Σv (decimal 28,6), Σv² (decimal 18,6 × 18,6 — exact) and
+    * count side by side over the same ROWS frame (missing buckets
+    * compress the frame, the [[buildTrailing]] contract). Decimal
+    * window sums are exact AND associative, so a segment-tree windowed
+    * aggregate bit-matches a running fold; the mean/σ chain is the
+    * [[AggKind.Stddev]] round-6 recipe applied per frame, and the band
+    * edges are a fixed 2-op IEEE chain on the rounded pair — identical
+    * on any engine, so the breakout comparison can never flip. Early
+    * buckets band against their partial frame (deterministic on both
+    * sides); a zero-σ frame yields `lo = hi = mean` and strict
+    * comparisons keep an exactly-on-band value quiet.
+    */
+  def buildBollinger(nBuckets: Int = 7, k: Double = 2.0): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(k > 0, "band multiplier must be > 0")
+    import org.apache.spark.sql.{functions => F}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("bucket_start"))
+      .rowsBetween(-(nBuckets - 1).toLong,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val s = F.sum(col("value").cast("decimal(28,6)")).over(w).cast("double")
+    val sq = F.sum(col("value").cast("decimal(18,6)") *
+      col("value").cast("decimal(18,6)")).over(w).cast("double")
+    val n = F.count(lit(1)).over(w)
+    build()
+      .withColumn("mean_t", round(s / n, 6))
+      .withColumn("sigma_t",
+        round(sqrt(greatest((sq - s * s / n) / n, lit(0.0))), 6))
+      .withColumn("lo", col("mean_t") - lit(k) * col("sigma_t"))
+      .withColumn("hi", col("mean_t") + lit(k) * col("sigma_t"))
+      .withColumn("breakout", col("value") < col("lo") || col("value") > col("hi"))
+  }
+
   /** Tukey-fence outlier buckets: per group, the buckets whose
     * aggregate value falls outside [Q1 − k·IQR, Q3 + k·IQR] — the
     * boxplot/IQR anomaly read ("which days were abnormal for this

@@ -1139,6 +1139,41 @@ class TsdbOpsSpec extends SparkSpec {
     assert(anyAlarm, "no group ever alarms at sf0.001; spec is vacuous")
   }
 
+  test("bollinger: brute trailing-band recompute; breakouts non-degenerate") {
+    val day = 86400L * 1000000000L
+    val agg = Db.fromEvents(spark, sfDir).sum("click", "user").granularity(day)
+    val out = agg.buildBollinger().collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getBoolean(8)))).toMap
+    assert(out.nonEmpty)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = agg.build().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    var (broke, quiet) = (0, 0)
+    base.groupBy(_._1).foreach { case (g, rows) =>
+      val seq = rows.sortBy(_._2)
+      seq.zipWithIndex.foreach { case ((_, b, v), i) =>
+        val win = seq.slice(math.max(0, i - 6), i + 1).map(_._3)
+        val dec = win.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        val s = dec.sum.toDouble
+        val sq = dec.map(d => d * d).sum.toDouble
+        val n = win.length
+        val mean = r6(s / n)
+        val sigma = r6(math.sqrt(math.max((sq - s * s / n) / n, 0.0)))
+        val (lo, hi) = (mean - 2.0 * sigma, mean + 2.0 * sigma)
+        val breakout = v < lo || v > hi
+        assert(out((g, b)) == ((v, mean, sigma, lo, hi, breakout)),
+          s"bollinger mismatch at ($g, $b)")
+        if (breakout) broke += 1 else quiet += 1
+      }
+    }
+    assert(broke + quiet == out.size)
+    assert(broke > 0 && quiet > 0,
+      s"degenerate breakout split ($broke/$quiet); the gate proves nothing")
+  }
+
   test("burnRate: brute dual-window recompute; alarms non-degenerate") {
     val day = 86400L * 1000000000L
     val out = Db.fromEvents(spark, sfDir).burnRate("error", "view", "user", day)
