@@ -415,7 +415,13 @@ object Bench {
     // round-9: SemDeDup at its corpus-sized nlist (√n — 16→45→447
     // across the curve); the semantic_counts key carries the per-cell
     // pair volume that proves the sizing bounds intra-cell work
-    "dedup_semantic" -> SparkEntry.queries("dedup_semantic"))
+    "dedup_semantic" -> SparkEntry.queries("dedup_semantic"),
+    // fifth continuation: the three new alerting shapes at 100× —
+    // each is a scan + bucket-grain frame, so the curves should stay
+    // scan-bound like ts_avg's (the detectors' 100 TB viability claim)
+    "ts_cusum" -> SparkEntry.queries("ts_cusum"),
+    "ts_burnrate" -> SparkEntry.queries("ts_burnrate"),
+    "ts_bollinger" -> SparkEntry.queries("ts_bollinger"))
 
   /** Short codes in the JSON (the compact final line has a byte
     * budget); the full reasons are printed as a comment line by

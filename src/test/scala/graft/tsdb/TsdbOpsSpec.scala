@@ -1174,6 +1174,64 @@ class TsdbOpsSpec extends SparkSpec {
       s"degenerate breakout split ($broke/$quiet); the gate proves nothing")
   }
 
+  test("cusum: planted sustained shift alarms; the stable sibling never does") {
+    val day = 86400L * 1000000000L
+    // A: flat 10.0 for 30 days (σ=0 — the degenerate-quiet case);
+    // B: 10.0 for 25 days then a 5-day +2.7σ-total drift to 13.0 — the
+    // incident is SHORT relative to history, so the calibration's
+    // lower threshold sits below the baseline and the pre-shift
+    // segment stays quiet (a balanced 15/15 step would correctly trip
+    // the LOW side pre-shift: both halves drift vs the global mean)
+    val rows = (0 until 30).flatMap { i =>
+      Seq(("m", i * day + 1L, 10.0, "A"),
+        ("m", i * day + 1L, if (i < 25) 10.0 else 13.0, "B"))
+    }
+    val out = db(rows).sum("m", "user").granularity(day)
+      .buildCusum(h = 2.5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(5)))
+    assert(out.count(_._1 == "A") == 30 && out.count(_._1 == "B") == 30)
+    assert(!out.exists(t => t._1 == "A" && t._3), "stable series must never alarm")
+    val bAlarms = out.filter(t => t._1 == "B" && t._3).map(_._2)
+    assert(bAlarms.nonEmpty, "sustained +2 shift must trip the CUSUM")
+    // the alarm starts strictly AFTER the shift (never before day 25)
+    assert(bAlarms.min >= 25 * day, "alarm before the shift happened")
+  }
+
+  test("bollinger: planted spike breaks the band once; the band then absorbs it") {
+    val day = 86400L * 1000000000L
+    val rows = (0 until 30).map { i =>
+      ("m", i * day + 1L, if (i == 20) 30.0 else 10.0, "A")
+    }
+    val out = db(rows).sum("m", "user").granularity(day)
+      .buildBollinger().collect()
+      .map(r => (r.getLong(1) / day, r.getBoolean(8))).toMap
+    assert(out(20), "the spike bucket must break the trailing band")
+    // before the spike the series is flat (σ=0, strict compare: quiet);
+    // after, the spike sits INSIDE the window and widens the band
+    assert((0 until 20).forall(i => !out(i)), "flat prefix must stay quiet")
+    assert((21 until 27).forall(i => !out(i)),
+      "the widened band must absorb the level the spike set")
+  }
+
+  test("burnRate: planted fast burn pages during the incident and stops after") {
+    val day = 86400L * 1000000000L
+    // 100 views/day throughout; 1 error/day except a 3-day incident of
+    // 50/day at days 10-12 (ratio 0.5 ≫ the 0.1 budget)
+    val rows = (0 until 20).flatMap { i =>
+      val errs = if (i >= 10 && i <= 12) 50 else 1
+      (0 until 100).map(j => ("view", i * day + j * 1000L + 1L, 1.0, "A")) ++
+        (0 until errs).map(j => ("error", i * day + j * 1000L + 2L, 1.0, "A"))
+    }
+    val out = db(rows).burnRate("error", "view", "user", day).collect()
+      .map(r => (r.getLong(1) / day, r.getBoolean(6))).toMap
+    assert((10 to 12).forall(out(_)), "every incident day must page")
+    assert((0 until 10).forall(i => !out(i)), "pre-incident days must stay quiet")
+    // two days after the incident leaves the 3-bucket long window,
+    // paging stops even though the short window alone would have
+    // stopped immediately — the dual-window contract both ways
+    assert((15 until 20).forall(i => !out(i)), "post-window days must stay quiet")
+  }
+
   test("burnRate: brute dual-window recompute; alarms non-degenerate") {
     val day = 86400L * 1000000000L
     val out = Db.fromEvents(spark, sfDir).burnRate("error", "view", "user", day)
