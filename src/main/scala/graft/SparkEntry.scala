@@ -361,6 +361,9 @@ object SparkEntry {
     // per-cohort median time-to-convert: equi-join + post-filter
     // (never a range join), percentile parity recipe on the median
     "q_funnel_time" -> ((s, d) => graft.operators.Analytics.funnelTime(s, d)),
+    // market-basket pair mining: co-partitioned self-join, bounded
+    // per-order fan-out, two-phase top-k
+    "q_copurchase" -> ((s, d) => graft.operators.Analytics.copurchase(s, d)),
     // streamed twin: per-user last-event state carries transitions
     // across micro-batch boundaries; same oracle as the batch matrix
     "q_event_transitions_streamed" -> ((s, d) =>
@@ -455,6 +458,11 @@ object SparkEntry {
     // duplicate-cluster size census: the dashboard-sized distribution
     // an operator reads before trusting a dedup run's keep rate
     "dedup_cluster_hist" -> ((s, d) => graft.operators.Dedup.clusterSizeHist(s, d)),
+    // dedup without losing the duplication signal: one keeper per
+    // cluster carrying cluster size as a training weight; Σweight
+    // equals the corpus row count by construction
+    "dedup_keepers_weighted" -> ((s, d) =>
+      graft.operators.Dedup.keepersWeighted(s, d)),
     "dedup_pipeline" -> ((s, d) => graft.operators.Dedup.pipeline(s, d)),
     "dedup_pipeline_quality" -> ((s, d) => graft.operators.Dedup.pipelineQuality(s, d)),
     "dedup_pipeline_simhash" -> ((s, d) => graft.operators.Dedup.pipelineSimhash(s, d)),
@@ -2328,6 +2336,18 @@ object SparkEntry {
         |SELECT cohort_day, COUNT(*) AS n_conv,
         |       round(quantile_cont(CAST(delta_s AS DOUBLE), 0.5), 6) AS median_s
         |FROM d GROUP BY 1""".stripMargin,
+    // co-purchase pairs: per-order DISTINCT item set, a < b self-join,
+    // deterministic (n desc, pair) cut
+    "q_copurchase" ->
+      """WITH i AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), pr AS (
+        |  SELECT a.p AS part_a, b.p AS part_b
+        |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+        |)
+        |SELECT part_a, part_b, COUNT(*) AS n_orders
+        |FROM pr GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     // RFM: one customer-grain pass + ONE bounded boundary aggregate;
     // recency scored on the last_day axis via the linear-transform
     // identity (reversed comparisons), quantile_cont + round-6
@@ -2934,6 +2954,15 @@ object SparkEntry {
         |SELECT cluster_size, COUNT(*) AS n_clusters
         |FROM (SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp)
         |GROUP BY 1""".stripMargin,
+    // weighted keepers: min-id keeper per component carries the
+    // component size; unpaired docs are weight-1 keepers of themselves
+    "dedup_keepers_weighted" ->
+      s"""$NgramClusterCtes
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS weight
+        |FROM documents d LEFT JOIN c ON c.id = d.doc_id
+        |WHERE c.id IS NULL
+        |UNION ALL
+        |SELECT MIN(id) AS doc_id, COUNT(*) AS weight FROM c GROUP BY comp""".stripMargin,
     // quality-ranked keeper: components re-derived recursively, the
     // quality score re-derived from text, the SAME (score desc, id)
     // per-cluster argmax, singletons via NOT IN the paired set

@@ -1262,6 +1262,35 @@ object Analytics {
         sum(col("value").cast("decimal(28,6)")).cast("double").as("revenue"))
   }
 
+  /** Market-basket co-purchase mining: the k part pairs most often
+    * ordered together — the "frequently bought with" read, the 2-item
+    * special case of frequent-itemset mining that covers most of what
+    * production recommenders actually deploy.
+    *
+    * Scale shape: the per-order item set is DISTINCT-ed first (one
+    * orderkey shuffle; "ordered together" counts an order once however
+    * many lineitems repeat a part), then the pair fan-out is a
+    * SELF-equi-join on the order key whose both sides are the same
+    * frame — co-partitioned by construction, so no second exchange —
+    * with `part_a < part_b` bounding output at C(items, 2) per order
+    * (order size is bounded by the schema, ~7 lineitems, so the blowup
+    * is a constant, never corpus-shaped); the census reduces with
+    * map-side combine and the final cut rides TakeOrderedAndProject
+    * (plan-spec'd), ties broken on the pair so the k boundary is
+    * engine-deterministic.
+    */
+  def copurchase(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val items = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey")).distinct()
+    items.select(col("o"), col("l_partkey").as("part_a"))
+      .join(items.select(col("o"), col("l_partkey").as("part_b")), Seq("o"))
+      .where(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** Time-to-convert funnel latency: per user, the gap between their
     * FIRST `fromType` event and their first `toType` event at-or-after
     * it, rolled up per signup-day cohort as a conversion count and the

@@ -1299,6 +1299,38 @@ object Dedup {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** Weighted keepers — dedup WITHOUT losing the duplication signal:
+    * one canonical document per near-dup cluster, carrying the cluster
+    * size as a `weight` column (unpaired documents keep weight 1).
+    * This is the loss-reweighting posture: training on the deduped
+    * corpus with per-example weights preserves the original data
+    * distribution's emphasis while paying each near-duplicate's
+    * compute exactly once — where a plain drop silently down-weights
+    * everything that was popular enough to be duplicated. Invariant
+    * (spec-pinned): Σweight == corpus row count.
+    *
+    * Scale shape: the labeled (paired) subset aggregates to one keeper
+    * row per cluster (min doc id, the [[pipeline]] canonical rule);
+    * the unpaired remainder comes from ONE left join of the corpus ids
+    * against the labels on the doc key — the doc-key shuffle that
+    * every split/labeling op in this library already pays, with no
+    * broadcast assumption on the paired set (the [[pipelineFrame]]
+    * lesson applied by construction).
+    */
+  def keepersWeighted(spark: SparkSession, dir: String,
+                      threshold: Double = 0.3): DataFrame = {
+    val labels = cluster(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val keepers = labels.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("weight"))
+      .select(col("doc_id"), col("weight"))
+    val unpaired = docs(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("weight"))
+    unpaired.unionByName(keepers)
+  }
+
   /** The dedup pipeline END-TO-END — what a training-data run actually
     * executes: MinHash-LSH near-dup pairs → connected components →
     * keep one canonical document per cluster (plus every unpaired

@@ -735,6 +735,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(deltas.exists(_._2 > 0), "every conversion is instant; spec is vacuous")
   }
 
+  test("copurchase: brute pair recompute; two-phase top-k plan") {
+    val df = Analytics.copurchase(spark, sfDir)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { case (a, b, _) => assert(a < b) }
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val counts = items.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, g) => (p._1, p._2, g.size.toLong) }
+    val expected = counts.toSeq.sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+    assert(out.toSeq == expected)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should plan as TakeOrderedAndProject:\n${plan.take(1200)}")
+  }
+
   test("rfm: brute per-customer recompute with interpolated quartiles; broadcast plan") {
     val df = Analytics.rfm(spark, sfDir)
     val out = df.collect().map(r => (r.getLong(0),

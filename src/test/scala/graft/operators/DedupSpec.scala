@@ -364,4 +364,27 @@ class DedupSpec extends SparkSpec {
       assert(s == bestByCluster(clusters(id)), s"doc $id is not the best of its cluster")
     }
   }
+
+  test("keepersWeighted: weights conserve corpus mass; keepers are cluster minima") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.keepersWeighted(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // THE invariant: reweighted training sees the original distribution
+    assert(out.values.sum == nDocs, "sum of weights must equal the corpus size")
+    val clusters = Dedup.cluster(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    byCluster.foreach { case (_, members) =>
+      val keeper = members.min
+      assert(out.contains(keeper) && out(keeper) == members.length.toLong,
+        s"keeper $keeper must carry its cluster size")
+      members.filter(_ != keeper).foreach(m =>
+        assert(!out.contains(m), s"non-keeper $m must not survive"))
+    }
+    // unpaired docs keep themselves at weight 1
+    val paired = clusters.map(_._1).toSet
+    out.filterNot(kv => paired.contains(kv._1)).values.foreach(w => assert(w == 1L))
+    assert(out.size == nDocs - paired.size + byCluster.size)
+  }
 }
