@@ -115,6 +115,10 @@ object SparkEntry {
     // Tukey-fence outlier buckets over the daily per-user error sums
     "ts_outliers_iqr" -> ((s, d) =>
       Db.fromEvents(s, d).sum("error", "user").granularity(Day).buildOutliersIqr()),
+    // consecutive-absence islands: one window pass + one aggregate
+    // over the absent pairs, int64 end to end
+    "ts_outage_runs" -> ((s, d) =>
+      Db.fromEvents(s, d).outageRuns("purchase", Day)),
     // Page's CUSUM drift detector: two stacked running windows via the
     // drawdown identity, pure int64 half-micro arithmetic; h=2.5 is
     // the short-window setting (the ~10-bucket daily series here never
@@ -364,6 +368,10 @@ object SparkEntry {
     // market-basket pair mining: co-partitioned self-join, bounded
     // per-order fan-out, two-phase top-k
     "q_copurchase" -> ((s, d) => graft.operators.Analytics.copurchase(s, d)),
+    // growth accounting: DAU split into first-seen vs returning —
+    // days × users frames, never events; integer counts end to end
+    "q_new_vs_returning" -> ((s, d) =>
+      graft.operators.Analytics.newVsReturning(s, d)),
     // streamed twin: per-user last-event state carries transitions
     // across micro-batch boundaries; same oracle as the batch matrix
     "q_event_transitions_streamed" -> ((s, d) =>
@@ -1330,6 +1338,35 @@ object SparkEntry {
          |  WHERE p.tag_user IS NOT DISTINCT FROM se.tag_user
          |    AND p.tag_k IS NOT DISTINCT FROM se.tag_k
          |    AND p.bucket_start = bk.bucket_start)""".stripMargin,
+    // outage runs: the identical absent-pair derivation, then the
+    // islands trick — bucket_index − row_number is constant across a
+    // consecutive run; int64 end to end
+    "ts_outage_runs" ->
+      s"""$Ev
+         |, p AS (
+         |  SELECT DISTINCT tag_user, tag_k, ${bucket(Day)} AS bucket_start
+         |  FROM ev WHERE metric = 'purchase'
+         |), se AS (SELECT DISTINCT tag_user, tag_k FROM p),
+         |bounds AS (SELECT min(bucket_start) AS b_lo, max(bucket_start) AS b_hi FROM p),
+         |bk AS (SELECT unnest(generate_series(b_lo, b_hi, ${Day})) AS bucket_start
+         |       FROM bounds),
+         |ab AS (
+         |  SELECT se.tag_user, se.tag_k, bk.bucket_start
+         |  FROM se CROSS JOIN bk
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM p
+         |    WHERE p.tag_user IS NOT DISTINCT FROM se.tag_user
+         |      AND p.tag_k IS NOT DISTINCT FROM se.tag_k
+         |      AND p.bucket_start = bk.bucket_start)
+         |), r AS (
+         |  SELECT tag_user, tag_k, bucket_start,
+         |    bucket_start // ${Day} - row_number() OVER (
+         |      PARTITION BY tag_user, tag_k ORDER BY bucket_start) AS rk
+         |  FROM ab
+         |)
+         |SELECT tag_user, tag_k, MIN(bucket_start) AS run_start,
+         |       COUNT(*) AS run_len
+         |FROM r GROUP BY tag_user, tag_k, rk""".stripMargin,
     // Holt double exponential smoothing, zero-trend init: the fold
     // runs with a type-stable {s: level, b: trend} STRUCT accumulator
     // (list_reduce seeds from the first element, so elements are
@@ -2348,6 +2385,25 @@ object SparkEntry {
         |SELECT part_a, part_b, COUNT(*) AS n_orders
         |FROM pr GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // growth accounting: distinct (user, day) frame, first-seen day
+    // per user joined back, one conditional integer aggregate
+    "q_new_vs_returning" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts FROM events
+        |), du AS (
+        |  SELECT DISTINCT user_id,
+        |         (ts // 86400000000000) * 86400000000000 AS day
+        |  FROM ev
+        |), f AS (
+        |  SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1
+        |)
+        |SELECT du.day, COUNT(*) AS n_active,
+        |  CAST(SUM(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  COUNT(*) - CAST(SUM(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning
+        |FROM du JOIN f ON du.user_id = f.user_id
+        |GROUP BY du.day""".stripMargin,
     // RFM: one customer-grain pass + ONE bounded boundary aggregate;
     // recency scored on the last_day axis via the linear-transform
     // identity (reversed comparisons), quantile_cont + round-6

@@ -1262,6 +1262,34 @@ object Analytics {
         sum(col("value").cast("decimal(28,6)")).cast("double").as("revenue"))
   }
 
+  /** New-vs-returning daily active users — the growth-accounting
+    * decomposition every product dashboard leads with: per day, active
+    * users split into first-ever-seen ("new") and the rest
+    * ("returning"); DAU alone can't distinguish acquisition from
+    * retention, and the mix is the signal.
+    *
+    * Scale shape: events collapse to the DISTINCT (user, day) frame
+    * first (one shuffle — the [[activeUsers]] posture: days × users,
+    * never events); first-seen day is a user-grain aggregate of that
+    * same frame joined back on the user key; the final census is one
+    * conditional aggregate onto day-grain output. Pure integer counts
+    * end to end.
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400L * 1000000000L
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val du = raw.select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"))
+      .select(col("user_id"), (expr(s"ts div ${day}L") * lit(day)).as("day"))
+      .distinct()
+    val first = du.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    du.join(first, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), lit(1L)).otherwise(lit(0L)))
+          .as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+  }
+
   /** Market-basket co-purchase mining: the k part pairs most often
     * ordered together — the "frequently bought with" read, the 2-item
     * special case of frequent-itemset mining that covers most of what

@@ -498,6 +498,34 @@ final class Db(val frame: DataFrame) {
     spine.join(present, cond, "left_anti")
   }
 
+  /** Outage runs: [[absent]]'s dark (series, bucket) pairs grouped
+    * into CONSECUTIVE-gap islands, one row per outage with its start
+    * and length — the "how long was it down, each time" read; a flat
+    * absent list makes the operator count incidents by eyeball, and a
+    * 30-bucket outage is a different event than 30 scattered holes.
+    *
+    * The islands trick is pure integer arithmetic: within a series
+    * ordered by bucket, `bucket_index − row_number` is CONSTANT across
+    * a consecutive run and strictly increasing across gaps between
+    * runs, so one window pass + one aggregate emits the runs — no
+    * self-join, no iterative gap-walking; int64 end to end, so the
+    * grouping key can never diverge between engines. Output rows =
+    * number of outages ≤ the absent-pair count.
+    */
+  def outageRuns(metric: String, widthNs: Long,
+                 filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tags = tagColumns.map(col)
+    val w = Window.partitionBy(tags: _*).orderBy(col("bucket_start"))
+    absent(metric, widthNs, filterExpr)
+      .withColumn("rk",
+        expr(s"bucket_start div ${widthNs}L") - row_number().over(w))
+      .groupBy(tags :+ col("rk"): _*)
+      .agg(org.apache.spark.sql.functions.min(col("bucket_start")).as("run_start"),
+        org.apache.spark.sql.functions.count(lit(1)).as("run_len"))
+      .select(tags :+ col("run_start") :+ col("run_len"): _*)
+  }
+
   /** M4 downsampling per (series × `widthNs` bucket): the ≤4 points a
     * pixel-column needs to render a line chart EXACTLY — first, last,
     * min, max (the M4 aggregation of Jugel et al., PVLDB 7(10):

@@ -735,6 +735,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(deltas.exists(_._2 > 0), "every conversion is instant; spec is vacuous")
   }
 
+  test("newVsReturning: brute recompute; day-1 users are all new; mass conserved") {
+    val day = 86400L * 1000000000L
+    val out = Analytics.newVsReturning(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (a, n, ret) => assert(a == n + ret) }
+    // the corpus's first day is 100% new by definition
+    val firstDay = out.keys.min
+    assert(out(firstDay)._1 == out(firstDay)._2)
+    // brute from raw events
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val du = raw.select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / day * day)).distinct
+    val first = du.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = du.groupBy(_._2).map { case (d, rows) =>
+      val nNew = rows.count(r => first(r._1) == d).toLong
+      d -> ((rows.size.toLong, nNew, rows.size - nNew))
+    }
+    assert(out == expected)
+    // returning users must exist somewhere or the split is vacuous
+    assert(out.values.exists(_._3 > 0), "no returning users; spec is vacuous")
+  }
+
   test("copurchase: brute pair recompute; two-phase top-k plan") {
     val df = Analytics.copurchase(spark, sfDir)
     val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -1174,6 +1174,34 @@ class TsdbOpsSpec extends SparkSpec {
       s"degenerate breakout split ($broke/$quiet); the gate proves nothing")
   }
 
+  test("outageRuns: islands reassemble the absent set; planted two-run series") {
+    val day = 86400L * 1000000000L
+    // series A present on days 0,1,5,6,9 of a 0..9 global spine:
+    // outages are [2..4] (len 3) and [7..8] (len 2); B present on all
+    // ten days (defines the spine), no runs
+    val rows = Seq(0, 1, 5, 6, 9).map(i => ("m", i * day + 1L, 1.0, "A")) ++
+      (0 until 10).map(i => ("m", i * day + 1L, 1.0, "B"))
+    val out = db(rows).outageRuns("m", day).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(out == Seq(("A", 2 * day, 3L), ("A", 7 * day, 2L)))
+    // on the real corpus: runs partition the absent pairs exactly
+    val corpus = Db.fromEvents(spark, sfDir)
+    val runs = corpus.outageRuns("purchase", day).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val absentPairs = corpus.absent("purchase", day).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(runs.map(_._4).sum == absentPairs.size,
+      "run lengths must partition the absent set")
+    runs.foreach { case (u, k, start, len) =>
+      (0L until len).foreach(i =>
+        assert(absentPairs.contains((u, k, start + i * day)),
+          s"run ($u,$k,$start,$len) covers a present bucket"))
+      // maximality: the bucket before and after each run is present
+      assert(!absentPairs.contains((u, k, start - day)), "run not maximal left")
+      assert(!absentPairs.contains((u, k, start + len * day)), "run not maximal right")
+    }
+  }
+
   test("cusum: planted sustained shift alarms; the stable sibling never does") {
     val day = 86400L * 1000000000L
     // A: flat 10.0 for 30 days (σ=0 — the degenerate-quiet case);
