@@ -494,6 +494,10 @@ object SparkEntry {
     // runs against the label column STORED in the list layout
     "ann_ivf_filtered" ->
       ((s, d) => graft.operators.Similarity.ivfFilteredTopK(s, d)),
+    // tombstoned deletes: the probe anti-joins the delete-set FRAME
+    // (count-gated broadcast) — immediate deletes, lazy compaction
+    "ann_ivf_deleted" ->
+      ((s, d) => graft.operators.Similarity.ivfDeletedTopK(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.Similarity.pqTopK(s, d)),
     "ann_ivfpq" -> ((s, d) => graft.operators.Similarity.ivfPqTopK(s, d)),
     "ann_range" -> ((s, d) => graft.operators.Similarity.rangeSearch(s, d)),
@@ -3271,6 +3275,12 @@ object SparkEntry {
         |  SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
         |WHERE rnk <= 10""".stripMargin,
     "ann_ivf" -> AnnIvfSql,
+    // the identical IVF re-derivation with tombstoned corpus rows
+    // excluded from the assigned lists (queries may still be deleted
+    // ids — a query needn't be in the index)
+    "ann_ivf_deleted" ->
+      AnnIvfSql.replace(") WHERE crnk = 1),",
+        ") WHERE crnk = 1 AND vec_id % 17 <> 0),"),
     // the IVF re-derivation with the label predicate applied to the
     // assigned (corpus) side before ranking — pre-filter within the
     // probed lists, exactly the Spark plan's semantics

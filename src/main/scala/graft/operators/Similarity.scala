@@ -282,10 +282,19 @@ object Similarity {
     */
   private def ivfSearch(index: IvfIndex.Index, queries: DataFrame,
                         numQueries: Int, k: Int, nprobe: Int,
-                        corpusFilter: Option[Column] = None): DataFrame = {
+                        corpusFilter: Option[Column] = None,
+                        exclude: Option[(DataFrame, Long)] = None): DataFrame = {
     val spark = queries.sparkSession
-    val assigned = corpusFilter
+    val filtered = corpusFilter
       .foldLeft(IvfIndex.open(spark, index))((d, p) => d.where(p))
+    // tombstone anti-join: build side gated on the actual tombstone
+    // count (the pipelineFrame recipe) — a delete set is data, not a
+    // pushable predicate, and an unconditional broadcast of billions
+    // of tombstones is the oversized-broadcast failure mode
+    val assigned = exclude.fold(filtered) { case (ids, cnt) =>
+      val side = if (cnt <= TombstoneBroadcastMaxIds) broadcast(ids) else ids
+      filtered.join(side.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    }
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cent_id"))
     val ids = packCentroids(index.centroids)._1
     val probes = queries
@@ -315,6 +324,47 @@ object Similarity {
     val index = IvfIndex.ensure(spark, dir, "first", nlist, iters = 0,
       train = () => firstVectorCentroids(e, nlist), corpus = e)
     ivfSearch(index, e.where(col("vec_id") < numQueries), numQueries, k, nprobe)
+  }
+
+  /** Above this many tombstoned ids the delete-set anti-join shuffles
+    * instead of broadcasting — the [[graft.operators.Dedup]]
+    * BroadcastVerifyMaxRows posture applied to index maintenance.
+    */
+  private[operators] val TombstoneBroadcastMaxIds = 4000000L
+
+  /** IVF ANN with TOMBSTONED deletes — the other half of index
+    * maintenance next to the streamed append ([[IvfIndex.appendBatch]]):
+    * deleted vectors are excluded from the probed lists by an
+    * anti-join against the tombstone ID FRAME, so deletes are
+    * immediate and cheap (write one id) while the expensive list
+    * compaction can happen lazily offline — the posture every
+    * LSM-ish vector store (and the reference's fjall storage) takes.
+    * A delete set is DATA, not a pushable predicate: the anti-join's
+    * build side is gated on the actual tombstone count (broadcast
+    * below [[TombstoneBroadcastMaxIds]], doc-key shuffle beyond).
+    * Deleted vectors may still QUERY (a query needn't be in the
+    * index); they just can't be returned. The demo delete set is
+    * `vec_id % 17 == 0` — deterministic, so the oracle re-derives the
+    * identical exclusion. `viaPredicate` routes the exclusion through
+    * the pushed-filter path instead (spec-only: the two paths must be
+    * row-identical, the dedup-verify two-path contract).
+    */
+  def ivfDeletedTopK(spark: SparkSession, dir: String,
+                     numQueries: Int = 5, k: Int = 5,
+                     nlist: Int = 16, nprobe: Int = 4,
+                     viaPredicate: Boolean = false): DataFrame = {
+    val e = vecs(spark, dir)
+    val index = IvfIndex.ensure(spark, dir, "first", nlist, iters = 0,
+      train = () => firstVectorCentroids(e, nlist), corpus = e)
+    val queries = e.where(col("vec_id") < numQueries)
+    if (viaPredicate)
+      ivfSearch(index, queries, numQueries, k, nprobe,
+        corpusFilter = Some(col("vec_id") % 17 =!= 0))
+    else {
+      val tombstones = e.select(col("vec_id")).where(col("vec_id") % 17 === 0)
+      ivfSearch(index, queries, numQueries, k, nprobe,
+        exclude = Some((tombstones, tombstones.count())))
+    }
   }
 
   /** FILTERED IVF ANN (round 10): [[filteredTopK]]'s pre-filter

@@ -470,4 +470,23 @@ class SimilaritySpec extends SparkSpec {
         ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
     assert(again == stats)
   }
+
+  test("ivfDeletedTopK: anti-join path == predicate path; tombstones never returned") {
+    val row = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val anti = Similarity.ivfDeletedTopK(spark, sfDir).collect().map(row).sorted
+    assert(anti.nonEmpty)
+    // THE two-path contract: the gated anti-join and the pushed
+    // predicate must be row-identical
+    val pred = Similarity.ivfDeletedTopK(spark, sfDir, viaPredicate = true)
+      .collect().map(row).sorted
+    assert(anti.sameElements(pred))
+    // no tombstoned id survives as a RESULT...
+    anti.foreach { case (_, v, _, _) => assert(v % 17 != 0, s"deleted vec $v returned") }
+    // ...but deleted ids still QUERY (q_id 0 is tombstoned)
+    assert(anti.exists(_._1 == 0L), "deleted query id must still be answered")
+    // and the deletion actually changes results vs the undeleted probe
+    val full = Similarity.ivfTopK(spark, sfDir).collect().map(row).sorted
+    assert(!anti.sameElements(full), "tombstones removed nothing; spec is vacuous")
+  }
 }
