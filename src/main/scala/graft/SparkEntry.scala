@@ -434,6 +434,10 @@ object SparkEntry {
     // keyword extraction: df-discounted top-5 terms per doc (linear idf)
     "text_top_terms" -> ((s, d) => graft.operators.TextAnalysis.topTerms(s, d)),
     "text_chunk_dedup" -> ((s, d) => graft.operators.TextAnalysis.chunkDedup(s, d)),
+    // RAG chunking: overlapping token-window boundaries as metadata,
+    // int64 off the whitespace-token contract
+    "text_chunk_windows" -> ((s, d) =>
+      graft.operators.TextAnalysis.chunkWindows(s, d)),
     "text_dup_ngrams" -> ((s, d) => graft.operators.TextAnalysis.dupNgrams(s, d)),
 
     // ---- Deduplication (documents) ----
@@ -2555,6 +2559,27 @@ object SparkEntry {
         | CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars_calc
         |FROM documents""".stripMargin,
+    // chunk windows: the identical token count, integer chunk count,
+    // inclusive generate_series fan-out, int64 boundary arithmetic
+    "text_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n <= 20 THEN CAST(1 AS BIGINT)
+        |         ELSE (n - 20 + 10 - 1) // 10 + 1 END AS n_chunks
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, n,
+        |         unnest(generate_series(0, n_chunks - 1)) AS i
+        |  FROM c
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 10 AS BIGINT) AS tok_start,
+        |  least(CAST(i * 10 + 20 AS BIGINT), n) AS tok_end
+        |FROM g""".stripMargin,
     "text_langid" -> TextLangidSql,
     // confusion matrix vs the corpus ground-truth lang column
     "text_langid_eval" ->

@@ -23,6 +23,49 @@ object TextAnalysis {
       bpeTokenCount(col("text")).as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"))
 
+  /** Sliding-window chunk boundaries — the RAG/embedding-prep step
+    * that cuts each document into overlapping token windows: chunk i
+    * covers whitespace-token positions `[i·stride, i·stride+window)`
+    * clipped to the document (the tail chunk may be short; a document
+    * shorter than one window is one chunk). Boundaries are emitted AS
+    * METADATA (doc_id, chunk_idx, tok_start, tok_end) — the
+    * [[graft.operators.Sampling.packSequences]] posture: the layout
+    * decision travels as integers and the text is sliced at read
+    * time, so the operator never re-materializes the corpus.
+    *
+    * Scale shape: one scan, one bounded `sequence` explode per doc
+    * (fan-out = n/stride, proportional to the document's own length —
+    * corpus-shaped output is the POINT of chunking); all arithmetic is
+    * int64 off the [[tokens]] whitespace-token contract, so boundaries
+    * are engine-exact. The in-plan guard fails a pathological doc with
+    * its identity instead of silently exploding an executor (the
+    * gapfill posture).
+    */
+  def chunkWindows(spark: SparkSession, dir: String,
+                   window: Int = 20, stride: Int = 10,
+                   maxChunksPerDoc: Long = 1000000L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(stride >= 1 && stride <= window,
+      "stride must be in [1, window] (gaps between chunks lose tokens)")
+    docs(spark, dir)
+      .select(col("doc_id"), wsTokenCount(col("text")).as("n"))
+      .withColumn("n_chunks",
+        when(col("n") <= window, lit(1L))
+          .otherwise(expr(s"(n - $window + $stride - 1) div $stride + 1")))
+      .withColumn("n_chunks",
+        when(col("n_chunks") <= maxChunksPerDoc, col("n_chunks"))
+          .otherwise(raise_error(concat(
+            lit(s"doc exceeds $maxChunksPerDoc chunks (doc_id="),
+            col("doc_id").cast("string"), lit(", n_tokens="),
+            col("n").cast("string"), lit("); raise stride or the cap")))))
+      .select(col("doc_id"), col("n"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * lit(stride.toLong)).as("tok_start"),
+        least(col("chunk_idx") * lit(stride.toLong) + lit(window.toLong),
+          col("n")).as("tok_end"))
+  }
+
   /** Sequence-length histogram: document counts and token totals per
     * `binWidth`-token bin — the distribution a packing/truncation stage
     * reads before choosing a context length (what fraction of corpus

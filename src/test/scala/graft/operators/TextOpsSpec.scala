@@ -381,4 +381,32 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("rnk"))).toSet
     assert(shuffled == out.map(t => (t._1, t._2, t._6)).toSet)
   }
+
+  test("chunkWindows: brute boundary recompute; full coverage with exact overlap") {
+    val (window, stride) = (20, 10)
+    val out = TextAnalysis.chunkWindows(spark, sfDir, window, stride).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val toks = TextAnalysis.tokens(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == toks.keySet, "every document must be chunked")
+    byDoc.foreach { case (d, chunks) =>
+      val n = toks(d)
+      val sorted = chunks.sortBy(_._2)
+      // brute: the literal window arithmetic
+      val expN = if (n <= window) 1L else (n - window + stride - 1) / stride + 1
+      assert(sorted.length.toLong == expN, s"doc $d chunk count")
+      sorted.foreach { case (_, i, s, e) =>
+        assert(s == i * stride && e == math.min(i * stride + window, n))
+      }
+      // coverage: first starts at 0, last ends at n, consecutive
+      // chunks overlap by exactly window - stride (no token dropped)
+      assert(sorted.head._3 == 0L && sorted.last._4 == n)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b._3 == a._3 + stride && b._3 < a._4,
+          s"doc $d: gap between chunks ${a._2} and ${b._2}")
+      }
+    }
+  }
 }
