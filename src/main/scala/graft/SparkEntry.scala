@@ -470,6 +470,10 @@ object SparkEntry {
     // duplicate-cluster size census: the dashboard-sized distribution
     // an operator reads before trusting a dedup run's keep rate
     "dedup_cluster_hist" -> ((s, d) => graft.operators.Dedup.clusterSizeHist(s, d)),
+    // incremental exact dedup: the delta probes the persisted base
+    // fingerprint index — O(delta), never O(corpus)
+    "dedup_exact_incremental" -> ((s, d) =>
+      graft.operators.Dedup.exactIncremental(s, d)),
     // dedup without losing the duplication signal: one keeper per
     // cluster carrying cluster size as a training weight; Σweight
     // equals the corpus row count by construction
@@ -3039,6 +3043,27 @@ object SparkEntry {
         |SELECT cluster_size, COUNT(*) AS n_clusters
         |FROM (SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp)
         |GROUP BY 1""".stripMargin,
+    // incremental exact: the identical planted re-delivery corpus and
+    // md5 chain; base = ids not divisible by 10, delta probes it,
+    // intra-delta keepers by min id
+    "dedup_exact_incremental" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |pl AS (
+        |  SELECT a.doc_id, coalesce(b.text, a.text) AS text
+        |  FROM d0 a LEFT JOIN d0 b ON b.doc_id =
+        |    CASE WHEN a.doc_id % 100 = 90 THEN a.doc_id - 50
+        |         WHEN a.doc_id % 7 = 3 THEN a.doc_id - 3 END
+        |), f AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM pl
+        |), d AS (SELECT * FROM f WHERE doc_id % 10 = 0),
+        |b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0),
+        |k AS (SELECT fp, MIN(doc_id) AS keeper FROM d GROUP BY fp)
+        |SELECT d.doc_id, (b.fp IS NOT NULL) AS in_base,
+        |       (b.fp IS NULL AND d.doc_id = k.keeper) AS is_kept
+        |FROM d LEFT JOIN b ON d.fp = b.fp
+        |JOIN k ON d.fp = k.fp""".stripMargin,
     // weighted keepers: min-id keeper per component carries the
     // component size; unpaired docs are weight-1 keepers of themselves
     "dedup_keepers_weighted" ->

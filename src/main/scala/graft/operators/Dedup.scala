@@ -43,6 +43,90 @@ object Dedup {
       .groupBy(md5Fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
 
+  /** The clone planting for [[exactIncremental]]'s demo entry — the
+    * [[chunkDedup]] planted-boiler precedent at the document grain
+    * (this synthetic corpus has zero exact-duplicate documents, so an
+    * unplanted incremental run would never exercise the index hit):
+    * a doc with `id % 100 == 90` re-delivers the text of `id − 50`
+    * (an intra-delta duplicate pair under deltaMod 10 — both ids are
+    * deltas, the source text is in neither base), and a doc with
+    * `id % 7 == 3` re-delivers the text of `id − 3` (a base hit when
+    * the clone lands in the delta). Missing sources fall back to the
+    * doc's own text. Deterministic, so the oracle replants the
+    * identical corpus.
+    */
+  private def plantedReDelivery(d: DataFrame): DataFrame = {
+    val src = when(col("doc_id") % 100 === 90, col("doc_id") - 50)
+      .when(col("doc_id") % 7 === 3, col("doc_id") - 3)
+      .otherwise(lit(null).cast("long"))
+    d.select(col("doc_id"), src.as("src"), col("text").as("own"))
+      .join(d.select(col("doc_id").as("src"), col("text").as("src_text")),
+        Seq("src"), "left")
+      .select(col("doc_id"), coalesce(col("src_text"), col("own")).as("text"))
+  }
+
+  /** Persisted exact-fingerprint index for [[exactIncremental]]: the
+    * distinct content hashes of the BASE corpus (`doc_id % deltaMod !=
+    * 0`), written once under the content-fingerprint-keyed workDir —
+    * the `ensureEmbBandIndex` caching contract at the exact-dedup
+    * grain.
+    */
+  private def ensureExactIndex(spark: SparkSession, dir: String,
+                               planted: DataFrame, deltaMod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val cfp = graft.tsdb.Ingest.contentFingerprint(s"$dir/documents.parquet")
+    val path = s"$base/graft_exact_fp_index_v2_${deltaMod}_" +
+      s"${Integer.toHexString(dir.hashCode)}_$cfp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      planted
+        .where(col("doc_id") % deltaMod =!= 0)
+        .select(md5Fingerprint(col("text")).as("fp"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$path/fps")
+      Files.createFile(done)
+    }
+    path
+  }
+
+  /** INCREMENTAL exact dedup — [[exact]]'s corpus-maintenance posture
+    * (the 25k/25l contract at the cheapest grain): today's delta
+    * (`doc_id % deltaMod == 0`) probes the PERSISTED base fingerprint
+    * index instead of re-hashing the corpus, so the daily cost is
+    * O(delta + index-probe), never O(corpus). Per delta doc:
+    * `in_base` (its content already exists in the base) and `is_kept`
+    * (novel AND the min-id keeper among delta docs sharing its
+    * fingerprint — intra-delta duplicates dedup against each other the
+    * same pass). Runs over the [[plantedReDelivery]] corpus so all
+    * three regimes (base hit, intra-delta duplicate, novel) genuinely
+    * occur — the planting is deterministic and oracle-mirrored.
+    *
+    * Scale shape: ONE delta scan + one hash-key equi-join against the
+    * index (ids-only, shuffle-hash on the fingerprint — the index
+    * never self-joins) + one delta-grain aggregate for the intra-delta
+    * keepers. The index append after acceptance is the same
+    * distinct-union the streamed exact dedup already proves.
+    */
+  def exactIncremental(spark: SparkSession, dir: String,
+                       deltaMod: Int = 10): DataFrame = {
+    val planted = plantedReDelivery(docs(spark, dir))
+    val path = ensureExactIndex(spark, dir, planted, deltaMod)
+    val baseFps = spark.read.parquet(s"$path/fps")
+      .withColumn("in_base_raw", lit(true))
+    val delta = planted
+      .where(col("doc_id") % deltaMod === 0)
+      .select(col("doc_id"), md5Fingerprint(col("text")).as("fp"))
+    val keepers = delta.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    delta
+      .join(baseFps, Seq("fp"), "left")
+      .join(keepers, Seq("fp"))
+      .select(col("doc_id"),
+        coalesce(col("in_base_raw"), lit(false)).as("in_base"),
+        (coalesce(col("in_base_raw"), lit(false)) === false &&
+          col("doc_id") === col("keeper")).as("is_kept"))
+  }
+
   // --------------------------------------------------------------- shingles
   /** Distinct word 3-shingles (native kernel). */
   private val wordShingles = call_function("graft_word_shingles", col("text"))

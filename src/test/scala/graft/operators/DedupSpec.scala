@@ -365,6 +365,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactIncremental: brute delta recompute; covers base-dup, delta-dup, novel") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.exactIncremental(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(out.nonEmpty)
+    // brute: replant the deterministic re-delivery corpus, then the
+    // exact canonicalization chain
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byId = raw.toMap
+    val fps = raw.map { case (id, own) =>
+      val text =
+        if (id % 100 == 90) byId.getOrElse(id - 50, own)
+        else if (id % 7 == 3) byId.getOrElse(id - 3, own)
+        else own
+      (id, java.security.MessageDigest.getInstance("MD5")
+        .digest(text.toLowerCase.replaceAll("\\s+", " ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    }
+    val baseFps = fps.filter(_._1 % 10 != 0).map(_._2).toSet
+    val delta = fps.filter(_._1 % 10 == 0)
+    assert(out.keySet == delta.map(_._1).toSet)
+    val keeper = delta.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    delta.foreach { case (id, fp) =>
+      val inBase = baseFps.contains(fp)
+      val kept = !inBase && keeper(fp) == id
+      assert(out(id) == ((inBase, kept)), s"delta doc $id mismatch")
+    }
+    // all three regimes must occur or the contract is under-tested
+    assert(out.values.exists(_._1), "no delta doc duplicates the base; vacuous")
+    assert(out.values.exists(v => !v._1 && v._2), "no novel keeper; vacuous")
+    assert(out.values.exists(v => !v._1 && !v._2) ||
+      delta.groupBy(_._2).values.forall(_.size == 1),
+      "no intra-delta duplicate and none expected")
+  }
+
   test("keepersWeighted: weights conserve corpus mass; keepers are cluster minima") {
     import org.apache.spark.sql.functions._
     val out = Dedup.keepersWeighted(spark, sfDir).collect()
