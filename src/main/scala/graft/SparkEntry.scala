@@ -368,6 +368,10 @@ object SparkEntry {
     // market-basket pair mining: co-partitioned self-join, bounded
     // per-order fan-out, two-phase top-k
     "q_copurchase" -> ((s, d) => graft.operators.Analytics.copurchase(s, d)),
+    // lift-scored association rules: int64 products, one IEEE division
+    // per measure, min-support floor
+    "q_copurchase_lift" -> ((s, d) =>
+      graft.operators.Analytics.copurchaseLift(s, d)),
     // growth accounting: DAU split into first-seen vs returning —
     // days × users frames, never events; integer counts end to end
     "q_new_vs_returning" -> ((s, d) =>
@@ -2397,6 +2401,27 @@ object SparkEntry {
         |SELECT part_a, part_b, COUNT(*) AS n_orders
         |FROM pr GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // lift: (n_ab * N) / (n_a * n_b) as exact int64 products and ONE
+    // IEEE division per measure — never pre-divided probabilities
+    "q_copurchase_lift" ->
+      """WITH i AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), t AS (SELECT COUNT(DISTINCT o) AS n_total FROM i),
+        |m AS (SELECT p, COUNT(*) AS n FROM i GROUP BY p),
+        |pr AS (
+        |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+        |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |)
+        |SELECT pr.part_a, pr.part_b, pr.n_ab,
+        |  CAST(pr.n_ab * t.n_total AS DOUBLE)
+        |    / CAST(ma.n * mb.n AS DOUBLE) AS lift,
+        |  CAST(pr.n_ab AS DOUBLE) / CAST(ma.n AS DOUBLE) AS confidence
+        |FROM pr
+        |JOIN m ma ON ma.p = pr.part_a
+        |JOIN m mb ON mb.p = pr.part_b
+        |CROSS JOIN t
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     // growth accounting: distinct (user, day) frame, first-seen day
     // per user joined back, one conditional integer aggregate
     "q_new_vs_returning" ->

@@ -1319,6 +1319,53 @@ object Analytics {
       .limit(k)
   }
 
+  /** Lift-scored co-purchase mining — [[copurchase]]'s statistically
+    * honest sibling: raw pair counts surface whatever is POPULAR;
+    * `lift = P(ab) / (P(a)·P(b))` surfaces what is ASSOCIATED (lift 1
+    * = independence, the recommendation signal), with
+    * `confidence = P(b|a)` alongside. A minimum-support floor keeps
+    * one-off co-occurrences of rare items from posting infinite-ish
+    * lifts — the standard association-rule hygiene.
+    *
+    * Scale shape: [[copurchase]]'s bounded self-join feeds the pair
+    * census; item marginals are one aggregate on the part key joined
+    * back un-hinted (vocabulary-sized — AQE broadcasts when small,
+    * shuffles when not); the order total is a ONE-ROW aggregate
+    * broadcast back. Lift and confidence are each exact int64 products
+    * → ONE IEEE division (`(n_ab·N) / (n_a·n_b)`) — never a chain of
+    * pre-divided probabilities, whose intermediate rounding could
+    * reorder ties between engines; the cut is TakeOrderedAndProject
+    * with ties broken on the pair.
+    */
+  def copurchaseLift(spark: SparkSession, dir: String,
+                     k: Int = 20, minSupport: Long = 3L): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val items = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey")).distinct()
+    val total = items.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders_total"))
+    val marg = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val pairs = items.select(col("o"), col("l_partkey").as("part_a"))
+      .join(items.select(col("o"), col("l_partkey").as("part_b")), Seq("o"))
+      .where(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    pairs
+      .join(marg.select(col("l_partkey").as("part_a"), col("n").as("n_a")),
+        Seq("part_a"))
+      .join(marg.select(col("l_partkey").as("part_b"), col("n").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        ((col("n_ab") * col("n_orders_total")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** Time-to-convert funnel latency: per user, the gap between their
     * FIRST `fromType` event and their first `toType` event at-or-after
     * it, rolled up per signup-day cohort as a conversion count and the

@@ -778,6 +778,35 @@ class AnalyticsSpec extends SparkSpec {
       s"top-k should plan as TakeOrderedAndProject:\n${plan.take(1200)}")
   }
 
+  test("copurchaseLift: brute association recompute; lift orders differently than support") {
+    val out = Analytics.copurchaseLift(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty && out.length <= 20)
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nTotal = items.map(_._1).distinct.length.toLong
+    val marg = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = items.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case (p, g) if g.size >= 3 =>
+      val nAb = g.size.toLong
+      (p._1, p._2, nAb,
+        (nAb * nTotal).toDouble / (marg(p._1) * marg(p._2)).toDouble,
+        nAb.toDouble / marg(p._1).toDouble)
+    }
+    val expected = pairs.toSeq.sortBy { case (a, b, _, l, _) => (-l, a, b) }.take(20)
+    assert(out.toSeq == expected)
+    // lift must re-rank: the top-lift pair is NOT the top-support pair
+    // (else the entry adds nothing over q_copurchase)
+    val topSupport = pairs.maxBy(_._3)
+    assert((out.head._1, out.head._2) != ((topSupport._1, topSupport._2)) ||
+      pairs.map(_._3).toSet.size == 1,
+      "lift ranking degenerates to support ranking")
+  }
+
   test("rfm: brute per-customer recompute with interpolated quartiles; broadcast plan") {
     val df = Analytics.rfm(spark, sfDir)
     val out = df.collect().map(r => (r.getLong(0),

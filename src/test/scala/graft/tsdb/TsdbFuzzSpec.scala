@@ -205,4 +205,69 @@ class TsdbFuzzSpec extends SparkSpec {
       plan.contains("purchase"), s"plan:\n${plan.take(2000)}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def hm(x: Double): Long =
+    (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      * BigDecimal(2000000)).toLongExact
+
+  test("cusum fuzz: random series match the literal recursion in half-micros") {
+    (1 to 4).foreach { trial =>
+      val db = randomDb(100 + rnd.nextInt(400), 1 + rnd.nextInt(5),
+        Duration.days(15))
+      val w = Duration.days(1)
+      val agg = db.sum("m", "user").granularity(w)
+      val out = agg.buildCusum(h = 2.5).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+      val base = agg.build().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      assert(out.size == base.length)
+      base.groupBy(_._1).foreach { case (g, rows) =>
+        val dec = rows.map(r => BigDecimal(r._3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        val s = dec.sum.toDouble
+        val sq = dec.map(d => d * d).sum.toDouble
+        val mu = r6(s / rows.length)
+        val sg = r6(math.sqrt(math.max((sq - s * s / rows.length) / rows.length, 0.0)))
+        val (mu2, sig1) = (hm(mu), hm(sg) / 2)
+        var (sHi, sLo) = (0L, 0L)
+        rows.sortBy(_._2).foreach { case (_, b, v) =>
+          sHi = math.max(0L, sHi + hm(v) - (mu2 + sig1))
+          sLo = math.max(0L, sLo + (mu2 - sig1) - hm(v))
+          assert(out((g, b)) == ((sHi.toDouble / 2000000.0, sLo.toDouble / 2000000.0,
+            sHi > 5 * sig1 || sLo > 5 * sig1)), s"trial $trial ($g, $b)")
+        }
+      }
+    }
+  }
+
+  test("bollinger fuzz: random series match the trailing-band reference") {
+    (1 to 4).foreach { trial =>
+      val db = randomDb(100 + rnd.nextInt(400), 1 + rnd.nextInt(5),
+        Duration.days(15))
+      val agg = db.sum("m", "user").granularity(Duration.days(1))
+      val out = agg.buildBollinger().collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(4), r.getDouble(5), r.getBoolean(8)))).toMap
+      val base = agg.build().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      assert(out.size == base.length)
+      base.groupBy(_._1).foreach { case (g, rows) =>
+        val seq = rows.sortBy(_._2)
+        seq.zipWithIndex.foreach { case ((_, b, v), i) =>
+          val win = seq.slice(math.max(0, i - 6), i + 1).map(_._3)
+          val dec = win.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          val s = dec.sum.toDouble
+          val sq = dec.map(d => d * d).sum.toDouble
+          val mean = r6(s / win.length)
+          val sg = r6(math.sqrt(math.max((sq - s * s / win.length) / win.length, 0.0)))
+          val (lo, hi) = (mean - 2.0 * sg, mean + 2.0 * sg)
+          assert(out((g, b)) == ((mean, sg, v < lo || v > hi)), s"trial $trial ($g, $b)")
+        }
+      }
+    }
+  }
 }
