@@ -119,6 +119,10 @@ object SparkEntry {
     // over the absent pairs, int64 end to end
     "ts_outage_runs" -> ((s, d) =>
       Db.fromEvents(s, d).outageRuns("purchase", Day)),
+    // series lifecycle: births/deaths per bucket over the series-grain
+    // lifetime frame — the cardinality-churn observability read
+    "ts_series_churn" -> ((s, d) =>
+      Db.fromEvents(s, d).seriesChurn("view", Day)),
     // Page's CUSUM drift detector: two stacked running windows via the
     // drawdown identity, pure int64 half-micro arithmetic; h=2.5 is
     // the short-window setting (the ~10-bucket daily series here never
@@ -1354,6 +1358,19 @@ object SparkEntry {
          |  WHERE p.tag_user IS NOT DISTINCT FROM se.tag_user
          |    AND p.tag_k IS NOT DISTINCT FROM se.tag_k
          |    AND p.bucket_start = bk.bucket_start)""".stripMargin,
+    // series churn: series-grain first/last bucket, two bucket-grain
+    // censuses full-joined on the day axis; integer end to end
+    "ts_series_churn" ->
+      s"""$Ev, l AS (
+         |  SELECT tag_user, tag_k,
+         |         MIN(${bucket(Day)}) AS born, MAX(${bucket(Day)}) AS died
+         |  FROM ev WHERE metric = 'view' GROUP BY 1, 2
+         |), b AS (SELECT born AS bucket_start, COUNT(*) AS n_born FROM l GROUP BY 1),
+         |d AS (SELECT died AS bucket_start, COUNT(*) AS n_died FROM l GROUP BY 1)
+         |SELECT coalesce(b.bucket_start, d.bucket_start) AS bucket_start,
+         |  coalesce(n_born, CAST(0 AS BIGINT)) AS n_born,
+         |  coalesce(n_died, CAST(0 AS BIGINT)) AS n_died
+         |FROM b FULL JOIN d ON b.bucket_start = d.bucket_start""".stripMargin,
     // outage runs: the identical absent-pair derivation, then the
     // islands trick — bucket_index − row_number is constant across a
     // consecutive run; int64 end to end

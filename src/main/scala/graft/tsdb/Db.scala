@@ -498,6 +498,38 @@ final class Db(val frame: DataFrame) {
     spine.join(present, cond, "left_anti")
   }
 
+  /** Series churn: per bucket, how many series were BORN (first-ever
+    * point) and how many DIED (last-ever point) — the cardinality-
+    * lifecycle read behind every TSDB capacity incident: total series
+    * ([[activeSeries]]) can look flat while churn silently replaces
+    * the whole population, and churn is what fills an index with dead
+    * series ids. The introspection face's ([[metrics]]/[[series]]/
+    * [[tagCardinality]]) time axis.
+    *
+    * Scale shape: one scan collapses to the SERIES-grain lifetime
+    * frame (one series shuffle, min/max map-side combined), then two
+    * bucket-grain aggregates over that bounded frame full-joined on
+    * the day axis — output rows ≤ 2× the bucket span. Pure integer
+    * counts and bucket math end to end.
+    */
+  def seriesChurn(metric: String, widthNs: Long,
+                  filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val tags = tagColumns.map(col)
+    val bucket = expr(s"ts div ${widthNs}L") * lit(widthNs)
+    val life = scan(metric, filterExpr)
+      .groupBy(tags: _*)
+      .agg(F.min(bucket).as("born"), F.max(bucket).as("died"))
+    val births = life.groupBy(col("born").as("bucket_start"))
+      .agg(F.count(lit(1)).as("n_born"))
+    val deaths = life.groupBy(col("died").as("bucket_start"))
+      .agg(F.count(lit(1)).as("n_died"))
+    births.join(deaths, Seq("bucket_start"), "full")
+      .select(col("bucket_start"),
+        coalesce(col("n_born"), lit(0L)).as("n_born"),
+        coalesce(col("n_died"), lit(0L)).as("n_died"))
+  }
+
   /** Outage runs: [[absent]]'s dark (series, bucket) pairs grouped
     * into CONSECUTIVE-gap islands, one row per outage with its start
     * and length — the "how long was it down, each time" read; a flat

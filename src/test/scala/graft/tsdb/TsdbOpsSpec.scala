@@ -1174,6 +1174,27 @@ class TsdbOpsSpec extends SparkSpec {
       s"degenerate breakout split ($broke/$quiet); the gate proves nothing")
   }
 
+  test("seriesChurn: planted lifecycle; births and deaths each sum to series count") {
+    val day = 86400L * 1000000000L
+    // A lives days 0-2, B days 1-1 (one-day series: born AND died on
+    // day 1), C days 2-4
+    val rows = Seq(("m", 0L * day + 1, 1.0, "A"), ("m", 2 * day + 1, 1.0, "A"),
+      ("m", 1 * day + 1, 1.0, "B"),
+      ("m", 2 * day + 1, 1.0, "C"), ("m", 4 * day + 1, 1.0, "C"))
+    val out = db(rows).seriesChurn("m", day).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(0L * day -> ((1L, 0L)), 1 * day -> ((1L, 1L)),
+      2 * day -> ((1L, 1L)), 4 * day -> ((0L, 1L))))
+    // corpus invariant: Σbirths == Σdeaths == distinct series count
+    val churn = Db.fromEvents(spark, sfDir).seriesChurn("view", day).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nSeries = Db.fromEvents(spark, sfDir).frame
+      .where(col("metric") === "view")
+      .select(col("tag_user"), col("tag_k")).distinct().count()
+    assert(churn.map(_._2).sum == nSeries && churn.map(_._3).sum == nSeries)
+    assert(churn.map(_._1).distinct.length == churn.length)
+  }
+
   test("outageRuns: islands reassemble the absent set; planted two-run series") {
     val day = 86400L * 1000000000L
     // series A present on days 0,1,5,6,9 of a 0..9 global spine:
