@@ -213,6 +213,38 @@ class TsdbFuzzSpec extends SparkSpec {
     (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       * BigDecimal(2000000)).toLongExact
 
+  test("outageRuns fuzz: random presence sets reassemble into maximal islands") {
+    val day = Duration.days(1)
+    (1 to 4).foreach { trial =>
+      import spark.implicits._
+      // random sparse presence over a 20-day spine, 3-6 series; at
+      // least one series present on day 0 and day 19 pins the spine
+      val nSeries = 3 + rnd.nextInt(4)
+      val rows = (for {
+        s <- 0 until nSeries
+        d <- 0 until 20
+        if rnd.nextDouble() < 0.5
+      } yield ("m", d * day + 1L, 1.0, s"u$s")) ++
+        Seq(("m", 0L * day + 1, 1.0, "anchor"), ("m", 19 * day + 1, 1.0, "anchor"))
+      val d = new Db(rows.toDF("metric", "ts", "value", "tag_user"))
+      val present = rows.map(r => (r._4, r._2 / day * day)).toSet
+      val series = rows.map(_._4).distinct
+      val runs = d.outageRuns("m", day).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // brute islands from the complement of the presence set
+      val expected = series.flatMap { u =>
+        val dark = (0 until 20).filterNot(i => present((u, i * day))).map(_.toLong)
+        val groups = dark.foldLeft(List.empty[List[Long]]) {
+          case (acc, i) if acc.nonEmpty && acc.head.head == i - 1 =>
+            (i :: acc.head) :: acc.tail
+          case (acc, i) => List(i) :: acc
+        }
+        groups.map(g => (u, g.min * day, g.size.toLong))
+      }.toSet
+      assert(runs.toSet == expected, s"trial $trial")
+    }
+  }
+
   test("cusum fuzz: random series match the literal recursion in half-micros") {
     (1 to 4).foreach { trial =>
       val db = randomDb(100 + rnd.nextInt(400), 1 + rnd.nextInt(5),
