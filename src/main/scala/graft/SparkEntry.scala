@@ -181,6 +181,11 @@ object SparkEntry {
     // 7-bucket trailing moving average over the daily sum frame
     "ts_trailing" -> ((s, d) =>
       Db.fromEvents(s, d).sum("view", "user").granularity(Day).buildTrailing()),
+    // trailing rolling median: the robust smoother one outlier bucket
+    // cannot move; exact-interpolated percentile per ROWS frame
+    "ts_rolling_median" -> ((s, d) =>
+      Db.fromEvents(s, d).sum("purchase", "user").granularity(Day)
+        .buildRollingMedian()),
     // additive Holt-Winters over daily bucket totals, 7-slot seasonal
     "ts_holt_winters" -> ((s, d) =>
       Db.fromEvents(s, d).holtWinters("purchase", "user", Day)),
@@ -1138,6 +1143,22 @@ object SparkEntry {
          |  (value < mean_t - CAST(2.0 AS DOUBLE) * sigma_t
          |   OR value > mean_t + CAST(2.0 AS DOUBLE) * sigma_t) AS breakout
          |FROM b""".stripMargin,
+    // rolling median: quantile_cont per ROWS frame + round-6 — the
+    // ts_quantile parity recipe applied per frame
+    "ts_rolling_median" ->
+      s"""$Ev
+         |, a AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |         COUNT(*) AS n, $SumV
+         |  FROM ev WHERE metric = 'purchase' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT grp, bucket_start, n, value,
+         |  round(quantile_cont(CAST(value AS DOUBLE), 0.5) OVER w, 6)
+         |    AS rolling_median
+         |FROM a
+         |WINDOW w AS (PARTITION BY grp ORDER BY bucket_start
+         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     // week-over-week: the bounded aggregated frame self-joined at a
     // 7-day offset; one IEEE ratio, + 0.0 canonicalized
     "ts_wow" ->

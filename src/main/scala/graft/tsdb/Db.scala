@@ -1516,6 +1516,30 @@ final case class AggBuilder(
       .withColumn("breakout", col("value") < col("lo") || col("value") > col("hi"))
   }
 
+  /** Trailing rolling MEDIAN over each group's last `nBuckets` bucket
+    * values — the robust smoother between [[buildTrailing]] (a mean, a
+    * single spike drags it) and the bucket-local quantile builder
+    * (which summarizes points WITHIN a bucket, not a trend ACROSS
+    * buckets); the rolling median is what dashboards draw through
+    * spiky series because one outlier bucket cannot move it at all.
+    *
+    * Scale shape: one series shuffle, one ROWS-frame window pass — the
+    * exact-interpolated `percentile` evaluated per frame (frame size
+    * capped at `nBuckets`, so per-row cost is a constant); the
+    * round-6 recipe keeps cross-engine parity per frame exactly as
+    * ts_quantile proves it per bucket. Missing buckets compress the
+    * frame (the [[buildTrailing]] contract).
+    */
+  def buildRollingMedian(nBuckets: Int = 7): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("bucket_start"))
+      .rowsBetween(-(nBuckets - 1).toLong,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    build().withColumn("rolling_median",
+      round(expr("percentile(cast(value as double), 0.5d)").over(w), 6))
+  }
+
   /** Tukey-fence outlier buckets: per group, the buckets whose
     * aggregate value falls outside [Q1 − k·IQR, Q3 + k·IQR] — the
     * boxplot/IQR anomaly read ("which days were abnormal for this

@@ -1174,6 +1174,42 @@ class TsdbOpsSpec extends SparkSpec {
       s"degenerate breakout split ($broke/$quiet); the gate proves nothing")
   }
 
+  test("rollingMedian: brute trailing-frame recompute; a spike bucket cannot move it") {
+    val day = 86400L * 1000000000L
+    val agg = Db.fromEvents(spark, sfDir).sum("purchase", "user").granularity(day)
+    val out = agg.buildRollingMedian().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(out.nonEmpty)
+    def quant(vs: Array[Double]): Double = {
+      val s = vs.sorted
+      val pos = (s.length - 1) * 0.5
+      val (lo, frac) = (pos.toInt, pos - pos.toInt)
+      val raw = if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val base = agg.build().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    base.groupBy(_._1).foreach { case (g, rows) =>
+      val seq = rows.sortBy(_._2)
+      seq.zipWithIndex.foreach { case ((_, b, _), i) =>
+        val win = seq.slice(math.max(0, i - 6), i + 1).map(_._3)
+        assert(out((g, b)) == quant(win.toArray), s"median mismatch at ($g, $b)")
+      }
+    }
+    assert(out.size == base.length)
+    // robustness: a planted spike moves the trailing MEAN but not the
+    // rolling median of an odd-sized window
+    val rows = (0 until 9).map(i =>
+      ("m", i * day + 1L, if (i == 8) 1000.0 else 10.0, "A"))
+    val planted = db(rows).sum("m", "user").granularity(day)
+    val med = planted.buildRollingMedian().collect()
+      .map(r => (r.getLong(1) / day, r.getDouble(4))).toMap
+    val mean = planted.buildTrailing().collect()
+      .map(r => (r.getLong(1) / day, r.getDouble(4))).toMap
+    assert(med(8) == 10.0, "one spike must not move the rolling median")
+    assert(mean(8) > 100.0, "the trailing mean must show the spike (the contrast)")
+  }
+
   test("seriesChurn: planted lifecycle; births and deaths each sum to series count") {
     val day = 86400L * 1000000000L
     // A lives days 0-2, B days 1-1 (one-day series: born AND died on
