@@ -414,6 +414,10 @@ object SparkEntry {
       graft.streaming.StreamingActiveUsers.streamedDau(s, d)),
     "q_funnel_steps" -> ((s, d) => graft.operators.Analytics.funnelSteps(s, d)),
     "q_session_window" -> ((s, d) => graft.operators.Analytics.sessionWindows(s, d)),
+    // sweep-line peak concurrent sessions per hour; the running sum is
+    // split per-hour + hour-grain carry so no global window sees
+    // session-grain rows
+    "q_concurrency" -> ((s, d) => graft.operators.Analytics.concurrency(s, d)),
     "q_pivot" -> ((s, d) => graft.operators.Analytics.pivotDaily(s, d)),
 
     // ---- Text analysis (documents) ----
@@ -452,6 +456,10 @@ object SparkEntry {
     "text_chunk_windows" -> ((s, d) =>
       graft.operators.TextAnalysis.chunkWindows(s, d)),
     "text_dup_ngrams" -> ((s, d) => graft.operators.TextAnalysis.dupNgrams(s, d)),
+    // span grain: maximal merged corpus-duplicated 3-gram intervals —
+    // the rows a substring-dedup rewrite pass would cut
+    "text_dedup_spans" -> ((s, d) =>
+      graft.operators.TextAnalysis.dedupSpans(s, d)),
 
     // ---- Deduplication (documents) ----
     "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
@@ -2092,6 +2100,54 @@ object SparkEntry {
         |  CAST(SUM(n_ev) AS DOUBLE) / COUNT(*) AS avg_events,
         |  CAST(SUM(end_ts - start_ts) AS DOUBLE) / COUNT(*) AS avg_dur_ns
         |FROM per GROUP BY 1""".stripMargin,
+    // sweep-line concurrency: the oracle runs the IDENTICAL local +
+    // carry decomposition (per-hour running sum over distinct
+    // (ts, delta) keys, hour-grain cumulative net), so the all-integer
+    // peak pins by hash
+    "q_concurrency" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |), sess AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+        |    ts
+        |  FROM s
+        |), per AS (
+        |  SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
+        |  FROM sess GROUP BY 1, 2
+        |), sweep AS (
+        |  SELECT ts, delta, CAST(SUM(delta) AS BIGINT) AS d
+        |  FROM (
+        |    SELECT start_ts AS ts, 1 AS delta FROM per
+        |    UNION ALL
+        |    SELECT end_ts AS ts, -1 AS delta FROM per)
+        |  GROUP BY 1, 2
+        |), loc AS (
+        |  SELECT (ts // 3600000000000) * 3600000000000 AS hour, delta, d,
+        |    SUM(d) OVER (PARTITION BY ts // 3600000000000
+        |      ORDER BY ts, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM sweep
+        |), h AS (
+        |  SELECT hour,
+        |    CAST(MAX(run) AS BIGINT) AS local_max,
+        |    CAST(SUM(d) AS BIGINT) AS net,
+        |    CAST(SUM(CASE WHEN delta = 1 THEN d ELSE 0 END) AS BIGINT) AS n_starts,
+        |    CAST(-SUM(CASE WHEN delta = -1 THEN d ELSE 0 END) AS BIGINT) AS n_ends
+        |  FROM loc GROUP BY 1
+        |)
+        |SELECT hour, n_starts, n_ends,
+        |  coalesce(SUM(net) OVER (ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + greatest(local_max, 0) AS max_concurrent
+        |FROM h""".stripMargin,
     "q_topk_window" ->
       """SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rnk FROM (
         |  SELECT p_brand, p_partkey,
@@ -2808,6 +2864,39 @@ object SparkEntry {
         |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
         |FROM g JOIN v USING (gram)
         |GROUP BY doc_id""".stripMargin,
+    // gaps-and-islands merge of duplicated-gram coverage intervals:
+    // both engines run the identical two-window recipe (running max
+    // covered end → island flag → running island id) over all-integer
+    // positions, so the hash pins the merge exactly
+    "text_dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    CAST(least(i + 2, len(wl)) AS BIGINT) AS end_w,
+        |    array_to_string(list_slice(wl, i, i + 2), ' ') AS gram
+        |  FROM w, unnest(generate_series(1, greatest(len(wl) - 2, 1))) AS t(i)
+        |), v AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1
+        |), d AS (
+        |  SELECT g.doc_id, g.i, g.end_w FROM g JOIN v USING (gram)
+        |), m AS (
+        |  SELECT doc_id, i, end_w,
+        |    max(end_w) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM d
+        |), isl AS (
+        |  SELECT doc_id, i, end_w,
+        |    SUM(CASE WHEN prev_max IS NULL OR i > prev_max + 1
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM m
+        |)
+        |SELECT doc_id, span_id, MIN(i) AS start_word,
+        |  MAX(end_w) AS end_word,
+        |  MAX(end_w) - MIN(i) + 1 AS span_words
+        |FROM isl GROUP BY doc_id, span_id""".stripMargin,
     // vocabulary: corpus word-count with a (cnt desc, token) total
     // order so the top-k cut is deterministic on both engines
     "text_vocab_topk" ->

@@ -822,6 +822,64 @@ object Analytics {
           .as("avg_dur_ns"))
   }
 
+  /** Peak concurrent sessions per hour — the capacity-planning curve,
+    * computed by sweep-line: every session contributes +1 at its start
+    * instant and −1 at its end, and concurrency at any instant is the
+    * running sum of deltas in (ts, starts-before-ends) order (touching
+    * sessions count as concurrent). Sessions are [[sessionize]]'s
+    * 30-minute-gap sessions; a single-event session is a momentary
+    * +1/−1 at one instant.
+    *
+    * The running sum is decomposed so NO global ordered window ever
+    * touches session-grain data (the same split as parallel prefix
+    * sum): (1) sweep points collapse to distinct (ts, delta) keys via
+    * a map-side-combined aggregate; (2) a per-HOUR window computes the
+    * hour-local running sum, local max, and net — partition = one
+    * hour's sweep keys; (3) the carry-in offset cumulates hour nets
+    * over the HOUR-GRAIN frame only (rows = hours in the time range,
+    * independent of event volume — tens of thousands for years of
+    * data), and the hour's true peak is `carry_in + greatest(local_max,
+    * 0)` (the greatest(…, 0) keeps the pre-first-sweep carry level in
+    * play when an hour opens with only session ends). Hours with no
+    * session boundary carry concurrency silently and emit no row —
+    * concurrency only changes at sweep instants.
+    */
+  def concurrency(spark: SparkSession, dir: String,
+                  gapNs: Long = 1800L * 1000 * 1000 * 1000): DataFrame =
+    concurrencyFromSessions(sessionize(spark, dir, gapNs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts")))
+
+  /** [[concurrency]] over an arbitrary `(start_ts, end_ts)` interval
+    * frame (nanosecond instants, end ≥ start).
+    */
+  def concurrencyFromSessions(sess: DataFrame): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val sweep = sess.select(col("start_ts").as("ts"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("end_ts").as("ts"), lit(-1L).as("delta")))
+      .groupBy(col("ts"), col("delta"))
+      .agg(sum(col("delta")).as("d"))
+      .withColumn("hour", expr(s"ts div ${hourNs}L") * lit(hourNs))
+    val wLoc = Window.partitionBy(col("hour"))
+      .orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourly = sweep
+      .withColumn("run", sum(col("d")).over(wLoc))
+      .groupBy(col("hour"))
+      .agg(max(col("run")).as("local_max"), sum(col("d")).as("net"),
+        sum(when(col("delta") === 1L, col("d")).otherwise(0L)).as("n_starts"),
+        (-sum(when(col("delta") === -1L, col("d")).otherwise(0L))).as("n_ends"))
+    // hour-grain carry: bounded frame (one row per active hour), the
+    // only unpartitioned window in the plan
+    val wCarry = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hourly
+      .withColumn("carry_in", coalesce(sum(col("net")).over(wCarry), lit(0L)))
+      .select(col("hour"), col("n_starts"), col("n_ends"),
+        (col("carry_in") + greatest(col("local_max"), lit(0L)))
+          .as("max_concurrent"))
+  }
+
   /** Day × event-type activity matrix via Spark's relational PIVOT —
     * the wide dashboard table (one row per day, one count column per
     * event type). The pivot values are DECLARED (the five event types),

@@ -785,4 +785,73 @@ object TextAnalysis {
         (col("n_dup").cast("double") / col("n_grams").cast("double"))
           .as("dup_frac"))
   }
+
+  /** Maximal corpus-duplicated SPANS per document — the span-grain
+    * output of suffix-array substring dedup ("Deduplicating Training
+    * Data Makes Language Models Better", Lee et al., 2022 §3),
+    * approximated at word-3-gram resolution: a word position is
+    * "covered" when some corpus-duplicated 3-gram instance includes it
+    * ([[dupNgramsFrame]]'s signal, kept at POSITION grain instead of
+    * counted), and overlapping/adjacent covered intervals merge into
+    * maximal spans. Output is one row per span `(doc_id, span_id,
+    * start_word, end_word, span_words)` — exactly what a rewrite pass
+    * cuts, and what [[dupNgramsFrame]]'s `dup_frac` only summarizes.
+    *
+    * The interval merge is gaps-and-islands: per document, duplicated
+    * gram starts ascend; a new island opens when a start clears the
+    * running max covered end by ≥2 words (`i > prev_max + 1` — touching
+    * or overlapping intervals coalesce, a one-word unique gap splits).
+    * All-integer (positions), so the oracle pins it by hash.
+    *
+    * Scale shape: the corpus pass is [[dupNgramsFrame]]'s contract —
+    * gram instances map-side-combine to the gram VOCABULARY before the
+    * shuffle, duplicated membership joins back broadcast while it fits
+    * (`broadcastVocab = false` = shuffle-hash for open-vocabulary
+    * corpora). The merge itself shuffles once on doc_id and runs two
+    * codegen'd window frames whose partition is ONE document's
+    * duplicated positions (bounded by doc length, corpus-size-
+    * independent); span rows out ≤ gram instances in. No global sort,
+    * no driver state — the same posture at 100 TB.
+    */
+  def dedupSpans(spark: SparkSession, dir: String,
+                 broadcastVocab: Boolean = true): DataFrame =
+    dedupSpansFrame(docs(spark, dir), broadcastVocab)
+
+  /** [[dedupSpans]] over an arbitrary `(doc_id, text)` frame. */
+  def dedupSpansFrame(d: DataFrame,
+                      broadcastVocab: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // same gram construction as dupNgramsFrame (windows of 3, whole
+    // list when shorter), plus the covered-interval end per instance
+    val inst = d.select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .select(col("doc_id"), size(col("wl")).as("n_words"),
+        explode(expr(
+          """transform(
+            |  sequence(1, greatest(size(wl) - 2, 1)),
+            |  i -> struct(i AS i, array_join(slice(wl, i, 3), ' ') AS gram))"""
+            .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.i").cast("long").as("i"),
+        least(col("g.i") + 2, col("n_words")).cast("long").as("end_w"),
+        col("g.gram"))
+    val vocab0 = inst.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select(col("gram"))
+    val vocab = if (broadcastVocab) broadcast(vocab0)
+                else vocab0.hint("shuffle_hash")
+    val dup = inst.join(vocab, "gram")
+      .select(col("doc_id"), col("i"), col("end_w"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val prevMax = max(col("end_w"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("new_span",
+        when(prevMax.isNull || col("i") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("new_span"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("i")).as("start_word"), max(col("end_w")).as("end_word"))
+      .select(col("doc_id"), col("span_id"), col("start_word"),
+        col("end_word"),
+        (col("end_word") - col("start_word") + 1).as("span_words"))
+  }
 }

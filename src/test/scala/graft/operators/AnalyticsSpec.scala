@@ -855,4 +855,63 @@ class AnalyticsSpec extends SparkSpec {
       s"one-row bounds should broadcast:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct"), "bounds cross join must not plan cartesian")
   }
+
+  test("concurrency: handcrafted interval sets hit known hourly peaks") {
+    import spark.implicits._
+    val h = 3_600_000_000_000L
+    def run(iv: Seq[(Long, Long)]) =
+      Analytics.concurrencyFromSessions(iv.toDF("start_ts", "end_ts"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // three overlapping in hour 0; one spans silently into hour 2
+    val out = run(Seq(
+      (10L, 100L), (50L, 200L), (60L, 70L),          // peak 3 in hour 0
+      (90L, 2 * h + 10L),                            // still open after hour 0
+      (2 * h + 5L, 2 * h + 5L)))                     // momentary in hour 2
+    assert(out(0L) == ((4L, 3L, 3L)))                // 4 starts, 3 ends, peak 3
+                                                     // (the 70-end frees a slot
+                                                     // before the 90-start)
+    // hour 1 has no sweep points: absent by contract
+    assert(!out.contains(h))
+    // hour 2 opens with carry 1; momentary session overlaps the open one
+    assert(out(2 * h) == ((1L, 2L, 2L)))
+    // an hour that only CLOSES sessions keeps the carry level as peak
+    val out2 = run(Seq((0L, h + 10L), (5L, h + 20L)))
+    assert(out2(0L) == ((2L, 0L, 2L)))
+    assert(out2(h) == ((0L, 2L, 2L)))
+  }
+
+  test("concurrency on sf events matches a driver-side sweep recompute") {
+    val sess = Analytics.sessionize(spark, sfDir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      .collect().map(r => (r.getAs[Long]("s"), r.getAs[Long]("e")))
+    val h = 3_600_000_000_000L
+    val rows = sess.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .groupBy(identity).map { case ((ts, d), v) => (ts, d, d * v.size) }
+      .toSeq.sortBy(t => (t._1, -t._2))
+    var cur = 0L
+    val peak = scala.collection.mutable.Map.empty[Long, Long]
+    val starts = scala.collection.mutable.Map.empty[Long, Long]
+    val ends = scala.collection.mutable.Map.empty[Long, Long]
+    rows.foreach { case (ts, d, dd) =>
+      val hour = ts / h * h
+      // carry level counts toward the hour peak before its first sweep
+      if (!peak.contains(hour)) peak(hour) = cur
+      cur += dd
+      peak(hour) = math.max(peak(hour), cur)
+      if (d > 0) starts(hour) = starts.getOrElse(hour, 0L) + dd
+      else ends(hour) = ends.getOrElse(hour, 0L) - dd
+    }
+    assert(cur == 0L, "every start is matched by an end")
+    val got = Analytics.concurrency(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == peak.keySet)
+    got.foreach { case (hour, (ns, ne, mx)) =>
+      assert(ns == starts.getOrElse(hour, 0L), s"hour $hour starts")
+      assert(ne == ends.getOrElse(hour, 0L), s"hour $hour ends")
+      assert(mx == peak(hour), s"hour $hour peak")
+    }
+  }
 }

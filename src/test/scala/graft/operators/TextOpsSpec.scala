@@ -409,4 +409,75 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedupSpans merges overlapping duplicated-gram coverage into maximal spans") {
+    val d = docsDf(Seq(
+      (0L, "a b c d e f g h"),  // "a b c","b c d","c d e" dup → [1,5]
+      (1L, "a b c d"),          // both grams dup → [1,4]
+      (2L, "a b c Z Z Z b c d"),// dup at 1 and 7; unique word 4-6 gap → two spans
+      (3L, "a b c d e"),        // all three grams dup → [1,5]
+      (4L, "c d e"),            // whole-doc gram dup with d3/d0 → [1,3]
+      (5L, "x"), (6L, "x")))    // short-doc whole-list gram pair → [1,1]
+    val out = TextAnalysis.dedupSpansFrame(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byDoc = out.groupBy(_._1).map { case (k, v) =>
+      k -> v.sortBy(_._2).map(t => (t._3, t._4, t._5)).toSeq }
+    assert(byDoc(0L) == Seq((1L, 5L, 5L)))
+    assert(byDoc(1L) == Seq((1L, 4L, 4L)))
+    assert(byDoc(2L) == Seq((1L, 3L, 3L), (7L, 9L, 3L)))
+    assert(byDoc(3L) == Seq((1L, 5L, 5L)))
+    assert(byDoc(4L) == Seq((1L, 3L, 3L)))
+    assert(byDoc(5L) == Seq((1L, 1L, 1L)))
+    assert(byDoc(6L) == Seq((1L, 1L, 1L)))
+    // span ids are 1..k per document in start order
+    out.groupBy(_._1).foreach { case (doc, rows) =>
+      assert(rows.sortBy(_._3).map(_._2).sameElements(1L to rows.length),
+        s"doc $doc span ids")
+    }
+    // join strategies agree
+    val sh = TextAnalysis.dedupSpansFrame(d, broadcastVocab = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(sh == out.toSet)
+  }
+
+  test("dedupSpans fuzz: matches brute-force interval merge on random corpora") {
+    val rnd = new scala.util.Random(0xD5EA)
+    for (round <- 1 to 5) {
+      val vocabN = 3 + rnd.nextInt(4)
+      val docsN = 6 + rnd.nextInt(6)
+      val corpus = (0 until docsN).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        id.toLong -> Seq.fill(n)(('a' + rnd.nextInt(vocabN)).toChar.toString)
+          .mkString(" ")
+      }
+      // brute: gram instances with coverage, corpus counts, merge
+      def grams(text: String): Seq[(Int, Int, String)] = {
+        val wl = text.split(" ", -1)
+        (1 to math.max(wl.length - 2, 1)).map { i =>
+          (i, math.min(i + 2, wl.length),
+            wl.slice(i - 1, i + 2).mkString(" "))
+        }
+      }
+      val cnt = corpus.flatMap(d => grams(d._2).map(_._3))
+        .groupBy(identity).map { case (g, v) => g -> v.size }
+      val expected = corpus.flatMap { case (id, text) =>
+        val dup = grams(text).filter(g => cnt(g._3) > 1).sortBy(_._1)
+        val spans = dup.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, (s, e, _)) => acc match {
+            case (ps, pe) :: rest if s <= pe + 1 =>
+              (ps, math.max(pe, e)) :: rest
+            case _ => (s, e) :: acc
+          }
+        }.reverse
+        spans.zipWithIndex.map { case ((s, e), k) =>
+          (id, (k + 1).toLong, s.toLong, e.toLong, (e - s + 1).toLong) }
+      }.toSet
+      val got = TextAnalysis.dedupSpansFrame(docsDf(corpus)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got == expected, s"round $round corpus: $corpus")
+    }
+  }
 }
