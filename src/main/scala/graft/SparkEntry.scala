@@ -94,6 +94,10 @@ object SparkEntry {
     "ts_stddev" -> ((s, d) =>
       Db.fromEvents(s, d).stddev("error", "k").granularity(Day).build()),
     "ts_zscore" -> ((s, d) => Db.fromEvents(s, d).zscore("error", "user")),
+    // weekday-profile residual z: daily totals scored against the SAME
+    // weekday's distribution — the de-seasonalized alerting band
+    "ts_seasonal_zscore" -> ((s, d) =>
+      Db.fromEvents(s, d).seasonalZscore("click", "user")),
     "ts_gapfill" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
     // TimescaleDB interpolate(): linear fill between nearest observed
@@ -502,6 +506,9 @@ object SparkEntry {
       graft.operators.Dedup.keepersWeighted(s, d)),
     "dedup_pipeline" -> ((s, d) => graft.operators.Dedup.pipeline(s, d)),
     "dedup_pipeline_quality" -> ((s, d) => graft.operators.Dedup.pipelineQuality(s, d)),
+    // per-source provenance funnel: in → exact → near-dup → quality,
+    // absolute survivor counts per source (keeper attribution)
+    "dedup_yield" -> ((s, d) => graft.operators.Dedup.yieldReport(s, d)),
     "dedup_pipeline_simhash" -> ((s, d) => graft.operators.Dedup.pipelineSimhash(s, d)),
     "dedup_pipeline_embedding" -> ((s, d) => graft.operators.Dedup.pipelineEmbedding(s, d)),
 
@@ -852,6 +859,28 @@ object SparkEntry {
     // then the identical IEEE chain (no rounding — the rate/ewma
     // recipe) with `+ 0.0` signed-zero canonicalization; σ=0 → NULL
     "ts_zscore" -> ZscoreSql,
+    // weekday-profile residual z over daily totals: exact DECIMAL
+    // daily sums, then the ZscoreSql Σt/Σt² window chain partitioned
+    // (series, weekday); identical IEEE steps after the exact sums
+    "ts_seasonal_zscore" ->
+      s"""$Ev, daily AS (
+         |  SELECT tag_user AS grp, ts // ${Day} AS day_idx,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(18,6)) AS t
+         |  FROM ev WHERE metric = 'click' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), w AS (
+         |  SELECT grp, day_idx * ${Day} AS bucket_start,
+         |    (day_idx + 4) % 7 AS dow, t,
+         |    CAST(SUM(t) OVER win AS DOUBLE) AS s,
+         |    CAST(SUM(t * t) OVER win AS DOUBLE) AS sq,
+         |    COUNT(*) OVER win AS n
+         |  FROM daily WINDOW win AS (PARTITION BY grp, (day_idx + 4) % 7)
+         |)
+         |SELECT grp, bucket_start, dow, CAST(t AS DOUBLE) AS value,
+         |  CASE WHEN sqrt(greatest((sq - s*s/n)/n, 0)) = 0 THEN NULL
+         |       ELSE (CAST(t AS DOUBLE) - s/n)
+         |            / sqrt(greatest((sq - s*s/n)/n, 0)) + 0.0 END AS z
+         |FROM w""".stripMargin,
     // IDENTICAL raw-window SQL for the rollup-backed variant: matching
     // this hash proves the broadcast-stats partial path is exact
     "ts_zscore_rollup" -> ZscoreSql,
@@ -3246,6 +3275,53 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT id FROM c)
         |UNION ALL
         |SELECT doc_id, cluster_size, quality_score FROM kept""".stripMargin,
+    // per-source yield funnel: the planting, fingerprint keeper,
+    // cluster CTEs (re-pointed at the exact survivors), and quality
+    // score are the SAME SQL bodies as their standalone oracles —
+    // string surgery, so the stages can never diverge from the
+    // entries that gate them individually
+    "dedup_yield" ->
+      ("""WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents),
+        |pl AS (
+        |  SELECT a.doc_id, coalesce(b.text, a.text) AS text
+        |  FROM d0 a LEFT JOIN d0 b ON b.doc_id =
+        |    CASE WHEN a.doc_id % 100 = 90 THEN a.doc_id - 50
+        |         WHEN a.doc_id % 7 = 3 THEN a.doc_id - 3 END
+        |), f AS (
+        |  SELECT doc_id, text,
+        |         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM pl
+        |), ek AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+        |sv AS (SELECT f.doc_id, f.text FROM f JOIN ek ON f.doc_id = ek.doc_id),
+        |""".stripMargin +
+        NgramClusterCtes
+          .replace("FROM documents", "FROM sv")
+          .replace("WITH RECURSIVE ", "") +
+        """,
+        |nk AS (
+        |  SELECT sv.doc_id FROM sv WHERE sv.doc_id NOT IN (SELECT id FROM c)
+        |  UNION ALL
+        |  SELECT MIN(id) AS doc_id FROM c GROUP BY comp
+        |), q AS (
+        |""".stripMargin +
+        TextQualitySql.replace("FROM documents", "FROM pl") +
+        """
+        |), qk AS (
+        |  SELECT nk.doc_id FROM nk JOIN q ON nk.doc_id = q.doc_id
+        |  WHERE q.quality_score >= 0.5
+        |)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN ek2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_after_exact,
+        |  CAST(SUM(CASE WHEN nk2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_after_neardup,
+        |  CAST(SUM(CASE WHEN qk2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_after_quality
+        |FROM documents d
+        |LEFT JOIN ek ek2 ON d.doc_id = ek2.doc_id
+        |LEFT JOIN nk nk2 ON d.doc_id = nk2.doc_id
+        |LEFT JOIN qk qk2 ON d.doc_id = qk2.doc_id
+        |GROUP BY d.source""".stripMargin),
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

@@ -663,8 +663,13 @@ object Dedup {
     * only inside blocks.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   threshold: Double = 0.3): DataFrame = {
-    val g = parallelize(docs(spark, dir)).select(
+                   threshold: Double = 0.3): DataFrame =
+    ngramJaccardFrame(parallelize(docs(spark, dir)), threshold)
+
+  /** [[ngramJaccard]] over an arbitrary `(doc_id, text)` frame. */
+  def ngramJaccardFrame(d: DataFrame, threshold: Double = 0.3): DataFrame = {
+    GraftFunctions.register(d.sparkSession)
+    val g = d.select(
       col("doc_id"), substring(col("text"), 1, 16).as("blk"), charGrams.as("grams"))
     g.as("a")
       .join(g.as("b"),
@@ -1540,5 +1545,62 @@ object Dedup {
       .join(build, col("doc_id") === col("paired_id"), "left_anti")
       .select(col("doc_id"), lit(1L).as("cluster_size"))
       .unionByName(kept)
+  }
+
+  /** Per-source pipeline YIELD report — the provenance accounting every
+    * production data pipeline publishes next to its output: for each
+    * document source, how many documents entered, and how many survive
+    * each stage of the standard chain — exact dedup (min-id keeper per
+    * normalized-text fingerprint), near-dup dedup over the exact
+    * survivors ([[ngramJaccardFrame]] pairs → connected components →
+    * canonical keeper, the [[pipelineOverPairs]] semantics), and the
+    * quality gate (`quality_score ≥ minQuality` on the delivered
+    * text). The count columns are NOT nested percentages — they are
+    * absolute survivor counts per source, so Σ n_after_* across
+    * sources is monotone down the funnel while a single source can
+    * gain or lose share (the keeper of a cross-source duplicate group
+    * attributes to the KEEPER's source — real provenance semantics).
+    *
+    * This corpus has zero exact-duplicate documents, so the entry
+    * re-delivers clones with [[plantedReDelivery]]'s deterministic rule
+    * (the exactIncremental precedent) — the oracle replants identically
+    * and every stage of the funnel is exercised.
+    *
+    * Scale shape: stage survivor sets are id-only frames; the flags
+    * join back to the corpus on doc_id (three co-partitioned equi-joins
+    * after one shuffle) and collapse map-side to the SOURCE vocabulary
+    * — output rows = #sources at any corpus size. The stages themselves
+    * carry their own documented contracts (hash-agg exact, blocked
+    * pair join, pointer-doubling components, gated anti-join).
+    */
+  def yieldReport(spark: SparkSession, dir: String,
+                  threshold: Double = 0.3,
+                  minQuality: Double = 0.5): DataFrame = {
+    val raw = parallelize(docs(spark, dir))
+      .select(col("doc_id"), col("text"), col("source"))
+    val planted = plantedReDelivery(raw.select(col("doc_id"), col("text")))
+    val exactKeepIds = planted
+      .groupBy(md5Fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val survivors = planted.join(exactKeepIds, Seq("doc_id"), "left_semi")
+    val pairs = ngramJaccardFrame(survivors, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val nearKeptIds = pipelineOverPairs(survivors.select(col("doc_id")), pairs)
+      .select(col("doc_id"))
+    val qualIds = nearKeptIds
+      .join(TextAnalysis.qualityFrame(planted)
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+      .where(col("quality_score") >= minQuality)
+      .select(col("doc_id"))
+    raw.select(col("doc_id"), col("source"))
+      .join(exactKeepIds.withColumn("e", lit(1L)), Seq("doc_id"), "left")
+      .join(nearKeptIds.withColumn("nd", lit(1L)), Seq("doc_id"), "left")
+      .join(qualIds.withColumn("q", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("e"), lit(0L))).as("n_after_exact"),
+        sum(coalesce(col("nd"), lit(0L))).as("n_after_neardup"),
+        sum(coalesce(col("q"), lit(0L))).as("n_after_quality"))
   }
 }

@@ -96,7 +96,11 @@ object TextAnalysis {
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
 
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityFrame(docs(spark, dir))
+
+  /** [[quality]] over an arbitrary `(doc_id, text)` frame. */
+  def qualityFrame(d: DataFrame): DataFrame = {
     val nChars = length(col("text")).cast("long")
     val nTokens = wsTokenCount(col("text"))
     val alpha = alphaCount(col("text"))
@@ -104,7 +108,7 @@ object TextAnalysis {
     val stops = stopwordCount(col("text"))
     val alphaRatio = alpha / nChars
     val stopRatio = stops / nTokens
-    docs(spark, dir).select(
+    d.select(
       col("doc_id"),
       nChars.as("n_chars_calc"),
       nTokens.as("n_tokens"),

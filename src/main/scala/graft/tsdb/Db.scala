@@ -782,6 +782,46 @@ final class Db(val frame: DataFrame) {
           .otherwise((col("value") - s / cnt) / sigma + lit(0.0)).as("z"))
   }
 
+  /** Seasonal-baseline anomaly score: each series' DAILY total
+    * z-scored against the profile of the SAME WEEKDAY's totals — "is
+    * this Monday anomalous versus Mondays", the de-seasonalized
+    * alerting read that a flat [[zscore]] band false-alarms on every
+    * weekend dip ([[AggBuilder.buildSeasonal]] shows the weekday
+    * profile; this scores residuals against it). Daily totals are
+    * exact DECIMAL sums (order-independent), the per-(series, weekday)
+    * μ/σ ride the same Σt/Σt² window chain as [[zscore]] — ONE shuffle
+    * on (grp, dow) serves the stats and the per-day enrichment, every
+    * post-sum step the identical IEEE chain on both engines, `+ 0.0`
+    * canonicalizing signed zero, σ = 0 ⇒ NULL. The window partition is
+    * one series × one weekday's DAY COUNT (range/7 rows — bounded by
+    * calendar time, not data volume).
+    */
+  def seasonalZscore(metric: String, groupBy: String,
+                     filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{functions => F}
+    val dayNs = Duration.days(1)
+    val grpCol = tagCol(groupBy)
+    val daily = scan(metric, filterExpr)
+      .where(grpCol.isNotNull)
+      .groupBy(grpCol.as("grp"), expr(s"ts div ${dayNs}L").as("day_idx"))
+      .agg(F.sum(col("value").cast("decimal(28,6)")).as("t0"))
+      .select(col("grp"), col("day_idx"),
+        ((col("day_idx") + lit(4L)) % lit(7L)).as("dow"),
+        col("t0").cast("decimal(18,6)").as("t"))
+    val w = Window.partitionBy(col("grp"), col("dow"))
+    val s = F.sum(col("t")).over(w).cast("double")
+    val sq = F.sum(col("t") * col("t")).over(w).cast("double")
+    val cnt = F.count(lit(1)).over(w)
+    val sigma = sqrt(greatest((sq - (s * s) / cnt) / cnt, lit(0.0)))
+    daily.select(col("grp"),
+      (col("day_idx") * lit(dayNs)).as("bucket_start"), col("dow"),
+      col("t").cast("double").as("value"),
+      when(sigma === 0.0, lit(null).cast("double"))
+        .otherwise((col("t").cast("double") - s / cnt) / sigma + lit(0.0))
+        .as("z"))
+  }
+
   def ewma(metric: String, alpha: Double = 0.3,
            filterExpr: String = "*",
            maxPointsPerSeries: Long = 10000000L): DataFrame = {

@@ -424,4 +424,39 @@ class DedupSpec extends SparkSpec {
     out.filterNot(kv => paired.contains(kv._1)).values.foreach(w => assert(w == 1L))
     assert(out.size == nDocs - paired.size + byCluster.size)
   }
+
+  test("yieldReport: monotone funnel totals, exact stage equals fingerprint census") {
+    // minQuality 0.8: at sf0.001 every near-dup survivor clears the
+    // default 0.5, which would leave the last stage vacuous here
+    val out = Dedup.yieldReport(spark, sfDir, minQuality = 0.8).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out.nonEmpty)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    // per-source doc counts match the corpus
+    val bySrc = corpus.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == bySrc.keySet)
+    out.foreach { case (s, (n, _, _, _)) => assert(n == bySrc(s)) }
+    // funnel totals are monotone and every stage drops something here:
+    // the planting guarantees exact drops, the corpus has near-dups,
+    // and the quality gate is not vacuous
+    val (tN, tE, tD, tQ) = out.values.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, b, c, d), (n, e, nd, q)) => (a + n, b + e, c + nd, d + q)
+    }
+    assert(tN > tE && tE > tD && tD > tQ,
+      s"funnel $tN -> $tE -> $tD -> $tQ must strictly drop at each stage")
+    // the exact stage total is the planted corpus's fingerprint census,
+    // recomputed here with the same re-delivery rule
+    val d0 = corpus.select(col("doc_id"), col("text"))
+    val srcId = when(col("doc_id") % 100 === 90, col("doc_id") - 50)
+      .when(col("doc_id") % 7 === 3, col("doc_id") - 3)
+    val planted = d0.select(col("doc_id"), srcId.as("src"), col("text").as("own"))
+      .join(d0.select(col("doc_id").as("src"), col("text").as("st")), Seq("src"), "left")
+      .select(col("doc_id"), coalesce(col("st"), col("own")).as("text"))
+    val nFp = planted
+      .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .distinct().count()
+    assert(tE == nFp, s"exact survivors $tE != distinct fingerprints $nFp")
+  }
 }

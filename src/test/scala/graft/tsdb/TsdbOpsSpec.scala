@@ -1353,4 +1353,41 @@ class TsdbOpsSpec extends SparkSpec {
     assert(fired > 0 && quiet > 0,
       s"degenerate alarm split ($fired fired / $quiet quiet); the gate proves nothing")
   }
+
+  test("seasonalZscore scores daily totals against the same-weekday profile") {
+    val day = Duration.days(1)
+    // series u: week 1 totals 10/day, week 2 totals 20/day — every
+    // weekday profile is {10, 20}: μ=15, σ=5, z = ∓1. Two points per
+    // day prove the total (not the point) is what gets scored.
+    // series v: constant totals → σ=0 → NULL.
+    val rows = (0 until 14).flatMap { i =>
+      val v = if (i < 7) 10.0 else 20.0
+      Seq(("m", i * day + 5L, v - 1.0, "u"), ("m", i * day + 6L, 1.0, "u"),
+        ("m", i * day + 7L, 7.0, "v"))
+    }
+    val d = db(rows)
+    val out = d.seasonalZscore("m", "user").collect()
+    val u = out.filter(_.getString(0) == "u")
+      .map(r => r.getLong(1) / day ->
+        ((r.getLong(2), r.getDouble(3),
+          Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)))).toMap
+    assert(u.size == 14)
+    (0 until 14).foreach { i =>
+      val (dow, value, z) = u(i.toLong)
+      assert(dow == (i + 4) % 7, s"day $i dow")
+      assert(value == (if (i < 7) 10.0 else 20.0), s"day $i total")
+      assert(z.contains(if (i < 7) -1.0 else 1.0), s"day $i z")
+    }
+    out.filter(_.getString(0) == "v").foreach { r =>
+      assert(r.isNullAt(4), "constant weekday profile must yield NULL z")
+    }
+    // exact decimal sums: identical bits under any partitioning
+    val shuffled = new Db(d.frame.repartition(7))
+      .seasonalZscore("m", "user").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)).toMap
+    val base = out.map(r => (r.getString(0), r.getLong(1)) ->
+      Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)).toMap
+    assert(shuffled == base)
+  }
 }
