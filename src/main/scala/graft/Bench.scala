@@ -344,7 +344,16 @@ object Bench {
     // funnel-latency equi-join (user-grain reduce, q_funnel's curve)
     "ts_cusum", "ts_burnrate", "q_funnel_time",
     // the bollinger window pass shares ts_trailing's frame shape
-    "ts_bollinger")
+    "ts_bollinger",
+    // sixth batch: the span merge and its rewrite (both ride
+    // text_dup_ngrams' gram-volume-linear curve plus per-doc window /
+    // re-aggregate passes), the per-source funnel (exact hash-agg +
+    // blocked pair join + CC — compare against dedup_pipeline's
+    // curve), the sweep-line concurrency (session-grain reduce, then
+    // hour-grain frames — q_session_window's curve), and the weekday
+    // profile z (day-grain window — ts_cusum's shape)
+    "text_dedup_spans", "text_dedup_rewrite", "dedup_yield",
+    "q_concurrency", "ts_seasonal_zscore")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost

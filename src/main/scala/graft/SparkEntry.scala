@@ -464,6 +464,10 @@ object SparkEntry {
     // the rows a substring-dedup rewrite pass would cut
     "text_dedup_spans" -> ((s, d) =>
       graft.operators.TextAnalysis.dedupSpans(s, d)),
+    // the rewrite over those spans: covered words cut, survivors
+    // re-joined in position order — the corpus substring dedup ships
+    "text_dedup_rewrite" -> ((s, d) =>
+      graft.operators.TextAnalysis.dedupRewrite(s, d)),
 
     // ---- Deduplication (documents) ----
     "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
@@ -682,6 +686,37 @@ object SparkEntry {
       |   CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct,
       |   CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stops
       |  FROM documents)""".stripMargin
+
+  /** Duplicated-gram coverage-interval islands over `documents` —
+    * shared by the text_dedup_spans and text_dedup_rewrite oracles so
+    * the span definition can never diverge between the report and the
+    * rewrite.
+    */
+  private val TextSpanCtes =
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    CAST(least(i + 2, len(wl)) AS BIGINT) AS end_w,
+      |    array_to_string(list_slice(wl, i, i + 2), ' ') AS gram
+      |  FROM w, unnest(generate_series(1, greatest(len(wl) - 2, 1))) AS t(i)
+      |), v AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1
+      |), dsp AS (
+      |  SELECT g.doc_id, g.i, g.end_w FROM g JOIN v USING (gram)
+      |), m AS (
+      |  SELECT doc_id, i, end_w,
+      |    max(end_w) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM dsp
+      |), isl AS (
+      |  SELECT doc_id, i, end_w,
+      |    SUM(CASE WHEN prev_max IS NULL OR i > prev_max + 1
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      |  FROM m
+      |)""".stripMargin
 
   private val TextRepetitionSql =
     """WITH t AS (
@@ -2898,34 +2933,32 @@ object SparkEntry {
     // covered end → island flag → running island id) over all-integer
     // positions, so the hash pins the merge exactly
     "text_dedup_spans" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
-        |), g AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
-        |    CAST(least(i + 2, len(wl)) AS BIGINT) AS end_w,
-        |    array_to_string(list_slice(wl, i, i + 2), ' ') AS gram
-        |  FROM w, unnest(generate_series(1, greatest(len(wl) - 2, 1))) AS t(i)
-        |), v AS (
-        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1
-        |), d AS (
-        |  SELECT g.doc_id, g.i, g.end_w FROM g JOIN v USING (gram)
-        |), m AS (
-        |  SELECT doc_id, i, end_w,
-        |    max(end_w) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-        |  FROM d
-        |), isl AS (
-        |  SELECT doc_id, i, end_w,
-        |    SUM(CASE WHEN prev_max IS NULL OR i > prev_max + 1
-        |             THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY i
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-        |  FROM m
-        |)
+      s"""WITH $TextSpanCtes
         |SELECT doc_id, span_id, MIN(i) AS start_word,
         |  MAX(end_w) AS end_word,
         |  MAX(end_w) - MIN(i) + 1 AS span_words
         |FROM isl GROUP BY doc_id, span_id""".stripMargin,
+    // the rewrite pass: positions inside any merged span are cut, the
+    // survivors string_agg back in position order; '' (never a dropped
+    // row) for fully-boilerplate docs
+    "text_dedup_rewrite" ->
+      s"""WITH $TextSpanCtes, spans AS (
+        |  SELECT doc_id, MIN(i) AS start_word, MAX(end_w) AS end_word
+        |  FROM isl GROUP BY doc_id, span_id
+        |), words AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, wl[i] AS word
+        |  FROM w, unnest(generate_series(1, len(wl))) AS t(i)
+        |), kept AS (
+        |  SELECT w2.doc_id, w2.pos, w2.word FROM words w2
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = w2.doc_id
+        |      AND w2.pos BETWEEN s.start_word AND s.end_word)
+        |)
+        |SELECT b.doc_id, CAST(len(b.wl) AS BIGINT) AS n_words,
+        |  CAST(COUNT(k.pos) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(k.word, ' ' ORDER BY k.pos), '') AS clean_text
+        |FROM w b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        |GROUP BY b.doc_id, len(b.wl)""".stripMargin,
     // vocabulary: corpus word-count with a (cnt desc, token) total
     // order so the top-k cut is deterministic on both engines
     "text_vocab_topk" ->

@@ -821,6 +821,58 @@ object TextAnalysis {
                  broadcastVocab: Boolean = true): DataFrame =
     dedupSpansFrame(docs(spark, dir), broadcastVocab)
 
+  /** The REWRITE pass over [[dedupSpans]]: every word position covered
+    * by a maximal corpus-duplicated span is CUT and the survivors
+    * re-join into `clean_text` — the output corpus of substring dedup
+    * (Lee et al. 2022 apply exactly this: train on the rewritten
+    * corpus, not the filtered one). Per doc: original word count, kept
+    * word count, and the cleaned text ('' when every word was
+    * duplicated boilerplate — the document empties rather than
+    * disappears, so downstream length filters see it).
+    *
+    * Scale shape: [[dedupSpansFrame]]'s contract for the span pass;
+    * the cut is one doc_id equi-join (words × spans co-partitioned,
+    * span count per doc bounded by doc length) filtered on the
+    * position range, then one per-doc re-aggregate whose state is the
+    * document's own surviving words — the same per-row bound every
+    * text kernel here lives with. No global sort; word order is
+    * restored per doc by an in-row array_sort.
+    */
+  def dedupRewrite(spark: SparkSession, dir: String,
+                   broadcastVocab: Boolean = true): DataFrame =
+    dedupRewriteFrame(docs(spark, dir), broadcastVocab)
+
+  /** [[dedupRewrite]] over an arbitrary `(doc_id, text)` frame. */
+  def dedupRewriteFrame(d: DataFrame,
+                        broadcastVocab: Boolean = true): DataFrame = {
+    val spans = dedupSpansFrame(d, broadcastVocab)
+      .select(col("doc_id"), col("start_word"), col("end_word"))
+    val words = d
+      .select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .select(col("doc_id"), size(col("wl")).cast("long").as("n_words"),
+        posexplode(col("wl")).as(Seq("p0", "word")))
+      .select(col("doc_id"), col("n_words"),
+        (col("p0") + 1).cast("long").as("pos"), col("word"))
+    val cut = words.join(spans,
+      words("doc_id") === spans("doc_id") &&
+        col("pos") >= col("start_word") && col("pos") <= col("end_word"),
+      "left_anti")
+    val rebuilt = cut
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "struct(pos, word))), x -> x.word)"), " ").as("clean_text"))
+    // fully-boilerplate docs lose every word: re-attach with '' text
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("all_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), col("all_words")).as("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** [[dedupSpans]] over an arbitrary `(doc_id, text)` frame. */
   def dedupSpansFrame(d: DataFrame,
                       broadcastVocab: Boolean = true): DataFrame = {

@@ -478,6 +478,44 @@ class TextOpsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4))).toSet
       assert(got == expected, s"round $round corpus: $corpus")
+      // the rewrite is the complement of those spans, in word order
+      val spansByDoc = expected.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(t => (t._3, t._4)) }
+      val expClean = corpus.map { case (id, text) =>
+        val wl = text.split(" ", -1)
+        val cov = spansByDoc.getOrElse(id, Set.empty)
+        val keptW = wl.zipWithIndex.collect {
+          case (w, i0) if !cov.exists(s => i0 + 1 >= s._1 && i0 + 1 <= s._2) => w
+        }
+        id -> ((wl.length.toLong, keptW.length.toLong, keptW.mkString(" ")))
+      }.toMap
+      val gotClean = TextAnalysis.dedupRewriteFrame(docsDf(corpus)).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(gotClean == expClean, s"round $round rewrite, corpus: $corpus")
     }
+  }
+
+  test("dedupRewrite cuts exactly the merged spans; untouched docs round-trip") {
+    val d = docsDf(Seq(
+      (0L, "a b c d e f g h"),   // span [1,5] → "f g h"
+      (1L, "a b c d"),           // fully covered → ''
+      (2L, "a b c Z Z Z b c d"), // spans [1,3],[7,9] → "Z Z Z"
+      (3L, "a b c d e"),
+      (4L, "c d e"),
+      (5L, "x"), (6L, "x"),
+      (7L, "q r s t u")))        // no duplicated grams → identity
+    val out = TextAnalysis.dedupRewriteFrame(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((8L, 3L, "f g h")))
+    assert(out(1L) == ((4L, 0L, "")))
+    assert(out(2L) == ((9L, 3L, "Z Z Z")))
+    assert(out(3L) == ((5L, 0L, "")))
+    assert(out(4L) == ((3L, 0L, "")))
+    assert(out(5L) == ((1L, 0L, "")))
+    assert(out(6L) == ((1L, 0L, "")))
+    assert(out(7L) == ((5L, 5L, "q r s t u")))
+    assert(out.size == 8, "every doc survives as a row, even when emptied")
   }
 }
