@@ -98,6 +98,12 @@ object SparkEntry {
     // weekday's distribution — the de-seasonalized alerting band
     "ts_seasonal_zscore" -> ((s, d) =>
       Db.fromEvents(s, d).seasonalZscore("click", "user")),
+    // per-series share of the bucket total: exact decimal numerator
+    // and denominator, one division — percent-of-total normalization
+    "ts_share" -> ((s, d) => Db.fromEvents(s, d).share("view", "user")),
+    // Apdex_60: (2·sat + tol) / 2n over exact counts — the SRE
+    // satisfaction index per (series, day)
+    "ts_apdex" -> ((s, d) => Db.fromEvents(s, d).apdex("view", "user", 60.0)),
     "ts_gapfill" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
     // TimescaleDB interpolate(): linear fill between nearest observed
@@ -894,6 +900,38 @@ object SparkEntry {
     // then the identical IEEE chain (no rounding — the rate/ewma
     // recipe) with `+ 0.0` signed-zero canonicalization; σ=0 → NULL
     "ts_zscore" -> ZscoreSql,
+    // percent-of-total: decimal bucket totals, decimal cross-series
+    // denominator, one IEEE division; zero totals → NULL
+    "ts_share" ->
+      s"""$Ev, daily AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |    SUM(CAST(value AS DECIMAL(28,6))) AS t
+         |  FROM ev WHERE metric = 'view' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT grp, bucket_start, CAST(t AS DOUBLE) AS value,
+         |  CASE WHEN CAST(SUM(t) OVER (PARTITION BY bucket_start) AS DOUBLE) = 0
+         |       THEN NULL
+         |       ELSE CAST(t AS DOUBLE)
+         |            / CAST(SUM(t) OVER (PARTITION BY bucket_start) AS DOUBLE)
+         |            + 0.0 END AS share
+         |FROM daily""".stripMargin,
+    // Apdex_60: exact BIGINT satisfied/tolerating counts, the single
+    // (2·sat + tol)/(2n) division
+    "ts_apdex" ->
+      s"""$Ev
+         |SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN value <= 60.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sat,
+         |  CAST(SUM(CASE WHEN value > 60.0 AND value <= 240.0
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_tol,
+         |  CAST(2 * SUM(CASE WHEN value <= 60.0 THEN 1 ELSE 0 END)
+         |       + SUM(CASE WHEN value > 60.0 AND value <= 240.0
+         |             THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(2 * COUNT(*) AS DOUBLE) AS apdex
+         |FROM ev WHERE metric = 'view' AND tag_user IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
     // weekday-profile residual z over daily totals: exact DECIMAL
     // daily sums, then the ZscoreSql Σt/Σt² window chain partitioned
     // (series, weekday); identical IEEE steps after the exact sums

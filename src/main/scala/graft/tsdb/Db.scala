@@ -822,6 +822,65 @@ final class Db(val frame: DataFrame) {
         .as("z"))
   }
 
+  /** Per-series share of the bucket total — `v / Σ_series v`, the
+    * "percent of total traffic" normalization every capacity dashboard
+    * draws (PromQL `x / ignoring(instance) group_left sum(x)`). Both
+    * the per-series bucket totals and the cross-series denominator are
+    * exact DECIMAL sums (order-independent); ONE IEEE division at the
+    * end. One shuffle on (grp, bucket) for the aggregate; the
+    * denominator window repartitions to the BUCKET grain, whose
+    * partition is one bucket's series rows — bounded by series
+    * cardinality, not point volume. Zero-total buckets (all-zero
+    * values) yield NULL share, not a division blow-up.
+    */
+  def share(metric: String, groupBy: String,
+            widthNs: Long = Duration.days(1),
+            filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{functions => F}
+    val grpCol = tagCol(groupBy)
+    val daily = scan(metric, filterExpr)
+      .where(grpCol.isNotNull)
+      .groupBy(grpCol.as("grp"),
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"))
+      .agg(F.sum(col("value").cast("decimal(28,6)")).as("t"))
+    val w = Window.partitionBy(col("bucket_start"))
+    val total = F.sum(col("t")).over(w).cast("double")
+    daily.select(col("grp"), col("bucket_start"),
+      col("t").cast("double").as("value"),
+      when(total === 0.0, lit(null).cast("double"))
+        .otherwise(col("t").cast("double") / total + lit(0.0)).as("share"))
+  }
+
+  /** Apdex score per (series, bucket) — the SRE satisfaction index
+    * over a latency-like metric: `(satisfied + tolerating/2) / total`
+    * with `satisfied: v ≤ T`, `tolerating: T < v ≤ 4T` (the standard
+    * Apdex_T definition). Computed as `(2·n_sat + n_tol) / (2·n)` —
+    * exact BIGINT counts from one map-side-combined aggregate, ONE
+    * IEEE division per row (the rate recipe), so the score is
+    * engine-exact. Boundary points sit on ROUNDED comparisons-free
+    * raw doubles — `v ≤ T` is bit-deterministic on both engines.
+    */
+  def apdex(metric: String, groupBy: String, threshold: Double,
+            widthNs: Long = Duration.days(1),
+            filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val grpCol = tagCol(groupBy)
+    val sat = when(col("value") <= threshold, 1L).otherwise(0L)
+    val tol = when(col("value") > threshold &&
+      col("value") <= 4 * threshold, 1L).otherwise(0L)
+    scan(metric, filterExpr)
+      .where(grpCol.isNotNull)
+      .groupBy(grpCol.as("grp"),
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"))
+      .agg(F.count(lit(1)).as("n"), F.sum(sat).as("n_sat"),
+        F.sum(tol).as("n_tol"))
+      .select(col("grp"), col("bucket_start"), col("n"), col("n_sat"),
+        col("n_tol"),
+        ((lit(2L) * col("n_sat") + col("n_tol")).cast("double")
+          / (lit(2L) * col("n")).cast("double")).as("apdex"))
+  }
+
   def ewma(metric: String, alpha: Double = 0.3,
            filterExpr: String = "*",
            maxPointsPerSeries: Long = 10000000L): DataFrame = {

@@ -1354,6 +1354,43 @@ class TsdbOpsSpec extends SparkSpec {
       s"degenerate alarm split ($fired fired / $quiet quiet); the gate proves nothing")
   }
 
+  test("share partitions each bucket's mass; exact under repartition") {
+    val day = Duration.days(1)
+    val d = db(Seq(
+      ("m", 1L, 1.0, "a"), ("m", 2L, 2.0, "a"),   // a: 3 of 12 → 0.25
+      ("m", 3L, 9.0, "b"),                        // b: 9 of 12 → 0.75
+      ("m", day + 1L, 5.0, "a")))                 // sole series → 1.0
+    val out = d.share("m", "user").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(("a", 0L)) == ((3.0, 0.25)))
+    assert(out(("b", 0L)) == ((9.0, 0.75)))
+    assert(out(("a", day)) == ((5.0, 1.0)))
+    // shares within a bucket sum to exactly 1 (exact decimal denominator)
+    val byBucket = out.groupBy(_._1._2).view.mapValues(_.values.map(_._2).sum)
+    byBucket.foreach { case (b, s) => assert(s == 1.0, s"bucket $b") }
+    val shuffled = new Db(d.frame.repartition(5)).share("m", "user")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(shuffled == out)
+  }
+
+  test("apdex scores satisfied/tolerating/frustrated with the standard weights") {
+    val d = db(Seq(
+      ("m", 1L, 10.0, "u"),   // satisfied (≤ 60)
+      ("m", 2L, 60.0, "u"),   // satisfied (boundary inclusive)
+      ("m", 3L, 61.0, "u"),   // tolerating
+      ("m", 4L, 240.0, "u"),  // tolerating (boundary inclusive)
+      ("m", 5L, 241.0, "u"),  // frustrated
+      ("m", 6L, 999.0, "u"))) // frustrated
+    val out = d.apdex("m", "user", 60.0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(2) == 6L && r.getLong(3) == 2L && r.getLong(4) == 2L)
+    // (2·2 + 2) / (2·6) = 0.5
+    assert(r.getDouble(5) == 0.5)
+  }
+
   test("seasonalZscore scores daily totals against the same-weekday profile") {
     val day = Duration.days(1)
     // series u: week 1 totals 10/day, week 2 totals 20/day — every
