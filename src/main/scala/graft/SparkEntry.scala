@@ -445,6 +445,10 @@ object SparkEntry {
     // pins the zero-false-negative implication per contaminated doc
     "text_decontaminate_bloom" -> ((s, d) =>
       graft.operators.TextAnalysis.bloomDecontaminate(s, d)),
+    // eval-vs-train leakage at the NEAR-dup grain (paraphrase leakage
+    // the exact-shingle tests miss): role-filtered Jaccard pairs
+    "text_decontaminate_neardup" -> ((s, d) =>
+      graft.operators.TextAnalysis.decontaminateNearDup(s, d)),
     "text_filter_chain" -> ((s, d) => graft.operators.TextAnalysis.filterChain(s, d)),
     "text_pii_scrub" -> ((s, d) => graft.operators.TextAnalysis.piiScrub(s, d)),
     "text_vocab_topk" -> ((s, d) => graft.operators.TextAnalysis.vocabTopK(s, d)),
@@ -723,6 +727,23 @@ object SparkEntry {
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
       |  FROM m
       |)""".stripMargin
+
+  /** The blocked n-gram-Jaccard pair query — shared by the
+    * dedup_ngram_jaccard oracle and the cross-role filter of
+    * text_decontaminate_neardup so the pair definition cannot diverge.
+    */
+  private val NgramJaccardSql =
+    """WITH g AS (
+      |  SELECT doc_id, substr(text, 1, 16) AS blk,
+      |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+      |      i -> substr(text, CAST(i AS INT), 3))) AS grams
+      |  FROM documents)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
+      |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.3""".stripMargin
 
   private val TextRepetitionSql =
     """WITH t AS (
@@ -3232,18 +3253,17 @@ object SparkEntry {
       """SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |       CAST(1 AS BIGINT) AS n_kept
         |FROM documents""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH g AS (
-        |  SELECT doc_id, substr(text, 1, 16) AS blk,
-        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
-        |      i -> substr(text, CAST(i AS INT), 3))) AS grams
-        |  FROM documents)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |      / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
-        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.3""".stripMargin,
+    "dedup_ngram_jaccard" -> NgramJaccardSql,
+    // cross-role near-dup leakage: the SAME pair query (shared SQL
+    // body), role-filtered and re-labeled eval/train
+    "text_decontaminate_neardup" ->
+      s"""WITH pr AS (
+        |$NgramJaccardSql
+        |)
+        |SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS eval_doc,
+        |       CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS train_doc,
+        |       jaccard
+        |FROM pr WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)""".stripMargin,
     // posting-list containment: same word-3-shingle construction as
     // text_decontaminate, stop-gram df cut (<= 20), shared-gram counts
     // per pair, score = shared / min(|A|,|B|) over the post-cut sets;

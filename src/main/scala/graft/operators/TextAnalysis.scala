@@ -437,6 +437,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** NEAR-duplicate decontamination report — eval-vs-train leakage at
+    * the Jaccard grain, which the exact-shingle membership tests
+    * ([[decontaminateFrame]], [[bloomDecontaminate]]) miss by design: a
+    * lightly-paraphrased benchmark item shares few exact 8-gram
+    * shingles with its source but sits well above any n-gram-Jaccard
+    * near-dup threshold. Emits `(eval_doc, train_doc, jaccard)` for
+    * every cross-role pair — the audit table a training run publishes
+    * before claiming its eval is clean (eval membership = the
+    * [[decontaminateFrame]] id-mod convention).
+    *
+    * Scale shape: exactly [[Dedup.ngramJaccardFrame]]'s contract
+    * (prefix-blocked candidate join, quadratic only inside blocks) plus
+    * a role filter on the pair stream — intra-eval and intra-train
+    * pairs drop before any further work. No second pass.
+    */
+  def decontaminateNearDup(spark: SparkSession, dir: String,
+                           evalMod: Int = 10,
+                           threshold: Double = 0.3): DataFrame =
+    decontaminateNearDupFrame(docs(spark, dir), evalMod, threshold)
+
+  /** [[decontaminateNearDup]] over an arbitrary `(doc_id, text)` frame. */
+  def decontaminateNearDupFrame(d: DataFrame, evalMod: Int = 10,
+                                threshold: Double = 0.3): DataFrame = {
+    val isEvalA = col("doc_a") % evalMod === 0
+    val isEvalB = col("doc_b") % evalMod === 0
+    Dedup.ngramJaccardFrame(d, threshold)
+      .where(isEvalA =!= isEvalB)
+      .select(
+        when(isEvalA, col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
+        when(isEvalA, col("doc_b")).otherwise(col("doc_a")).as("train_doc"),
+        col("jaccard"))
+  }
+
   /** DISTRIBUTED-Bloom decontamination — the membership-test shape for
     * a contamination set too large to broadcast as grams (dedup of new
     * data against an existing trillion-gram corpus, leaked-benchmark

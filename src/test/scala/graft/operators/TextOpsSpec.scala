@@ -496,6 +496,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateNearDup reports only cross-role pairs, labeled eval/train") {
+    val evalText  = "the quick brown fox jumps over the lazy dog today"
+    val trainText = "the quick brown fox jumps over the lazy dog"
+    val d = docsDf(Seq(
+      (10L, evalText),                      // eval (id % 10 == 0)
+      (3L, trainText),                      // train paraphrase → pair
+      (7L, "the quick brown cat naps xx"),  // same block, low jaccard
+      (4L, "zzz boilerplate shared body"),  // intra-train identical pair:
+      (5L, "zzz boilerplate shared body"),  //   must be filtered out
+      (20L, "yyy eval-only shared body q"), // intra-eval identical pair:
+      (30L, "yyy eval-only shared body q")))//   must be filtered out
+    val out = TextAnalysis.decontaminateNearDupFrame(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1, s"exactly the planted cross pair: ${out.toSeq}")
+    val (e, t, j) = out.head
+    assert(e == 10L && t == 3L)
+    // brute char-3-gram jaccard of the two texts, rounded like the op
+    def grams(s: String) =
+      (1 to math.max(s.length - 2, 1)).map(i =>
+        s.substring(i - 1, math.min(i + 2, s.length))).toSet
+    val (ga, gb) = (grams(evalText), grams(trainText))
+    val exp = BigDecimal(ga.intersect(gb).size.toDouble /
+      (ga.size + gb.size - ga.intersect(gb).size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(j == exp && j >= 0.3)
+  }
+
   test("dedupRewrite cuts exactly the merged spans; untouched docs round-trip") {
     val d = docsDf(Seq(
       (0L, "a b c d e f g h"),   // span [1,5] → "f g h"
