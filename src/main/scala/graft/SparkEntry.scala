@@ -104,6 +104,11 @@ object SparkEntry {
     // Apdex_60: (2·sat + tol) / 2n over exact counts — the SRE
     // satisfaction index per (series, day)
     "ts_apdex" -> ((s, d) => Db.fromEvents(s, d).apdex("view", "user", 60.0)),
+    // the same SLO index from STREAMED conditional-count partials —
+    // associative BIGINT counters, argmax-compacted changelog; the
+    // nineteenth streamed driver entry, vs the same raw-points oracle
+    "ts_apdex_streamed" -> ((s, d) =>
+      graft.streaming.StreamingAgg.streamedApdex(s, d)),
     "ts_gapfill" -> ((s, d) =>
       Db.fromEvents(s, d).avg("purchase", "user").granularity(Day).buildGapFilled()),
     // TimescaleDB interpolate(): linear fill between nearest observed
@@ -940,6 +945,22 @@ object SparkEntry {
     // Apdex_60: exact BIGINT satisfied/tolerating counts, the single
     // (2·sat + tol)/(2n) division
     "ts_apdex" ->
+      s"""$Ev
+         |SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN value <= 60.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sat,
+         |  CAST(SUM(CASE WHEN value > 60.0 AND value <= 240.0
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_tol,
+         |  CAST(2 * SUM(CASE WHEN value <= 60.0 THEN 1 ELSE 0 END)
+         |       + SUM(CASE WHEN value > 60.0 AND value <= 240.0
+         |             THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(2 * COUNT(*) AS DOUBLE) AS apdex
+         |FROM ev WHERE metric = 'view' AND tag_user IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
+    // IDENTICAL raw-events oracle for the streamed conditional-count
+    // landing: the hash match proves cross-batch counter merge exact
+    "ts_apdex_streamed" ->
       s"""$Ev
          |SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
          |  COUNT(*) AS n,

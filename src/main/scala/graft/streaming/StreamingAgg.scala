@@ -216,6 +216,100 @@ object StreamingAgg {
       .select(col("metric"), col("tag_user"),
         col("window.start").as("bucket_ts"), col("n"), col("sum_dec"))
 
+  /** Apdex partials per (metric, tag, window): exact BIGINT
+    * satisfied/tolerating counters — associative, so cross-batch
+    * window-state merge is exact by construction (the decimal-partials
+    * argument of [[bucketedPartials]], on conditional counts). The
+    * satisfied/tolerating predicates are `Db.apdex`'s bit-deterministic
+    * raw-double comparisons.
+    */
+  def bucketedApdexPartials(events: DataFrame, threshold: Double,
+                            width: String = "1 day",
+                            watermark: String = "45 days"): DataFrame =
+    events
+      .select(
+        col("event_type").as("metric"),
+        (events.schema("ts").dataType match {
+          case LongType => timestamp_micros(expr("ts div 1000L"))
+          case _        => col("ts").cast("timestamp")
+        }).as("ts"),
+        col("value"),
+        col("user_id").cast("string").as("tag_user"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("metric"), col("tag_user"), window(col("ts"), width))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= threshold, 1L).otherwise(0L)).as("n_sat"),
+        sum(when(col("value") > threshold &&
+          col("value") <= 4 * threshold, 1L).otherwise(0L)).as("n_tol"))
+      .select(col("metric"), col("tag_user"),
+        col("window.start").as("bucket_ts"),
+        col("n"), col("n_sat"), col("n_tol"))
+
+  /** Drain the events table through [[bucketedApdexPartials]] once —
+    * the four-file, Update-mode, batch-id-staged exactly-once recipe
+    * of [[ensureStreamed]], keyed by the threshold so different SLOs
+    * land separately.
+    */
+  def ensureStreamedApdex(spark: SparkSession, sfDir: String,
+                          threshold: Double): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
+    val path = s"$base/graft_apdex_streamed_t${(threshold * 100).toInt}_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      val landing = s"$path.landing"
+      if (!Files.exists(Paths.get(landing, "_SUCCESS"))) {
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .repartition(4)
+          .write.mode("overwrite").parquet(landing)
+      }
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+      val q = bucketedApdexPartials(stream, threshold,
+          watermark = ReplayGuard.spanWatermark(spark, landing)).writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }
+        .option("checkpointLocation", s"$path.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      StreamAwait.drain(q)
+      Files.createFile(done)
+    }
+    path
+  }
+
+  /** `ts_apdex` answered from the STREAMED landing — the SLO dashboard
+    * that actually runs streaming: per key the latest emission is the
+    * row with the largest `n` (strictly growing on re-emission, the
+    * [[streamedAvg]] argmax), compacted order-insensitively with one
+    * `max(struct(n, n_sat, n_tol))`; the score is `Db.apdex`'s exact
+    * `(2·n_sat + n_tol)/(2·n)` chain. Hash-matching ts_apdex's
+    * raw-events oracle proves the cross-batch conditional-count state
+    * merged every micro-batch exactly.
+    */
+  def streamedApdex(spark: SparkSession, sfDir: String,
+                    metric: String = "view",
+                    threshold: Double = 60.0): DataFrame = {
+    val path = ensureStreamedApdex(spark, sfDir, threshold)
+    StreamingSeriesState.openStreamed(spark, path)
+      .where(col("metric") === metric && col("tag_user").isNotNull)
+      .groupBy(col("metric"), col("tag_user"), col("bucket_ts"))
+      .agg(max(struct(col("n"), col("n_sat"), col("n_tol"))).as("last"))
+      .select(
+        col("tag_user").as("grp"),
+        (unix_micros(col("bucket_ts")) * lit(1000L)).as("bucket_start"),
+        col("last.n").as("n"), col("last.n_sat").as("n_sat"),
+        col("last.n_tol").as("n_tol"),
+        ((lit(2L) * col("last.n_sat") + col("last.n_tol")).cast("double")
+          / (lit(2L) * col("last.n")).cast("double")).as("apdex"))
+  }
+
   /** Drain the events table through [[bucketedQuantile]] once — the
     * STREAMED GK sketch landed under the same four-file, Update-mode,
     * batch-id-staged exactly-once recipe as [[ensureStreamed]]. Every

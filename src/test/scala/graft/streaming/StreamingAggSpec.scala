@@ -78,6 +78,19 @@ class StreamingAggSpec extends SparkSpec with graft.TimedSpec {
     assert(got == batch)
   }
 
+  test("streamed apdex counters compact to the batch ts_apdex, bit-exactly") {
+    val got = StreamingAgg.streamedApdex(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket_start")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_sat"), r.getAs[Long]("n_tol"),
+          r.getAs[Double]("apdex")))).toMap
+    val batch = graft.tsdb.Db.fromEvents(spark, sfDir)
+      .apdex("view", "user", 60.0)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket_start")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_sat"), r.getAs[Long]("n_tol"),
+          r.getAs[Double]("apdex")))).toMap
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("streamed HLL merges to the batch estimate bit-exactly, in-band everywhere") {
     // band gate: every bucket TRUE, exact anchor matches activeSeries
     val band = StreamingAgg.streamedHllBand(spark, sfDir).collect()
