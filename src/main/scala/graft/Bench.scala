@@ -353,7 +353,9 @@ object Bench {
     // hour-grain frames — q_session_window's curve), and the weekday
     // profile z (day-grain window — ts_cusum's shape)
     "text_dedup_spans", "text_dedup_rewrite", "dedup_yield",
-    "q_concurrency", "ts_seasonal_zscore")
+    "q_concurrency", "ts_seasonal_zscore",
+    // rides the blocked pair join — compare against dedup_ngram_jaccard
+    "text_decontaminate_neardup")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
