@@ -101,6 +101,20 @@ object SparkEntry {
     // per-series share of the bucket total: exact decimal numerator
     // and denominator, one division — percent-of-total normalization
     "ts_share" -> ((s, d) => Db.fromEvents(s, d).share("view", "user")),
+    // which series is the outlier THIS bucket: fleet-dimension z over
+    // cross-series bucket totals
+    "ts_fleet_zscore" -> ((s, d) =>
+      Db.fromEvents(s, d).fleetZscore("error", "user")),
+    // Alertmanager `for:` lifecycle: pending on breach, firing after 3
+    // consecutive breaching buckets; a gap or clean bucket resets
+    "ts_alerts" -> ((s, d) =>
+      Db.fromEvents(s, d).alerts("error", "user", 60.0)),
+    // the LIVE lifecycle: per-series day-rollover state machine over
+    // time-ordered micro-batches (a day finalizes when its successor's
+    // first point arrives; the open last day never scores) — the
+    // twentieth streamed driver entry
+    "ts_alerts_streamed" -> ((s, d) =>
+      graft.streaming.StreamingAlerts.streamedAlerts(s, d)),
     // Apdex_60: (2·sat + tol) / 2n over exact counts — the SRE
     // satisfaction index per (series, day)
     "ts_apdex" -> ((s, d) => Db.fromEvents(s, d).apdex("view", "user", 60.0)),
@@ -974,6 +988,69 @@ object SparkEntry {
          |    / CAST(2 * COUNT(*) AS DOUBLE) AS apdex
          |FROM ev WHERE metric = 'view' AND tag_user IS NOT NULL
          |GROUP BY 1, 2""".stripMargin,
+    // alert lifecycle: identical islands identity (day_idx − rn) and
+    // run position; CAST-to-double breach compare on both engines
+    "ts_alerts" ->
+      s"""$Ev, daily AS (
+         |  SELECT tag_user AS grp, ts // ${Day} AS day_idx,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+         |  FROM ev WHERE metric = 'error' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), br AS (
+         |  SELECT grp, day_idx, value,
+         |    day_idx - row_number() OVER (PARTITION BY grp ORDER BY day_idx)
+         |      AS rk
+         |  FROM daily WHERE value > 60.0
+         |)
+         |SELECT grp, day_idx * ${Day} AS bucket_start, value,
+         |  row_number() OVER (PARTITION BY grp, rk ORDER BY day_idx)
+         |    AS run_len,
+         |  CASE WHEN row_number() OVER (PARTITION BY grp, rk ORDER BY day_idx)
+         |            >= 3 THEN 'firing' ELSE 'pending' END AS state
+         |FROM br""".stripMargin,
+    // streamed lifecycle: the SAME islands recipe, minus each series'
+    // last active day (it never finalizes live — the day isn't over)
+    "ts_alerts_streamed" ->
+      s"""$Ev, daily AS (
+         |  SELECT tag_user AS grp, ts // ${Day} AS day_idx,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value
+         |  FROM ev WHERE metric = 'error' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), mx AS (
+         |  SELECT grp, MAX(day_idx) AS md FROM daily GROUP BY grp
+         |), br AS (
+         |  SELECT grp, day_idx, value,
+         |    day_idx - row_number() OVER (PARTITION BY grp ORDER BY day_idx)
+         |      AS rk
+         |  FROM daily WHERE value > 60.0
+         |)
+         |SELECT br.grp, day_idx * ${Day} AS bucket_start, value,
+         |  row_number() OVER (PARTITION BY br.grp, rk ORDER BY day_idx)
+         |    AS run_len,
+         |  CASE WHEN row_number() OVER (PARTITION BY br.grp, rk ORDER BY day_idx)
+         |            >= 3 THEN 'firing' ELSE 'pending' END AS state
+         |FROM br JOIN mx ON br.grp = mx.grp
+         |WHERE br.day_idx < mx.md""".stripMargin,
+    // fleet z: same decimal Σt/Σt² chain, window partitioned by BUCKET
+    // (cross-series stats), identical IEEE steps after exact sums
+    "ts_fleet_zscore" ->
+      s"""$Ev, daily AS (
+         |  SELECT tag_user AS grp, ${bucket(Day)} AS bucket_start,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(18,6)) AS t
+         |  FROM ev WHERE metric = 'error' AND tag_user IS NOT NULL
+         |  GROUP BY 1, 2
+         |), w AS (
+         |  SELECT grp, bucket_start, t,
+         |    CAST(SUM(t) OVER win AS DOUBLE) AS s,
+         |    CAST(SUM(t * t) OVER win AS DOUBLE) AS sq,
+         |    COUNT(*) OVER win AS n
+         |  FROM daily WINDOW win AS (PARTITION BY bucket_start)
+         |)
+         |SELECT grp, bucket_start, CAST(t AS DOUBLE) AS value,
+         |  CASE WHEN sqrt(greatest((sq - s*s/n)/n, 0)) = 0 THEN NULL
+         |       ELSE (CAST(t AS DOUBLE) - s/n)
+         |            / sqrt(greatest((sq - s*s/n)/n, 0)) + 0.0 END AS z
+         |FROM w""".stripMargin,
     // weekday-profile residual z over daily totals: exact DECIMAL
     // daily sums, then the ZscoreSql Σt/Σt² window chain partitioned
     // (series, weekday); identical IEEE steps after the exact sums

@@ -852,6 +852,84 @@ final class Db(val frame: DataFrame) {
         .otherwise(col("t").cast("double") / total + lit(0.0)).as("share"))
   }
 
+  /** Threshold-alert lifecycle per series — Prometheus/Alertmanager
+    * `for:` semantics over bucket totals: a series whose total breaches
+    * `threshold` enters PENDING, and FIRES once the breach has held for
+    * `forBuckets` CONSECUTIVE buckets (a missing bucket — no data — or
+    * a non-breaching one resets the clock). One row per breaching
+    * bucket with its run position and state; non-breaching buckets
+    * emit nothing (the alert stream is sparse by design).
+    *
+    * The run segmentation is the integer gaps-and-islands identity
+    * (`day_idx − row_number()` is constant exactly on consecutive-index
+    * runs); both windows partition by series (and run), so the
+    * partition bound is one series' breaching buckets —
+    * calendar-bounded. Totals are exact DECIMAL sums; the breach
+    * compare is one double comparison per bucket, bit-deterministic on
+    * both engines.
+    */
+  def alerts(metric: String, groupBy: String, threshold: Double,
+             forBuckets: Int = 3,
+             widthNs: Long = Duration.days(1),
+             filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{functions => F}
+    val grpCol = tagCol(groupBy)
+    val daily = scan(metric, filterExpr)
+      .where(grpCol.isNotNull)
+      .groupBy(grpCol.as("grp"), expr(s"ts div ${widthNs}L").as("day_idx"))
+      .agg(F.sum(col("value").cast("decimal(28,6)")).as("t"))
+      .select(col("grp"), col("day_idx"), col("t").cast("double").as("value"))
+    val breaches = daily.where(col("value") > threshold)
+    val wSeries = Window.partitionBy(col("grp")).orderBy(col("day_idx"))
+    val withRun = breaches
+      .withColumn("rk", col("day_idx") - row_number().over(wSeries))
+    val wRun = Window.partitionBy(col("grp"), col("rk"))
+      .orderBy(col("day_idx"))
+    withRun
+      .withColumn("run_len", row_number().over(wRun))
+      .select(col("grp"), (col("day_idx") * lit(widthNs)).as("bucket_start"),
+        col("value"), col("run_len").cast("long").as("run_len"),
+        when(col("run_len") >= forBuckets, lit("firing"))
+          .otherwise(lit("pending")).as("state"))
+  }
+
+  /** FLEET z-score — each series' bucket total scored against the
+    * cross-series distribution of the SAME bucket: "which host is the
+    * outlier this hour", the fleet-dimension complement of [[zscore]]
+    * (outlier points within a series) and [[seasonalZscore]] (outlier
+    * days within a weekday). Identical exactness recipe: DECIMAL
+    * bucket totals, the Σt/Σt² window chain — partitioned by BUCKET,
+    * whose window partition is one bucket's series rows
+    * (cardinality-bounded, not volume-bounded) — identical IEEE steps
+    * post-sums, `+ 0.0`, σ = 0 ⇒ NULL (a one-series fleet scores
+    * nothing).
+    */
+  def fleetZscore(metric: String, groupBy: String,
+                  widthNs: Long = Duration.days(1),
+                  filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{functions => F}
+    val grpCol = tagCol(groupBy)
+    val daily = scan(metric, filterExpr)
+      .where(grpCol.isNotNull)
+      .groupBy(grpCol.as("grp"),
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("bucket_start"))
+      .agg(F.sum(col("value").cast("decimal(28,6)")).as("t0"))
+      .select(col("grp"), col("bucket_start"),
+        col("t0").cast("decimal(18,6)").as("t"))
+    val w = Window.partitionBy(col("bucket_start"))
+    val s = F.sum(col("t")).over(w).cast("double")
+    val sq = F.sum(col("t") * col("t")).over(w).cast("double")
+    val cnt = F.count(lit(1)).over(w)
+    val sigma = sqrt(greatest((sq - (s * s) / cnt) / cnt, lit(0.0)))
+    daily.select(col("grp"), col("bucket_start"),
+      col("t").cast("double").as("value"),
+      when(sigma === 0.0, lit(null).cast("double"))
+        .otherwise((col("t").cast("double") - s / cnt) / sigma + lit(0.0))
+        .as("z"))
+  }
+
   /** Apdex score per (series, bucket) — the SRE satisfaction index
     * over a latency-like metric: `(satisfied + tolerating/2) / total`
     * with `satisfied: v ≤ T`, `tolerating: T < v ≤ 4T` (the standard

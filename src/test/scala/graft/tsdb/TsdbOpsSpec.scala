@@ -1391,6 +1391,47 @@ class TsdbOpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.5)
   }
 
+  test("alerts: pending until forBuckets consecutive breaches; gaps reset the clock") {
+    val day = Duration.days(1)
+    // series u: breach days 0,1,2,3 (fires on 2,3), clean day 4,
+    // breach 5 (pending again), MISSING day 6, breach 7 (gap resets)
+    val rows = Seq(0, 1, 2, 3, 5, 7).map(i => ("m", i * day + 1L, 100.0, "u")) ++
+      Seq(("m", 4 * day + 1L, 10.0, "u")) ++
+      // series v never crosses: must not appear at all
+      Seq(("m", 1L, 50.0, "v"))
+    val out = db(rows).alerts("m", "user", 60.0).collect()
+      .map(r => (r.getString(0), r.getLong(1) / day) ->
+        ((r.getLong(3), r.getString(4)))).toMap
+    assert(!out.keys.exists(_._1 == "v"), "non-breaching series emits nothing")
+    assert(!out.contains(("u", 4L)), "clean bucket emits nothing")
+    assert(out(("u", 0L)) == ((1L, "pending")))
+    assert(out(("u", 1L)) == ((2L, "pending")))
+    assert(out(("u", 2L)) == ((3L, "firing")))
+    assert(out(("u", 3L)) == ((4L, "firing")))
+    assert(out(("u", 5L)) == ((1L, "pending")), "clean day resets the run")
+    assert(out(("u", 7L)) == ((1L, "pending")), "a DATA GAP resets the run")
+    assert(out.size == 6)
+  }
+
+  test("fleetZscore scores each series against the bucket's cross-series stats") {
+    val day = Duration.days(1)
+    val d = db(Seq(
+      ("m", 1L, 4.0, "a"), ("m", 2L, 6.0, "a"), // a: total 10
+      ("m", 3L, 20.0, "b"),                     // b: total 20 → μ=15 σ=5
+      ("m", day + 1L, 7.0, "solo")))            // one-series fleet → NULL
+    val out = d.fleetZscore("m", "user").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2),
+          Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)))).toMap
+    assert(out(("a", 0L)) == ((10.0, Some(-1.0))))
+    assert(out(("b", 0L)) == ((20.0, Some(1.0))))
+    assert(out(("solo", day))._2.isEmpty)
+    val shuffled = new Db(d.frame.repartition(5)).fleetZscore("m", "user")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)).toMap
+    assert(shuffled == out.view.mapValues(_._2).toMap)
+  }
+
   test("seasonalZscore scores daily totals against the same-weekday profile") {
     val day = Duration.days(1)
     // series u: week 1 totals 10/day, week 2 totals 20/day — every
