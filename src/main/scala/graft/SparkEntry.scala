@@ -146,6 +146,9 @@ object SparkEntry {
       Db.fromEvents(s, d).sum("error", "user").granularity(Day).buildOutliersIqr()),
     // consecutive-absence islands: one window pass + one aggregate
     // over the absent pairs, int64 end to end
+    // reliability rollup over the outage islands: MTTR / MTBF / max
+    // per series, exact integers, two final divisions
+    "ts_mttr" -> ((s, d) => Db.fromEvents(s, d).mttr("purchase", Day)),
     "ts_outage_runs" -> ((s, d) =>
       Db.fromEvents(s, d).outageRuns("purchase", Day)),
     // series lifecycle: births/deaths per bucket over the series-grain
@@ -447,6 +450,11 @@ object SparkEntry {
     // split per-hour + hour-grain carry so no global window sees
     // session-grain rows
     "q_concurrency" -> ((s, d) => graft.operators.Analytics.concurrency(s, d)),
+    // Pareto deciles: DISTRIBUTED exact global rank (range partitions
+    // + local row_number + parallelism-sized offset frame), decimal
+    // spend end-to-end, shares as final divisions
+    "q_revenue_concentration" -> ((s, d) =>
+      graft.operators.Analytics.revenueConcentration(s, d)),
     "q_pivot" -> ((s, d) => graft.operators.Analytics.pivotDaily(s, d)),
 
     // ---- Text analysis (documents) ----
@@ -588,6 +596,9 @@ object SparkEntry {
     "sample_temperature" -> ((s, d) => graft.operators.Sampling.temperatureMix(s, d)),
     "sample_kfold" -> ((s, d) => graft.operators.Sampling.docKfold(s, d)),
     "sample_shuffle" -> ((s, d) => graft.operators.Sampling.shuffleDocs(s, d)),
+    // per-epoch independent permutations: the epoch folds into the
+    // hash salt, so any epoch regenerates in isolation
+    "sample_epochs" -> ((s, d) => graft.operators.Sampling.epochOrders(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Sampling.stratifiedSample(s, d)),
     // label-balanced cut at the data-derived minority-class count
     "sample_balanced" -> ((s, d) => graft.operators.Sampling.balancedSample(s, d)),
@@ -798,6 +809,34 @@ object SparkEntry {
        |FROM ev
        |WHERE metric = '$metric' AND tag_$grp IS NOT NULL AND ($where)
        |GROUP BY 1, 2""".stripMargin
+
+  /** Absence → consecutive-gap islands over the purchase series —
+    * shared by the ts_outage_runs and ts_mttr oracles so the outage
+    * definition cannot diverge between the event list and the
+    * reliability rollup.
+    */
+  private val OutageRunsCtes =
+    s""", p AS (
+       |  SELECT DISTINCT tag_user, tag_k, ${bucket(Day)} AS bucket_start
+       |  FROM ev WHERE metric = 'purchase'
+       |), se AS (SELECT DISTINCT tag_user, tag_k FROM p),
+       |bounds AS (SELECT min(bucket_start) AS b_lo, max(bucket_start) AS b_hi FROM p),
+       |bk AS (SELECT unnest(generate_series(b_lo, b_hi, ${Day})) AS bucket_start
+       |       FROM bounds),
+       |ab AS (
+       |  SELECT se.tag_user, se.tag_k, bk.bucket_start
+       |  FROM se CROSS JOIN bk
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM p
+       |    WHERE p.tag_user IS NOT DISTINCT FROM se.tag_user
+       |      AND p.tag_k IS NOT DISTINCT FROM se.tag_k
+       |      AND p.bucket_start = bk.bucket_start)
+       |), r AS (
+       |  SELECT tag_user, tag_k, bucket_start,
+       |    bucket_start // ${Day} - row_number() OVER (
+       |      PARTITION BY tag_user, tag_k ORDER BY bucket_start) AS rk
+       |  FROM ab
+       |)""".stripMargin
 
   private val ZscoreSql =
     s"""$Ev, p AS (
@@ -1626,30 +1665,28 @@ object SparkEntry {
     // consecutive run; int64 end to end
     "ts_outage_runs" ->
       s"""$Ev
-         |, p AS (
-         |  SELECT DISTINCT tag_user, tag_k, ${bucket(Day)} AS bucket_start
-         |  FROM ev WHERE metric = 'purchase'
-         |), se AS (SELECT DISTINCT tag_user, tag_k FROM p),
-         |bounds AS (SELECT min(bucket_start) AS b_lo, max(bucket_start) AS b_hi FROM p),
-         |bk AS (SELECT unnest(generate_series(b_lo, b_hi, ${Day})) AS bucket_start
-         |       FROM bounds),
-         |ab AS (
-         |  SELECT se.tag_user, se.tag_k, bk.bucket_start
-         |  FROM se CROSS JOIN bk
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM p
-         |    WHERE p.tag_user IS NOT DISTINCT FROM se.tag_user
-         |      AND p.tag_k IS NOT DISTINCT FROM se.tag_k
-         |      AND p.bucket_start = bk.bucket_start)
-         |), r AS (
-         |  SELECT tag_user, tag_k, bucket_start,
-         |    bucket_start // ${Day} - row_number() OVER (
-         |      PARTITION BY tag_user, tag_k ORDER BY bucket_start) AS rk
-         |  FROM ab
-         |)
+         |$OutageRunsCtes
          |SELECT tag_user, tag_k, MIN(bucket_start) AS run_start,
          |       COUNT(*) AS run_len
          |FROM r GROUP BY tag_user, tag_k, rk""".stripMargin,
+    // reliability rollup of the SAME islands (shared CTE body): one
+    // vocabulary-sized aggregate, two final IEEE divisions
+    "ts_mttr" ->
+      s"""$Ev
+         |$OutageRunsCtes, runs AS (
+         |  SELECT tag_user, tag_k, MIN(bucket_start) AS run_start,
+         |         COUNT(*) AS run_len
+         |  FROM r GROUP BY tag_user, tag_k, rk
+         |)
+         |SELECT tag_user, tag_k, COUNT(*) AS n_outages,
+         |  CAST(SUM(run_len) AS BIGINT) AS down_buckets,
+         |  CAST(MAX(run_len) AS BIGINT) AS max_down,
+         |  CAST(SUM(run_len) AS DOUBLE) / COUNT(*) AS mttr_buckets,
+         |  CASE WHEN COUNT(*) >= 2
+         |       THEN CAST((MAX(run_start) - MIN(run_start)) // ${Day} AS DOUBLE)
+         |            / (COUNT(*) - 1)
+         |       ELSE NULL END AS mtbf_buckets
+         |FROM runs GROUP BY tag_user, tag_k""".stripMargin,
     // Holt double exponential smoothing, zero-trend init: the fold
     // runs with a type-stable {s: level, b: trend} STRUCT accumulator
     // (list_reduce seeds from the first element, so elements are
@@ -2325,6 +2362,28 @@ object SparkEntry {
     // carry decomposition (per-hour running sum over distinct
     // (ts, delta) keys, hour-grain cumulative net), so the all-integer
     // peak pins by hash
+    // Pareto deciles: the oracle ranks with ONE window (fine at oracle
+    // scale); the engine's distributed rank must land the identical
+    // total order — that equality is exactly what the hash checks
+    "q_revenue_concentration" ->
+      """WITH s AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+        |  FROM orders GROUP BY 1
+        |), rk AS (
+        |  SELECT spend,
+        |    row_number() OVER (ORDER BY spend DESC, o_custkey) AS r,
+        |    COUNT(*) OVER () AS n
+        |  FROM s
+        |), d AS (
+        |  SELECT CAST(((r - 1) * 10) // n AS BIGINT) AS decile, spend FROM rk
+        |), t AS (SELECT SUM(spend) AS tot FROM s)
+        |SELECT decile, COUNT(*) AS n_customers,
+        |  CAST(SUM(spend) AS DOUBLE) AS spend,
+        |  CAST(SUM(spend) AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |  CAST(SUM(SUM(spend)) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(tot AS DOUBLE) AS cum_share
+        |FROM d CROSS JOIN t GROUP BY decile, tot""".stripMargin,
     "q_concurrency" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ns(ts) AS ts FROM events
@@ -3399,6 +3458,18 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY substring(hv, 1, 1)
         |    ORDER BY hv, doc_id) AS pos
         |FROM h""".stripMargin,
+    // per-epoch orders: the same chain with the epoch folded into the
+    // salt, one branch per epoch
+    "sample_epochs" ->
+      (0 until 3).map(e =>
+        s"""SELECT CAST($e AS BIGINT) AS epoch, doc_id,
+           |  substring(hv, 1, 1) AS shard,
+           |  row_number() OVER (PARTITION BY substring(hv, 1, 1)
+           |    ORDER BY hv, doc_id) AS pos
+           |FROM (SELECT doc_id,
+           |        md5(CAST(doc_id AS VARCHAR) || '#graft-e$e') AS hv
+           |      FROM documents)""".stripMargin)
+        .mkString("", "\nUNION ALL\n", ""),
     // transitive closure over the SAME pair set as dedup_ngram_jaccard:
     // min reachable id per node == component id (graph symmetrized)
     "dedup_cluster" ->

@@ -628,6 +628,59 @@ object Analytics {
     * (partition-order-independent) cast once at the end; `o_orderkey`
     * tiebreaks same-day orders so every prefix is engine-deterministic.
     */
+  /** Revenue concentration by customer decile — the Pareto read
+    * ("which share of revenue do the top 10% carry") behind account
+    * planning and whale-risk review: customers exact-ranked by
+    * (lifetime spend desc, key), cut into 10 equal-population deciles,
+    * each with its customer count, spend, share, and cumulative share.
+    *
+    * The global rank is DISTRIBUTED — no single-partition window:
+    * `repartitionByRange` on the rank order, a per-partition local
+    * row_number, then partition COUNTS (one row per partition — a
+    * bounded frame) cumulate into offsets that broadcast back;
+    * `rank = offset + local`. Range boundaries come from sampling, but
+    * the rank is boundary-placement-independent because the order key
+    * (spend desc, custkey) is total. Spend stays exact DECIMAL through
+    * every sum; shares are single IEEE divisions at the end; the
+    * decile id is integer arithmetic (`(rank−1)·10 div n`), so the
+    * populations split exactly and the hash pins everything.
+    */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val spend = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("spend_dec"))
+    val parts = math.max(spark.sparkContext.defaultParallelism, 2)
+    val ranged = spend
+      .repartitionByRange(parts, col("spend_dec").desc, col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("pid"))
+      .orderBy(col("spend_dec").desc, col("o_custkey"))
+    val local = ranged.withColumn("lr", row_number().over(wLoc))
+    // one row per partition: the offset frame is parallelism-sized
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("n_total", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("pid"), col("off"), col("n_total"))
+    val ranked = local.join(broadcast(offs), "pid")
+      .select(col("spend_dec"),
+        expr("((off + lr - 1) * 10) div n_total").as("decile"))
+    val total = spend.agg(sum(col("spend_dec")).as("tot"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("spend_dec")).as("d_dec"))
+      .crossJoin(broadcast(total))
+      .select(col("decile"), col("n_customers"),
+        col("d_dec").cast("double").as("spend"),
+        (col("d_dec").cast("double") / col("tot").cast("double")).as("share"),
+        (sum(col("d_dec")).over(wCum).cast("double")
+          / col("tot").cast("double")).as("cum_share"))
+  }
+
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))

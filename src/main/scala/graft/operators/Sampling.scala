@@ -280,6 +280,26 @@ object Sampling {
   def shuffleDocs(spark: SparkSession, dir: String): DataFrame =
     shuffleOrder(spark.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
 
+  /** Per-EPOCH deterministic training orders — multi-epoch training
+    * re-shuffles between epochs, and reproducibility demands each
+    * epoch's order be re-derivable from (content, epoch) alone: the
+    * epoch number folds into [[shuffleOrder]]'s salt, so every epoch
+    * is an independent md5-keyed permutation of the same corpus and
+    * any epoch can be regenerated in isolation (resume from epoch 7
+    * without replaying 0–6). Same scale shape as one shuffle × epochs
+    * (shard-partitioned rank, no global sort); output is
+    * (epoch, doc_id, shard, pos).
+    */
+  def epochOrders(spark: SparkSession, dir: String,
+                  epochs: Int = 3): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    (0 until epochs).map { e =>
+      shuffleOrder(docs, col("doc_id"), salt = s"graft-e$e")
+        .withColumn("epoch", lit(e.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** TEMPERATURE-flattened source mixing at τ = ½ — the multilingual /
     * multi-source re-balancing rule (sample share ∝ p^τ): in a
     * keep-only regime (no duplication) the achievable composition is

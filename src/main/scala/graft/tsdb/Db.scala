@@ -558,6 +558,35 @@ final class Db(val frame: DataFrame) {
       .select(tags :+ col("run_start") :+ col("run_len"): _*)
   }
 
+  /** MTTR/MTBF report per series over the [[outageRuns]] islands — the
+    * reliability numbers an SRE review reads off the outage history:
+    * outage count, total/max/mean outage length (buckets), and mean
+    * buckets between outage STARTS (NULL below two outages — no
+    * between exists). One more vocabulary-sized aggregate on top of
+    * the islands (output rows = series count); exact integers until
+    * the two final IEEE divisions.
+    */
+  def mttr(metric: String, widthNs: Long,
+           filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val tags = tagColumns.map(col)
+    outageRuns(metric, widthNs, filterExpr)
+      .groupBy(tags: _*)
+      .agg(F.count(lit(1)).as("n_outages"),
+        F.sum(col("run_len")).as("down_buckets"),
+        F.max(col("run_len")).as("max_down"),
+        F.min(col("run_start")).as("first_start"),
+        F.max(col("run_start")).as("last_start"))
+      .select(tags ++ Seq(col("n_outages"), col("down_buckets"),
+        col("max_down"),
+        (col("down_buckets").cast("double")
+          / col("n_outages").cast("double")).as("mttr_buckets"),
+        when(col("n_outages") >= 2,
+          expr(s"(last_start - first_start) div ${widthNs}L").cast("double")
+            / (col("n_outages") - 1).cast("double"))
+          .otherwise(lit(null).cast("double")).as("mtbf_buckets")): _*)
+  }
+
   /** M4 downsampling per (series × `widthNs` bucket): the ≤4 points a
     * pixel-column needs to render a line chart EXACTLY — first, last,
     * min, max (the M4 aggregation of Jugel et al., PVLDB 7(10):

@@ -856,6 +856,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "bounds cross join must not plan cartesian")
   }
 
+  test("revenueConcentration: distributed rank matches a driver-side sort exactly") {
+    val out = Analytics.revenueConcentration(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == (0L to 9L).toSet, "exactly ten deciles")
+    // brute: collect per-customer spend, one total order, same decile cut
+    val spend = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    val sorted = spend.sortBy { case (k, s) => (s.negate, k) }
+    val n = sorted.length
+    val byDecile = sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n }
+      .view.mapValues { rows =>
+        (rows.length.toLong,
+          rows.map(r => BigDecimal(r._1._2)).sum)
+      }.toMap
+    val tot = spend.map(r => BigDecimal(r._2)).sum
+    (0L to 9L).foreach { d =>
+      val (bn, bs) = byDecile(d)
+      val (gn, gs, share, _) = out(d)
+      assert(gn == bn, s"decile $d population")
+      assert(gs == bs.toDouble, s"decile $d spend")
+      assert(share == bs.toDouble / tot.toDouble, s"decile $d share")
+    }
+    // populations split the customer set near-evenly (±1)
+    val pops = out.values.map(_._1)
+    assert(pops.sum == n && pops.max - pops.min <= 1)
+    // per-customer mean spend is non-increasing down the deciles
+    val means = (0L to 9L).map(d => out(d)._2 / out(d)._1)
+    means.sliding(2).foreach { case Seq(a, b) => assert(a >= b) }
+    // the cumulative share closes at exactly 1.0 (same decimal total)
+    assert(out(9L)._4 == 1.0)
+  }
+
   test("concurrency: handcrafted interval sets hit known hourly peaks") {
     import spark.implicits._
     val h = 3_600_000_000_000L

@@ -285,4 +285,32 @@ class SamplingSpec extends SparkSpec {
       assert(t._2 == t._1 && t._3 == plain(t._1))
     }
   }
+
+  test("epochOrders: every epoch is a full permutation; epochs genuinely differ") {
+    import org.apache.spark.sql.functions._
+    val out = Sampling.epochOrders(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (e, rows) =>
+      assert(rows.length.toLong == nDocs, s"epoch $e covers the corpus once")
+      // positions are 1..k within each shard — a permutation, no gaps
+      rows.groupBy(_._3).foreach { case (shard, sr) =>
+        assert(sr.map(_._4).sorted.sameElements(1L to sr.length),
+          s"epoch $e shard $shard positions")
+      }
+    }
+    // different epochs order the same shard differently (salted hashes)
+    def orderOf(e: Long): Seq[Long] = byEpoch(e)
+      .sortBy(r => (r._3, r._4)).map(_._2).toSeq
+    assert(orderOf(0L) != orderOf(1L) && orderOf(1L) != orderOf(2L))
+    // and each epoch regenerates in isolation: epoch 1's order equals
+    // a fresh shuffleOrder at the same salt
+    val solo = Sampling.shuffleOrder(
+        spark.read.parquet(s"$sfDir/documents.parquet"), col("doc_id"),
+        salt = "graft-e1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(solo == byEpoch(1L).map(r => (r._2, r._3, r._4)).toSet)
+  }
 }
