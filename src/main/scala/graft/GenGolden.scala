@@ -29,7 +29,7 @@ object GenGolden {
     */
   val names: Seq[String] = Seq(
     "dedup_simhash", "mm_meta", "mm_framesample", "mm_resize", "mm_phash",
-    "mm_audio_stats",
+    "mm_audio_stats", "mm_video_frames",
     "dedup_minhash", "dedup_minhash_incremental",
     "dedup_embedding_lsh", "dedup_embedding_lsh_incremental",
     "dedup_semantic",

@@ -390,6 +390,15 @@ object SparkEntry {
     "mm_phash_pairs" -> ((s, d) => graft.operators.Multimodal.phashPairs(s, d)),
     // end-to-end image dedup: phash pairs → components → keeper
     "mm_dedup_images" -> ((s, d) => graft.operators.Multimodal.dedupImages(s, d)),
+    // sampled-frame fingerprints over the planted clip corpus
+    // (golden-pinned; the byte kernel is not SQL-recreatable)
+    "mm_video_frames" -> ((s, d) =>
+      graft.operators.Multimodal.videoFrames(s, d)),
+    // frame-CONTAINMENT video dedup end-to-end: a truncated clip
+    // shares most frames with its source; posting-list pairs →
+    // components → keeper (the fourth signal through pipelineOverPairs)
+    "mm_dedup_frames" -> ((s, d) =>
+      graft.operators.Multimodal.dedupFrames(s, d)),
     "q_anti_join" -> ((s, d) => graft.operators.Analytics.qOrdersNoLineitem(s, d)),
     "q_event_sessionize" -> ((s, d) => graft.operators.Analytics.sessionize(s, d)),
     // Markov transition matrix: adjacent event-type pairs per user
@@ -3277,6 +3286,43 @@ object SparkEntry {
         |    ON a.band = b.band AND a.band_val = b.band_val
         |   AND a.doc_id < b.doc_id
         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |r AS (SELECT src AS id, src AS comp FROM e
+        |      UNION SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id),
+        |c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+        |sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM c GROUP BY comp),
+        |kept AS (
+        |  SELECT c.id AS doc_id, s.cluster_size
+        |  FROM c JOIN sizes s ON c.comp = s.comp WHERE c.id = c.comp)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS cluster_size FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM c)
+        |UNION ALL
+        |SELECT doc_id, cluster_size FROM kept""".stripMargin,
+    "mm_video_frames" ->
+      """SELECT doc_id, frame_idx, frame_md5
+        |FROM read_parquet('/root/repo/golden/mm_video_frames/*.parquet')""".stripMargin,
+    // frame containment + transitive closure + min-id keeper re-derived
+    // IN DUCKDB from the pinned fingerprints: stop-frame cut first,
+    // sizes and the denominator over the post-cut sets (the
+    // dedup_containment contract), then the mm_dedup_images closure
+    "mm_dedup_frames" ->
+      """WITH RECURSIVE f0 AS (
+        |  SELECT DISTINCT doc_id, frame_md5
+        |  FROM read_parquet('/root/repo/golden/mm_video_frames/*.parquet')),
+        |ok AS (SELECT frame_md5 FROM f0 GROUP BY 1 HAVING COUNT(*) <= 20),
+        |f AS (SELECT f0.doc_id, f0.frame_md5 FROM f0 JOIN ok USING (frame_md5)),
+        |sz AS (SELECT doc_id, COUNT(*) AS nf FROM f GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM f a JOIN f b
+        |    ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM p0
+        |  JOIN sz sa ON p0.doc_a = sa.doc_id
+        |  JOIN sz sb ON p0.doc_b = sb.doc_id
+        |  WHERE round(CAST(shared AS DOUBLE) / least(sa.nf, sb.nf), 6) >= 0.5),
         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
         |      UNION ALL SELECT doc_b, doc_a FROM p),
         |r AS (SELECT src AS id, src AS comp FROM e

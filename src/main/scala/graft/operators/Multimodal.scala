@@ -337,4 +337,94 @@ object Multimodal {
       java.util.Arrays.copyOfRange(b, o, math.min(o + frame, b.length))
     }
   }
+
+  /** [[defaultFrames]] at a caller-chosen stride — the fingerprint
+    * pass uses finer frames so short synthetic payloads still carry a
+    * multi-frame signature.
+    */
+  private def framesOf(frameBytes: Int)(b: Array[Byte]): Iterator[Array[Byte]] = {
+    val start = math.min(44, b.length)
+    Iterator.range(start, b.length, frameBytes).map { o =>
+      java.util.Arrays.copyOfRange(b, o, math.min(o + frameBytes, b.length))
+    }
+  }
+
+  /** Fingerprint frame size for the video-dedup pass (bytes). */
+  val VideoFrameBytes = 32
+
+  /** The planted video corpus: `doc_id % 25 == 7` re-delivers the
+    * FIRST HALF (frame-aligned) of `(doc_id − 7)`'s payload — the
+    * truncated re-encode/clip case frame-level dedup exists for, at
+    * the [[graft.operators.Dedup]] planted-re-delivery precedent
+    * (this synthetic corpus has no cross-payload frame overlap
+    * otherwise). Frame alignment makes the shared prefix byte-exact
+    * frame-for-frame.
+    */
+  def videoBlobs(spark: SparkSession, dir: String): DataFrame = {
+    val base = blobFrame(spark, dir)
+    val srcId = when(col("doc_id") % 25 === 7, col("doc_id") - 7)
+    base.select(col("doc_id"), srcId.as("src"), col("payload").as("own"))
+      .join(base.select(col("doc_id").as("src"), col("payload").as("sp")),
+        Seq("src"), "left")
+      .select(col("doc_id"),
+        when(col("sp").isNull, col("own")).otherwise(expr(
+          s"substring(sp, 1, cast(44 + greatest(((length(sp) - 44) div " +
+            s"${2 * VideoFrameBytes}) * $VideoFrameBytes, 0) as int))"))
+          .as("payload"))
+  }
+
+  /** Per-payload frame fingerprints — the sampled-frame signature a
+    * video pipeline extracts before any pixel work (here the
+    * stand-in byte frames; a real deployment swaps the iterator for a
+    * keyframe decoder on the same per-partition loop). Golden-pinned.
+    */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(videoBlobs(spark, dir), everyK = 1,
+        frames = framesOf(VideoFrameBytes))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+
+  /** Frame-CONTAINMENT near-dup pairs — the video analog of
+    * [[graft.operators.Dedup.containment]]: a clip or truncated
+    * re-encode shares most of its frames with its source while plain
+    * set-Jaccard dilutes under the length difference, so the score is
+    * `|A∩B| / min(|A|,|B|)` over DISTINCT frame fingerprints. The
+    * same posting-list shape and contract: stop-frames past `maxDf`
+    * cut first (per-fingerprint pair cost is bounded by maxDf²),
+    * sizes and the denominator over the post-cut sets, ROUNDED
+    * threshold compare.
+    */
+  def framePairs(spark: SparkSession, dir: String,
+                 threshold: Double = 0.5, maxDf: Long = 20): DataFrame = {
+    val post0 = videoFrames(spark, dir)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+    val ok = post0.groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("dfc"))
+      .where(col("dfc") <= maxDf).select(col("frame_md5"))
+    val post = post0.join(ok, "frame_md5")
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    post.as("a")
+      .join(post.as("b"),
+        col("a.frame_md5") === col("b.frame_md5") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double")
+          / least(col("na"), col("nb")).cast("double"), 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** End-to-end frame-level dedup: containment pairs → connected
+    * components → kept corpus, through the one
+    * [[graft.operators.Dedup.pipelineOverPairs]] composition — the
+    * FOURTH pair signal through it (minhash / simhash / embedding /
+    * frames), which is the point of the shared composition.
+    */
+  def dedupFrames(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pipelineOverPairs(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+      framePairs(spark, dir).select(col("doc_a"), col("doc_b")))
 }

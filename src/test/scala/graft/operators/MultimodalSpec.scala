@@ -293,4 +293,39 @@ class MultimodalSpec extends SparkSpec {
       assert(Multimodal.HeaderParser.parse(b).mime == "image/jpeg")
     }
   }
+
+  test("frame dedup: planted clips pair to their sources and never survive") {
+    import org.apache.spark.sql.functions._
+    // every clone's frames are a byte-exact prefix of its source's
+    val frames = Multimodal.videoFrames(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = frames.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val clones = byDoc.keys.filter(id =>
+      id % 25 == 7 && byDoc.contains(id - 7) && byDoc(id).nonEmpty).toSeq
+    assert(clones.size >= 10, s"only ${clones.size} planted clips have frames")
+    clones.foreach { id =>
+      byDoc(id).foreach { case (idx, h) =>
+        assert(byDoc(id - 7).get(idx).contains(h),
+          s"clone $id frame $idx must equal source frame")
+      }
+      // and the clip is genuinely truncated, not a full copy
+      assert(byDoc(id).size < byDoc(id - 7).size, s"clone $id not truncated")
+    }
+    // pairs: every clone with frames pairs to its source
+    val pairs = Multimodal.framePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    clones.foreach { id =>
+      assert(pairSet.contains((id - 7, id)), s"missing pair (${id - 7}, $id)")
+    }
+    pairs.foreach { case (_, _, c) => assert(c >= 0.5 && c <= 1.0) }
+    // end-to-end: clones never survive (keeper is the min id — the
+    // source), and dedup conserves corpus mass through cluster sizes
+    val kept = Multimodal.dedupFrames(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clones.foreach(id => assert(!kept.contains(id), s"clone $id survived"))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(kept.values.sum == nDocs, "cluster sizes must conserve the corpus")
+  }
 }
