@@ -30,7 +30,7 @@ object GenGolden {
   val names: Seq[String] = Seq(
     "dedup_simhash", "mm_meta", "mm_framesample", "mm_resize", "mm_phash",
     "mm_audio_stats", "mm_video_frames",
-    "dedup_minhash", "dedup_minhash_incremental",
+    "dedup_minhash", "dedup_minhash_incremental", "dedup_minhash_calibration",
     "dedup_embedding_lsh", "dedup_embedding_lsh_incremental",
     "dedup_semantic",
     "ann_lsh", "ann_lsh_multiprobe", "ann_ivf_kmeans", "ann_cluster_stats", "ann_pq",

@@ -526,6 +526,10 @@ object SparkEntry {
     "dedup_exact_streamed" -> ((s, d) =>
       graft.streaming.StreamingDedup.streamedFingerprints(s, d)),
     "dedup_minhash" -> ((s, d) => graft.operators.Dedup.minhashLsh(s, d)),
+    // signature-agreement estimate vs exact jaccard per verified pair:
+    // the LSH calibration read; true side re-derived in SQL
+    "dedup_minhash_calibration" -> ((s, d) =>
+      graft.operators.Dedup.minhashCalibration(s, d)),
     // incremental posture: delta shard probes the persisted band index
     "dedup_minhash_incremental" -> ((s, d) =>
       graft.operators.Dedup.minhashIncremental(s, d)),
@@ -3256,6 +3260,31 @@ object SparkEntry {
         |FROM read_parquet('/root/repo/golden/mm_audio_stats/*.parquet')""".stripMargin,
     "dedup_minhash" ->
       "SELECT doc_a, doc_b, jaccard FROM read_parquet('/root/repo/golden/dedup_minhash/*.parquet')",
+    // est + band ride the pinned golden; the TRUE jaccard re-derives
+    // INDEPENDENTLY over the same word-3-shingle sets — the gate also
+    // proves the native shingle/jaccard kernels match the relational
+    // formulation
+    "dedup_minhash_calibration" ->
+      """WITH g AS (
+        |  SELECT doc_a, doc_b, jaccard_est
+        |  FROM read_parquet('/root/repo/golden/dedup_minhash_calibration/*.parquet')),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(wl) - 2, 1)),
+        |    i -> array_to_string(list_slice(wl, i, i + 2), ' '))) AS s
+        |  FROM w)
+        |SELECT g.doc_a, g.doc_b,
+        |  round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))),
+        |    6) AS jaccard,
+        |  g.jaccard_est,
+        |  (abs(g.jaccard_est -
+        |     round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+        |       / (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))),
+        |       6)) <= 0.35) AS within_band
+        |FROM g JOIN sh a ON g.doc_a = a.doc_id
+        |       JOIN sh b ON g.doc_b = b.doc_id""".stripMargin,
     "dedup_minhash_incremental" ->
       "SELECT doc_a, doc_b, jaccard FROM read_parquet('/root/repo/golden/dedup_minhash_incremental/*.parquet')",
     "dedup_embedding_lsh_incremental" ->

@@ -430,6 +430,43 @@ object Dedup {
     (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
+  /** MinHash CALIBRATION — the signature-length sanity check an LSH
+    * deployment runs before trusting its banding math: for every
+    * verified near-dup pair, the signature-agreement ESTIMATE of
+    * Jaccard (`matching positions / numHashes` — the estimator whose
+    * expectation IS the Jaccard) next to the exact shingle Jaccard the
+    * verify already computed, plus the |err| ≤ `band` boolean (4σ at
+    * 32 hashes). The estimate is integer position-matching in one
+    * in-row `zip_with`/`aggregate` chain — exact until one division.
+    *
+    * The oracle re-derives the TRUE jaccard INDEPENDENTLY in SQL over
+    * the same word-3-shingle sets (list_slice windows), so the gate
+    * additionally proves the native shingle/jaccard kernels match the
+    * relational formulation — est and the band boolean ride the pinned
+    * golden. The calibration CLAIM (estimates track truth) is
+    * spec-asserted: mean |err| within the binomial bound, band
+    * violations rare.
+    */
+  def minhashCalibration(spark: SparkSession, dir: String,
+                         numHashes: Int = 32, bands: Int = 16,
+                         threshold: Double = 0.5,
+                         band: Double = 0.35): DataFrame = {
+    val d = parallelize(docs(spark, dir))
+    val pairs = minhashLsh(spark, dir, numHashes, bands, threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sigs = minhashBase(d, numHashes).select(col("doc_id"), col("sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(expr(
+          """aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)),
+            |0, (acc, v) -> acc + v)""".stripMargin).cast("double")
+          / numHashes, 6).as("jaccard_est"))
+      .withColumn("within_band",
+        abs(col("jaccard_est") - col("jaccard")) <= band)
+  }
+
   private def minhashBase(docsDf: DataFrame, numHashes: Int): DataFrame =
     docsDf
       .select(col("doc_id"), wordShingles.as("shingles"))

@@ -425,6 +425,25 @@ class DedupSpec extends SparkSpec {
     assert(out.size == nDocs - paired.size + byCluster.size)
   }
 
+  test("minhashCalibration: estimates are 1/32-grained and track exact jaccard") {
+    val out = Dedup.minhashCalibration(spark, sfDir).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (j, est, band) =>
+      assert(j >= 0.5, "only verified pairs are calibrated")
+      // est is an integer count of 32 matching positions
+      val cnt = est * 32
+      assert(math.abs(cnt - math.round(cnt)) < 1e-9 && est >= 0 && est <= 1)
+      assert(band == (math.abs(est - j) <= 0.35))
+    }
+    // the estimator genuinely tracks truth: mean |err| within ~1.5x
+    // the binomial bound sqrt(J(1-J)/32) <= 0.0884
+    val meanErr = out.map(t => math.abs(t._2 - t._1)).sum / out.length
+    assert(meanErr <= 0.13, s"mean |est - true| = $meanErr")
+    // band violations are the rare tail, not the norm
+    assert(out.count(_._3).toDouble / out.length >= 0.9)
+  }
+
   test("yieldReport: monotone funnel totals, exact stage equals fingerprint census") {
     // minQuality 0.8: at sf0.001 every near-dup survivor clears the
     // default 0.5, which would leave the last stage vacuous here
