@@ -98,6 +98,10 @@ object SparkEntry {
     // weekday's distribution — the de-seasonalized alerting band
     "ts_seasonal_zscore" -> ((s, d) =>
       Db.fromEvents(s, d).seasonalZscore("click", "user")),
+    // one-step-ahead EWMA forecast error per series: round-6 |err|
+    // summed as decimal, one division — the alpha-quality read
+    "ts_ewma_backtest" -> ((s, d) =>
+      Db.fromEvents(s, d).ewmaBacktest("view")),
     // per-series share of the bucket total: exact decimal numerator
     // and denominator, one division — percent-of-total normalization
     "ts_share" -> ((s, d) => Db.fromEvents(s, d).share("view", "user")),
@@ -464,6 +468,9 @@ object SparkEntry {
     // spend end-to-end, shares as final divisions
     "q_revenue_concentration" -> ((s, d) =>
       graft.operators.Analytics.revenueConcentration(s, d)),
+    // cohort LTV curve: first-seen cohorts × age, decimal revenue
+    // through the cumulative window, one division by cohort size
+    "q_cohort_ltv" -> ((s, d) => graft.operators.Analytics.cohortLtv(s, d)),
     "q_pivot" -> ((s, d) => graft.operators.Analytics.pivotDaily(s, d)),
 
     // ---- Text analysis (documents) ----
@@ -1641,6 +1648,33 @@ object SparkEntry {
          |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * a
          |      + CAST(0.3 AS DOUBLE) * b) AS ewma
          |FROM s""".stripMargin,
+    // the backtest on the SAME bit-stable prefix fold: lag the ewma one
+    // point, round-6 errors summed as DECIMAL, one division per series
+    "ts_ewma_backtest" ->
+      s"""$Ev
+         |, s AS (
+         |  SELECT metric, tag_user, tag_k, ts, value,
+         |    array_agg(value) OVER (PARTITION BY tag_user, tag_k
+         |      ORDER BY ts, value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+         |  FROM ev WHERE metric = 'view'
+         |), e AS (
+         |  SELECT tag_user, tag_k, ts, value,
+         |    list_reduce(pref, (a, b) ->
+         |      (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * a
+         |        + CAST(0.3 AS DOUBLE) * b) AS ewma
+         |  FROM s
+         |), l AS (
+         |  SELECT tag_user, tag_k, value,
+         |    lag(ewma) OVER (PARTITION BY tag_user, tag_k
+         |      ORDER BY ts, value) AS pred
+         |  FROM e
+         |)
+         |SELECT tag_user, tag_k, COUNT(*) AS n_preds,
+         |  CAST(SUM(CAST(round(abs(value - pred), 6) AS DECIMAL(28,6)))
+         |    AS DOUBLE) / COUNT(*) AS mae
+         |FROM l WHERE pred IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
     // absent buckets: (observed series × global bucket span) minus the
     // present pairs, NULL-safe tag identity (IS NOT DISTINCT FROM);
     // all-integer outputs
@@ -2375,6 +2409,29 @@ object SparkEntry {
     // carry decomposition (per-hour running sum over distinct
     // (ts, delta) keys, hour-grain cumulative net), so the all-integer
     // peak pins by hash
+    // cohort LTV: first-seen cohorts × purchase age, decimal revenue
+    // through the cumulative frame, one division by cohort size
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |         event_type, value
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1
+        |), cs AS (
+        |  SELECT cohort_day, COUNT(*) AS n_users FROM c GROUP BY 1
+        |), r AS (
+        |  SELECT c.cohort_day, ev.day - c.cohort_day AS age_days,
+        |         SUM(CAST(value AS DECIMAL(28,6))) AS rev
+        |  FROM ev JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT r.cohort_day, age_days, n_users,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev) OVER (PARTITION BY r.cohort_day ORDER BY age_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / n_users AS cum_ltv
+        |FROM r JOIN cs ON r.cohort_day = cs.cohort_day""".stripMargin,
     // Pareto deciles: the oracle ranks with ONE window (fine at oracle
     // scale); the engine's distributed rank must land the identical
     // total order — that equality is exactly what the hash checks

@@ -681,6 +681,41 @@ object Analytics {
           / col("tot").cast("double")).as("cum_share"))
   }
 
+  /** Cohort lifetime-value curve — cumulative purchase revenue per
+    * user by signup cohort and age: the growth-accounting read behind
+    * payback-period planning ("how much has the March cohort earned
+    * per user by day 30"). Cohort = each user's first-seen day (any
+    * event type); revenue buckets on (cohort, age = day − cohort_day).
+    * Revenue stays exact DECIMAL through the (cohort, age) aggregate
+    * AND the cumulative window; `cum_ltv` is one division by the
+    * cohort's user count. The cumulative partition is one cohort's
+    * AGES (calendar-bounded); ages with no purchases emit no row and
+    * the cumulative ordering skips them exactly.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("user_id"),
+        graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+        col("event_type"), col("value"))
+      .withColumn("day", expr(s"ts div ${dayNs}L"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val cohortSize = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = ev.where(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(sum(col("value").cast("decimal(28,6)")).as("rev_dec"))
+    val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(cohortSize, "cohort_day")
+      .select(col("cohort_day"), col("age_days"), col("n_users"),
+        col("rev_dec").cast("double").as("revenue"),
+        (sum(col("rev_dec")).over(wCum).cast("double")
+          / col("n_users").cast("double")).as("cum_ltv"))
+  }
+
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))

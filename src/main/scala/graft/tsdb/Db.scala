@@ -1013,6 +1013,31 @@ final class Db(val frame: DataFrame) {
         col("z.pts.value").as("value") :+ col("z.sm").as("ewma"): _*)
   }
 
+  /** One-step-ahead EWMA BACKTEST — the forecast-quality read that
+    * justifies (or indicts) a smoothing alpha before anyone alerts on
+    * it: per series, predict each point with the smoothed value as of
+    * the PREVIOUS point and report the mean absolute error. Rides
+    * [[ewma]]'s bit-stable fold (one more window pass on the same
+    * partitioning); each |error| rounds at 6 and sums as exact DECIMAL
+    * (an IEEE running mean would be partition-order-dependent), ONE
+    * division per series. Output rows = series count.
+    */
+  def ewmaBacktest(metric: String, alpha: Double = 0.3,
+                   filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{functions => F}
+    val tags = tagColumns.map(col)
+    val w = Window.partitionBy(tags: _*).orderBy(col("ts"), col("value"))
+    ewma(metric, alpha, filterExpr)
+      .withColumn("pred", lag(col("ewma"), 1).over(w))
+      .where(col("pred").isNotNull)
+      .groupBy(tags: _*)
+      .agg(F.count(lit(1)).as("n_preds"),
+        (F.sum(round(abs(col("value") - col("pred")), 6)
+          .cast("decimal(28,6)")).cast("double")
+          / F.count(lit(1))).as("mae"))
+  }
+
   /** Per-point Holt double exponential smoothing (level + trend) of
     * every series — trend-aware EWMA, the PromQL-`holt_winters`-class
     * smoother for series that drift (EWMA lags a trending series by

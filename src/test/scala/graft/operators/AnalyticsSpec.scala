@@ -892,6 +892,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(9L)._4 == 1.0)
   }
 
+  test("cohortLtv matches a driver-side cohort recompute; curves are monotone") {
+    val out = Analytics.cohortLtv(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.nonEmpty)
+    val dayNs = 86_400_000_000_000L
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = raw.select(col("user_id"), graft.tsdb.Db.tsNs(raw.schema).as("ts"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / dayNs, r.getString(2), r.getDouble(3)))
+    val cohortOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rev = ev.filter(_._3 == "purchase")
+      .groupBy(e => (cohortOf(e._1), e._2 - cohortOf(e._1)))
+      .view.mapValues(_.map(e => BigDecimal(e._4)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum).toMap
+    assert(out.keySet == rev.keySet)
+    rev.foreach { case (k @ (cohort, _), dec) =>
+      val (n, revenue, _) = out(k)
+      assert(n == sizes(cohort), s"$k cohort size")
+      assert(revenue == dec.toDouble, s"$k revenue")
+    }
+    // cumulative per-user value never decreases with age
+    out.groupBy(_._1._1).foreach { case (cohort, rows) =>
+      val curve = rows.toSeq.sortBy(_._1._2).map(_._2._3)
+      curve.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b, s"cohort $cohort LTV curve dipped")
+        case _ =>
+      }
+    }
+  }
+
   test("concurrency: handcrafted interval sets hit known hourly peaks") {
     import spark.implicits._
     val h = 3_600_000_000_000L

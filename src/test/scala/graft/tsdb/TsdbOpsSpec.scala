@@ -1413,6 +1413,17 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("ewmaBacktest: known chain yields exact MAE; errors decimal-summed") {
+    val d = db(Seq(
+      ("m", 1L, 10.0, "u"), ("m", 2L, 20.0, "u"), ("m", 3L, 30.0, "u"),
+      ("m", 9L, 5.0, "v")))  // single point: no prediction, no row
+    val out = d.ewmaBacktest("m").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // ewma(10,20,30 | α=.3) = 10, 13, 18.1 → preds 10, 13 → errs 10, 17
+    assert(out("u") == ((2L, 13.5)))
+    assert(!out.contains("v"))
+  }
+
   test("fleetZscore scores each series against the bucket's cross-series stats") {
     val day = Duration.days(1)
     val d = db(Seq(
