@@ -471,6 +471,9 @@ object SparkEntry {
     // cohort LTV curve: first-seen cohorts × age, decimal revenue
     // through the cumulative window, one division by cohort size
     "q_cohort_ltv" -> ((s, d) => graft.operators.Analytics.cohortLtv(s, d)),
+    // two-proportion experiment readout: exact counts → fixed-order
+    // IEEE chain for rates and the pooled z; one row out
+    "q_ab_test" -> ((s, d) => graft.operators.Analytics.abTest(s, d)),
     "q_pivot" -> ((s, d) => graft.operators.Analytics.pivotDaily(s, d)),
 
     // ---- Text analysis (documents) ----
@@ -2432,6 +2435,31 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / n_users AS cum_ltv
         |FROM r JOIN cs ON r.cohort_day = cs.cohort_day""".stripMargin,
+    // two-proportion z: the identical exact-count → IEEE chain
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u
+        |)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+        |  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+        |  CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |         * (1.0 / n_a + 1.0 / n_b)) = 0 THEN NULL
+        |       ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |           * (1.0 / n_a + 1.0 / n_b)) + 0.0 END AS z_stat
+        |FROM a""".stripMargin,
     // Pareto deciles: the oracle ranks with ONE window (fine at oracle
     // scale); the engine's distributed rank must land the identical
     // total order — that equality is exactly what the hash checks

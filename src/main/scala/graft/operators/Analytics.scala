@@ -681,6 +681,43 @@ object Analytics {
           / col("tot").cast("double")).as("cum_share"))
   }
 
+  /** Two-proportion A/B readout — the experiment-analysis table: users
+    * split into variants by a deterministic id hash (parity here; a
+    * real assignment column slots in unchanged), conversion = at least
+    * one purchase, and the pooled two-proportion z-statistic on top.
+    * Counts are exact BIGINTs from one user-grain aggregate collapsed
+    * to a TWO-ROW frame; rates, the pooled proportion, the standard
+    * error, and z are a fixed-order IEEE chain over those exact
+    * integers (division → multiply → `sqrt` — every step correctly
+    * rounded and engine-identical, the rate/ewma bit-stability
+    * recipe). One row out at any corpus size.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select((col("user_id") % 2).as("variant"), col("conv"))
+    val nA = sum(when(col("variant") === 0, 1L).otherwise(0L))
+    val cA = sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+    val nB = sum(when(col("variant") === 1, 1L).otherwise(0L))
+    val cB = sum(when(col("variant") === 1, col("conv")).otherwise(0L))
+    val agg = users.agg(nA.as("n_a"), cA.as("conv_a"),
+      nB.as("n_b"), cB.as("conv_b"))
+    val rateA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val rateB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a").cast("double")
+        + lit(1.0) / col("n_b").cast("double")))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      rateA.as("rate_a"), rateB.as("rate_b"),
+      when(se === 0.0, lit(null).cast("double"))
+        .otherwise((rateA - rateB) / se + lit(0.0)).as("z_stat"))
+  }
+
   /** Cohort lifetime-value curve — cumulative purchase revenue per
     * user by signup cohort and age: the growth-accounting read behind
     * payback-period planning ("how much has the March cohort earned

@@ -892,6 +892,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(9L)._4 == 1.0)
   }
 
+  test("abTest: counts partition the user base; z matches the textbook formula") {
+    val out = Analytics.abTest(spark, sfDir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    assert(na == users.count(_ % 2 == 0) && nb == users.count(_ % 2 == 1))
+    assert(ca <= na && cb <= nb && ca >= 0 && cb >= 0)
+    assert(r.getDouble(4) == ca.toDouble / na && r.getDouble(5) == cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val se = math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    if (se == 0.0) assert(r.isNullAt(6))
+    else assert(r.getDouble(6) == (ca.toDouble / na - cb.toDouble / nb) / se + 0.0)
+  }
+
   test("cohortLtv matches a driver-side cohort recompute; curves are monotone") {
     val out = Analytics.cohortLtv(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
