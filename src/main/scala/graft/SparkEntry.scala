@@ -563,6 +563,10 @@ object SparkEntry {
     // fingerprint index — O(delta), never O(corpus)
     "dedup_exact_incremental" -> ((s, d) =>
       graft.operators.Dedup.exactIncremental(s, d)),
+    // incremental SimHash: delta bands probe the persisted hash index
+    // (never self-joined); constant bit_count verify per candidate
+    "dedup_simhash_incremental" -> ((s, d) =>
+      graft.operators.Dedup.simhashIncremental(s, d)),
     // dedup without losing the duplication signal: one keeper per
     // cluster carrying cluster size as a training weight; Σweight
     // equals the corpus row count by construction
@@ -3498,6 +3502,21 @@ object SparkEntry {
         |   OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
         |   OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // the incremental probe re-derived IN DUCKDB over the pinned
+    // hashes: same banding algebra, role-filtered to delta-involving
+    // pairs — exactly delta×base ∪ delta×delta
+    "dedup_simhash_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, simhash FROM read_parquet('/root/repo/golden/dedup_simhash/*.parquet'))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | AND (((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
+        |   OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+        |   OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+        |   OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)""".stripMargin,
     // same banding + a recursive transitive closure + keeper selection:
     // the full SimHash pipeline re-derived independently
     "dedup_pipeline_simhash" ->

@@ -655,6 +655,74 @@ object Dedup {
       "doc_id", "simhash")
   }
 
+  /** The 4 × 16-bit band rows of an (id, 64-bit hash) frame — the
+    * banding both sides of every Hamming join share.
+    */
+  private def bandedHashFrame(hashed: DataFrame, idCol: String,
+                              hashCol: String): DataFrame =
+    hashed.select(
+      col(idCol).as("_id"), col(hashCol).as("_h"),
+      posexplode(expr(
+        s"transform(sequence(0, 3), j -> (shiftright($hashCol, j*16) & 65535))"))
+        .as(Seq("band", "band_val")))
+
+  /** Persisted SimHash index of the base corpus (`doc_id % deltaMod
+    * != 0`) — (doc_id, simhash) rows under the content-fingerprint-
+    * keyed workDir, the [[ensureBandIndex]] recipe at the 64-bit-hash
+    * grain (the whole index row is 16 bytes; banding re-derives
+    * deterministically at probe time).
+    */
+  private[graft] def ensureSimhashIndex(spark: SparkSession, dir: String,
+                                        deltaMod: Int = 10): String = {
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$dir/documents.parquet")
+    val root = graft.Conf.resolveWorkDir(spark, "")
+    val path = s"$root/sh_index_${Integer.toHexString(dir.hashCode)}_" +
+      s"${fp}_m$deltaMod"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      GraftFunctions.register(spark)
+      parallelize(docs(spark, dir)).where(col("doc_id") % deltaMod =!= 0)
+        .select(col("doc_id"),
+          call_function("graft_simhash", split(col("text"), " ")).as("simhash"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** INCREMENTAL SimHash dedup — the fourth member of the
+    * incremental-maintenance family (exact 25n / minhash 25k /
+    * embedding 25l / now simhash): the delta (`doc_id % deltaMod ==
+    * 0`) probes the PERSISTED base hash index, so the only pairs
+    * computed are DELTA-involving — delta×index through the banded
+    * equi-join (the index never self-joins) plus delta×delta through
+    * the standard banded self-join. Verify stays one `bit_count` per
+    * candidate (SimHash's constant-cost advantage, unchanged
+    * incrementally). Pigeonhole completeness carries over verbatim:
+    * ≤ 3 differing bits dirty ≤ 3 of the 4 bands on ANY pair,
+    * whichever side is persisted.
+    */
+  def simhashIncremental(spark: SparkSession, dir: String,
+                         hamMax: Int = 3, deltaMod: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val idx = spark.read.parquet(ensureSimhashIndex(spark, dir, deltaMod))
+    val delta = parallelize(docs(spark, dir))
+      .where(col("doc_id") % deltaMod === 0)
+      .select(col("doc_id"),
+        call_function("graft_simhash", split(col("text"), " ")).as("simhash"))
+    val bd = bandedHashFrame(delta, "doc_id", "simhash")
+    val bi = bandedHashFrame(idx, "doc_id", "simhash")
+    val cross = bd.as("a").hint("shuffle_hash")
+      .join(bi.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val"))
+      .select(least(col("a._id"), col("b._id")).as("doc_a"),
+        greatest(col("a._id"), col("b._id")).as("doc_b"),
+        expr("bit_count(a._h ^ b._h)").as("hamming"))
+      .distinct()
+    val intra = hammingCandFrame(delta, "doc_id", "simhash")
+    cross.unionByName(intra).where(col("hamming") <= hamMax).distinct()
+  }
+
   /** Banded Hamming candidates over ANY (id, 64-bit hash) frame — the
     * fingerprint-agnostic core [[simhashCandFrame]] and
     * [[Multimodal.phashPairs]] share: 4 × 16-bit band equality is a
@@ -665,11 +733,7 @@ object Dedup {
     */
   private[operators] def hammingCandFrame(hashed: DataFrame, idCol: String,
                                           hashCol: String): DataFrame = {
-    val banded = hashed.select(
-      col(idCol).as("_id"), col(hashCol).as("_h"),
-      posexplode(expr(
-        s"transform(sequence(0, 3), j -> (shiftright($hashCol, j*16) & 65535))"))
-        .as(Seq("band", "band_val")))
+    val banded = bandedHashFrame(hashed, idCol, hashCol)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&

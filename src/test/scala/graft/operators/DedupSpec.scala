@@ -205,6 +205,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.where(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
+  test("simhashIncremental equals the full pairs restricted to delta-involving") {
+    // generous hamming so the equality is exercised on real pairs here
+    val inc = Dedup.simhashIncremental(spark, sfDir, hamMax = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Dedup.simhashPairs(spark, sfDir, hamMax = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full.nonEmpty)
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(inc == expected, s"inc=$inc expected=$expected")
+    // the persisted index holds ONLY base docs, and base ∪ delta is
+    // the whole corpus
+    val idx = spark.read.parquet(Dedup.ensureSimhashIndex(spark, sfDir))
+    assert(idx.where(col("doc_id") % 10 === 0).count() == 0)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val nDelta = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") % 10 === 0).count()
+    assert(idx.count() + nDelta == nDocs)
+  }
+
   test("embedding cosine pairs are label-blocked and thresholded") {
     val out = Dedup.embeddingCosine(spark, sfDir, threshold = 0.2).collect()
     assert(out.forall(r => r.getAs[Double]("cos") >= 0.2))
