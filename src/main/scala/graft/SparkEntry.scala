@@ -474,6 +474,10 @@ object SparkEntry {
     // two-proportion experiment readout: exact counts → fixed-order
     // IEEE chain for rates and the pooled z; one row out
     "q_ab_test" -> ((s, d) => graft.operators.Analytics.abTest(s, d)),
+    // Welch's t on purchase value per variant: exact decimal Σv/Σv²
+    // chains, fixed-order IEEE formula, one row out
+    "q_ab_test_value" -> ((s, d) =>
+      graft.operators.Analytics.abTestValue(s, d)),
     "q_pivot" -> ((s, d) => graft.operators.Analytics.pivotDaily(s, d)),
 
     // ---- Text analysis (documents) ----
@@ -2463,6 +2467,34 @@ object SparkEntry {
         |         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
         |           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
         |           * (1.0 / n_a + 1.0 / n_b)) + 0.0 END AS z_stat
+        |FROM a""".stripMargin,
+    // Welch t: the identical decimal Σv/Σv² → fixed-order IEEE chain
+    "q_ab_test_value" ->
+      """WITH p AS (
+        |  SELECT user_id % 2 AS variant, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sq_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sq_b
+        |  FROM p
+        |)
+        |SELECT n_a, round(s_a / n_a, 6) AS mean_a,
+        |  round((sq_a - s_a * s_a / n_a) / (n_a - 1), 6) AS var_a,
+        |  n_b, round(s_b / n_b, 6) AS mean_b,
+        |  round((sq_b - s_b * s_b / n_b) / (n_b - 1), 6) AS var_b,
+        |  CASE WHEN n_a < 2 OR n_b < 2
+        |         OR sqrt(((sq_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+        |               + ((sq_b - s_b * s_b / n_b) / (n_b - 1)) / n_b) = 0
+        |       THEN NULL
+        |       ELSE round((s_a / n_a - s_b / n_b)
+        |         / sqrt(((sq_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+        |              + ((sq_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6) + 0.0
+        |  END AS t_stat
         |FROM a""".stripMargin,
     // Pareto deciles: the oracle ranks with ONE window (fine at oracle
     // scale); the engine's distributed rank must land the identical

@@ -718,6 +718,48 @@ object Analytics {
         .otherwise((rateA - rateB) / se + lit(0.0)).as("z_stat"))
   }
 
+  /** Welch's t on a CONTINUOUS metric per variant — [[abTest]]'s
+    * sibling for value metrics (revenue per purchase): per variant the
+    * exact Σv/Σv² decimal chain (the stddev recipe) yields n, mean,
+    * and SAMPLE variance; the t-statistic is the fixed-order IEEE
+    * Welch formula over those exact sums. One purchase-grain aggregate
+    * collapsed to one row; variance needs n ≥ 2 per arm and a nonzero
+    * pooled SE, else NULL.
+    */
+  def abTestValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"), col("value"))
+    def side(v: Int, tag: String) = {
+      val in = when(col("variant") === v, col("value"))
+      Seq(
+        sum(when(col("variant") === v, 1L).otherwise(0L)).as(s"n_$tag"),
+        sum(in.cast("decimal(28,6)")).cast("double").as(s"s_$tag"),
+        sum(in.cast("decimal(18,6)") * in.cast("decimal(18,6)"))
+          .cast("double").as(s"sq_$tag"))
+    }
+    val agg = ev.agg((side(0, "a") ++ side(1, "b")).head,
+      (side(0, "a") ++ side(1, "b")).tail: _*)
+    def meanOf(t: String) = col(s"s_$t") / col(s"n_$t").cast("double")
+    def varOf(t: String) =
+      (col(s"sq_$t") - col(s"s_$t") * col(s"s_$t") / col(s"n_$t").cast("double")) /
+        (col(s"n_$t") - 1).cast("double")
+    val se = sqrt(varOf("a") / col("n_a").cast("double")
+      + varOf("b") / col("n_b").cast("double"))
+    // the Σv² unscaled integers exceed 2^53 here, so the two engines'
+    // decimal→double casts can land one ulp apart (double rounding);
+    // round-6 on every derived stat is the library's parity convention
+    // for such chains (AvgV precedent)
+    agg.select(col("n_a"),
+      round(meanOf("a"), 6).as("mean_a"), round(varOf("a"), 6).as("var_a"),
+      col("n_b"),
+      round(meanOf("b"), 6).as("mean_b"), round(varOf("b"), 6).as("var_b"),
+      when(col("n_a") < 2 || col("n_b") < 2 || se === 0.0,
+        lit(null).cast("double"))
+        .otherwise(round((meanOf("a") - meanOf("b")) / se, 6) + lit(0.0))
+        .as("t_stat"))
+  }
+
   /** Cohort lifetime-value curve — cumulative purchase revenue per
     * user by signup cohort and age: the growth-accounting read behind
     * payback-period planning ("how much has the March cohort earned

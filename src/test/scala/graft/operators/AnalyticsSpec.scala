@@ -908,6 +908,30 @@ class AnalyticsSpec extends SparkSpec {
     else assert(r.getDouble(6) == (ca.toDouble / na - cb.toDouble / nb) / se + 0.0)
   }
 
+  test("abTestValue: Welch t matches a driver-side exact-sum recompute") {
+    val out = Analytics.abTestValue(spark, sfDir).collect().head
+    val vals = spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("v"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def stats(v: Long) = {
+      val xs = vals.filter(_._1 == v).map(_._2)
+      val dec = xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      val (s, sq) = (dec.sum.toDouble, dec.map(d => d * d).sum.toDouble)
+      val n = xs.length
+      (n.toLong, s / n, (sq - s * s / n) / (n - 1))
+    }
+    val (na, ma, va) = stats(0)
+    val (nb, mb, vb) = stats(1)
+    assert(out.getLong(0) == na && out.getLong(3) == nb)
+    assert(out.getDouble(1) == r6(ma) && out.getDouble(4) == r6(mb))
+    assert(out.getDouble(2) == r6(va) && out.getDouble(5) == r6(vb))
+    val t = r6((ma - mb) / math.sqrt(va / na + vb / nb))
+    assert(out.getDouble(6) == t)
+  }
+
   test("cohortLtv matches a driver-side cohort recompute; curves are monotone") {
     val out = Analytics.cohortLtv(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
