@@ -355,7 +355,18 @@ object Bench {
     "text_dedup_spans", "text_dedup_rewrite", "dedup_yield",
     "q_concurrency", "ts_seasonal_zscore",
     // rides the blocked pair join — compare against dedup_ngram_jaccard
-    "text_decontaminate_neardup")
+    "text_decontaminate_neardup",
+    // seventh batch: the distributed global rank (range exchange +
+    // offset frame — the one to watch for a hidden single-partition
+    // sort), the alert islands (bucket-grain windows, ts_cusum's
+    // shape), the cohort-grain cumulative frame, the backtest's second
+    // window pass on ts_ewma's fold, the frame-containment posting
+    // join (dedup_containment's curve), the incremental simhash probe
+    // (delta x index — compare against dedup_simhash_pairs), and the
+    // one-row experiment readouts (pure scan-bound aggregates)
+    "q_revenue_concentration", "ts_alerts", "q_cohort_ltv",
+    "ts_ewma_backtest", "mm_dedup_frames", "dedup_simhash_incremental",
+    "q_ab_test")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
