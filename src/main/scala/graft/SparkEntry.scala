@@ -478,6 +478,9 @@ object SparkEntry {
     // chains, fixed-order IEEE formula, one row out
     "q_ab_test_value" -> ((s, d) =>
       graft.operators.Analytics.abTestValue(s, d)),
+    // Gini of customer spend on the SAME distributed rank: exact
+    // decimal rank-weighted sum, round-6 final chain
+    "q_gini" -> ((s, d) => graft.operators.Analytics.gini(s, d)),
     "q_pivot" -> ((s, d) => graft.operators.Analytics.pivotDaily(s, d)),
 
     // ---- Text analysis (documents) ----
@@ -2495,6 +2498,27 @@ object SparkEntry {
         |         / sqrt(((sq_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
         |              + ((sq_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6) + 0.0
         |  END AS t_stat
+        |FROM a""".stripMargin,
+    // Gini by the rank-weighted identity over the single-window rank;
+    // exact decimal product-sum, round-6 final chain (20av boundary)
+    "q_gini" ->
+      """WITH s AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+        |  FROM orders GROUP BY 1
+        |), rk AS (
+        |  SELECT spend,
+        |    row_number() OVER (ORDER BY spend DESC, o_custkey) AS r,
+        |    COUNT(*) OVER () AS n
+        |  FROM s
+        |), a AS (
+        |  SELECT MAX(n) AS n,
+        |    SUM(CAST(spend AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(spend AS DECIMAL(18,6)) * CAST(n - r + 1 AS DECIMAL(10,0))) AS six
+        |  FROM rk
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS DOUBLE) AS total_spend,
+        |  round(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
         |FROM a""".stripMargin,
     // Pareto deciles: the oracle ranks with ONE window (fine at oracle
     // scale); the engine's distributed rank must land the identical

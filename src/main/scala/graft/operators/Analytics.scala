@@ -645,7 +645,16 @@ object Analytics {
     * decile id is integer arithmetic (`(rank−1)·10 div n`), so the
     * populations split exactly and the hash pins everything.
     */
-  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-customer lifetime spend with its EXACT global rank by
+    * (spend desc, key), computed DISTRIBUTED — `repartitionByRange` on
+    * the rank order, per-partition local row_number, partition counts
+    * cumulated over a parallelism-sized offset frame and broadcast
+    * back (`rank = offset + local`). No single-partition sort; range
+    * boundaries come from sampling but the rank is boundary-
+    * independent because the order key is total. Shared by
+    * [[revenueConcentration]] and [[gini]].
+    */
+  private def rankedSpend(spark: SparkSession, dir: String): DataFrame = {
     val spend = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("spend_dec"))
@@ -664,9 +673,18 @@ object Analytics {
       .withColumn("n_total", sum(col("cnt")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("pid"), col("off"), col("n_total"))
-    val ranked = local.join(broadcast(offs), "pid")
+    local.join(broadcast(offs), "pid")
+      .select(col("o_custkey"), col("spend_dec"),
+        (col("off") + col("lr")).as("rank_desc"), col("n_total"))
+  }
+
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedSpend(spark, dir)
       .select(col("spend_dec"),
-        expr("((off + lr - 1) * 10) div n_total").as("decile"))
+        expr("((rank_desc - 1) * 10) div n_total").as("decile"))
+    val spend = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("spend_dec"))
     val total = spend.agg(sum(col("spend_dec")).as("tot"))
     val wCum = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -679,6 +697,33 @@ object Analytics {
         (col("d_dec").cast("double") / col("tot").cast("double")).as("share"),
         (sum(col("d_dec")).over(wCum).cast("double")
           / col("tot").cast("double")).as("cum_share"))
+  }
+
+  /** Gini coefficient of customer lifetime spend — the single-number
+    * inequality read next to [[revenueConcentration]]'s decile table,
+    * on the SAME distributed exact rank: with spends ascending,
+    * `G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n` (the rank-weighted identity —
+    * no pair enumeration). The ascending index is `n − rank_desc + 1`;
+    * `Σ(i·x)` stays an exact DECIMAL product-sum (spend at (18,6) ×
+    * index at (10,0) — products fit decimal(38,6) through n ~ 1e9 at
+    * 1e7 spend), and the final expression is a fixed-order IEEE chain
+    * ROUNDED at 6 (Σ(i·x)'s unscaled integers pass 2^53 exactly like
+    * the Welch chain — the 20av boundary, same posture). One row out.
+    */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    val r = rankedSpend(spark, dir)
+      .select(col("spend_dec").cast("decimal(18,6)").as("x"),
+        (col("n_total") - col("rank_desc") + 1).cast("decimal(10,0)").as("i"),
+        col("n_total"))
+    r.agg(max(col("n_total")).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("i")).as("six"))
+      .select(col("n"),
+        col("sx").cast("double").as("total_spend"),
+        round(lit(2.0) * col("six").cast("double")
+          / (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
   }
 
   /** Two-proportion A/B readout — the experiment-analysis table: users

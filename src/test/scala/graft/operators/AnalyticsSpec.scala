@@ -908,6 +908,24 @@ class AnalyticsSpec extends SparkSpec {
     else assert(r.getDouble(6) == (ca.toDouble / na - cb.toDouble / nb) / se + 0.0)
   }
 
+  test("gini matches the brute pairwise-difference definition") {
+    val out = Analytics.gini(spark, sfDir).collect().head
+    val spends = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("s"))
+      .collect().map(r => BigDecimal(r.getDecimal(1)))
+    val n = spends.length
+    assert(out.getLong(0) == n)
+    // brute: G = Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx) — the definition, not the
+    // rank identity the operator uses
+    val total = spends.sum
+    val diffs = (for (a <- spends; b <- spends) yield (a - b).abs).sum
+    val brute = (diffs / (BigDecimal(2) * n * total)).toDouble
+    assert(math.abs(out.getDouble(2) - brute) < 1e-6,
+      s"gini ${out.getDouble(2)} vs brute $brute")
+    assert(out.getDouble(2) > 0.0 && out.getDouble(2) < 1.0)
+  }
+
   test("abTestValue: Welch t matches a driver-side exact-sum recompute") {
     val out = Analytics.abTestValue(spark, sfDir).collect().head
     val vals = spark.read.parquet(s"$sfDir/events.parquet")
