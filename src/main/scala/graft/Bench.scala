@@ -366,7 +366,9 @@ object Bench {
     // one-row experiment readouts (pure scan-bound aggregates)
     "q_revenue_concentration", "ts_alerts", "q_cohort_ltv",
     "ts_ewma_backtest", "mm_dedup_frames", "dedup_simhash_incremental",
-    "q_ab_test")
+    "q_ab_test",
+    // shares rankedSpend's range exchange with q_revenue_concentration
+    "q_gini")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
