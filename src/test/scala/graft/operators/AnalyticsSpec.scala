@@ -908,6 +908,28 @@ class AnalyticsSpec extends SparkSpec {
     else assert(r.getDouble(6) == (ca.toDouble / na - cb.toDouble / nb) / se + 0.0)
   }
 
+  test("revenueConcentration plans a RANGE exchange; single-partition work is bounded frames only") {
+    val plan = Analytics.revenueConcentration(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the customer-grain global sort rides range partitioning — the
+    // distributed rank's exchange, never a single-partition sort
+    assert(plan.contains("rangepartitioning(spend_dec"),
+      s"expected a range exchange on the rank order:\n${plan.take(1200)}")
+    // every SinglePartition exchange in this plan serves a BOUNDED
+    // frame: the parallelism-sized offset window, the one-row spend
+    // total, and the ten-row decile cumulation
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 3, s"unexpected single-partition exchanges ($single)")
+  }
+
+  test("concurrency plans exactly one single-partition window — the hour-grain carry") {
+    val plan = Analytics.concurrency(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single == 1,
+      s"only the bounded hour-grain carry may collapse partitions ($single):\n${plan.take(1200)}")
+  }
+
   test("gini matches the brute pairwise-difference definition") {
     val out = Analytics.gini(spark, sfDir).collect().head
     val spends = spark.read.parquet(s"$sfDir/orders.parquet")
