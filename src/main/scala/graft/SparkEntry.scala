@@ -122,6 +122,10 @@ object SparkEntry {
     // Apdex_60: (2·sat + tol) / 2n over exact counts — the SRE
     // satisfaction index per (series, day)
     "ts_apdex" -> ((s, d) => Db.fromEvents(s, d).apdex("view", "user", 60.0)),
+    // 99%-SLO budget remaining per 28-day window: the single exact
+    // division (n − 100·n_bad)/n, negative when blown
+    "ts_error_budget" -> ((s, d) =>
+      Db.fromEvents(s, d).errorBudget("view", "user", 240.0)),
     // the same SLO index from STREAMED conditional-count partials —
     // associative BIGINT counters, argmax-compacted changelog; the
     // nineteenth streamed driver entry, vs the same raw-points oracle
@@ -1043,6 +1047,18 @@ object SparkEntry {
          |       + SUM(CASE WHEN value > 60.0 AND value <= 240.0
          |             THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(2 * COUNT(*) AS DOUBLE) AS apdex
+         |FROM ev WHERE metric = 'view' AND tag_user IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
+    // SLO budget: integer counts, ONE division — engine-exact
+    "ts_error_budget" ->
+      s"""$Ev
+         |SELECT tag_user AS grp,
+         |  (ts // ${28 * Day}) * ${28 * Day} AS window_start,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN value > 240.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bad,
+         |  CAST(COUNT(*) - 100 * SUM(CASE WHEN value > 240.0 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) AS budget_remaining
          |FROM ev WHERE metric = 'view' AND tag_user IS NOT NULL
          |GROUP BY 1, 2""".stripMargin,
     // IDENTICAL raw-events oracle for the streamed conditional-count

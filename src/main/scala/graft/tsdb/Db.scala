@@ -923,6 +923,33 @@ final class Db(val frame: DataFrame) {
           .otherwise(lit("pending")).as("state"))
   }
 
+  /** SLO error-budget remaining per (series, 28-day window) — the
+    * cumulative month view next to [[AggBuilder.buildBurnRate]]'s
+    * instantaneous dual-window alert: with a `slo` availability target,
+    * the window's budget is `(1−slo)·n` bad events, and what remains is
+    * `(n − n_bad/(1−slo)) / n` — negative when blown. For slo = 0.99
+    * this is the single exact division `(n − 100·n_bad)/n`: integer
+    * counts from ONE map-side-combined aggregate, one IEEE division
+    * per row, engine-exact with no rounding. `bad: value > threshold`
+    * (the latency-proxy convention of [[apdex]]).
+    */
+  def errorBudget(metric: String, groupBy: String, threshold: Double,
+                  sloInverse: Long = 100L,
+                  widthNs: Long = 28L * Duration.days(1),
+                  filterExpr: String = "*"): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val grpCol = tagCol(groupBy)
+    scan(metric, filterExpr)
+      .where(grpCol.isNotNull)
+      .groupBy(grpCol.as("grp"),
+        (expr(s"ts div ${widthNs}L") * lit(widthNs)).as("window_start"))
+      .agg(F.count(lit(1)).as("n"),
+        F.sum(when(col("value") > threshold, 1L).otherwise(0L)).as("n_bad"))
+      .select(col("grp"), col("window_start"), col("n"), col("n_bad"),
+        ((col("n") - lit(sloInverse) * col("n_bad")).cast("double")
+          / col("n").cast("double")).as("budget_remaining"))
+  }
+
   /** FLEET z-score — each series' bucket total scored against the
     * cross-series distribution of the SAME bucket: "which host is the
     * outlier this hour", the fleet-dimension complement of [[zscore]]

@@ -1413,6 +1413,19 @@ class TsdbOpsSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("errorBudget: exact single-division chain; blown windows go negative") {
+    val d = db(
+      (1 to 100).map(i => ("m", i.toLong, 10.0, "ok")) ++      // 0 bad → 1.0
+      (1 to 100).map(i => ("m", i.toLong,
+        if (i <= 2) 999.0 else 10.0, "blown")))                 // 2 bad of 100
+    val out = d.errorBudget("m", "user", 60.0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out("ok") == ((100L, 0L, 1.0)))
+    // (100 − 100·2)/100 = −1.0: the budget is blown 2×
+    assert(out("blown") == ((100L, 2L, -1.0)))
+  }
+
   test("ewmaBacktest: known chain yields exact MAE; errors decimal-summed") {
     val d = db(Seq(
       ("m", 1L, 10.0, "u"), ("m", 2L, 20.0, "u"), ("m", 3L, 30.0, "u"),
