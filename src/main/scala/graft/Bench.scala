@@ -368,7 +368,9 @@ object Bench {
     "ts_ewma_backtest", "mm_dedup_frames", "dedup_simhash_incremental",
     "q_ab_test",
     // shares rankedSpend's range exchange with q_revenue_concentration
-    "q_gini")
+    "q_gini",
+    // pure conditional-count aggregate — ts_avg's scan curve
+    "ts_error_budget")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
