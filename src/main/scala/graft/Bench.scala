@@ -63,7 +63,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // dev-only section filter (routes to BENCH_LOCAL_DEV.json like the
+    // other partial-run knobs): SPARK_GRAFT_SECTIONS=minhash_routed
+    // runs one section without paying the ~25-min full record
+    val sections = sys.env.get("SPARK_GRAFT_SECTIONS").map(_.split(",").toSet)
+    def secOn(name: String): Boolean = sections.forall(_.contains(name))
+    val names = (if (secOn("queries")) SparkEntry.queries.keys.toSeq.sorted
+                 else Nil)
       .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
@@ -108,10 +114,10 @@ object Bench {
       regressionsJson("/root/repo/BENCH_LOCAL.json", results)
     println(s"# regressions: $regressions")
     val (ingest, ingestCompact) =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_INGEST")) ("{}", "{}")
+      if (sys.env.contains("SPARK_GRAFT_SKIP_INGEST") || !secOn("ingest")) ("{}", "{}")
       else ingestBench(spark, sfDir)
     println(s"# ingest: $ingest")
-    val s10rows = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) Nil
+    val s10rows = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE") || !secOn("scale10")) Nil
                   else scaleRows(spark, sfDir, 10, scale10Entries,
                     ScaleData.AllTables)
     val scale10 = if (s10rows.isEmpty) "{}"
@@ -123,38 +129,44 @@ object Bench {
                         knnWorkJson(spark, sfDir, dir10))
                   }
     println(s"# scale10: $scale10")
-    val scale100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) "{}"
+    val scale100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("scale100")) "{}"
                    else scaleJson(
                      scaleRows(spark, sfDir, 100, scale100Entries,
                        Seq("documents", "embeddings", "events")),
                      extra = s""""skipped":$scale100Skips""")
     println(s"# scale100: $scale100")
     println(s"# scale100 skip reasons: $scale100SkipProse")
-    val lshPhases = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) "{}"
+    val lshPhases = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("lsh_phases")) "{}"
                     else lshPhasesJson(spark, sfDir)
     println(s"# lsh_phases: $lshPhases")
-    val skew = if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW")) "{}"
+    val skew = if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW") || !secOn("skew")) "{}"
                else skewBench(spark, sfDir)
     println(s"# skew: $skew")
-    val lshCounts = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+    val lshCounts = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE") || !secOn("lsh_counts")) "{}"
                     else lshCountsJson(spark, sfDir)
     println(s"# lsh_counts: $lshCounts")
-    val semanticCounts = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+    val semanticCounts = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE") || !secOn("semantic_counts")) "{}"
                          else semanticCountsJson(spark, sfDir)
     println(s"# semantic_counts: $semanticCounts")
-    val q5b = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) "{}"
+    val q5b = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("q5_bucketed100")) "{}"
               else q5Bucketed100Json(spark, sfDir)
     println(s"# q5_bucketed100: $q5b")
-    val minhash100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) "{}"
+    val minhash100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("minhash100")) "{}"
                      else minhash100Json(spark, sfDir)
     println(s"# minhash100: $minhash100")
-    val recallScale = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+    val minhashRouted = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("minhash_routed")) "{}"
+                        else minhashRoutedJson(spark, sfDir)
+    println(s"# minhash_routed: $minhashRouted")
+    val textGrams100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("text_grams100")) "{}"
+                       else textGrams100Json(spark, sfDir)
+    println(s"# text_grams100: $textGrams100")
+    val recallScale = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE") || !secOn("recall_curve_scale")) "{}"
                       else recallCurveScaleJson(spark, sfDir)
     println(s"# recall_curve_scale: $recallScale")
-    val bloomPaths = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+    val bloomPaths = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE") || !secOn("bloom_paths")) "{}"
                      else bloomPathsJson(spark, sfDir)
     println(s"# bloom_paths: $bloomPaths")
-    val runtimeBloom = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) "{}"
+    val runtimeBloom = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE") || !secOn("runtime_bloom")) "{}"
                        else runtimeBloomJson(spark, sfDir)
     println(s"# runtime_bloom: $runtimeBloom")
     val validationJson = ValidationEntries.toSeq.sorted
@@ -166,6 +178,7 @@ object Bench {
       s""""validation_queries":$validationJson,"queries":$qs,""" +
       s""""errors":$errJson,"ingest":$ingest,"scale10":$scale10,"scale100":$scale100,""" +
       s""""skew":$skew,"lsh_counts":$lshCounts,"minhash100":$minhash100,""" +
+      s""""minhash_routed":$minhashRouted,"text_grams100":$textGrams100,""" +
       s""""lsh_phases":$lshPhases,"regressions":$regressions,""" +
       s""""semantic_counts":$semanticCounts,"q5_bucketed100":$q5b,""" +
       s""""recall_curve_scale":$recallScale,"bloom_paths":$bloomPaths,""" +
@@ -174,7 +187,8 @@ object Bench {
     // partial dev runs (query subset / skipped sections) must never
     // clobber the committed full-run record
     val record =
-      if (only.isDefined || sys.env.keys.exists(_.startsWith("SPARK_GRAFT_SKIP_")))
+      if (only.isDefined || sections.isDefined ||
+          sys.env.keys.exists(_.startsWith("SPARK_GRAFT_SKIP_")))
         "/root/repo/BENCH_LOCAL_DEV.json"
       else "/root/repo/BENCH_LOCAL.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(record), full + "\n")
@@ -502,7 +516,15 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    // collect suite-lifetime garbage BEFORE the baseline: peak_heap in
+    // a long-running suite JVM is contaminated by history (the r10
+    // embedding-LSH cand_runs recorded 19-24 GB peaks where isolated
+    // runs measure ~8 GB). start_heap_mb is the post-GC live set at
+    // leg start, so `peak_heap_mb - start_heap_mb` is the
+    // LEG-ATTRIBUTABLE heap delta — the number scale claims cite.
+    System.gc()
     pools.foreach(_.resetPeakUsage())
+    val startMb = pools.map(_.getUsage.getUsed).sum / (1024L * 1024L)
     val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
     def gcMs = gcs.map(_.getCollectionTime).sum
     val os = ManagementFactory.getOperatingSystemMXBean
@@ -517,6 +539,7 @@ object Bench {
     val sec = f
     val peakMb = pools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
     val tel = s"""{"gc_ms":${gcMs - gc0},"peak_heap_mb":$peakMb,""" +
+      s""""start_heap_mb":$startMb,"leg_heap_mb":${math.max(peakMb - startMb, 0L)},""" +
       s""""proc_cpu_ms":${cpuMs - cpu0},"sys_load":${fmt(os.getSystemLoadAverage, 1)},""" +
       s""""task_ms":${tally.sum.get},"max_task_ms":${tally.max.get}}"""
     (sec, tel)
@@ -678,6 +701,130 @@ object Bench {
           .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
         s"""{"error":"$msg"}"""
     }
+
+  /** The r10 verdict's dedup_minhash 100× adjudication (item 3): the
+    * committed scale100 record said 29.84 s / 19.8 s GC where SURVEY
+    * §5k claimed 6.5 s after the census-routed collapse — a 4.6× gap
+    * one best-of-2 wall under sys_load 26.8 could not adjudicate. This
+    * section gives the leg the same treatment the embedding-LSH
+    * candidate phase got ([[lshPhasesJson]]'s `cand_runs`): THREE
+    * back-to-back timed runs of the exact routed entry
+    * (`SparkEntry.queries("dedup_minhash")` — the census decides the
+    * path, same as the timed curve), each behind a System.gc() with
+    * per-run gc/heap-delta/cpu/sys_load telemetry, plus the census
+    * itself (`max_exact_group` vs the collapse gate) so the artifact
+    * records WHICH plan ran, not just how long it took.
+    */
+  private def minhashRoutedJson(spark: SparkSession, sfDir: String): String = {
+    val tally = new TaskTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val dir100 = ScaleData.ensure(spark, sfDir, 100,
+        tables = Seq("documents", "embeddings", "events"))
+      val dir10 = ScaleData.ensure(spark, sfDir, 10,
+        tables = ScaleData.AllTables)
+      val maxGroup = graft.operators.Dedup.maxExactGroup(spark, dir100)
+      val gate = graft.operators.Dedup.CollapseMinGroup
+      val routed = if (maxGroup >= gate) "collapsed" else "direct"
+      val fn = SparkEntry.queries("dedup_minhash")
+      // warm at 10× so codegen/JIT stays out of run 1
+      fn(spark, dir10).write.format("noop").mode("overwrite").save()
+      val runs = (1 to 3).map { _ =>
+        val (sec, tel) = legTelemetry(tally) {
+          val t0 = System.nanoTime()
+          fn(spark, dir100).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        s"""{"sec":${fmt(sec, 2)},"tel":$tel}"""
+      }
+      s"""{"max_exact_group":$maxGroup,"collapse_gate":$gate,""" +
+        s""""routed":"$routed","runs":[${runs.mkString(",")}]}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${jstr((e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(120))}"}"""
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
+  /** The dup-gram TRIO sharing measurement (r10 verdict item 6):
+    * text_dup_ngrams / text_dedup_spans / text_dedup_rewrite are all
+    * pure consumers of one exploded word-3-gram instance frame
+    * ([[graft.operators.TextAnalysis.gramInstances]]), and each
+    * standalone query re-materializes it — three corpus passes on the
+    * same ~20 s/leg gram-volume curve at 100×. This section measures
+    * the designed pipeline shape IN the artifact: each consumer timed
+    * STANDALONE (one run, the re-materializing shape), then the gram
+    * frame materialized ONCE to parquet (timed) and each consumer
+    * re-timed reading the shared frame. At 100 TB the shared frame is
+    * the checkpoint a substring-dedup pipeline writes anyway — the
+    * trio's marginal cost collapses to its own joins/windows.
+    */
+  private def textGrams100Json(spark: SparkSession, sfDir: String): String = {
+    val tally = new TaskTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      import graft.operators.TextAnalysis
+      val dir100 = ScaleData.ensure(spark, sfDir, 100,
+        tables = Seq("documents", "embeddings", "events"))
+      val dir10 = ScaleData.ensure(spark, sfDir, 10,
+        tables = ScaleData.AllTables)
+      // warm all three consumers' codegen at 10×
+      Seq("text_dup_ngrams", "text_dedup_spans", "text_dedup_rewrite")
+        .foreach(n => SparkEntry.queries(n)(spark, dir10)
+          .write.format("noop").mode("overwrite").save())
+      def timedLeg(f: => Unit): (Double, String) =
+        legTelemetry(tally) {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+      def cell(sec: Double, tel: String): String =
+        s"""{"sec":${fmt(sec, 2)},"tel":$tel}"""
+      val standalone = Seq(
+        "text_dup_ngrams", "text_dedup_spans", "text_dedup_rewrite")
+        .map { n =>
+          val (sec, tel) = timedLeg(SparkEntry.queries(n)(spark, dir100)
+            .write.format("noop").mode("overwrite").save())
+          s""""$n":${cell(sec, tel)}"""
+        }
+      val tmpG = graft.Conf.resolveWorkDir(spark, "") + "/bench_text_grams100"
+      val (gramSec, gramTel) = timedLeg(
+        TextAnalysis.gramInstances(spark, dir100)
+          .write.mode("overwrite").parquet(tmpG))
+      val inst = spark.read.parquet(tmpG)
+      val docs100 = spark.read.parquet(s"$dir100/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val shared = Seq[(String, () => DataFrame)](
+        "text_dup_ngrams" ->
+          (() => TextAnalysis.dupNgramsFromInstances(inst)),
+        "text_dedup_spans" ->
+          (() => TextAnalysis.dedupSpansFromInstances(inst)),
+        "text_dedup_rewrite" ->
+          (() => TextAnalysis.dedupRewriteFromInstances(docs100, inst)))
+        .map { case (n, f) =>
+          // warm once (the parquet-read shape's codegen differs from
+          // the standalone explode shape the 10× warm covered), then
+          // best-of-2 — these are the cheap legs
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            f().write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val (sec, tel) = legTelemetry(tally) {
+            once(); math.min(once(), once())
+          }
+          s""""$n":${cell(sec, tel)}"""
+        }
+      val out = s"""{"standalone":{${standalone.mkString(",")}},""" +
+        s""""gram_materialize":${cell(gramSec, gramTel)},""" +
+        s""""from_shared":{${shared.mkString(",")}}}"""
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpG))
+      out
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${jstr((e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(120))}"}"""
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
 
   private def scaleJson(rows: Seq[ScaleRow],
                         extra: String = ""): String = {
@@ -1265,9 +1412,27 @@ object Bench {
       s"$base/synthetic")
     clean(s"$base/synthetic")
     System.gc()
-    val synthSec = timed {
-      graft.tsdb.Ingest.write(new graft.tsdb.Db(synthFrame(n)), s"$base/synthetic")
+    // BEST-OF-3 with per-run telemetry (r10 verdict item 4): the
+    // committed driver numbers swung 1.63M → 5.1M pts/s across
+    // same-code runs even after the warm-up fix, so the baseline
+    // comparison (talna 1.36M pts/s) rode a single draw. Three
+    // back-to-back full writes pin it: per-run sec + gc/heap-delta/
+    // cpu/sys_load make a slow draw attributable (host band vs plan)
+    // from the artifact alone.
+    val tally = new TaskTally
+    spark.sparkContext.addSparkListener(tally)
+    val synthRuns = (1 to 3).map { _ =>
+      clean(s"$base/synthetic")
+      val (sec, tel) = legTelemetry(tally) {
+        timed {
+          graft.tsdb.Ingest.write(new graft.tsdb.Db(synthFrame(n)),
+            s"$base/synthetic")
+        }
+      }
+      (sec, s"""{"sec":${fmt(sec, 3)},"pts_per_sec":${(n / sec).toLong},"tel":$tel}""")
     }
+    spark.sparkContext.removeSparkListener(tally)
+    val synthSec = synthRuns.map(_._1).min
     System.gc()
     // --- real events through the batch path ---
     val evCount = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -1302,6 +1467,7 @@ object Bench {
       s"$base/landing").foreach(clean)
     val full =
       f"""{"synthetic_points":$n,"synthetic_sec":$synthSec%.3f,"synthetic_pts_per_sec":${n / synthSec}%.0f,""" +
+      s""""synthetic_runs":[${synthRuns.map(_._2).mkString(",")}],""" +
       f""""events_points":$evCount,"events_sec":$evSec%.3f,"events_pts_per_sec":${evCount / evSec}%.0f,""" +
       f""""streaming_points":$evCount,"streaming_sec":$stSec%.3f,"streaming_pts_per_sec":${evCount / stSec}%.0f}"""
     val compact =

@@ -789,10 +789,10 @@ object SparkEntry {
       |  FROM dsp
       |), isl AS (
       |  SELECT doc_id, i, end_w,
-      |    SUM(CASE WHEN prev_max IS NULL OR i > prev_max + 1
+      |    CAST(SUM(CASE WHEN prev_max IS NULL OR i > prev_max + 1
       |             THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY doc_id ORDER BY i
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
       |  FROM m
       |)""".stripMargin
 
@@ -2502,10 +2502,14 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN variant = 1 THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sq_b
         |  FROM p
         |)
-        |SELECT n_a, round(s_a / n_a, 6) AS mean_a,
-        |  round((sq_a - s_a * s_a / n_a) / (n_a - 1), 6) AS var_a,
-        |  n_b, round(s_b / n_b, 6) AS mean_b,
-        |  round((sq_b - s_b * s_b / n_b) / (n_b - 1), 6) AS var_b,
+        |SELECT n_a,
+        |  CASE WHEN n_a < 1 THEN NULL ELSE round(s_a / n_a, 6) END AS mean_a,
+        |  CASE WHEN n_a < 2 THEN NULL
+        |       ELSE round((sq_a - s_a * s_a / n_a) / (n_a - 1), 6) END AS var_a,
+        |  n_b,
+        |  CASE WHEN n_b < 1 THEN NULL ELSE round(s_b / n_b, 6) END AS mean_b,
+        |  CASE WHEN n_b < 2 THEN NULL
+        |       ELSE round((sq_b - s_b * s_b / n_b) / (n_b - 1), 6) END AS var_b,
         |  CASE WHEN n_a < 2 OR n_b < 2
         |         OR sqrt(((sq_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
         |               + ((sq_b - s_b * s_b / n_b) / (n_b - 1)) / n_b) = 0
@@ -2598,9 +2602,9 @@ object SparkEntry {
         |  FROM loc GROUP BY 1
         |)
         |SELECT hour, n_starts, n_ends,
-        |  coalesce(SUM(net) OVER (ORDER BY hour
+        |  CAST(coalesce(SUM(net) OVER (ORDER BY hour
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    + greatest(local_max, 0) AS max_concurrent
+        |    + greatest(local_max, 0) AS BIGINT) AS max_concurrent
         |FROM h""".stripMargin,
     "q_topk_window" ->
       """SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rnk FROM (
@@ -2763,8 +2767,8 @@ object SparkEntry {
     // this schema; late = shipped >60 days after order date)
     "q12_priority" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
         |GROUP BY 1""".stripMargin,

@@ -682,16 +682,17 @@ object Analytics {
     val ranked = rankedSpend(spark, dir)
       .select(col("spend_dec"),
         expr("((rank_desc - 1) * 10) div n_total").as("decile"))
-    val spend = t(spark, dir, "orders")
-      .groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("spend_dec"))
-    val total = spend.agg(sum(col("spend_dec")).as("tot"))
     val wCum = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the grand total is Σ d_dec over the 10-row decile frame itself
+    // (ADVICE r10) — re-aggregating orders for it duplicated the full
+    // scan+shuffle rankedSpend already paid; exact DECIMAL either way
+    val wTot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     ranked
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("spend_dec")).as("d_dec"))
-      .crossJoin(broadcast(total))
+      .withColumn("tot", sum(col("d_dec")).over(wTot))
       .select(col("decile"), col("n_customers"),
         col("d_dec").cast("double").as("spend"),
         (col("d_dec").cast("double") / col("tot").cast("double")).as("share"),
@@ -795,10 +796,20 @@ object Analytics {
     // decimal→double casts can land one ulp apart (double rounding);
     // round-6 on every derived stat is the library's parity convention
     // for such chains (AvgV precedent)
+    // mean needs n ≥ 1 and variance n ≥ 2 PER ARM (ADVICE r10): Spark's
+    // double division-by-zero yields NULL where DuckDB yields inf/NaN,
+    // so an unguarded (n-1)=0 arm diverges from the oracle — the same
+    // branch t_stat always had, mirrored per column and in the SQL
+    def meanCol(t: String) =
+      when(col(s"n_$t") < 1, lit(null).cast("double"))
+        .otherwise(round(meanOf(t), 6))
+    def varCol(t: String) =
+      when(col(s"n_$t") < 2, lit(null).cast("double"))
+        .otherwise(round(varOf(t), 6))
     agg.select(col("n_a"),
-      round(meanOf("a"), 6).as("mean_a"), round(varOf("a"), 6).as("var_a"),
+      meanCol("a").as("mean_a"), varCol("a").as("var_a"),
       col("n_b"),
-      round(meanOf("b"), 6).as("mean_b"), round(varOf("b"), 6).as("var_b"),
+      meanCol("b").as("mean_b"), varCol("b").as("var_b"),
       when(col("n_a") < 2 || col("n_b") < 2 || se === 0.0,
         lit(null).cast("double"))
         .otherwise(round((meanOf("a") - meanOf("b")) / se, 6) + lit(0.0))

@@ -225,8 +225,7 @@ object Dedup {
     // identical output (spec-pinned), verify work divided by the
     // squared mean group size. Below the gate the census costs one
     // vocabulary-sized aggregate and the direct path runs unchanged.
-    val maxGroup = d.groupBy(md5Fingerprint(col("text")).as("fp"))
-      .agg(count(lit(1)).as("c")).agg(max(col("c"))).head().getLong(0)
+    val maxGroup = maxExactGroup(d)
     if (maxGroup >= CollapseMinGroup)
       minhashLshCollapsed(d, numHashes, bands, threshold, salt)
     else
@@ -240,6 +239,20 @@ object Dedup {
     * below it the direct path is never worse.
     */
   private[graft] val CollapseMinGroup = 3L
+
+  /** The census [[minhashLsh]] routes on: the largest exact-duplicate
+    * (identical-text) group in the frame — one fingerprint aggregate.
+    * Exposed so the bench can record WHICH path the routed query takes
+    * at each scale leg next to its wall (the r10 verdict's minhash
+    * 100× adjudication gap).
+    */
+  private[graft] def maxExactGroup(d: DataFrame): Long =
+    d.groupBy(md5Fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("c")).agg(max(col("c"))).head().getLong(0)
+
+  /** [[maxExactGroup]] over the shipped corpus (bench hook). */
+  def maxExactGroup(spark: SparkSession, dir: String): Long =
+    maxExactGroup(parallelize(docs(spark, dir)))
 
   /** [[minhashLshFrame]] with EXACT-DUPLICATE COLLAPSE — the
     * boilerplate-regime plan [[minhashLsh]]'s census routes to: docs

@@ -292,6 +292,10 @@ object Sampling {
     */
   def epochOrders(spark: SparkSession, dir: String,
                   epochs: Int = 3): DataFrame = {
+    // the reduce below is undefined on an empty range (ADVICE r10:
+    // epochs=0 threw UnsupportedOperationException instead of a
+    // contract error) — same posture as frameSample's everyK guard
+    require(epochs >= 1, "epochs must be >= 1")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     (0 until epochs).map { e =>
       shuffleOrder(docs, col("doc_id"), salt = s"graft-e$e")

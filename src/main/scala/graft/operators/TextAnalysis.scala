@@ -800,16 +800,47 @@ object TextAnalysis {
 
   /** [[dupNgrams]] over an arbitrary `(doc_id, text)` frame. */
   def dupNgramsFrame(d: DataFrame,
-                     broadcastVocab: Boolean = true): DataFrame = {
+                     broadcastVocab: Boolean = true): DataFrame =
+    dupNgramsFromInstances(gramInstances(d), broadcastVocab)
+
+  /** The word-3-gram INSTANCE frame `(doc_id, i, end_w, gram)` — the
+    * shared upstream of the whole substring-dedup trio
+    * ([[dupNgramsFrame]] / [[dedupSpansFrame]] / [[dedupRewriteFrame]]):
+    * one gram instance per window of 3 (the whole word list when
+    * shorter), with its 1-based start `i` and covered-interval end
+    * `end_w`. All three consumers are pure functions of this frame (+
+    * the doc frame for the rewrite's word pass), so a pipeline running
+    * more than one of them should MATERIALIZE it once (parquet /
+    * checkpoint) and fan out — the gram explode is the trio's dominant
+    * cost and re-running it per consumer triples the corpus pass
+    * (r10 verdict item 6; the bench's `text_grams100` section measures
+    * the shared-vs-standalone walls at 100×).
+    */
+  def gramInstances(d: DataFrame): DataFrame =
     // materialize the token array ONCE per row before the gram lambda:
     // inlining split(text) into the transform re-tokenizes the document
     // for every gram index (measured 6× on this op)
-    val grams = expr(
-      """transform(
-        |  sequence(1, greatest(size(wl) - 2, 1)),
-        |  i -> array_join(slice(wl, i, 3), ' '))""".stripMargin)
-    val inst = d.select(col("doc_id"), split(col("text"), " ").as("wl"))
-      .select(col("doc_id"), explode(grams).as("gram"))
+    d.select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .select(col("doc_id"), size(col("wl")).as("n_words"),
+        explode(expr(
+          """transform(
+            |  sequence(1, greatest(size(wl) - 2, 1)),
+            |  i -> struct(i AS i, array_join(slice(wl, i, 3), ' ') AS gram))"""
+            .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.i").cast("long").as("i"),
+        least(col("g.i") + 2, col("n_words")).cast("long").as("end_w"),
+        col("g.gram").as("gram"))
+
+  /** [[gramInstances]] over the shipped corpus (bench hook). */
+  def gramInstances(spark: SparkSession, dir: String): DataFrame =
+    gramInstances(docs(spark, dir))
+
+  /** [[dupNgramsFrame]] from a (possibly pre-materialized)
+    * [[gramInstances]] frame.
+    */
+  def dupNgramsFromInstances(inst0: DataFrame,
+                             broadcastVocab: Boolean = true): DataFrame = {
+    val inst = inst0.select(col("doc_id"), col("gram"))
     val vocab0 = inst.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
     val vocab = if (broadcastVocab) broadcast(vocab0)
                 else vocab0.hint("shuffle_hash")
@@ -877,8 +908,15 @@ object TextAnalysis {
 
   /** [[dedupRewrite]] over an arbitrary `(doc_id, text)` frame. */
   def dedupRewriteFrame(d: DataFrame,
-                        broadcastVocab: Boolean = true): DataFrame = {
-    val spans = dedupSpansFrame(d, broadcastVocab)
+                        broadcastVocab: Boolean = true): DataFrame =
+    dedupRewriteFromInstances(d, gramInstances(d), broadcastVocab)
+
+  /** [[dedupRewriteFrame]] from a pre-materialized [[gramInstances]]
+    * frame (plus the doc frame for the word pass).
+    */
+  def dedupRewriteFromInstances(d: DataFrame, inst: DataFrame,
+                                broadcastVocab: Boolean = true): DataFrame = {
+    val spans = dedupSpansFromInstances(inst, broadcastVocab)
       .select(col("doc_id"), col("start_word"), col("end_word"))
     val words = d
       .select(col("doc_id"), split(col("text"), " ").as("wl"))
@@ -908,20 +946,15 @@ object TextAnalysis {
 
   /** [[dedupSpans]] over an arbitrary `(doc_id, text)` frame. */
   def dedupSpansFrame(d: DataFrame,
-                      broadcastVocab: Boolean = true): DataFrame = {
+                      broadcastVocab: Boolean = true): DataFrame =
+    dedupSpansFromInstances(gramInstances(d), broadcastVocab)
+
+  /** [[dedupSpansFrame]] from a pre-materialized [[gramInstances]]
+    * frame.
+    */
+  def dedupSpansFromInstances(inst: DataFrame,
+                              broadcastVocab: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // same gram construction as dupNgramsFrame (windows of 3, whole
-    // list when shorter), plus the covered-interval end per instance
-    val inst = d.select(col("doc_id"), split(col("text"), " ").as("wl"))
-      .select(col("doc_id"), size(col("wl")).as("n_words"),
-        explode(expr(
-          """transform(
-            |  sequence(1, greatest(size(wl) - 2, 1)),
-            |  i -> struct(i AS i, array_join(slice(wl, i, 3), ' ') AS gram))"""
-            .stripMargin)).as("g"))
-      .select(col("doc_id"), col("g.i").cast("long").as("i"),
-        least(col("g.i") + 2, col("n_words")).cast("long").as("end_w"),
-        col("g.gram"))
     val vocab0 = inst.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1).select(col("gram"))
     val vocab = if (broadcastVocab) broadcast(vocab0)

@@ -129,7 +129,10 @@ object StreamingAgg {
     import java.nio.file.{Files, Paths}
     val base = graft.Conf.resolveWorkDir(spark, "")
     val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
-    val path = s"$base/graft_hll_streamed_r${(rsd * 1000).toInt}_" +
+    // FULL-precision param key (ADVICE r10): truncating the double to
+    // a couple of decimals collided two nearby params on one cached
+    // landing — the bit pattern in hex is injective
+    val path = s"$base/graft_hll_streamed_r${java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(rsd))}_" +
       s"${Integer.toHexString(sfDir.hashCode)}_$fp"
     val done = Paths.get(path, "_DONE")
     if (!Files.exists(done)) {
@@ -255,7 +258,8 @@ object StreamingAgg {
     import java.nio.file.{Files, Paths}
     val base = graft.Conf.resolveWorkDir(spark, "")
     val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
-    val path = s"$base/graft_apdex_streamed_t${(threshold * 100).toInt}_" +
+    // full-precision threshold key (ADVICE r10) — see ensureStreamedHll
+    val path = s"$base/graft_apdex_streamed_t${java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(threshold))}_" +
       s"${Integer.toHexString(sfDir.hashCode)}_$fp"
     val done = Paths.get(path, "_DONE")
     if (!Files.exists(done)) {
@@ -325,7 +329,8 @@ object StreamingAgg {
     import java.nio.file.{Files, Paths}
     val base = graft.Conf.resolveWorkDir(spark, "")
     val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
-    val path = s"$base/graft_quantile_streamed_q${(q * 1000).toInt}_a${accuracy}_" +
+    // full-precision q key (ADVICE r10) — see ensureStreamedHll
+    val path = s"$base/graft_quantile_streamed_q${java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(q))}_a${accuracy}_" +
       s"${Integer.toHexString(sfDir.hashCode)}_$fp"
     val done = Paths.get(path, "_DONE")
     if (!Files.exists(done)) {

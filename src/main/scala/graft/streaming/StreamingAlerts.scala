@@ -98,7 +98,9 @@ object StreamingAlerts {
     val base = graft.Conf.resolveWorkDir(spark, "")
     val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/events.parquet")
     val path = s"$base/graft_alerts_streamed_${metric}_" +
-      s"t${(threshold * 100).toInt}_f${forBuckets}_" +
+      // full-precision threshold key (ADVICE r10): two thresholds
+      // <0.01 apart must not share a cached landing
+      s"t${java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(threshold))}_f${forBuckets}_" +
       s"${Integer.toHexString(sfDir.hashCode)}_$fp"
     val done = Paths.get(path, "_DONE")
     if (!Files.exists(done)) {

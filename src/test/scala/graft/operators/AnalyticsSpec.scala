@@ -972,6 +972,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.getDouble(6) == t)
   }
 
+  test("abTestValue: one-purchase and zero-purchase arms yield NULL var/mean, not inf/NaN") {
+    import spark.implicits._
+    // variant = user_id % 2: users 0,2 → arm a (2 purchases), user 1 →
+    // arm b (1 purchase). (n_b - 1) = 0 once divided through an
+    // unguarded variance — the ADVICE r10 divergence class (Spark NULL
+    // vs DuckDB inf) — so var_b must be the guarded NULL and t_stat
+    // NULL while mean_b stays defined.
+    val dir1 = s"/root/repo/out/test_abv_${System.nanoTime()}"
+    Seq((0L, "purchase", 10.0), (2L, "purchase", 20.0), (1L, "purchase", 7.0))
+      .toDF("user_id", "event_type", "value")
+      .withColumn("ts", lit(0L))
+      .write.parquet(s"$dir1/events.parquet")
+    val r1 = Analytics.abTestValue(spark, dir1).collect().head
+    assert(r1.getAs[Long]("n_a") == 2L && r1.getAs[Long]("n_b") == 1L)
+    assert(r1.getAs[Double]("mean_b") == 7.0)
+    assert(r1.isNullAt(r1.fieldIndex("var_b")), "var_b must be NULL at n=1")
+    assert(!r1.isNullAt(r1.fieldIndex("var_a")), "var_a defined at n=2")
+    assert(r1.isNullAt(r1.fieldIndex("t_stat")))
+    // an EMPTY arm: n_b = 0 → mean_b and var_b both NULL
+    val dir0 = s"/root/repo/out/test_abv0_${System.nanoTime()}"
+    Seq((0L, "purchase", 10.0), (2L, "purchase", 20.0))
+      .toDF("user_id", "event_type", "value")
+      .withColumn("ts", lit(0L))
+      .write.parquet(s"$dir0/events.parquet")
+    val r0 = Analytics.abTestValue(spark, dir0).collect().head
+    assert(r0.getAs[Long]("n_b") == 0L)
+    assert(r0.isNullAt(r0.fieldIndex("mean_b")))
+    assert(r0.isNullAt(r0.fieldIndex("var_b")))
+  }
+
   test("cohortLtv matches a driver-side cohort recompute; curves are monotone") {
     val out = Analytics.cohortLtv(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->

@@ -286,6 +286,16 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("epochOrders rejects epochs < 1 with a contract error") {
+    // ADVICE r10: the epoch union previously threw
+    // UnsupportedOperationException (reduce on an empty range) —
+    // callers get a clear require message instead
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochOrders(spark, sfDir, epochs = 0)
+    }
+    assert(e.getMessage.contains("epochs"))
+  }
+
   test("epochOrders: every epoch is a full permutation; epochs genuinely differ") {
     import org.apache.spark.sql.functions._
     val out = Sampling.epochOrders(spark, sfDir).collect()

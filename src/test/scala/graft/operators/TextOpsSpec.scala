@@ -442,6 +442,31 @@ class TextOpsSpec extends SparkSpec {
     assert(sh == out.toSet)
   }
 
+  test("gram trio from a MATERIALIZED gramInstances frame matches the standalone plans") {
+    // the shared-pipeline contract (r10 verdict item 6): ngrams, spans
+    // and rewrite are pure functions of one gram-instance frame, so a
+    // pipeline may materialize it once (here: parquet round-trip, as
+    // the bench's text_grams100 section does) and fan out — row-set
+    // identical to each standalone query's re-materializing plan
+    val d = docsDf(Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d"),
+      (2L, "a b c Z Z Z b c d"),
+      (3L, "q r s t u v"),
+      (4L, "x"), (5L, "x")))
+    val tmp = s"/root/repo/out/test_grams_${System.nanoTime()}"
+    TextAnalysis.gramInstances(d).write.parquet(tmp)
+    val inst = spark.read.parquet(tmp)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(TextAnalysis.dupNgramsFromInstances(inst)) ==
+      rows(TextAnalysis.dupNgramsFrame(d)))
+    assert(rows(TextAnalysis.dedupSpansFromInstances(inst)) ==
+      rows(TextAnalysis.dedupSpansFrame(d)))
+    assert(rows(TextAnalysis.dedupRewriteFromInstances(d, inst)) ==
+      rows(TextAnalysis.dedupRewriteFrame(d)))
+  }
+
   test("dedupSpans fuzz: matches brute-force interval merge on random corpora") {
     val rnd = new scala.util.Random(0xD5EA)
     for (round <- 1 to 5) {

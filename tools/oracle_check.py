@@ -48,6 +48,19 @@ def main(sf_dir: str, out_dir: str) -> None:
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             continue
+        # Dtype parity FIRST: the driver hashes the representation, so
+        # int64 720 vs float64 720.0 is a FAIL even when values agree
+        # (DuckDB HUGEINT sums land as float64 unless CAST AS BIGINT).
+        dtype_bad = None
+        for c in got.columns:
+            gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+            if (gk in "iu" and ek == "f") or (gk == "f" and ek in "iu"):
+                dtype_bad = (c, str(got[c].dtype), str(exp[c].dtype))
+                break
+        if dtype_bad:
+            c, gd, ed = dtype_bad
+            print(f"FAIL {name}: col {c} dtype spark={gd} duckdb={ed} (int/float mismatch)")
+            continue
         bad = None
         for c in got.columns:
             a, b = got[c].tolist(), exp[c].tolist()
