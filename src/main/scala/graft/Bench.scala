@@ -384,7 +384,14 @@ object Bench {
     // shares rankedSpend's range exchange with q_revenue_concentration
     "q_gini",
     // pure conditional-count aggregate — ts_avg's scan curve
-    "ts_error_budget")
+    "ts_error_budget",
+    // round-11 batch: the incremental substring pair (delta gram
+    // explode + persisted gram-vocab probe — the O(delta) claim;
+    // compare against text_dedup_spans' full-corpus curve) and the
+    // shared gram-instance materialization itself (pure explode, the
+    // gram-volume-linear floor under the whole trio)
+    "text_dedup_spans_incremental", "text_dedup_rewrite_incremental",
+    "text_gram_instances")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost
@@ -1102,7 +1109,7 @@ object Bench {
         // witnesses both legs computed identical answers
         import org.apache.spark.sql.functions.{count => fCount, lit, sum, hash, col}
         val r = df.agg(fCount(lit(1)).as("n"),
-          sum(hash(df.columns.map(col): _*).cast("long")).as("chk")).collect()(0)
+          sum(hash(df.columns.toIndexedSeq.map(col): _*).cast("long")).as("chk")).collect()(0)
         ((System.nanoTime() - t0) / 1e9, r.getLong(0) ^ r.getLong(1), injected)
       }
       try {

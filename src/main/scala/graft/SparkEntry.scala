@@ -527,10 +527,25 @@ object SparkEntry {
     "text_chunk_windows" -> ((s, d) =>
       graft.operators.TextAnalysis.chunkWindows(s, d)),
     "text_dup_ngrams" -> ((s, d) => graft.operators.TextAnalysis.dupNgrams(s, d)),
+    // the trio's SHARED UPSTREAM as its own gated contract: the
+    // position-grain gram-instance frame a substring-dedup pipeline
+    // materializes once and fans out from (r10 verdict item 6)
+    "text_gram_instances" -> ((s, d) =>
+      graft.operators.TextAnalysis.gramInstances(s, d)),
     // span grain: maximal merged corpus-duplicated 3-gram intervals —
     // the rows a substring-dedup rewrite pass would cut
     "text_dedup_spans" -> ((s, d) =>
       graft.operators.TextAnalysis.dedupSpans(s, d)),
+    // the incremental-maintenance posture at the substring grain: the
+    // delta probes a persisted base gram-vocabulary (counts, so a
+    // base-unique gram the delta re-delivers goes duplicated), never
+    // re-explodes the corpus
+    "text_dedup_spans_incremental" -> ((s, d) =>
+      graft.operators.TextAnalysis.dedupSpansIncremental(s, d)),
+    // end-to-end incremental substring maintenance: delta docs'
+    // cleaned texts off the incremental spans
+    "text_dedup_rewrite_incremental" -> ((s, d) =>
+      graft.operators.TextAnalysis.dedupRewriteIncremental(s, d)),
     // the rewrite over those spans: covered words cut, survivors
     // re-joined in position order — the corpus substring dedup ships
     "text_dedup_rewrite" -> ((s, d) =>
@@ -538,6 +553,9 @@ object SparkEntry {
 
     // ---- Deduplication (documents) ----
     "dedup_exact" -> ((s, d) => graft.operators.Dedup.exact(s, d)),
+    // the minhash routing census as a gated observability read
+    "dedup_exact_census" -> ((s, d) =>
+      graft.operators.Dedup.exactCensus(s, d)),
     // exact dedup through the STREAMING path: a landing zone with
     // planted duplicate arrivals is drained through a watermarked
     // dropDuplicatesWithinWatermark stream into batch-id-staged dirs;
@@ -770,6 +788,44 @@ object SparkEntry {
     * the span definition can never diverge between the report and the
     * rewrite.
     */
+  /** Shared CTE chain of the INCREMENTAL substring-dedup pair (31u
+    * spans / 31v rewrite): from-scratch combined gram census (base
+    * counts + delta counts, duplicated iff total > 1 — exactly the
+    * persisted-index probe's predicate) + the shared islands recipe
+    * over delta instances. Same string-surgery reuse contract as
+    * [[TextSpanCtes]].
+    */
+  private val TextIncSpanCtes =
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    CAST(least(i + 2, len(wl)) AS BIGINT) AS end_w,
+      |    array_to_string(list_slice(wl, i, i + 2), ' ') AS gram
+      |  FROM w, unnest(generate_series(1, greatest(len(wl) - 2, 1))) AS t(i)
+      |), bv AS (
+      |  SELECT gram, COUNT(*) AS cnt FROM g WHERE doc_id % 10 != 0 GROUP BY 1
+      |), dg AS (
+      |  SELECT doc_id, i, end_w, gram FROM g WHERE doc_id % 10 = 0
+      |), dv AS (SELECT gram, COUNT(*) AS dcnt FROM dg GROUP BY 1),
+      |dup AS (
+      |  SELECT dg.doc_id, dg.i, dg.end_w FROM dg
+      |  JOIN dv USING (gram) LEFT JOIN bv USING (gram)
+      |  WHERE dv.dcnt + COALESCE(bv.cnt, 0) > 1
+      |), m AS (
+      |  SELECT doc_id, i, end_w,
+      |    max(end_w) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM dup
+      |), isl AS (
+      |  SELECT doc_id, i, end_w,
+      |    CAST(SUM(CASE WHEN prev_max IS NULL OR i > prev_max + 1
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+      |  FROM m
+      |)""".stripMargin
+
   private val TextSpanCtes =
     """w AS (
       |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
@@ -3307,6 +3363,17 @@ object SparkEntry {
     // text_decontaminate oracle (windows of 3, whole list when
     // shorter) but keeping INSTANCES; everything integer until the one
     // final IEEE division
+    // the shared gram-instance frame itself: same window-of-3
+    // construction as the consumers' oracles, kept at (doc_id, start,
+    // covered end, gram text) grain — all integers + strings, hash-exact
+    "text_gram_instances" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |  CAST(least(i + 2, len(wl)) AS BIGINT) AS end_w,
+        |  array_to_string(list_slice(wl, i, i + 2), ' ') AS gram
+        |FROM w, unnest(generate_series(1, greatest(len(wl) - 2, 1))) AS t(i)""".stripMargin,
     "text_dup_ngrams" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS wl FROM documents
@@ -3326,6 +3393,40 @@ object SparkEntry {
     // both engines run the identical two-window recipe (running max
     // covered end → island flag → running island id) over all-integer
     // positions, so the hash pins the merge exactly
+    // the incremental probe's verdict is identical to re-running the
+    // combined-corpus gram census restricted to delta docs — which is
+    // exactly what this oracle does from scratch (base counts + delta
+    // counts, dup iff total > 1, then the shared islands recipe); the
+    // hash match proves the persisted-index path lost nothing
+    "text_dedup_spans_incremental" ->
+      s"""WITH $TextIncSpanCtes
+        |SELECT doc_id, span_id, MIN(i) AS start_word,
+        |  MAX(end_w) AS end_word,
+        |  MAX(end_w) - MIN(i) + 1 AS span_words
+        |FROM isl GROUP BY doc_id, span_id""".stripMargin,
+    // the incremental rewrite: delta words cut by the incremental
+    // spans — same NOT EXISTS range probe + ordered string_agg tail as
+    // text_dedup_rewrite, over delta docs only
+    "text_dedup_rewrite_incremental" ->
+      s"""WITH $TextIncSpanCtes, spans AS (
+        |  SELECT doc_id, MIN(i) AS start_word, MAX(end_w) AS end_word
+        |  FROM isl GROUP BY doc_id, span_id
+        |), dw AS (
+        |  SELECT doc_id, wl FROM w WHERE doc_id % 10 = 0
+        |), words AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, wl[i] AS word
+        |  FROM dw, unnest(generate_series(1, len(wl))) AS t(i)
+        |), kept AS (
+        |  SELECT w2.doc_id, w2.pos, w2.word FROM words w2
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = w2.doc_id
+        |      AND w2.pos BETWEEN s.start_word AND s.end_word)
+        |)
+        |SELECT b.doc_id, CAST(len(b.wl) AS BIGINT) AS n_words,
+        |  CAST(COUNT(k.pos) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(k.word, ' ' ORDER BY k.pos), '') AS clean_text
+        |FROM dw b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        |GROUP BY b.doc_id, len(b.wl)""".stripMargin,
     "text_dedup_spans" ->
       s"""WITH $TextSpanCtes
         |SELECT doc_id, span_id, MIN(i) AS start_word,
@@ -3656,6 +3757,16 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+    // the census over those groups; SUM stays HUGEINT in DuckDB unless
+    // cast — the q12/q_concurrency lesson, applied at authoring time
+    "dedup_exact_census" ->
+      """WITH g AS (
+        |  SELECT COUNT(*) AS c FROM documents
+        |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |)
+        |SELECT CAST(MAX(c) AS BIGINT) AS max_group,
+        |  COUNT(*) AS n_groups, CAST(SUM(c) AS BIGINT) AS n_docs
+        |FROM g""".stripMargin,
     // the streamed landing keeps exactly one copy per fingerprint: the
     // planted clones share their originals' texts, so the expected
     // surviving set is the corpus's distinct fingerprints with

@@ -254,6 +254,21 @@ object Dedup {
   def maxExactGroup(spark: SparkSession, dir: String): Long =
     maxExactGroup(parallelize(docs(spark, dir)))
 
+  /** The routing census as its own GATED read — one row
+    * `(max_group, n_groups, n_docs)` over [[exact]]'s fingerprint
+    * groups: the number [[minhashLsh]] routes on (`max_group` vs
+    * [[CollapseMinGroup]]), plus the group count and corpus size that
+    * contextualize it. The observability face of the census the r10
+    * verdict asked to see consumed: an operator whose plan choice
+    * depends on a data property should let the user READ that
+    * property through the same gate that checks the operator.
+    */
+  def exactCensus(spark: SparkSession, dir: String): DataFrame =
+    exact(spark, dir).agg(
+      max(col("n_docs")).as("max_group"),
+      count(lit(1)).as("n_groups"),
+      sum(col("n_docs")).as("n_docs"))
+
   /** [[minhashLshFrame]] with EXACT-DUPLICATE COLLAPSE — the
     * boilerplate-regime plan [[minhashLsh]]'s census routes to: docs
     * with identical text share one REPRESENTATIVE (min doc_id per text

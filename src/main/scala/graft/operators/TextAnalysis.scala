@@ -915,8 +915,30 @@ object TextAnalysis {
     * frame (plus the doc frame for the word pass).
     */
   def dedupRewriteFromInstances(d: DataFrame, inst: DataFrame,
-                                broadcastVocab: Boolean = true): DataFrame = {
-    val spans = dedupSpansFromInstances(inst, broadcastVocab)
+                                broadcastVocab: Boolean = true): DataFrame =
+    rewriteFromSpans(d, dedupSpansFromInstances(inst, broadcastVocab))
+
+  /** INCREMENTAL rewrite — the delta docs' cleaned texts off
+    * [[dedupSpansIncremental]]'s spans: the end-to-end substring-dedup
+    * maintenance read (yesterday's corpus is already rewritten; today
+    * only the delta's words are exploded and cut). Same contract as
+    * [[dedupRewrite]] restricted to delta docs under the
+    * combined-corpus duplicated-gram definition.
+    */
+  def dedupRewriteIncremental(spark: SparkSession, dir: String,
+                              deltaMod: Int = 10,
+                              broadcastVocab: Boolean = true): DataFrame =
+    rewriteFromSpans(
+      docs(spark, dir).where(col("doc_id") % deltaMod === 0),
+      dedupSpansIncremental(spark, dir, deltaMod, broadcastVocab))
+
+  /** The span-cut + survivor re-join tail shared by the full and
+    * incremental rewrites: words of `d` cut by `spans0`'s position
+    * ranges, re-joined per doc in position order, `''` (never a
+    * dropped row) for fully-covered docs.
+    */
+  private def rewriteFromSpans(d: DataFrame, spans0: DataFrame): DataFrame = {
+    val spans = spans0
       .select(col("doc_id"), col("start_word"), col("end_word"))
     val words = d
       .select(col("doc_id"), split(col("text"), " ").as("wl"))
@@ -954,13 +976,95 @@ object TextAnalysis {
     */
   def dedupSpansFromInstances(inst: DataFrame,
                               broadcastVocab: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vocab0 = inst.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1).select(col("gram"))
     val vocab = if (broadcastVocab) broadcast(vocab0)
                 else vocab0.hint("shuffle_hash")
-    val dup = inst.join(vocab, "gram")
-      .select(col("doc_id"), col("i"), col("end_w"))
+    spansFromDupInstances(inst.join(vocab, "gram")
+      .select(col("doc_id"), col("i"), col("end_w")))
+  }
+
+  /** The gaps-and-islands merge over an already-selected duplicated
+    * gram-instance frame `(doc_id, i, end_w)` — shared by the full
+    * [[dedupSpansFrame]] and the incremental variant (whose
+    * "duplicated" predicate spans base index + delta). Two codegen'd
+    * window frames whose partition is one document's duplicated
+    * positions; corpus-size-independent.
+    */
+  /** Persisted BASE gram-vocabulary index for
+    * [[dedupSpansIncremental]]: `(gram, cnt)` over the base corpus
+    * (`doc_id % deltaMod != 0`), written once under the
+    * content-fingerprint-keyed workDir — the `ensureExactIndex`
+    * caching contract at the gram grain. COUNTS, not membership: a
+    * base-unique gram re-delivered by the delta becomes corpus-
+    * duplicated, so the probe needs `base_cnt + delta_cnt > 1`, and
+    * the index append after acceptance is a count merge.
+    */
+  private def ensureGramVocabIndex(spark: SparkSession, dir: String,
+                                   deltaMod: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val cfp = graft.tsdb.Ingest.contentFingerprint(s"$dir/documents.parquet")
+    val path = s"$base/graft_gram_vocab_index_v1_${deltaMod}_" +
+      s"${Integer.toHexString(dir.hashCode)}_$cfp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      gramInstances(docs(spark, dir)
+          .where(col("doc_id") % deltaMod =!= 0))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$path/vocab")
+      Files.createFile(done)
+    }
+    path
+  }
+
+  /** INCREMENTAL substring dedup — [[dedupSpans]]'s corpus-maintenance
+    * posture, the fifth member of the incremental family (exact /
+    * minhash / simhash / embedding precedents in [[Dedup]]): today's
+    * delta (`doc_id % deltaMod == 0`) probes the PERSISTED base gram
+    * vocabulary instead of re-exploding the corpus, so the daily cost
+    * is O(delta grams + index probe), never O(corpus grams). A delta
+    * gram instance is corpus-duplicated when
+    * `base_cnt + delta_cnt > 1` — this catches all three regimes: a
+    * gram already duplicated in the base, a base-UNIQUE gram the delta
+    * re-delivers (total reaches 2), and an intra-delta repeat the base
+    * never saw. Spans then merge gaps-and-islands per delta doc via
+    * the shared [[spansFromDupInstances]] — identical output grain to
+    * [[dedupSpans]] restricted to delta docs under the combined-corpus
+    * duplicated-gram definition (delta-only verdicts, the family's
+    * contract: base docs' spans are yesterday's output).
+    *
+    * Scale shape: one delta-sized gram explode + one delta-vocabulary
+    * aggregate + ONE equi-join against the index (shuffle-hash on the
+    * gram key by default at corpus scale; `broadcastVocab = true`
+    * broadcasts the DELTA vocabulary side, never the index) + the
+    * bounded per-doc island frames. The index never self-joins.
+    */
+  def dedupSpansIncremental(spark: SparkSession, dir: String,
+                            deltaMod: Int = 10,
+                            broadcastVocab: Boolean = true): DataFrame = {
+    val idx = spark.read
+      .parquet(s"${ensureGramVocabIndex(spark, dir, deltaMod)}/vocab")
+    val inst = gramInstances(docs(spark, dir)
+      .where(col("doc_id") % deltaMod === 0))
+    val deltaVocab = inst.groupBy(col("gram")).agg(count(lit(1)).as("dcnt"))
+    // left-outer keeps base-absent delta grams; the index side cannot
+    // broadcast (it is the corpus-sized side and sits right of a left
+    // join), so pin shuffle-hash — gram rows are fat strings and a
+    // sort-merge would sort the whole vocabulary
+    val dupGrams0 = deltaVocab
+      .join(idx.withColumnRenamed("cnt", "base_cnt").hint("shuffle_hash"),
+        Seq("gram"), "left")
+      .where(col("dcnt") + coalesce(col("base_cnt"), lit(0L)) > 1)
+      .select(col("gram"))
+    val dupGrams = if (broadcastVocab) broadcast(dupGrams0)
+                   else dupGrams0.hint("shuffle_hash")
+    spansFromDupInstances(inst.join(dupGrams, "gram")
+      .select(col("doc_id"), col("i"), col("end_w")))
+  }
+
+  private def spansFromDupInstances(dup: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val prevMax = max(col("end_w"))
       .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))

@@ -11,6 +11,16 @@ class DedupSpec extends SparkSpec {
     assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == nDocs)
   }
 
+  test("exactCensus reads the routing input: max group, group count, corpus size") {
+    val r = Dedup.exactCensus(spark, sfDir).collect().head
+    val groups = Dedup.exact(spark, sfDir).collect().map(_.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("max_group") == groups.max)
+    assert(r.getAs[Long]("n_groups") == groups.length.toLong)
+    assert(r.getAs[Long]("n_docs") == groups.sum)
+    assert(r.getAs[Long]("n_docs") ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+  }
+
   test("minhash finds the planted near-dups and no self/reversed pairs") {
     val out = Dedup.minhashLsh(spark, sfDir).collect()
     assert(out.nonEmpty, "expected planted near-duplicates")

@@ -467,6 +467,47 @@ class TextOpsSpec extends SparkSpec {
       rows(TextAnalysis.dedupRewriteFrame(d)))
   }
 
+  test("dedupSpansIncremental == full-corpus spans restricted to delta docs") {
+    // the family's equivalence witness: the incremental dup predicate
+    // (base_cnt + delta_cnt > 1) IS the corpus gram count, so delta
+    // docs' spans from the persisted-index path must equal the full
+    // re-run's rows for those docs — all three regimes planted (gram
+    // duplicated inside base, base-unique gram re-delivered by delta,
+    // intra-delta repeat the base never saw)
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),      // base; "a b c" also in base doc 3
+      (3L, "a b c x y z"),      // base
+      (5L, "u v w q r s"),      // base-unique grams "u v w" ...
+      (10L, "a b c p q r"),     // delta: hits base-duplicated "a b c"
+      (20L, "u v w k l m"),     // delta: re-delivers base-UNIQUE "u v w"
+      (30L, "n o p n o p n o p"), // delta: intra-doc repeat
+      (40L, "h i j k l m n"),   // delta ∩ delta 50 share "k l m"
+      (50L, "z z z k l m"))
+    val dir = s"/root/repo/out/test_spans_inc_${System.nanoTime()}"
+    corpus.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val inc = TextAnalysis.dedupSpansIncremental(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val full = TextAnalysis.dedupSpansFrame(docsDf(corpus))
+      .where(col("doc_id") % 10 === 0)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+    // every delta regime produced at least one span
+    val docsWithSpans = inc.map(_.head.asInstanceOf[Long])
+    assert(Set(10L, 20L, 30L).subsetOf(docsWithSpans))
+    // the rewrite pass inherits the equivalence: incremental cleaned
+    // texts == the full rewrite's rows for delta docs
+    val incRw = TextAnalysis.dedupRewriteIncremental(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val fullRw = TextAnalysis.dedupRewriteFrame(docsDf(corpus))
+      .where(col("doc_id") % 10 === 0)
+      .collect().map(_.toSeq).toSet
+    assert(incRw == fullRw)
+    // doc 30 is fully boilerplate (every gram duplicated) → empties
+    assert(incRw.exists(r => r.head == 30L && r(2) == 0L && r(3) == ""))
+  }
+
   test("dedupSpans fuzz: matches brute-force interval merge on random corpora") {
     val rnd = new scala.util.Random(0xD5EA)
     for (round <- 1 to 5) {
