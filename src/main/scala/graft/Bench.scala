@@ -459,6 +459,13 @@ object Bench {
     // is a data-volume question, not a bounded-frame one
     "text_chunk_dedup" -> SparkEntry.queries("text_chunk_dedup"),
     "text_dup_ngrams" -> SparkEntry.queries("text_dup_ngrams"),
+    // round-11: the substring-grain incremental NEXT TO the full-corpus
+    // gram query it replaces for daily maintenance — the delta probes
+    // the persisted gram-vocab index (built in the warm run, as a
+    // deployment would), so its 100× wall should sit near the delta
+    // fraction of text_dup_ngrams', not on its 21 s curve
+    "text_dedup_spans_incremental" ->
+      SparkEntry.queries("text_dedup_spans_incremental"),
     // round-9: SemDeDup at its corpus-sized nlist (√n — 16→45→447
     // across the curve); the semantic_counts key carries the per-cell
     // pair volume that proves the sizing bounds intra-cell work
