@@ -542,6 +542,11 @@ object SparkEntry {
     // re-explodes the corpus
     "text_dedup_spans_incremental" -> ((s, d) =>
       graft.operators.TextAnalysis.dedupSpansIncremental(s, d)),
+    // the 22nd streamed entry: gram counts maintained as cross-batch
+    // flatMapGroupsWithState state, delta spans answered from the
+    // compacted state — the daily maintenance loop streaming-native
+    "text_dedup_spans_streamed" -> ((s, d) =>
+      graft.streaming.StreamingVocab.streamedDeltaSpans(s, d)),
     // end-to-end incremental substring maintenance: delta docs'
     // cleaned texts off the incremental spans
     "text_dedup_rewrite_incremental" -> ((s, d) =>
@@ -3399,6 +3404,15 @@ object SparkEntry {
     // counts, dup iff total > 1, then the shared islands recipe); the
     // hash match proves the persisted-index path lost nothing
     "text_dedup_spans_incremental" ->
+      s"""WITH $TextIncSpanCtes
+        |SELECT doc_id, span_id, MIN(i) AS start_word,
+        |  MAX(end_w) AS end_word,
+        |  MAX(end_w) - MIN(i) + 1 AS span_words
+        |FROM isl GROUP BY doc_id, span_id""".stripMargin,
+    // IDENTICAL oracle for the streamed variant: the compacted
+    // cross-batch gram state must reproduce the from-scratch census
+    // exactly (the text_vocab_streamed precedent at the span grain)
+    "text_dedup_spans_streamed" ->
       s"""WITH $TextIncSpanCtes
         |SELECT doc_id, span_id, MIN(i) AS start_word,
         |  MAX(end_w) AS end_word,

@@ -1063,6 +1063,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("i"), col("end_w")))
   }
 
+  /** The incremental span plan against a CALLER-SUPPLIED
+    * corpus-duplicated-gram set — the composition point
+    * [[graft.streaming.StreamingVocab.streamedDeltaSpans]] uses to
+    * swap the persisted batch index for the stream-maintained state:
+    * delta gram instances equi-join the dup set (shuffle-hash; the
+    * set is vocabulary-sized), then the shared islands merge. Joining
+    * the FULL corpus-duplicated set is row-identical to
+    * [[dedupSpansIncremental]]'s delta-restricted probe because the
+    * instance stream only carries delta grams.
+    */
+  private[graft] def deltaSpansAgainst(spark: SparkSession, dir: String,
+                                       dupGrams: DataFrame,
+                                       deltaMod: Int = 10): DataFrame = {
+    val inst = gramInstances(docs(spark, dir)
+      .where(col("doc_id") % deltaMod === 0))
+    spansFromDupInstances(inst
+      .join(dupGrams.select(col("gram")).hint("shuffle_hash"), "gram")
+      .select(col("doc_id"), col("i"), col("end_w")))
+  }
+
   private def spansFromDupInstances(dup: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))

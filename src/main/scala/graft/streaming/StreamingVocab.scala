@@ -103,6 +103,95 @@ object StreamingVocab {
     path
   }
 
+  case class Gram(gram: String)
+  case class GramCount(gram: String, cnt: Long)
+
+  /** Running per-GRAM counts over a streaming `(doc_id, text)` frame —
+    * [[tokenCounts]]'s recipe at the word-3-gram grain: the streaming
+    * maintenance loop of the gram-vocabulary index
+    * [[graft.operators.TextAnalysis.dedupSpansIncremental]] probes.
+    * Same state discipline: batch pre-aggregation per gram, one
+    * read-modify-write per distinct gram per batch, Update-mode
+    * changelog whose latest (= max, counts monotone) row per gram is
+    * the current index.
+    */
+  def gramCounts(docs: DataFrame): Dataset[GramCount] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.TextAnalysis.gramInstances(docs)
+      .select(col("gram"))
+      .as[Gram]
+      .groupByKey(_.gram)
+      .flatMapGroupsWithState[Long, GramCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (gram: String, it: Iterator[Gram], state: GroupState[Long]) =>
+          var add = 0L
+          while (it.hasNext) { it.next(); add += 1 }
+          if (add == 0) Iterator.empty
+          else {
+            val total = (if (state.exists) state.get else 0L) + add
+            state.update(total)
+            Iterator(GramCount(gram, total))
+          }
+      }
+  }
+
+  /** Drain the corpus through the stateful GRAM stream once — the
+    * [[ensureStreamed]] contract at the gram grain (4 landing files,
+    * exactly-once staged changelog, content-fingerprint-keyed).
+    */
+  def ensureGramStreamed(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Conf.resolveWorkDir(spark, "")
+    val fp = graft.tsdb.Ingest.contentFingerprint(s"$sfDir/documents.parquet")
+    val path = s"$base/graft_gram_streamed_" +
+      s"${Integer.toHexString(sfDir.hashCode)}_$fp"
+    val done = Paths.get(path, "_DONE")
+    if (!Files.exists(done)) {
+      val landing = s"$path.landing"
+      if (!Files.exists(Paths.get(landing, "_SUCCESS"))) {
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(landing)
+      }
+      val q = gramCounts(docsStream(spark, landing)).writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: Dataset[GramCount], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        }
+        .option("checkpointLocation", s"$path.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      StreamAwait.drain(q)
+      Files.createFile(done)
+    }
+    path
+  }
+
+  /** [[graft.operators.TextAnalysis.dedupSpansIncremental]] answered
+    * from the STREAM-maintained gram state: the corpus drains once
+    * through [[gramCounts]] (base and delta docs alike — the compacted
+    * `max(cnt)` per gram IS the corpus gram census), then the delta's
+    * spans are the incremental plan with the persisted batch index
+    * REPLACED by the streamed state's duplicated-gram set. Output is
+    * row-identical to the batch incremental (and to the full run
+    * restricted to delta docs), and the shared oracle hash proves the
+    * cross-batch state fold counted every gram exactly once — the
+    * whole daily substring-dedup maintenance loop, streaming-native.
+    */
+  def streamedDeltaSpans(spark: SparkSession, sfDir: String,
+                         deltaMod: Int = 10): DataFrame = {
+    val path = ensureGramStreamed(spark, sfDir)
+    val dupGrams = StreamingSeriesState.openStreamed(spark, path)
+      .groupBy(col("gram"))
+      .agg(max(col("cnt")).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("gram"))
+    graft.operators.TextAnalysis.deltaSpansAgainst(spark, sfDir,
+      dupGrams, deltaMod)
+  }
+
   /** [[graft.operators.TextAnalysis.vocabTopK]] answered from the
     * STREAMED state's changelog: counts are monotone, so the latest
     * running total per token is `max(cnt)` — an order-insensitive

@@ -508,6 +508,36 @@ class TextOpsSpec extends SparkSpec {
     assert(incRw.exists(r => r.head == 30L && r(2) == 0L && r(3) == ""))
   }
 
+  test("incremental spans/rewrite fuzz: equal the full run on delta docs for random corpora and deltaMods") {
+    // the equivalence the family rests on, property-tested: for ANY
+    // corpus and ANY delta convention, the persisted-index probe's
+    // verdicts must equal the full-corpus run restricted to delta docs
+    val rnd = new scala.util.Random(0x11C4)
+    for (round <- 1 to 4) {
+      val vocabN = 3 + rnd.nextInt(4)
+      val docsN = 8 + rnd.nextInt(8)
+      val deltaMod = 2 + rnd.nextInt(4)
+      val corpus = (0 until docsN).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        id.toLong -> Seq.fill(n)(('a' + rnd.nextInt(vocabN)).toChar.toString)
+          .mkString(" ")
+      }
+      val dir = s"/root/repo/out/test_inc_fuzz_${round}_${System.nanoTime()}"
+      import spark.implicits._
+      corpus.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      val incS = rows(TextAnalysis.dedupSpansIncremental(spark, dir, deltaMod))
+      val fullS = rows(TextAnalysis.dedupSpansFrame(docsDf(corpus))
+        .where(col("doc_id") % deltaMod === 0))
+      assert(incS == fullS, s"round $round deltaMod $deltaMod corpus: $corpus")
+      val incR = rows(TextAnalysis.dedupRewriteIncremental(spark, dir, deltaMod))
+      val fullR = rows(TextAnalysis.dedupRewriteFrame(docsDf(corpus))
+        .where(col("doc_id") % deltaMod === 0))
+      assert(incR == fullR, s"round $round deltaMod $deltaMod corpus: $corpus")
+    }
+  }
+
   test("dedupSpans fuzz: matches brute-force interval merge on random corpora") {
     val rnd = new scala.util.Random(0xD5EA)
     for (round <- 1 to 5) {

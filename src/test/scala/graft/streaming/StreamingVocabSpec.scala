@@ -52,6 +52,26 @@ class StreamingVocabSpec extends SparkSpec with graft.TimedSpec {
     assert(gotTop == batchTop)
   }
 
+  test("streamedDeltaSpans == the batch incremental == the full run on delta docs") {
+    // the 22nd streamed entry's witness: gram counts folded across
+    // micro-batches, compacted (max per gram), dup set joined to delta
+    // instances — row-identical to the persisted-index batch plan AND
+    // to the full-corpus spans restricted to delta docs
+    val streamed = StreamingVocab.streamedDeltaSpans(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val inc = TextAnalysis.dedupSpansIncremental(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val full = TextAnalysis.dedupSpans(spark, sfDir)
+      .where(col("doc_id") % 10 === 0)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == inc)
+    assert(streamed == full)
+    assert(streamed.nonEmpty, "expected delta spans on this corpus")
+    // _DONE-guarded: a reopen answers without restarting the stream
+    assert(StreamingVocab.streamedDeltaSpans(spark, sfDir)
+      .collect().map(_.toSeq).toSet == streamed)
+  }
+
   test("ensureStreamed changelog compaction answers the batch top-k; reopen is idempotent") {
     val got = StreamingVocab.streamedVocabTopK(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
