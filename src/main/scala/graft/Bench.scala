@@ -391,7 +391,11 @@ object Bench {
     // shared gram-instance materialization itself (pure explode, the
     // gram-volume-linear floor under the whole trio)
     "text_dedup_spans_incremental", "text_dedup_rewrite_incremental",
-    "text_gram_instances")
+    "text_gram_instances",
+    // the Lee-et-al end-to-end: rides the gram-volume curve plus one
+    // keeper equi-join and a survivor-sized quality projection —
+    // compare against text_dedup_rewrite's standalone curve
+    "dedup_pipeline_substring")
     .map(n => n -> SparkEntry.queries(n))
 
   /** 100× (sf1-equivalent) curve: the subset whose 100× single-JVM cost

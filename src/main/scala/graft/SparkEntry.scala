@@ -607,6 +607,10 @@ object SparkEntry {
     "dedup_keepers_weighted" -> ((s, d) =>
       graft.operators.Dedup.keepersWeighted(s, d)),
     "dedup_pipeline" -> ((s, d) => graft.operators.Dedup.pipeline(s, d)),
+    // the Lee et al. 2022 recipe end-to-end: exact keepers → substring
+    // rewrite → quality of the REWRITTEN text, emptied docs dropped
+    "dedup_pipeline_substring" -> ((s, d) =>
+      graft.operators.Dedup.pipelineSubstring(s, d)),
     "dedup_pipeline_quality" -> ((s, d) => graft.operators.Dedup.pipelineQuality(s, d)),
     // per-source provenance funnel: in → exact → near-dup → quality,
     // absolute survivor counts per source (keeper attribution)
@@ -3708,6 +3712,42 @@ object SparkEntry {
         |   OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)""".stripMargin,
+    // the Lee et al. substring pipeline composed from the GATED stage
+    // oracles by string surgery (the dedup_yield precedent): exact
+    // keeper census → TextSpanCtes re-pointed at the keeper corpus →
+    // the rewrite tail → TextQualitySql re-pointed at clean_text;
+    // emptied docs drop before the 0/0 a quality score over '' would
+    // hit (the engines disagree on NaN-vs-NULL there by design)
+    "dedup_pipeline_substring" ->
+      s"""WITH k AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        |), kd AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN k USING (doc_id)
+        |), ${TextSpanCtes.replace("FROM documents", "FROM kd")}, spans AS (
+        |  SELECT doc_id, MIN(i) AS start_word, MAX(end_w) AS end_word
+        |  FROM isl GROUP BY doc_id, span_id
+        |), words AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, wl[i] AS word
+        |  FROM w, unnest(generate_series(1, len(wl))) AS t(i)
+        |), kept AS (
+        |  SELECT w2.doc_id, w2.pos, w2.word FROM words w2
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = w2.doc_id
+        |      AND w2.pos BETWEEN s.start_word AND s.end_word)
+        |), rw AS (
+        |  SELECT b.doc_id, CAST(len(b.wl) AS BIGINT) AS n_words,
+        |    CAST(COUNT(k2.pos) AS BIGINT) AS n_kept,
+        |    coalesce(string_agg(k2.word, ' ' ORDER BY k2.pos), '') AS clean_text
+        |  FROM w b LEFT JOIN kept k2 ON b.doc_id = k2.doc_id
+        |  GROUP BY b.doc_id, len(b.wl)
+        |), surv AS (SELECT * FROM rw WHERE n_kept > 0),
+        |qual AS (
+        |${TextQualitySql.replace("FROM documents",
+             "FROM (SELECT doc_id, clean_text AS text FROM surv)")}
+        |)
+        |SELECT s2.doc_id, s2.n_words, s2.n_kept, q.quality_score
+        |FROM surv s2 JOIN qual q USING (doc_id)""".stripMargin,
     // same banding + a recursive transitive closure + keeper selection:
     // the full SimHash pipeline re-derived independently
     "dedup_pipeline_simhash" ->

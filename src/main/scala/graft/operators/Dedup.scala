@@ -1655,6 +1655,42 @@ object Dedup {
       TextAnalysis.quality(spark, dir)
         .select(col("doc_id"), col("quality_score")))
 
+  /** The Lee et al. 2022 substring-dedup pipeline END-TO-END — the
+    * published training-corpus recipe as one composition: exact dedup
+    * keeps one doc per identical text (min-id keeper), the keeper
+    * corpus runs SUBSTRING dedup (duplicated-gram spans cut, survivors
+    * re-joined — [[TextAnalysis.dedupRewriteFrame]]), docs that empty
+    * to `''` drop (the length filter every pipeline applies), and the
+    * survivors carry the quality score of their REWRITTEN text —
+    * scoring the text a model would actually train on, not the
+    * boilerplate-inflated original. Output: one row per surviving doc
+    * `(doc_id, n_words, n_kept, quality_score)`.
+    *
+    * Scale shape: the exact stage is one hash aggregate + one keeper
+    * join; the substring stage is the gram-volume-linear contract of
+    * 31q/31r; the quality stage is a pure projection over survivors.
+    * Nothing here exceeds the stages' own documented postures — the
+    * composition adds only the keeper equi-join. Oracle: string
+    * surgery over the SAME stage oracles (exact census → span CTEs
+    * re-pointed at keepers → rewrite tail → TextQualitySql re-pointed
+    * at clean_text), the dedup_yield precedent — the pipeline can
+    * never drift from the gated stages.
+    */
+  def pipelineSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val d = parallelize(docs(spark, dir))
+    val keeperIds = exact(spark, dir).select(col("keeper").as("doc_id"))
+    val keepers = d.join(keeperIds, "doc_id")
+      .select(col("doc_id"), col("text"))
+    val rewritten = TextAnalysis.dedupRewriteFrame(keepers)
+    val survivors = rewritten.where(col("n_kept") > 0)
+    val scores = TextAnalysis.qualityFrame(
+        survivors.select(col("doc_id"), col("clean_text").as("text")))
+      .select(col("doc_id"), col("quality_score"))
+    survivors.join(scores, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_kept"),
+        col("quality_score"))
+  }
+
   /** The generic composition: any `(doc_a, doc_b)` near-dup pair frame
     * → connected components → kept corpus (see [[pipelineFrame]] for
     * the broadcast-gate contract).

@@ -21,6 +21,33 @@ class DedupSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/documents.parquet").count())
   }
 
+  test("pipelineSubstring == exact keepers -> rewrite -> quality on the rewritten text") {
+    // the composition witness: the pipeline must equal running the
+    // gated stages by hand, and the quality column must score
+    // clean_text (not the original) — a doc whose boilerplate is cut
+    // changes score iff the stages are wired in the claimed order
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val keepers = d.join(Dedup.exact(spark, sfDir)
+      .select(col("keeper").as("doc_id")), "doc_id")
+    val rewritten = graft.operators.TextAnalysis.dedupRewriteFrame(keepers)
+      .where(col("n_kept") > 0)
+    val expected = rewritten
+      .join(graft.operators.TextAnalysis.qualityFrame(
+          rewritten.select(col("doc_id"), col("clean_text").as("text")))
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_kept"),
+        col("quality_score"))
+      .collect().map(_.toSeq).toSet
+    val got = Dedup.pipelineSubstring(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // at least one doc was actually cut (n_kept < n_words) — the
+    // substring stage did real work on this corpus
+    assert(got.exists(r => r(2).asInstanceOf[Long] < r(1).asInstanceOf[Long]))
+  }
+
   test("minhash finds the planted near-dups and no self/reversed pairs") {
     val out = Dedup.minhashLsh(spark, sfDir).collect()
     assert(out.nonEmpty, "expected planted near-duplicates")
