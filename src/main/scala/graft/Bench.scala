@@ -470,6 +470,10 @@ object Bench {
     // fraction of text_dup_ngrams', not on its 21 s curve
     "text_dedup_spans_incremental" ->
       SparkEntry.queries("text_dedup_spans_incremental"),
+    // its rewrite pass: the spans probe plus one delta-sized word
+    // explode + cut — the complete daily-maintenance read at 100×
+    "text_dedup_rewrite_incremental" ->
+      SparkEntry.queries("text_dedup_rewrite_incremental"),
     // round-9: SemDeDup at its corpus-sized nlist (√n — 16→45→447
     // across the curve); the semantic_counts key carries the per-cell
     // pair volume that proves the sizing bounds intra-cell work
