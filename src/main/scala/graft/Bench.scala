@@ -68,8 +68,12 @@ object Bench {
     // runs one section without paying the ~25-min full record
     val sections = sys.env.get("SPARK_GRAFT_SECTIONS").map(_.split(",").toSet)
     def secOn(name: String): Boolean = sections.forall(_.contains(name))
-    val names = (if (secOn("queries")) SparkEntry.queries.keys.toSeq.sorted
-                 else Nil)
+    // validation-tagged entries gate independently of "queries": a
+    // single-section dev run (the knob's stated purpose) must not pay
+    // the validation suite
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n =>
+        if (ValidationEntries(n)) secOn("validation") else secOn("queries"))
       .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
@@ -133,7 +137,13 @@ object Bench {
                    else scaleJson(
                      scaleRows(spark, sfDir, 100, scale100Entries,
                        Seq("documents", "embeddings", "events")),
-                     extra = s""""skipped":$scale100Skips""")
+                     // the dup-gram standalone leg re-measures the
+                     // re-materializing shape a pipeline would never
+                     // run; the headline is text_grams100's shared-
+                     // frame record (r11 verdict item 7)
+                     extra = s""""skipped":$scale100Skips,""" +
+                       """"comparators":{"text_dup_ngrams":""" +
+                       """"standalone re-materializing shape; headline is text_grams100.from_shared"}""")
     println(s"# scale100: $scale100")
     println(s"# scale100 skip reasons: $scale100SkipProse")
     val lshPhases = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("lsh_phases")) "{}"
@@ -154,9 +164,38 @@ object Bench {
     val minhash100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("minhash100")) "{}"
                      else minhash100Json(spark, sfDir)
     println(s"# minhash100: $minhash100")
-    val minhashRouted = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("minhash_routed")) "{}"
-                        else minhashRoutedJson(spark, sfDir)
+    val minhashRouted0 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("minhash_routed")) "{}"
+                         else minhashRoutedJson(spark, sfDir)
+    // fresh-JVM adjudication leg (r11 verdict item 3): a
+    // SPARK_GRAFT_SECTIONS=minhash_routed run executes nothing before
+    // this section, so its JVM is the isolation control — such a run
+    // persists its section here, and every FULL record embeds the
+    // latest persisted control under "fresh_jvm" for cross-JVM
+    // comparison inside one artifact
+    val freshPath =
+      java.nio.file.Paths.get("/root/repo/BENCH_FRESHJVM_minhash_routed.json")
+    if (sections.contains(Set("minhash_routed")) &&
+        !minhashRouted0.startsWith("""{"error""""))
+      java.nio.file.Files.writeString(freshPath,
+        s"""{"recorded_utc":"${java.time.Instant.now}",""" +
+          s""""pid":${ProcessHandle.current.pid},""" +
+          s""""minhash_routed":$minhashRouted0}\n""")
+    val minhashRouted =
+      if (minhashRouted0 == "{}") minhashRouted0
+      else {
+        val fresh =
+          if (java.nio.file.Files.exists(freshPath))
+            java.nio.file.Files.readString(freshPath).trim
+          else "null"
+        minhashRouted0.dropRight(1) + s""","fresh_jvm":$fresh}"""
+      }
     println(s"# minhash_routed: $minhashRouted")
+    val simhashPhases = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("simhash_phases")) "{}"
+                        else simhashPhasesJson(spark, sfDir)
+    println(s"# simhash_phases: $simhashPhases")
+    val incDelta = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("incremental_delta")) "{}"
+                   else incrementalDeltaJson(spark, sfDir)
+    println(s"# incremental_delta: $incDelta")
     val textGrams100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("text_grams100")) "{}"
                        else textGrams100Json(spark, sfDir)
     println(s"# text_grams100: $textGrams100")
@@ -179,6 +218,7 @@ object Bench {
       s""""errors":$errJson,"ingest":$ingest,"scale10":$scale10,"scale100":$scale100,""" +
       s""""skew":$skew,"lsh_counts":$lshCounts,"minhash100":$minhash100,""" +
       s""""minhash_routed":$minhashRouted,"text_grams100":$textGrams100,""" +
+      s""""simhash_phases":$simhashPhases,"incremental_delta":$incDelta,""" +
       s""""lsh_phases":$lshPhases,"regressions":$regressions,""" +
       s""""semantic_counts":$semanticCounts,"q5_bucketed100":$q5b,""" +
       s""""recall_curve_scale":$recallScale,"bloom_paths":$bloomPaths,""" +
@@ -567,6 +607,22 @@ object Bench {
     (sec, tel)
   }
 
+  /** Between-section cache hygiene (r11 verdict items 3-4): cached
+    * frames persisted by earlier sections (pipeline `materialize`,
+    * incremental candidate persists, …) survive `System.gc()` because
+    * they are LIVE — the block manager holds them — so a later leg's
+    * `leg_heap_mb` reads 3-4× its isolated footprint and its tasks
+    * compete with tenured cache for heap (the r11 driver record's
+    * 6.63 → 31.08 s monotone decay inside one JVM). `clearCache()`
+    * drops every cached dataset; the follow-up GC actually reclaims,
+    * so each section starts from the same near-empty heap a fresh JVM
+    * would give it.
+    */
+  private def sectionHygiene(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    System.gc()
+  }
+
   private final case class ScaleLeg(sec: Double, err: Option[String], tel: String)
   private final case class ScaleRow(name: String, base: ScaleLeg, xN: ScaleLeg) {
     def ratio: Double =
@@ -585,6 +641,7 @@ object Bench {
   private def scaleRows(spark: SparkSession, sfDir: String, factor: Int,
                         entries: Seq[Entry], tables: Seq[String])
       : Seq[ScaleRow] = {
+    sectionHygiene(spark)
     val dirN = ScaleData.ensure(spark, sfDir, factor, tables = tables)
     val tally = new TaskTally
     spark.sparkContext.addSparkListener(tally)
@@ -631,6 +688,7 @@ object Bench {
     * the curve (late round 6) — every count here ties to a timed run.
     */
   private def lshCountsJson(spark: SparkSession, sfDir: String): String = {
+    sectionHygiene(spark)
     val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)
     val legs100 =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) Nil
@@ -676,6 +734,7 @@ object Bench {
     */
   private def minhash100Json(spark: SparkSession, sfDir: String): String =
     try {
+      sectionHygiene(spark)
       val dir100 = ScaleData.ensure(spark, sfDir, 100,
         tables = Seq("documents", "embeddings", "events"))
       val mod = 16
@@ -738,8 +797,11 @@ object Bench {
     * records WHICH plan ran, not just how long it took.
     */
   private def minhashRoutedJson(spark: SparkSession, sfDir: String): String = {
+    sectionHygiene(spark)
     val tally = new TaskTally
+    val plans = new PlanCapture
     spark.sparkContext.addSparkListener(tally)
+    spark.listenerManager.register(plans)
     try {
       val dir100 = ScaleData.ensure(spark, sfDir, 100,
         tables = Seq("documents", "embeddings", "events"))
@@ -752,15 +814,244 @@ object Bench {
       // warm at 10× so codegen/JIT stays out of run 1
       fn(spark, dir10).write.format("noop").mode("overwrite").save()
       val runs = (1 to 3).map { _ =>
+        // per-RUN hygiene (r11 verdict item 3): the driver record's
+        // monotone 6.63 → 31.08 s in-JVM decay tracked live cached
+        // frames accumulating under the suite; each repeat must start
+        // from the same heap a fresh JVM would give it
+        sectionHygiene(spark)
+        plans.reset()
         val (sec, tel) = legTelemetry(tally) {
           val t0 = System.nanoTime()
           fn(spark, dir100).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        s"""{"sec":${fmt(sec, 2)},"tel":$tel}"""
+        // AQE-final plan fingerprint per run: distinguishes "the plan
+        // flipped" from "the same plan ran slower" in the artifact
+        s"""{"sec":${fmt(sec, 2)},"plan":${plans.fingerprint()},"tel":$tel}"""
       }
       s"""{"max_exact_group":$maxGroup,"collapse_gate":$gate,""" +
         s""""routed":"$routed","runs":[${runs.mkString(",")}]}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${jstr((e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(120))}"}"""
+    } finally {
+      spark.listenerManager.unregister(plans)
+      spark.sparkContext.removeSparkListener(tally)
+    }
+  }
+
+  /** AQE-final physical-plan fingerprint of the last noop-sink write
+    * (r11 verdict item 3): a `QueryExecutionListener` snapshots the
+    * EXECUTED plan after the action completes — by then
+    * `AdaptiveSparkPlanExec` prints its final sub-plans — and the
+    * fingerprint reduces it to exchange/join-strategy counts, which is
+    * exactly the evidence needed to adjudicate run-to-run variance
+    * (same fingerprint + growing wall ⇒ environment, not plan).
+    * Only `save`-family actions are captured (the routed census's
+    * `head` must not overwrite the leg's plan); execution-end events
+    * post asynchronously, so the reader polls briefly.
+    */
+  private final class PlanCapture
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    @volatile private var last: String = ""
+    def reset(): Unit = last = ""
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      if (funcName == "save" || funcName == "command")
+        last = qe.executedPlan.toString
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+    def fingerprint(timeoutMs: Long = 5000): String = {
+      val t0 = System.currentTimeMillis()
+      while (last.isEmpty && System.currentTimeMillis() - t0 < timeoutMs)
+        Thread.sleep(20)
+      val p = last
+      def n(pat: String) = pat.r.findAllMatchIn(p).size
+      if (p.isEmpty) """{"captured":false}"""
+      else
+        s"""{"exchanges":${n("Exchange (hash|range|single|rebalance)")},""" +
+          s""""bcast":${n("BroadcastExchange")},""" +
+          s""""smj":${n("SortMergeJoin")},"shj":${n("ShuffledHashJoin")},""" +
+          s""""bhj":${n("BroadcastHashJoin")},""" +
+          s""""aqe_final":${p.contains("isFinalPlan=true")}}"""
+    }
+  }
+
+  /** Per-stage walls for `dedup_pipeline_simhash` at 100× (r11 verdict
+    * item 6) — the `lsh_phases` treatment for the round's headline fix
+    * (census-routed + corpus-sized simhash banding): the routing
+    * census (which plan ran), the pairs stage materialized and timed
+    * on its own, the connected-components stage timed from the
+    * materialized pairs, and the end-to-end composition wall — so an
+    * improvement (or regression) in the 100× pipeline is attributable
+    * to a stage, not one opaque number. The routed candidate count
+    * sits next to the pairs wall: that is the volume entering the
+    * `bit_count` verify under the plan that actually ran (the r11
+    * record's 138.6M was the unrouted member-level classic
+    * generator's).
+    */
+  private def simhashPhasesJson(spark: SparkSession, sfDir: String): String = {
+    sectionHygiene(spark)
+    val tally = new TaskTally
+    spark.sparkContext.addSparkListener(tally)
+    val work = graft.Conf.resolveWorkDir(spark, "")
+    val tmpP = work + "/bench_simhash_pairs100"
+    val tmpC = work + "/bench_simhash_clusters100"
+    try {
+      import graft.operators.Dedup
+      val dir100 = ScaleData.ensure(spark, sfDir, 100,
+        tables = Seq("documents", "embeddings", "events"))
+      val dir10 = ScaleData.ensure(spark, sfDir, 10,
+        tables = ScaleData.AllTables)
+      // warm the composition's codegen at 10×
+      SparkEntry.queries("dedup_pipeline_simhash")(spark, dir10)
+        .write.format("noop").mode("overwrite").save()
+      def timedLeg(f: => Unit): (Double, String) =
+        legTelemetry(tally) {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+      // routing census over the 100× corpus — the evidence of WHICH
+      // plan the stages below ran under
+      val docs100 = spark.read.parquet(s"$dir100/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      var census = (0L, 0L, 0L)
+      val (censusSec, censusTel) = timedLeg {
+        census = Dedup.simhashCensus(Dedup.simhashFrame(docs100))
+      }
+      val (maxGroup, nDocs, nDistinct) = census
+      val collapsed = maxGroup >= Dedup.CollapseMinGroup
+      val wide = nDistinct >= Dedup.WideBandMinHashes
+      // routed candidate volume: the rows entering the bit_count
+      // verify under the chosen route
+      var cands = -1L
+      val (candSec, candTel) = timedLeg {
+        val hashed = Dedup.simhashFrame(docs100)
+        val candFrame =
+          if (collapsed) {
+            val reps = hashed
+              .groupBy(org.apache.spark.sql.functions.col("simhash"))
+              .agg(org.apache.spark.sql.functions
+                .min(org.apache.spark.sql.functions.col("doc_id")).as("doc_id"))
+              .select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("simhash"))
+            Dedup.hammingCandFrame(reps, "doc_id", "simhash", wide)
+          } else Dedup.hammingCandFrame(hashed, "doc_id", "simhash", wide)
+        cands = candFrame.count()
+      }
+      // stage 1: pairs (hash + band + verify), materialized
+      val (pairsSec, pairsTel) = timedLeg(
+        Dedup.simhashPairs(spark, dir100)
+          .write.mode("overwrite").parquet(tmpP))
+      val pairs = spark.read.parquet(tmpP)
+      val nPairs = pairs.count()
+      // stage 2: connected components from the materialized pairs
+      val (compSec, compTel) = timedLeg(
+        Dedup.clusterPairs(pairs.select("doc_a", "doc_b"))
+          .write.mode("overwrite").parquet(tmpC))
+      val nLabeled = spark.read.parquet(tmpC).count()
+      // end-to-end: the scale100 curve's entry, warm + best-of-2 (the
+      // anti-join/keeper tail is this minus pairs minus components)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("dedup_pipeline_simhash")(spark, dir100)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val (pipeSec, pipeTel) = legTelemetry(tally) {
+        math.min(once(), once())
+      }
+      def cell(sec: Double, tel: String) =
+        s"""{"sec":${fmt(sec, 2)},"tel":$tel}"""
+      s"""{"census":{"max_hash_group":$maxGroup,"n_docs":$nDocs,""" +
+        s""""n_distinct":$nDistinct,""" +
+        s""""routed":"${if (collapsed) "collapsed" else "direct"}",""" +
+        s""""banding":"${if (wide) "wide" else "classic"}",""" +
+        s""""sec":${fmt(censusSec, 2)},"tel":$censusTel},""" +
+        s""""candidates":{"n":$cands,"sec":${fmt(candSec, 2)},"tel":$candTel},""" +
+        s""""pairs":{"n":$nPairs,${cell(pairsSec, pairsTel).drop(1)},""" +
+        s""""components":{"n_labeled":$nLabeled,${cell(compSec, compTel).drop(1)},""" +
+        s""""pipeline":${cell(pipeSec, pipeTel)}}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${jstr((e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(120))}"}"""
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpP))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpC))
+      spark.sparkContext.removeSparkListener(tally)
+    }
+  }
+
+  /** O(delta) evidence for the incremental-dedup family (r11 verdict
+    * item 5): `delta_rows`/`index_rows` for every `_incremental` entry
+    * on the scale curves, at each of its curve's dirs — plus the ONE
+    * leg that makes the headline property measurable: minhash
+    * incremental at 100× with the DELTA HELD AT BASE SIZE
+    * (`deltaMod = 1000` over the 100× corpus ⇒ the same ~500-doc delta
+    * as the base leg's `deltaMod = 10`) while the probed index grows
+    * 100×. O(delta + index-probe) predicts that wall sits near the
+    * base leg's, far under the grown-delta 100× leg — the claim the
+    * default-deltaMod curve cannot show because it grows the delta
+    * with the corpus.
+    */
+  private def incrementalDeltaJson(spark: SparkSession, sfDir: String): String = {
+    sectionHygiene(spark)
+    val tally = new TaskTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      import graft.operators.{Dedup, TextAnalysis}
+      val dir10 = ScaleData.ensure(spark, sfDir, 10,
+        tables = ScaleData.AllTables)
+      val dir100 = ScaleData.ensure(spark, sfDir, 100,
+        tables = Seq("documents", "embeddings", "events"))
+      def statCell(op: String, dir: String): String =
+        try {
+          val (d, i) =
+            if (op.startsWith("text_")) TextAnalysis.incrementalStats(spark, dir)
+            else Dedup.incrementalStats(spark, dir, op)
+          s"""{"delta_rows":$d,"index_rows":$i}"""
+        } catch { case e: Throwable =>
+          s"""{"error":"${jstr(e.getClass.getSimpleName)}"}""" }
+      // each op's counts at the dirs its timed curve actually visits
+      val counts = Seq(
+        "dedup_exact_incremental" -> Seq("base" -> sfDir, "x10" -> dir10),
+        "dedup_simhash_incremental" -> Seq("base" -> sfDir, "x10" -> dir10),
+        "dedup_minhash_incremental" ->
+          Seq("base" -> sfDir, "x100" -> dir100),
+        "dedup_embedding_lsh_incremental" ->
+          Seq("base" -> sfDir, "x100" -> dir100),
+        "text_dedup_spans_incremental" ->
+          Seq("base" -> sfDir, "x100" -> dir100))
+        .map { case (op, legs) =>
+          val inner = legs.map { case (k, d) => s""""$k":${statCell(op, d)}""" }
+            .mkString("{", ",", "}")
+          s""""$op":$inner"""
+        }.mkString("{", ",", "}")
+      // the fixed-size-delta leg: three walls, same op, same plan —
+      // only delta size and index size move
+      def leg(dir: String, mod: Int): String = {
+        val (d, i) = Dedup.incrementalStats(spark, dir,
+          "dedup_minhash_incremental", deltaMod = mod)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          Dedup.minhashIncremental(spark, dir, deltaMod = mod)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        val (sec, tel) = legTelemetry(tally) { math.min(once(), once()) }
+        s"""{"sec":${fmt(sec, 2)},"delta_rows":$d,"index_rows":$i,"tel":$tel}"""
+      }
+      val fixed =
+        s"""{"base_mod10":${leg(sfDir, 10)},""" +
+          s""""x100_mod10":${leg(dir100, 10)},""" +
+          s""""x100_mod1000":${leg(dir100, 1000)}}"""
+      s"""{"counts":$counts,"minhash_fixed_delta":$fixed}"""
     } catch {
       case e: Throwable =>
         s"""{"error":"${jstr((e.getClass.getSimpleName + ": " +
@@ -782,6 +1073,7 @@ object Bench {
     * trio's marginal cost collapses to its own joins/windows.
     */
   private def textGrams100Json(spark: SparkSession, sfDir: String): String = {
+    sectionHygiene(spark)
     val tally = new TaskTally
     spark.sparkContext.addSparkListener(tally)
     try {
@@ -823,29 +1115,36 @@ object Bench {
         "text_dedup_rewrite" ->
           (() => TextAnalysis.dedupRewriteFromInstances(docs100, inst)))
         .map { case (n, f) =>
-          // warm once (the parquet-read shape's codegen differs from
-          // the standalone explode shape the 10× warm covered), then
-          // best-of-2 — these are the cheap legs
+          // warm once OUTSIDE the telemetry window (the parquet-read
+          // shape's codegen differs from the standalone explode shape
+          // the 10× warm covered), then wrap ONLY the best-of-2 —
+          // gc_ms/leg_heap_mb/task_ms must attribute to the reported
+          // wall, not to warm+timed aggregated (r11 ADVICE)
           def once(): Double = {
             val t0 = System.nanoTime()
             f().write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
+          once()
           val (sec, tel) = legTelemetry(tally) {
-            once(); math.min(once(), once())
+            math.min(once(), once())
           }
           s""""$n":${cell(sec, tel)}"""
         }
-      val out = s"""{"standalone":{${standalone.mkString(",")}},""" +
+      s"""{"standalone":{${standalone.mkString(",")}},""" +
         s""""gram_materialize":${cell(gramSec, gramTel)},""" +
         s""""from_shared":{${shared.mkString(",")}}}"""
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpG))
-      out
     } catch {
       case e: Throwable =>
         s"""{"error":"${jstr((e.getClass.getSimpleName + ": " +
           Option(e.getMessage).getOrElse("")).take(120))}"}"""
-    } finally spark.sparkContext.removeSparkListener(tally)
+    } finally {
+      // the multi-GB gram frame must not orphan under workDir when a
+      // shared leg throws (r11 ADVICE)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        graft.Conf.resolveWorkDir(spark, "") + "/bench_text_grams100"))
+      spark.sparkContext.removeSparkListener(tally)
+    }
   }
 
   private def scaleJson(rows: Seq[ScaleRow],
@@ -898,6 +1197,7 @@ object Bench {
     * minhash100 base/cand methodology.
     */
   private def lshPhasesJson(spark: SparkSession, sfDir: String): String = {
+    sectionHygiene(spark)
     val tally = new TaskTally
     spark.sparkContext.addSparkListener(tally)
     try {
@@ -1001,6 +1301,7 @@ object Bench {
     * stays flat-ish.
     */
   private def semanticCountsJson(spark: SparkSession, sfDir: String): String = {
+    sectionHygiene(spark)
     val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)
     val legs = Seq("base" -> sfDir, "x10" -> dir10) ++
       (if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100")) Nil
@@ -1029,6 +1330,7 @@ object Bench {
     * answer at every corpus the bench models.
     */
   private def recallCurveScaleJson(spark: SparkSession, sfDir: String): String = {
+    sectionHygiene(spark)
     val nprobes = Seq(1, 2, 4, 8, 16)
     val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)
     val legs = Seq("base" -> sfDir, "x10" -> dir10) ++
@@ -1073,6 +1375,7 @@ object Bench {
     */
   private def bloomPathsJson(spark: SparkSession, sfDir: String): String =
     try {
+      sectionHygiene(spark)
       import org.apache.spark.sql.functions.col
       val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = ScaleData.AllTables)
       val d = spark.read.parquet(s"$dir10/documents.parquet")
@@ -1107,6 +1410,7 @@ object Bench {
     */
   private def runtimeBloomJson(spark: SparkSession, sfDir: String): String =
     try {
+      sectionHygiene(spark)
       val dir10 = ScaleData.ensure(spark, sfDir, 10,
         tables = Seq("lineitem", "orders", "customer", "nation", "region"))
       def leg(on: Boolean): (Double, Long, Boolean) = {
@@ -1162,6 +1466,7 @@ object Bench {
     */
   private def q5Bucketed100Json(spark: SparkSession, sfDir: String): String =
     try {
+      sectionHygiene(spark)
       val dir100 = ScaleData.ensure(spark, sfDir, 100,
         tables = ScaleData.AllTables)
       def leg(dir: String, prefix: String): String = {
@@ -1281,6 +1586,7 @@ object Bench {
     * removes it with identical output.
     */
   private def skewBench(spark: SparkSession, sfDir: String): String = {
+    sectionHygiene(spark)
     import org.apache.spark.sql.functions._
     val dir10 = ScaleData.ensure(spark, sfDir, 10, tables = Seq("documents"))
     val docs = spark.read.parquet(s"$dir10/documents.parquet")
@@ -1403,6 +1709,7 @@ object Bench {
     *    (micro-batched, checkpointed, AvailableNow).
     */
   private def ingestBench(spark: SparkSession, sfDir: String): (String, String) = {
+    sectionHygiene(spark)
     import org.apache.spark.sql.functions._
     val base = "/root/repo/out/bench_ingest"
     def clean(p: String): Unit =

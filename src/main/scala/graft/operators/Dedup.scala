@@ -667,32 +667,173 @@ object Dedup {
     * unlike shingle-set intersection — which is what lets the
     * end-to-end composition ([[pipelineSimhash]]) scale through
     * corpora whose true-dup clusters make set-verification quadratic.
+    *
+    * CENSUS-ROUTED + CORPUS-SIZED (round 12, the r11 verdict's one
+    * remaining superlinear plan): one hash-group aggregate over the
+    * (cheap, shuffle-free) simhash projection decides BOTH plan knobs
+    * the way [[minhashLsh]]'s census decides its collapse —
+    *
+    *  - identical-HASH groups ≥ [[CollapseMinGroup]] route through
+    *    [[simhashPairsCollapsed]]: banding and Hamming verify run once
+    *    per DISTINCT hash, members inherit relationally (exact-dup
+    *    replicas — the 100× generator's 26-periodic rotation — stop
+    *    multiplying candidate volume per-cluster-quadratically);
+    *  - ≥ [[WideBandMinHashes]] distinct hashes switch the banding to
+    *    the 10 × ~26-bit two-sub-band keys (see [[bandedHashFrame]]),
+    *    killing the 16-bit buckets' density term that grew candidates
+    *    597× for 100× data in the r11 `lsh_counts` record.
+    *
+    * Both routes are pure plan choices: for hamMax ≤ 3 every scheme is
+    * a complete candidate generator, so the verified output is the
+    * exact Hamming-≤-hamMax pair set regardless of route (spec-pinned
+    * on a planted giant cluster). hamMax > 3 keeps the classic direct
+    * plan — the wide pigeonhole needs ≤ 3 dirty sub-bands.
     */
-  def simhashPairsFrame(docsDf: DataFrame, hamMax: Int = 3): DataFrame =
-    simhashCandFrame(docsDf).where(col("hamming") <= hamMax)
-
-  /** [[simhashPairsFrame]]'s distinct band-sharing candidates (with
-    * their Hamming distance) BEFORE the `hamMax` threshold — exposed
-    * for benchmark candidate-volume evidence like [[minhashCandFrame]].
-    */
-  private[graft] def simhashCandFrame(docsDf: DataFrame): DataFrame = {
-    GraftFunctions.register(docsDf.sparkSession)
-    hammingCandFrame(docsDf.select(
-      col("doc_id"),
-      call_function("graft_simhash", split(col("text"), " ")).as("simhash")),
-      "doc_id", "simhash")
+  def simhashPairsFrame(docsDf: DataFrame, hamMax: Int = 3): DataFrame = {
+    val hashed = simhashFrame(docsDf)
+    val (maxGroup, _, nDistinct) = simhashCensus(hashed)
+    val wide = hamMax <= 3 && nDistinct >= WideBandMinHashes
+    if (maxGroup >= CollapseMinGroup)
+      simhashPairsCollapsed(hashed, hamMax, wide)
+    else
+      hammingCandFrame(hashed, "doc_id", "simhash", wide)
+        .where(col("hamming") <= hamMax)
   }
 
-  /** The 4 × 16-bit band rows of an (id, 64-bit hash) frame — the
-    * banding both sides of every Hamming join share.
+  /** The (doc_id, simhash) projection — one native kernel call per
+    * row, one scan, no shuffle; cheap enough that census and plan
+    * recompute it rather than pin a corpus-sized cache (the
+    * [[minhashLsh]] precedent).
+    */
+  private[graft] def simhashFrame(docsDf: DataFrame): DataFrame = {
+    GraftFunctions.register(docsDf.sparkSession)
+    docsDf.select(
+      col("doc_id"),
+      call_function("graft_simhash", split(col("text"), " ")).as("simhash"))
+  }
+
+  /** Distinct-hash threshold for the wide banding: below it the 16-bit
+    * buckets' incidental-collision term is ≤ ~n²·4/2^17 ≈ a few
+    * thousand pairs and the classic plan's 4-rows-per-doc banding is
+    * never worse; above it the density term starts dominating true
+    * pairs (at 50k distinct hashes it is already ~10× the corpus
+    * size). The sf0.1 base corpus (5k docs) stays classic; the 10×/
+    * 100× legs go wide.
+    */
+  private[graft] val WideBandMinHashes = 20000L
+
+  /** The routing census: `(max identical-hash group, n rows, n
+    * distinct hashes)` in ONE aggregate over the hash projection —
+    * what [[simhashPairsFrame]] routes on, exposed so the bench can
+    * record WHICH plan ran next to its wall.
+    */
+  private[graft] def simhashCensus(hashed: DataFrame): (Long, Long, Long) = {
+    val r = hashed.groupBy(col("simhash")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")), sum(col("c")), count(lit(1))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** [[simhashPairsFrame]] with IDENTICAL-HASH COLLAPSE — the
+    * boilerplate-regime plan (the [[minhashLshCollapsed]] recipe at
+    * the 64-bit-hash grain, where it is *simpler*: Hamming distance
+    * depends only on the hash values, so collapsing on the hash is
+    * exact by construction, no per-group re-verify needed):
+    *
+    *  - banding + `bit_count` verify run over one REPRESENTATIVE per
+    *    distinct hash (min doc_id);
+    *  - cross-group: every (member of A, member of B) pair inherits
+    *    the representative pair's hamming — hashes are equal within a
+    *    group, so `bit_count(h_a ^ h_b)` is literally the same number;
+    *  - intra-group: members of one group pair at hamming 0, which
+    *    passes any hamMax ≥ 0 — emitted relationally, no kernel work.
+    *
+    * Pair-set identity with the direct path holds for hamMax ≤ 3
+    * (both are complete generators, so both emit exactly the true
+    * Hamming-≤-hamMax set) AND for any hamMax with matching banding
+    * (identical hashes ⇒ identical band keys ⇒ a member pair shares a
+    * band iff its representative pair does). Candidate volume drops
+    * from Σ(member-level bucket pairs) to Σ(distinct-hash bucket
+    * pairs) — the r11 597× growth divided by the squared mean
+    * replica-group size; output volume equals the direct path's,
+    * which any correct formulation pays.
+    */
+  private[graft] def simhashPairsCollapsed(hashed: DataFrame, hamMax: Int,
+                                           wide: Boolean): DataFrame = {
+    val groups = hashed.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"))
+    val members = hashed.join(groups, "simhash")
+    val reps = groups.select(col("rep").as("doc_id"), col("simhash"))
+    val repPairs = hammingCandFrame(reps, "doc_id", "simhash", wide)
+      .where(col("hamming") <= hamMax)
+    val ma = members.select(col("doc_id").as("a_id"), col("rep").as("doc_a"))
+    val mb = members.select(col("doc_id").as("b_id"), col("rep").as("doc_b"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"), col("hamming"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.simhash") === col("y.simhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(intra)
+  }
+
+  /** [[simhashPairsFrame]]'s distinct band-sharing candidates (with
+    * their Hamming distance) BEFORE the `hamMax` threshold — the
+    * DIRECT (uncollapsed) generator, exposed for benchmark
+    * candidate-volume evidence like [[minhashCandFrame]].
+    */
+  private[graft] def simhashCandFrame(docsDf: DataFrame,
+                                      wide: Boolean = false): DataFrame =
+    hammingCandFrame(simhashFrame(docsDf), "doc_id", "simhash", wide)
+
+  /** The band rows of an (id, 64-bit hash) frame — the banding both
+    * sides of every Hamming join share. Two CORPUS-SIZED schemes, both
+    * complete candidate generators for Hamming ≤ 3:
+    *
+    *  - `wide = false` (small corpora): 4 contiguous 16-bit bands.
+    *    Pigeonhole: ≤ 3 differing bits dirty ≤ 3 of the 4 bands, so a
+    *    true pair agrees exactly on ≥ 1 band. 4 band rows per row,
+    *    2^16 buckets per band — dense once the corpus outgrows ~10^4
+    *    distinct hashes (the r11 597×-growth defect).
+    *  - `wide = true` (large corpora): 5 sub-bands (4 × 13 bits +
+    *    1 × 12 bits) keyed PAIRWISE — ≤ 3 differing bits dirty ≤ 3 of
+    *    the 5 sub-bands, so ≥ 2 stay clean and the pair agrees exactly
+    *    on at least one of the C(5,2) = 10 two-sub-band keys. 10 band
+    *    rows per row (2.5× the banding volume) but 2^25-26 buckets per
+    *    key: the incidental-collision candidate term drops by ~three
+    *    orders of magnitude, which is what keeps candidate growth
+    *    ~linear as the corpus scales (the verify itself is unchanged —
+    *    one `bit_count` per candidate either way).
+    *
+    * The wide scheme's pigeonhole needs ≥ 2 clean sub-bands, which
+    * holds only for hamMax ≤ 3 — callers gate on that.
     */
   private def bandedHashFrame(hashed: DataFrame, idCol: String,
-                              hashCol: String): DataFrame =
-    hashed.select(
-      col(idCol).as("_id"), col(hashCol).as("_h"),
-      posexplode(expr(
-        s"transform(sequence(0, 3), j -> (shiftright($hashCol, j*16) & 65535))"))
-        .as(Seq("band", "band_val")))
+                              hashCol: String,
+                              wide: Boolean = false): DataFrame =
+    if (!wide)
+      hashed.select(
+        col(idCol).as("_id"), col(hashCol).as("_h"),
+        posexplode(expr(
+          s"transform(sequence(0, 3), j -> (shiftright($hashCol, j*16) & 65535))"))
+          .as(Seq("band", "band_val")))
+    else {
+      // sub-band j of 5: bits [13j, 13j+13) for j<4, bits [52, 64) for
+      // j=4; arithmetic shiftright's sign-fill is masked off. Key for
+      // the (i, j) combo packs sub-band i above sub-band j (j's width
+      // ≤ 13 bits, so `* 8192` cannot collide across distinct values).
+      val sub = (0 to 4).map {
+        case 4 => s"(shiftright($hashCol, 52) & 4095)"
+        case j => s"(shiftright($hashCol, ${j * 13}) & 8191)"
+      }
+      val keys = for { i <- 0 until 5; j <- i + 1 until 5 }
+        yield s"(${sub(i)} * 8192 + ${sub(j)})"
+      hashed.select(
+        col(idCol).as("_id"), col(hashCol).as("_h"),
+        posexplode(expr(s"array(${keys.mkString(",")})"))
+          .as(Seq("band", "band_val")))
+    }
 
   /** Persisted SimHash index of the base corpus (`doc_id % deltaMod
     * != 0`) — (doc_id, simhash) rows under the content-fingerprint-
@@ -737,8 +878,12 @@ object Dedup {
       .where(col("doc_id") % deltaMod === 0)
       .select(col("doc_id"),
         call_function("graft_simhash", split(col("text"), " ")).as("simhash"))
-    val bd = bandedHashFrame(delta, "doc_id", "simhash")
-    val bi = bandedHashFrame(idx, "doc_id", "simhash")
+    // the probe joins band both sides with the SAME corpus-sized
+    // scheme (completeness needs matching keys); size on the index —
+    // the corpus-proportional side whose bucket density is the risk
+    val wide = hamMax <= 3 && idx.count() >= WideBandMinHashes
+    val bd = bandedHashFrame(delta, "doc_id", "simhash", wide)
+    val bi = bandedHashFrame(idx, "doc_id", "simhash", wide)
     val cross = bd.as("a").hint("shuffle_hash")
       .join(bi.as("b"),
         col("a.band") === col("b.band") &&
@@ -747,21 +892,22 @@ object Dedup {
         greatest(col("a._id"), col("b._id")).as("doc_b"),
         expr("bit_count(a._h ^ b._h)").as("hamming"))
       .distinct()
-    val intra = hammingCandFrame(delta, "doc_id", "simhash")
+    val intra = hammingCandFrame(delta, "doc_id", "simhash", wide)
     cross.unionByName(intra).where(col("hamming") <= hamMax).distinct()
   }
 
   /** Banded Hamming candidates over ANY (id, 64-bit hash) frame — the
     * fingerprint-agnostic core [[simhashCandFrame]] and
-    * [[Multimodal.phashPairs]] share: 4 × 16-bit band equality is a
-    * COMPLETE candidate generator for Hamming ≤ 3 (pigeonhole: ≤ 3
-    * differing bits can dirty at most 3 of the 4 bands), and verify
-    * cost is one `bit_count` per candidate. Output: (doc_a, doc_b,
-    * hamming) over `idCol`'s values.
+    * [[Multimodal.phashPairs]] share: band-key equality under either
+    * [[bandedHashFrame]] scheme (classic 4 × 16-bit, or `wide`'s
+    * 10 × two-sub-band keys for large corpora) is a COMPLETE candidate
+    * generator for Hamming ≤ 3, and verify cost is one `bit_count` per
+    * candidate. Output: (doc_a, doc_b, hamming) over `idCol`'s values.
     */
-  private[operators] def hammingCandFrame(hashed: DataFrame, idCol: String,
-                                          hashCol: String): DataFrame = {
-    val banded = bandedHashFrame(hashed, idCol, hashCol)
+  private[graft] def hammingCandFrame(hashed: DataFrame, idCol: String,
+                                          hashCol: String,
+                                          wide: Boolean = false): DataFrame = {
+    val banded = bandedHashFrame(hashed, idCol, hashCol, wide)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
@@ -1292,10 +1438,59 @@ object Dedup {
           embeddingCosineLshFrame(e, 0.9, planOverride = Some(plan),
             broadcastVerify = n <= BroadcastVerifyMaxRows).count())
       case "dedup_simhash_pairs" =>
+        // follow the ROUTED plan: candidates = the rows that actually
+        // enter the bit_count verify under the census-chosen route
+        // (collapsed → representative-level; direct → member-level)
+        // and the census-chosen banding — the r11 record's 597× growth
+        // was the unrouted member-level classic generator
         val d = docs(spark, dir)
-        (simhashCandFrame(d).count(), simhashPairsFrame(d).count())
+        val hashed = simhashFrame(d)
+        val (maxGroup, _, nDistinct) = simhashCensus(hashed)
+        val wide = nDistinct >= WideBandMinHashes
+        val candFrame =
+          if (maxGroup >= CollapseMinGroup) {
+            val reps = hashed.groupBy(col("simhash"))
+              .agg(min(col("doc_id")).as("doc_id"))
+              .select(col("doc_id"), col("simhash"))
+            hammingCandFrame(reps, "doc_id", "simhash", wide)
+          } else hammingCandFrame(hashed, "doc_id", "simhash", wide)
+        (candFrame.count(), simhashPairsFrame(d).count())
       case other => sys.error(s"no LSH stats for $other")
     }
+
+  /** Evidence counts for the incremental-dedup scale legs (r11 verdict
+    * item 5): `(delta_rows, index_rows)` at the given `deltaMod` —
+    * delta_rows is the shard the daily run actually processes,
+    * index_rows the persisted layout it probes (banded grains count
+    * banded rows: that IS the frame the probe scans). Pure evidence,
+    * never part of a timed leg; makes the O(delta)-not-O(corpus)
+    * thesis MEASURABLE from the artifact (a leg where delta_rows is
+    * held constant while index_rows grows 100× should hold a ~flat
+    * wall).
+    */
+  def incrementalStats(spark: SparkSession, dir: String, op: String,
+                       deltaMod: Int = 10): (Long, Long) = op match {
+    case "dedup_exact_incremental" =>
+      val planted = plantedReDelivery(docs(spark, dir))
+      val path = ensureExactIndex(spark, dir, planted, deltaMod)
+      (planted.where(col("doc_id") % deltaMod === 0).count(),
+        spark.read.parquet(s"$path/fps").count())
+    case "dedup_minhash_incremental" =>
+      (docs(spark, dir).where(col("doc_id") % deltaMod === 0).count(),
+        spark.read.parquet(
+          ensureBandIndex(spark, dir, deltaMod = deltaMod)).count())
+    case "dedup_simhash_incremental" =>
+      (docs(spark, dir).where(col("doc_id") % deltaMod === 0).count(),
+        spark.read.parquet(ensureSimhashIndex(spark, dir, deltaMod)).count())
+    case "dedup_embedding_lsh_incremental" =>
+      val n = 2L * spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val (rowsPerBand, bands) = lshPlanSized(0.9, n, candPerRow = 32.0)
+      (withPlantedNearDups(spark, dir)
+        .where(col("vec_id") % deltaMod === 0).count(),
+        spark.read.parquet(
+          ensureEmbBandIndex(spark, dir, rowsPerBand, bands, deltaMod)).count())
+    case other => sys.error(s"no incremental stats for $other")
+  }
 
   /** Cell-blocking evidence for [[semantic]] at its production sizing:
     * `(nlist, n_cells_used, max_cell_rows, intra_cell_pairs)` over the

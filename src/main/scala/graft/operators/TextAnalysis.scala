@@ -1018,6 +1018,19 @@ object TextAnalysis {
     path
   }
 
+  /** `(delta_rows, index_rows)` evidence for the substring-dedup
+    * incremental scale legs — [[graft.operators.Dedup.incrementalStats]]'s
+    * contract at the gram grain: delta_rows is the delta DOC count the
+    * daily run explodes, index_rows the persisted gram-vocabulary rows
+    * it probes. Pure evidence, never part of a timed leg.
+    */
+  def incrementalStats(spark: SparkSession, dir: String,
+                       deltaMod: Int = 10): (Long, Long) = {
+    val path = ensureGramVocabIndex(spark, dir, deltaMod)
+    (docs(spark, dir).where(col("doc_id") % deltaMod === 0).count(),
+      spark.read.parquet(s"$path/vocab").count())
+  }
+
   /** INCREMENTAL substring dedup — [[dedupSpans]]'s corpus-maintenance
     * posture, the fifth member of the incremental family (exact /
     * minhash / simhash / embedding precedents in [[Dedup]]): today's

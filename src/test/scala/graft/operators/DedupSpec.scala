@@ -242,6 +242,59 @@ class DedupSpec extends SparkSpec {
     assert(pairs.where(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
+  test("routed simhash pairs equal the direct classic path across all plans") {
+    // the round-12 plan matrix: census-routed collapse (identical-hash
+    // groups) × corpus-sized banding (classic 4×16 vs wide 10×~26-bit
+    // two-sub-band keys) — every route must emit the exact
+    // Hamming-≤-hamMax pair set the classic direct plan emits.
+    // Planted: a 40-member exact-duplicate cluster (collapse regime)
+    // plus two smaller ones, the minhash-collapse spec's corpus.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seeds = docs.orderBy("doc_id").limit(3).collect()
+    import spark.implicits._
+    val clones = ((1 to 40).map(i => (1000000L + i, seeds(0).getString(1))) ++
+      (1 to 5).map(i => (2000000L + i, seeds(1).getString(1))) ++
+      (1 to 3).map(i => (3000000L + i, seeds(2).getString(1))))
+      .toDF("doc_id", "text")
+    val frame = docs.union(clones)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashed = Dedup.simhashFrame(frame)
+    val direct = key(
+      Dedup.simhashCandFrame(frame).where(col("hamming") <= 3))
+    // the giant cluster alone contributes C(41,2) intra pairs
+    assert(direct.size > 800)
+    // wide banding, direct: different candidate generator, same pairs
+    assert(key(Dedup.simhashCandFrame(frame, wide = true)
+      .where(col("hamming") <= 3)) == direct)
+    // collapsed, both bandings
+    assert(key(Dedup.simhashPairsCollapsed(hashed, 3, wide = false)) == direct)
+    assert(key(Dedup.simhashPairsCollapsed(hashed, 3, wide = true)) == direct)
+    // and the production entry point routes this frame through the
+    // collapse (40-member group ≥ gate) and still matches
+    val (maxGroup, _, _) = Dedup.simhashCensus(hashed)
+    assert(maxGroup >= Dedup.CollapseMinGroup)
+    assert(key(Dedup.simhashPairsFrame(frame)) == direct)
+  }
+
+  test("wide banding is a complete candidate generator at hamming 3 exactly") {
+    // adversarial hash layout: 3 flipped bits placed to dirty three
+    // DIFFERENT 13-bit sub-bands (bits 0, 13, 26) — the wide scheme
+    // must still catch the pair through a clean two-sub-band key, and
+    // the classic scheme through its clean 16-bit band
+    import spark.implicits._
+    val h = 0x123456789abcdefL
+    val flipped = h ^ (1L << 0) ^ (1L << 13) ^ (1L << 26)
+    val hashed = Seq((1L, h), (2L, flipped)).toDF("doc_id", "simhash")
+    def pairs(wide: Boolean) =
+      Dedup.hammingCandFrame(hashed, "doc_id", "simhash", wide)
+        .where(col("hamming") <= 3).count()
+    assert(pairs(wide = false) == 1L)
+    assert(pairs(wide = true) == 1L)
+  }
+
   test("simhashIncremental equals the full pairs restricted to delta-involving") {
     // generous hamming so the equality is exercised on real pairs here
     val inc = Dedup.simhashIncremental(spark, sfDir, hamMax = 10).collect()

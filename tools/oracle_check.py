@@ -53,6 +53,13 @@ def main(sf_dir: str, out_dir: str) -> None:
         # (DuckDB HUGEINT sums land as float64 unless CAST AS BIGINT).
         dtype_bad = None
         for c in got.columns:
+            # pandas coerces a nullable INTEGER column to float64, so a
+            # column with NULLs on one side only would false-FAIL here
+            # even when values match (r11 ADVICE); the driver-side hash
+            # normalizes NULLs before dtype matters, so skip the dtype
+            # gate for columns carrying any null on either side
+            if got[c].isna().any() or exp[c].isna().any():
+                continue
             gk, ek = got[c].dtype.kind, exp[c].dtype.kind
             if (gk in "iu" and ek == "f") or (gk == "f" and ek in "iu"):
                 dtype_bad = (c, str(got[c].dtype), str(exp[c].dtype))
