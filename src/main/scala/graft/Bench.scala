@@ -196,6 +196,9 @@ object Bench {
     val incDelta = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("incremental_delta")) "{}"
                    else incrementalDeltaJson(spark, sfDir)
     println(s"# incremental_delta: $incDelta")
+    val streamedState = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE") || !secOn("streamed_state")) "{}"
+                        else streamedStateJson(spark, sfDir)
+    println(s"# streamed_state: $streamedState")
     val textGrams100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("text_grams100")) "{}"
                        else textGrams100Json(spark, sfDir)
     println(s"# text_grams100: $textGrams100")
@@ -219,6 +222,7 @@ object Bench {
       s""""skew":$skew,"lsh_counts":$lshCounts,"minhash100":$minhash100,""" +
       s""""minhash_routed":$minhashRouted,"text_grams100":$textGrams100,""" +
       s""""simhash_phases":$simhashPhases,"incremental_delta":$incDelta,""" +
+      s""""streamed_state":$streamedState,""" +
       s""""lsh_phases":$lshPhases,"regressions":$regressions,""" +
       s""""semantic_counts":$semanticCounts,"q5_bucketed100":$q5b,""" +
       s""""recall_curve_scale":$recallScale,"bloom_paths":$bloomPaths,""" +
@@ -811,8 +815,13 @@ object Bench {
       val gate = graft.operators.Dedup.CollapseMinGroup
       val routed = if (maxGroup >= gate) "collapsed" else "direct"
       val fn = SparkEntry.queries("dedup_minhash")
-      // warm at 10× so codegen/JIT stays out of run 1
+      // warm at 10× (codegen/JIT) AND once at 100×: the 100×-specific
+      // AQE plans, janino classes, and parquet footer cache otherwise
+      // land in run 1 (measured 13.3 s run 1 vs 7.2/7.4 steady in the
+      // fresh-JVM control) — the three timed runs are steady-state
+      // repeats by design
       fn(spark, dir10).write.format("noop").mode("overwrite").save()
+      fn(spark, dir100).write.format("noop").mode("overwrite").save()
       val runs = (1 to 3).map { _ =>
         // per-RUN hygiene (r11 verdict item 3): the driver record's
         // monotone 6.63 → 31.08 s in-JVM decay tracked live cached
@@ -855,24 +864,39 @@ object Bench {
   private final class PlanCapture
       extends org.apache.spark.sql.util.QueryExecutionListener {
     @volatile private var last: String = ""
-    def reset(): Unit = last = ""
+    @volatile private var fn: String = ""
+    def reset(): Unit = { last = ""; fn = "" }
+    // no funcName filter: the noop V2 write's action name varies
+    // across Spark versions (measured: neither "save" nor "command"
+    // on 4.1), and "last event wins" already yields the leg's final
+    // action — the bus preserves order, so the census head() cannot
+    // land after the write
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
-        durationNs: Long): Unit =
-      if (funcName == "save" || funcName == "command")
-        last = qe.executedPlan.toString
+        durationNs: Long): Unit = {
+      last = qe.executedPlan.toString; fn = funcName
+    }
     override def onFailure(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
         exception: Exception): Unit = ()
     def fingerprint(timeoutMs: Long = 5000): String = {
+      // wait for the bus to SETTLE, not just to deliver something: the
+      // leg's construction-time head()s (census, broadcast gates) post
+      // before the noop save's event, and grabbing the first arrival
+      // fingerprints the census instead of the leg (measured)
       val t0 = System.currentTimeMillis()
-      while (last.isEmpty && System.currentTimeMillis() - t0 < timeoutMs)
-        Thread.sleep(20)
+      var prev = ""
+      var cur = last
+      while (System.currentTimeMillis() - t0 < timeoutMs &&
+             (cur.isEmpty || cur != prev)) {
+        prev = cur; Thread.sleep(200); cur = last
+      }
       val p = last
       def n(pat: String) = pat.r.findAllMatchIn(p).size
       if (p.isEmpty) """{"captured":false}"""
       else
-        s"""{"exchanges":${n("Exchange (hash|range|single|rebalance)")},""" +
+        s"""{"fn":"${jstr(fn)}",""" +
+          s""""exchanges":${n("Exchange (hash|range|single|rebalance)")},""" +
           s""""bcast":${n("BroadcastExchange")},""" +
           s""""smj":${n("SortMergeJoin")},"shj":${n("ShuffledHashJoin")},""" +
           s""""bhj":${n("BroadcastHashJoin")},""" +
@@ -923,7 +947,7 @@ object Bench {
         census = Dedup.simhashCensus(Dedup.simhashFrame(docs100))
       }
       val (maxGroup, nDocs, nDistinct) = census
-      val collapsed = maxGroup >= Dedup.CollapseMinGroup
+      val collapsed = maxGroup >= Dedup.SimhashCollapseMinGroup
       val wide = nDistinct >= Dedup.WideBandMinHashes
       // routed candidate volume: the rows entering the bit_count
       // verify under the chosen route
@@ -1058,6 +1082,39 @@ object Bench {
           Option(e.getMessage).getOrElse("")).take(120))}"}"""
     } finally spark.sparkContext.removeSparkListener(tally)
   }
+
+  /** State-store telemetry for the UNBOUNDED-key streamed layouts
+    * (r11 verdict item 2): the `_STATE.json` sidecars the gram/vocab
+    * maintenance streams persist at drain time — provider (must read
+    * "rocksdb" for vocabulary-keyed state), micro-batch count, final
+    * state rows/bytes — surfaced at the base corpus and, for the gram
+    * stream (the corpus-proportional key space), at 10× as well, so
+    * the artifact carries a state-GROWTH datapoint, not one snapshot.
+    * `ensure*` is fingerprint-cached: on a warm workDir this section
+    * only reads sidecars; on a cold one it pays the one-time drain the
+    * streamed correctness entries pay anyway.
+    */
+  private def streamedStateJson(spark: SparkSession, sfDir: String): String =
+    try {
+      sectionHygiene(spark)
+      import graft.streaming.StreamingVocab
+      def side(p: String): String = {
+        val f = java.nio.file.Paths.get(p, "_STATE.json")
+        if (java.nio.file.Files.exists(f))
+          java.nio.file.Files.readString(f).trim
+        else """{"error":"no state sidecar under layout"}"""
+      }
+      val vocab = side(StreamingVocab.ensureStreamed(spark, sfDir))
+      val gram = side(StreamingVocab.ensureGramStreamed(spark, sfDir))
+      val dir10 = ScaleData.ensure(spark, sfDir, 10,
+        tables = ScaleData.AllTables)
+      val gram10 = side(StreamingVocab.ensureGramStreamed(spark, dir10))
+      s"""{"vocab":$vocab,"gram":$gram,"gram_x10":$gram10}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${jstr((e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(120))}"}"""
+    }
 
   /** The dup-gram TRIO sharing measurement (r10 verdict item 6):
     * text_dup_ngrams / text_dedup_spans / text_dedup_rewrite are all

@@ -583,6 +583,8 @@ object SparkEntry {
       graft.operators.Dedup.embeddingLshIncremental(s, d)),
     "dedup_simhash" -> ((s, d) => graft.operators.Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => graft.operators.Dedup.simhashPairs(s, d)),
+    "dedup_simhash_census" -> ((s, d) =>
+      graft.operators.Dedup.simhashCensusRead(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
     "dedup_containment" -> ((s, d) => graft.operators.Dedup.containment(s, d)),
     "dedup_embedding" -> ((s, d) => graft.operators.Dedup.embeddingCosine(s, d)),
@@ -3697,6 +3699,20 @@ object SparkEntry {
         |   OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
         |   OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // the routing census over the SAME golden hash values the pairs
+    // oracle reads: max identical-hash group (the collapse gate),
+    // distinct-hash count (the banding-width gate), corpus size.
+    // CAST sums/maxes to BIGINT — DuckDB aggregates over BIGINT land
+    // as HUGEINT and the driver hash gate is dtype-exact
+    "dedup_simhash_census" ->
+      """WITH g AS (
+        |  SELECT simhash, count(*) AS c
+        |  FROM read_parquet('/root/repo/golden/dedup_simhash/*.parquet')
+        |  GROUP BY 1)
+        |SELECT CAST(max(c) AS BIGINT) AS max_group,
+        |       count(*) AS n_groups,
+        |       CAST(sum(c) AS BIGINT) AS n_docs
+        |FROM g""".stripMargin,
     // the incremental probe re-derived IN DUCKDB over the pinned
     // hashes: same banding algebra, role-filtered to delta-involving
     // pairs — exactly delta×base ∪ delta×delta

@@ -670,35 +670,59 @@ object Dedup {
     *
     * CENSUS-ROUTED + CORPUS-SIZED (round 12, the r11 verdict's one
     * remaining superlinear plan): one hash-group aggregate over the
-    * (cheap, shuffle-free) simhash projection decides BOTH plan knobs
-    * the way [[minhashLsh]]'s census decides its collapse —
+    * (cheap, shuffle-light — 16 bytes/row) simhash projection decides
+    * both plan knobs —
     *
-    *  - identical-HASH groups ≥ [[CollapseMinGroup]] route through
-    *    [[simhashPairsCollapsed]]: banding and Hamming verify run once
-    *    per DISTINCT hash, members inherit relationally (exact-dup
-    *    replicas — the 100× generator's 26-periodic rotation — stop
-    *    multiplying candidate volume per-cluster-quadratically);
     *  - ≥ [[WideBandMinHashes]] distinct hashes switch the banding to
     *    the 10 × ~26-bit two-sub-band keys (see [[bandedHashFrame]]),
     *    killing the 16-bit buckets' density term that grew candidates
-    *    597× for 100× data in the r11 `lsh_counts` record.
+    *    597× for 100× data in the r11 `lsh_counts` record. Under wide
+    *    keys the member-level candidate set is ≈ the TRUE pair set
+    *    (identical-hash members of near-dup representatives are all
+    *    true pairs, which any correct emitter pays as OUTPUT) plus a
+    *    vanishing 2^-26-bucket collision term — i.e. candidates track
+    *    output, the optimal shape;
+    *  - identical-HASH groups ≥ [[SimhashCollapseMinGroup]] route
+    *    through [[simhashPairsCollapsed]]. NOTE the gate is 1024, not
+    *    minhash's 3: SimHash verify is ONE `bit_count` per candidate,
+    *    so the collapse saves no kernel work (the minhash rationale) —
+    *    its value here is SKEW protection: a boilerplate group of c
+    *    identical hashes lands c banded rows in the SAME band bucket
+    *    and the self-join emits c² rows inside one shuffle bucket/task,
+    *    where the collapsed route emits the same rows through an
+    *    AQE-splittable rep-key expansion join. Measured at 100×
+    *    (groups ≤ 12): direct-wide ~3 s vs collapsed ~6.8 s — the
+    *    collapse's extra joins cost more than they save until groups
+    *    reach the hot-bucket regime.
     *
-    * Both routes are pure plan choices: for hamMax ≤ 3 every scheme is
-    * a complete candidate generator, so the verified output is the
-    * exact Hamming-≤-hamMax pair set regardless of route (spec-pinned
-    * on a planted giant cluster). hamMax > 3 keeps the classic direct
-    * plan — the wide pigeonhole needs ≤ 3 dirty sub-bands.
+    * Every route is a complete candidate generator for hamMax ≤ 3, so
+    * the verified output is the exact Hamming-≤-hamMax pair set
+    * regardless of route (spec-pinned on a planted giant cluster,
+    * classic × wide × collapsed × direct). hamMax > 3 keeps the
+    * classic banding — the wide pigeonhole needs ≤ 3 dirty sub-bands —
+    * and collapse stays exact at any hamMax (identical hashes band
+    * identically under every scheme).
     */
   def simhashPairsFrame(docsDf: DataFrame, hamMax: Int = 3): DataFrame = {
     val hashed = simhashFrame(docsDf)
     val (maxGroup, _, nDistinct) = simhashCensus(hashed)
     val wide = hamMax <= 3 && nDistinct >= WideBandMinHashes
-    if (maxGroup >= CollapseMinGroup)
+    if (maxGroup >= SimhashCollapseMinGroup)
       simhashPairsCollapsed(hashed, hamMax, wide)
     else
       hammingCandFrame(hashed, "doc_id", "simhash", wide)
         .where(col("hamming") <= hamMax)
   }
+
+  /** Identical-hash-group gate for [[simhashPairsCollapsed]] — the
+    * HOT-BUCKET threshold, not a verify-cost threshold (see
+    * [[simhashPairsFrame]]: simhash verify is constant-cost, so the
+    * collapse pays off only when a group's c² in-bucket join rows
+    * would form a straggler task; 1024² = ~1M rows in one bucket is
+    * the same order [[hotSaltedSelfJoin]]'s `hotMin = 128` targets at
+    * its 16-row banding multiplier).
+    */
+  private[graft] val SimhashCollapseMinGroup = 1024L
 
   /** The (doc_id, simhash) projection — one native kernel call per
     * row, one scan, no shuffle; cheap enough that census and plan
@@ -734,10 +758,12 @@ object Dedup {
   }
 
   /** [[simhashPairsFrame]] with IDENTICAL-HASH COLLAPSE — the
-    * boilerplate-regime plan (the [[minhashLshCollapsed]] recipe at
-    * the 64-bit-hash grain, where it is *simpler*: Hamming distance
+    * giant-boilerplate-group plan (the [[minhashLshCollapsed]] recipe
+    * at the 64-bit-hash grain, where it is *simpler*: Hamming distance
     * depends only on the hash values, so collapsing on the hash is
-    * exact by construction, no per-group re-verify needed):
+    * exact by construction, no per-group re-verify needed; and where
+    * its JOB is different — skew protection for the band-bucket
+    * self-join, not verify savings, see [[simhashPairsFrame]]):
     *
     *  - banding + `bit_count` verify run over one REPRESENTATIVE per
     *    distinct hash (min doc_id);
@@ -786,6 +812,21 @@ object Dedup {
   private[graft] def simhashCandFrame(docsDf: DataFrame,
                                       wide: Boolean = false): DataFrame =
     hammingCandFrame(simhashFrame(docsDf), "doc_id", "simhash", wide)
+
+  /** The simhash routing census as its own GATED read — one row
+    * `(max_group, n_groups, n_docs)` over identical-SIMHASH groups:
+    * the numbers [[simhashPairsFrame]] routes on (`max_group` vs
+    * [[CollapseMinGroup]] for the collapse, `n_groups` vs
+    * [[WideBandMinHashes]] for the banding width), in the
+    * [[exactCensus]] observability contract: an operator whose plan
+    * choice depends on a data property lets the user READ that
+    * property through the same gate that checks the operator.
+    */
+  def simhashCensusRead(spark: SparkSession, dir: String): DataFrame =
+    simhashFrame(docs(spark, dir))
+      .groupBy(col("simhash")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_group"), count(lit(1)).as("n_groups"),
+        sum(col("c")).as("n_docs"))
 
   /** The band rows of an (id, 64-bit hash) frame — the banding both
     * sides of every Hamming join share. Two CORPUS-SIZED schemes, both
@@ -1448,7 +1489,7 @@ object Dedup {
         val (maxGroup, _, nDistinct) = simhashCensus(hashed)
         val wide = nDistinct >= WideBandMinHashes
         val candFrame =
-          if (maxGroup >= CollapseMinGroup) {
+          if (maxGroup >= SimhashCollapseMinGroup) {
             val reps = hashed.groupBy(col("simhash"))
               .agg(min(col("doc_id")).as("doc_id"))
               .select(col("doc_id"), col("simhash"))

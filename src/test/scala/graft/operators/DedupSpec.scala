@@ -272,10 +272,12 @@ class DedupSpec extends SparkSpec {
     // collapsed, both bandings
     assert(key(Dedup.simhashPairsCollapsed(hashed, 3, wide = false)) == direct)
     assert(key(Dedup.simhashPairsCollapsed(hashed, 3, wide = true)) == direct)
-    // and the production entry point routes this frame through the
-    // collapse (40-member group ≥ gate) and still matches
+    // routing gates: this frame stays DIRECT (the simhash collapse is
+    // the hot-bucket guard at 1024, not minhash's verify-cost gate at
+    // 3 — simhash verify is one bit_count), and the production entry
+    // point still matches whichever route the census picks
     val (maxGroup, _, _) = Dedup.simhashCensus(hashed)
-    assert(maxGroup >= Dedup.CollapseMinGroup)
+    assert(maxGroup >= 40L && maxGroup < Dedup.SimhashCollapseMinGroup)
     assert(key(Dedup.simhashPairsFrame(frame)) == direct)
   }
 

@@ -72,6 +72,31 @@ class StreamingVocabSpec extends SparkSpec with graft.TimedSpec {
       .collect().map(_.toSeq).toSet == streamed)
   }
 
+  test("gram/vocab maintenance streams run on RocksDB state with sidecar telemetry") {
+    // the unbounded-key streams must carry their state on the RocksDB
+    // provider (vocabulary-sized state never fits the default
+    // in-heap provider at corpus scale) and must leave the telemetry
+    // sidecar the bench's streamed_state section reads
+    val layouts = Seq(StreamingVocab.ensureStreamed(spark, sfDir),
+      StreamingVocab.ensureGramStreamed(spark, sfDir))
+    for (p <- layouts) {
+      val f = java.nio.file.Paths.get(p, "_STATE.json")
+      assert(java.nio.file.Files.exists(f), s"missing state sidecar under $p")
+      val s = java.nio.file.Files.readString(f)
+      assert(s.contains("\"provider\":\"rocksdb\""), s)
+      // state genuinely accumulated across micro-batches
+      assert("\"batches\":(\\d+)".r.findFirstMatchIn(s)
+        .exists(_.group(1).toInt > 1), s)
+      assert("\"state_rows\":(\\d+)".r.findFirstMatchIn(s)
+        .exists(_.group(1).toLong > 0L), s)
+    }
+    // and the provider switch must not leak into the session conf the
+    // bounded series-keyed streams run under
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").forall(
+      !_.contains("RocksDB")))
+  }
+
   test("ensureStreamed changelog compaction answers the batch top-k; reopen is idempotent") {
     val got = StreamingVocab.streamedVocabTopK(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
