@@ -136,7 +136,12 @@ object Bench {
     val scale100 = if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE100") || !secOn("scale100")) "{}"
                    else scaleJson(
                      scaleRows(spark, sfDir, 100, scale100Entries,
-                       Seq("documents", "embeddings", "events")),
+                       // customer+orders: q13's leg reads them — on a
+                       // fresh out/ the q5-bucketed section hasn't
+                       // generated them yet (ordering-dependent miss
+                       // exposed by the r12 full regen)
+                       Seq("documents", "embeddings", "events",
+                         "customer", "orders")),
                      // the dup-gram standalone leg re-measures the
                      // re-materializing shape a pipeline would never
                      // run; the headline is text_grams100's shared-
