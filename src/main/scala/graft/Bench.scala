@@ -1003,7 +1003,9 @@ object Bench {
         s""""sec":${fmt(censusSec, 2)},"tel":$censusTel},""" +
         s""""candidates":{"n":$cands,"sec":${fmt(candSec, 2)},"tel":$candTel},""" +
         s""""pairs":{"n":$nPairs,${cell(pairsSec, pairsTel).drop(1)},""" +
-        s""""components":{"n_labeled":$nLabeled,${cell(compSec, compTel).drop(1)},""" +
+        s""""components":{"n_labeled":$nLabeled,""" +
+        s""""cc_rounds":${Dedup.lastClusterRounds},""" +
+        s"""${cell(compSec, compTel).drop(1)},""" +
         s""""pipeline":${cell(pipeSec, pipeTel)}}"""
     } catch {
       case e: Throwable =>

@@ -1675,7 +1675,52 @@ object Dedup {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
-  def clusterPairs(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+  /** Rounds the last [[clusterPairs]] call took to converge — loop
+    * telemetry for the bench's staged component walls (the per-round
+    * job overhead is the loop's scarce resource at every scale, so a
+    * round-count change IS the optimization evidence).
+    */
+  @volatile private[graft] var lastClusterRounds: Int = -1
+
+  /** Label frames at or under this row count broadcast the per-round
+    * pointer-jump table instead of shuffling the stepped frame on the
+    * (skew-prone) `comp` key: near convergence most labels equal a
+    * few cluster minima, so the shuffled jump join hashes whole
+    * clusters to single partitions — the broadcast route removes that
+    * exchange AND the repartition needed to restore id-partitioning
+    * after it (guide §3.1 / §2.4). 5M rows × 16 B ≈ 80 MB — well
+    * inside driver/executor headroom here; corpus-sized label frames
+    * (beyond ~5M paired docs per clustering run) keep the shuffle
+    * route, so the plan stays scale-safe rather than local-tuned.
+    */
+  private[graft] val ClusterJumpBroadcastMaxRows = 5000000L
+
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 40): DataFrame =
+    clusterPairsTuned(pairs, maxIters, foldInit = true,
+      broadcastJumpMaxRows = ClusterJumpBroadcastMaxRows)
+
+  /** [[clusterPairs]] with the convergence/plan knobs exposed for A/B
+    * measurement (probe/spec use):
+    *  - `foldInit`: seed each node's label with min(id, min neighbor)
+    *    inside the init aggregate (replacing the same-cost distinct),
+    *    which is round 1's hop for free — measured one full round
+    *    saved at every scale (sf0.1 ngram graph 3→2 rounds,
+    *    100× simhash graph 15→14);
+    *  - `broadcastJumpMaxRows`: see [[ClusterJumpBroadcastMaxRows]];
+    *    0 forces the shuffle route.
+    * (A `jumps > 1` variant — chaining extra pointer-jump joins per
+    * round — was measured and REJECTED: the loop is hop-limited, not
+    * chain-limited (100× rounds stayed 14 with double jumps), and the
+    * extra join on the skewed comp key blew the round cost up 8×.)
+    * Both knobs preserve the fixed point exactly: comp values only
+    * step downhill through node ids of the same component, and
+    * convergence still means "no label changed across a full
+    * hop+jump round".
+    */
+  private[graft] def clusterPairsTuned(pairs: DataFrame, maxIters: Int = 40,
+                                       foldInit: Boolean = true,
+                                       broadcastJumpMaxRows: Long =
+                                         ClusterJumpBroadcastMaxRows): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // symmetrize once: propagation must flow both directions.
     // PRE-PARTITIONED on the probe key before the persist (round 12):
@@ -1690,9 +1735,22 @@ object Dedup {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .repartition(col("id")).transform(materialize)
+    var labels =
+      (if (foldInit)
+         // round 1's hop folded into the init aggregate: same shuffle
+         // the distinct would pay, but labels start one hop ahead
+         sym.groupBy(col("src"))
+           .agg(least(col("src"), min(col("dst"))).as("comp"))
+           .select(col("src").as("id"), col("comp"))
+       else
+         sym.select(col("src").as("id")).distinct()
+           .withColumn("comp", col("id")))
+        .repartition(col("id")).transform(materialize)
+    // route the per-round pointer-jump join ONCE from the label-frame
+    // size (cheap count over the checkpointed init frame): broadcast
+    // when it fits, shuffle when corpus-sized
+    val bcastJump = broadcastJumpMaxRows > 0 &&
+      labels.count() <= broadcastJumpMaxRows
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -1716,17 +1774,29 @@ object Dedup {
       // round (observe metrics fire on the eager checkpoint), so each
       // round is exactly ONE Spark job
       val obs = org.apache.spark.sql.Observation()
-      val next = stepped.as("s")
-        .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
+      // Jump-table route (sized once above): the comp key is SKEWED —
+      // near convergence most rows carry one of a few cluster minima,
+      // so a shuffled join on comp hashes whole clusters to single
+      // partitions. Broadcasting the label-sized table removes that
+      // exchange, and because the stepped frame is already
+      // id-partitioned (labels-side join), the broadcast route also
+      // makes the closing repartition a no-op it can skip — one
+      // exchange per round (the neighbor-min aggregate) instead of
+      // three.
+      val jumpTable =
+        labels.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val jumped = stepped.as("s")
+        .join(if (bcastJump) broadcast(jumpTable) else jumpTable,
           col("s.comp") === col("pid"), "left")
         .select(col("s.id").as("id"),
           coalesce(col("pcomp"), col("s.comp")).as("comp"),
           (coalesce(col("pcomp"), col("s.comp")) =!= col("s.prev")).as("chg"))
+      val next = jumped
         .observe(obs, coalesce(max(col("chg")), lit(false)).as("any"))
-        // keep the checkpointed labels hash-partitioned on the probe
-        // key (see sym above) — one exchange here deletes two in the
-        // next round's joins
-        .repartition(col("id"))
+        // shuffle route only: restore the id hash-partitioning the
+        // comp-keyed exchange destroyed — one exchange here deletes
+        // two in the next round's joins
+        .transform(f => if (bcastJump) f else f.repartition(col("id")))
         .transform(materialize)
       val anyChanged = obs.get("any").asInstanceOf[Boolean]
       labels = next.select(col("id"), col("comp"))
@@ -1734,6 +1804,7 @@ object Dedup {
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
+    lastClusterRounds = iter
     val out = labels
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

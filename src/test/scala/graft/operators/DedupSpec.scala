@@ -452,6 +452,38 @@ class DedupSpec extends SparkSpec {
     assert(hist.map { case (size, n) => size * n }.sum == members)
   }
 
+  test("clusterPairs tuned routes (fold-init, broadcast jump) are row-identical to the baseline loop") {
+    import org.apache.spark.sql.functions._
+    // adversarial graph: a 60-node chain (forces many propagation
+    // rounds), a 6-clique sharing its minimum with nothing, and one
+    // isolated pair — ids interleaved so the minimum is not positional
+    val chain = (0 until 59).map(i => (100L + i, 101L + i))
+    val clique = for (a <- 0 until 6; b <- (a + 1) until 6) yield (10L + a, 10L + b)
+    val lone = Seq((7L, 3L))
+    val pairs = spark.createDataFrame(chain ++ clique ++ lone)
+      .toDF("doc_a", "doc_b")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val baseline = rows(Dedup.clusterPairsTuned(pairs, 40,
+      foldInit = false, broadcastJumpMaxRows = 0L))
+    val baseRounds = Dedup.lastClusterRounds
+    val tuned = rows(Dedup.clusterPairs(pairs))
+    val tunedRounds = Dedup.lastClusterRounds
+    assert(tuned == baseline, "tuned routes changed the component labeling")
+    // fold-init starts one hop ahead: never more rounds than baseline
+    assert(tunedRounds <= baseRounds,
+      s"fold-init took MORE rounds ($tunedRounds > $baseRounds)")
+    // sanity on the labeling itself: chain is ONE component rooted at
+    // its min, the clique at 10, the pair at 3
+    val byCluster = tuned.groupBy(_._2)
+    assert(byCluster(100L).size == 60 && byCluster(10L).size == 6 &&
+      byCluster(3L).size == 2)
+    tuned.foreach { case (id, cid, size, keeper) =>
+      assert(keeper == (id == cid) && size == byCluster(cid).size)
+    }
+  }
+
   test("quality keeper keeps the best-scoring member of every cluster, same kept count") {
     val quality = Dedup.pipelineQuality(spark, sfDir)
     // same partition of the corpus as the canonical keeper over the SAME
