@@ -1678,9 +1678,14 @@ object Dedup {
   /** Rounds the last [[clusterPairs]] call took to converge — loop
     * telemetry for the bench's staged component walls (the per-round
     * job overhead is the loop's scarce resource at every scale, so a
-    * round-count change IS the optimization evidence).
+    * round-count change IS the optimization evidence). Thread-LOCAL
+    * (r12 ADVICE): the driver-side loop runs on the calling thread, so
+    * concurrent clusterPairs calls (parallel test suites in one JVM)
+    * each read their own run's count instead of racing on a global.
     */
-  @volatile private[graft] var lastClusterRounds: Int = -1
+  private val clusterRoundsTL: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => -1)
+  private[graft] def lastClusterRounds: Int = clusterRoundsTL.get
 
   /** Label frames at or under this row count broadcast the per-round
     * pointer-jump table instead of shuffling the stepped frame on the
@@ -1688,12 +1693,19 @@ object Dedup {
     * few cluster minima, so the shuffled jump join hashes whole
     * clusters to single partitions — the broadcast route removes that
     * exchange AND the repartition needed to restore id-partitioning
-    * after it (guide §3.1 / §2.4). 5M rows × 16 B ≈ 80 MB — well
-    * inside driver/executor headroom here; corpus-sized label frames
-    * (beyond ~5M paired docs per clustering run) keep the shuffle
-    * route, so the plan stays scale-safe rather than local-tuned.
+    * after it (guide §3.1 / §2.4). The cap is derived from the DRIVER
+    * heap, not a constant (r12 ADVICE): a LongHashedRelation costs
+    * several times its 16 B/row raw size, the driver collects the
+    * table once per round, and the explicit broadcast() hint bypasses
+    * autoBroadcastJoinThreshold's safety — so budget ~64 B/row built
+    * and keep the whole build under 1/8 of the driver heap (per-round
+    * broadcasts accumulate until ContextCleaner runs after a driver
+    * GC). 5M rows stays the ceiling even on huge heaps; corpus-sized
+    * label frames keep the shuffle route, so the plan stays
+    * scale-safe rather than local-tuned.
     */
-  private[graft] val ClusterJumpBroadcastMaxRows = 5000000L
+  private[graft] val ClusterJumpBroadcastMaxRows: Long =
+    math.min(5000000L, Runtime.getRuntime.maxMemory / (64L * 8L))
 
   def clusterPairs(pairs: DataFrame, maxIters: Int = 40): DataFrame =
     clusterPairsTuned(pairs, maxIters, foldInit = true,
@@ -1707,20 +1719,86 @@ object Dedup {
     *    saved at every scale (sf0.1 ngram graph 3→2 rounds,
     *    100× simhash graph 15→14);
     *  - `broadcastJumpMaxRows`: see [[ClusterJumpBroadcastMaxRows]];
-    *    0 forces the shuffle route.
+    *    0 forces the shuffle route;
+    *  - `localContraction`: run a partition-level union-find first and
+    *    propagate over the contracted boundary graph only (round 13 —
+    *    the loop's rounds are hop-limited by chain structure, so the
+    *    fix is to collapse the chains before the loop); false forces
+    *    the uncontracted loop (spec/A-B use).
     * (A `jumps > 1` variant — chaining extra pointer-jump joins per
     * round — was measured and REJECTED: the loop is hop-limited, not
     * chain-limited (100× rounds stayed 14 with double jumps), and the
     * extra join on the skewed comp key blew the round cost up 8×.)
-    * Both knobs preserve the fixed point exactly: comp values only
+    * All knobs preserve the fixed point exactly: comp values only
     * step downhill through node ids of the same component, and
     * convergence still means "no label changed across a full
     * hop+jump round".
     */
+  /** Partition-local union-find over one edge partition: every node
+    * that appears in the partition is mapped to the MINIMUM node id of
+    * its partition-local component (union-by-min + path compression,
+    * amortized near-linear). Runs on the src-partitioned symmetric
+    * edge frame, so a node's full local neighborhood lands in one
+    * partition and chains/stars collapse to a single representative
+    * before any distributed round runs. Emits one (id, rep) row per
+    * node per partition (a node split across partitions emits several
+    * rows — the cross-partition disagreement IS the boundary graph).
+    */
+  private def unionFindPartition(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.getOrElse(r, r)
+      while (p != r) { r = p; p = parent.getOrElse(r, r) }
+      // path compression: repoint the walked chain at the root
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // materialize the key set first: find() mutates the map (path
+    // compression) and LongMap iteration under mutation is undefined
+    val ids = parent.keys.toArray
+    ids.iterator.map(id => (id, find(id)))
+  }
+
+  /** Loop-node count of the last [[propagateLabels]] call (the row
+    * count the broadcast-jump gate already pays for) — with local
+    * contraction on, this is the CONTRACTED node count, the evidence
+    * that the distributed loop ran on the boundary graph, not the
+    * corpus pair graph. Thread-local like [[lastClusterRounds]].
+    */
+  private val clusterNodesTL: ThreadLocal[Long] =
+    ThreadLocal.withInitial(() => -1L)
+  private[graft] def lastClusterNodes: Long = clusterNodesTL.get
+
+  /** Pair graphs below this edge count skip the local contraction: the
+    * contraction costs ~4 fixed jobs and 3 label-sized shuffles
+    * (union-find pass, per-node min-rep aggregate, boundary-edge
+    * distinct, member label-back join) and pays by deleting loop
+    * ROUNDS — on a tiny graph the loop is already 2-3 rounds and the
+    * fixed jobs cost more than they remove (measured sf0.1
+    * dedup_cluster 0.84 → 1.52 s ungated), while at 100× (1.07M
+    * pairs, 14 rounds) the contraction deletes 10 rounds and 7 s. A
+    * corpus statistic, not a core count: the count runs over the
+    * already-persisted symmetric edge frame the loop materializes
+    * anyway, so the gate costs one cache-scan job.
+    */
+  private[graft] val ClusterContractionMinPairs = 100000L
+
   private[graft] def clusterPairsTuned(pairs: DataFrame, maxIters: Int = 40,
                                        foldInit: Boolean = true,
                                        broadcastJumpMaxRows: Long =
-                                         ClusterJumpBroadcastMaxRows): DataFrame = {
+                                         ClusterJumpBroadcastMaxRows,
+                                       localContraction: Boolean = true,
+                                       contractionMinPairs: Long =
+                                         ClusterContractionMinPairs): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // symmetrize once: propagation must flow both directions.
     // PRE-PARTITIONED on the probe key before the persist (round 12):
@@ -1735,6 +1813,87 @@ object Dedup {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist()
+    // LOCAL-CONTRACTION preprocessing (round 13, guide §2.1/§2.2): the
+    // distributed loop costs one shuffle + one action PER ROUND and the
+    // round count is hop-limited by the graph's chain structure
+    // (measured r12: extra pointer jumps don't reduce it). A
+    // partition-level union-find collapses every chain/star that is
+    // local to a partition in ONE pass, and the loop then runs on the
+    // CONTRACTED boundary graph — nodes = local representatives, edges
+    // = (rep, min-rep) disagreements of nodes seen in several
+    // partitions. Component minima survive contraction exactly: a
+    // node's local rep is ≤ the node and in its component, the global
+    // minimum is its own rep everywhere, and every rep of a multi-rep
+    // component appears in a boundary edge (a rep with no boundary
+    // edge is provably its whole component's only rep, handled by the
+    // coalesce fallback below). Labels are therefore checksum-identical
+    // to the uncontracted route — spec-pinned in DedupSpec.
+    // Guarded to Long ids (every caller today): exotic id types fall
+    // back to the uncontracted loop rather than risk a cast. Size-gated
+    // by [[ClusterContractionMinPairs]]; the count scans the persisted
+    // frame the loop materializes anyway.
+    val contract = localContraction &&
+      sym.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType) &&
+      sym.count() >= 2L * contractionMinPairs
+    val labels =
+      if (contract) {
+        val sp = sym.sparkSession
+        import sp.implicits._
+        val mapping = sym.as[(Long, Long)]
+          .mapPartitions(unionFindPartition _)
+          .toDF("id", "rep")
+        // one row per node: its minimum rep across partitions, plus
+        // the distinct reps (≤ #partitions holding the node) that seed
+        // the boundary edges
+        val byNode = mapping.groupBy(col("id"))
+          .agg(min(col("rep")).as("mrep"), collect_set(col("rep")).as("reps"))
+          .persist()
+        // boundary graph: each non-minimal rep of a node links to the
+        // node's min rep. rep > mrep always holds here, so the
+        // distinct is collision-free and the symmetric union below
+        // cannot re-duplicate.
+        val cEdges = byNode
+          .select(explode(col("reps")).as("src"), col("mrep").as("dst"))
+          .where(col("src") =!= col("dst"))
+          .distinct()
+        val cSym = cEdges
+          .union(cEdges.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src"))
+          .persist()
+        val repLabels = propagateLabels(cSym, maxIters, foldInit,
+          broadcastJumpMaxRows)
+        // label every member through its min rep; reps that never hit
+        // a boundary edge are their own component's minimum
+        val out = byNode
+          .join(repLabels.select(col("id").as("rid"), col("comp").as("rcomp")),
+            col("mrep") === col("rid"), "left")
+          .select(byNode("id").as("id"),
+            coalesce(col("rcomp"), col("mrep")).as("comp"))
+          .transform(materialize)
+        cSym.unpersist()
+        byNode.unpersist()
+        out
+      } else propagateLabels(sym, maxIters, foldInit, broadcastJumpMaxRows)
+    val out = labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("comp"))))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("comp")).as("is_keeper"))
+    sym.unpersist()
+    out
+  }
+
+  /** The distributed min-label-propagation loop over a persisted,
+    * src-partitioned symmetric edge frame; returns the fixed-point
+    * (id, comp) label frame (checkpointed). See [[clusterPairs]] for
+    * the per-round shape; [[clusterPairsTuned]] decides what graph
+    * this runs on (corpus pair graph or contracted boundary graph).
+    */
+  private def propagateLabels(sym: DataFrame, maxIters: Int,
+                              foldInit: Boolean,
+                              broadcastJumpMaxRows: Long): DataFrame = {
     var labels =
       (if (foldInit)
          // round 1's hop folded into the init aggregate: same shuffle
@@ -1749,8 +1908,10 @@ object Dedup {
     // route the per-round pointer-jump join ONCE from the label-frame
     // size (cheap count over the checkpointed init frame): broadcast
     // when it fits, shuffle when corpus-sized
+    val loopNodes = labels.count()
+    clusterNodesTL.set(loopNodes)
     val bcastJump = broadcastJumpMaxRows > 0 &&
-      labels.count() <= broadcastJumpMaxRows
+      loopNodes <= broadcastJumpMaxRows
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -1804,15 +1965,8 @@ object Dedup {
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    lastClusterRounds = iter
-    val out = labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("comp"))))
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-        col("cluster_size"), (col("id") === col("comp")).as("is_keeper"))
-    sym.unpersist()
-    out
+    clusterRoundsTL.set(iter)
+    labels
   }
 
   /** [[clusterPairs]] over the n-gram-Jaccard near-dup pairs — the
@@ -1955,8 +2109,11 @@ object Dedup {
       .where(col("rn") === 1)
       .select(col("doc_id"), col("cluster_size"), col("quality_score"))
     val pairedIds = clusters.select(col("doc_id").as("paired_id"))
+    // same two-way gate as [[pipelineOverPairs]]: above cap, pin the
+    // non-broadcast route against optimistic post-checkpoint estimates
     val build =
-      if (pairedCount <= broadcastMaxIds) broadcast(pairedIds) else pairedIds
+      if (pairedCount <= broadcastMaxIds) broadcast(pairedIds)
+      else pairedIds.hint("merge")
     docsDf.select(col("doc_id"))
       .join(build, col("doc_id") === col("paired_id"), "left_anti")
       .join(scores, "doc_id")
@@ -2026,8 +2183,16 @@ object Dedup {
       .select(col("doc_id"), col("cluster_size"))
     // dropped ∪ keepers = every paired id
     val pairedIds = clusters.select(col("doc_id").as("paired_id"))
+    // the gate is authoritative in BOTH directions: below cap the hint
+    // broadcasts a set the planner can't size (checkpointed lineage);
+    // above cap `merge` pins the sort-merge route that unknown stats
+    // used to produce — since r13 the checkpoint PROPAGATES its origin
+    // plan's estimates, and a wrong (too-small) estimate over >cap
+    // paired ids must not re-introduce the broadcast cliff the exact
+    // count just ruled out
     val build =
-      if (pairedCount <= broadcastMaxIds) broadcast(pairedIds) else pairedIds
+      if (pairedCount <= broadcastMaxIds) broadcast(pairedIds)
+      else pairedIds.hint("merge")
     docsDf.select(col("doc_id"))
       .join(build, col("doc_id") === col("paired_id"), "left_anti")
       .select(col("doc_id"), lit(1L).as("cluster_size"))

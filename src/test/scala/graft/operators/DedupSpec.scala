@@ -466,14 +466,37 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .toSet
     val baseline = rows(Dedup.clusterPairsTuned(pairs, 40,
-      foldInit = false, broadcastJumpMaxRows = 0L))
+      foldInit = false, broadcastJumpMaxRows = 0L,
+      localContraction = false))
     val baseRounds = Dedup.lastClusterRounds
-    val tuned = rows(Dedup.clusterPairs(pairs))
+    // the uncontracted tuned loop (r12's production route) …
+    val uncontracted = rows(Dedup.clusterPairsTuned(pairs, 40,
+      localContraction = false))
+    assert(uncontracted == baseline,
+      "uncontracted tuned routes changed the component labeling")
+    // … the default route on a tiny graph (size-gated: stays
+    // uncontracted below ClusterContractionMinPairs) …
+    assert(rows(Dedup.clusterPairs(pairs)) == baseline,
+      "default route changed the component labeling")
+    // … and the r13 contraction route, forced on via the gate knob:
+    // partition-local union-find feeding the same loop. The chain is
+    // the adversarial case — edges scattered across partitions force
+    // boundary-graph stitching, while whatever lands together must
+    // collapse locally.
+    val tuned = rows(Dedup.clusterPairsTuned(pairs, 40,
+      contractionMinPairs = 0L))
     val tunedRounds = Dedup.lastClusterRounds
     assert(tuned == baseline, "tuned routes changed the component labeling")
-    // fold-init starts one hop ahead: never more rounds than baseline
+    // contraction runs the loop on the boundary graph: never more
+    // rounds than the uncontracted baseline (fold-init alone already
+    // guaranteed ≤)
     assert(tunedRounds <= baseRounds,
-      s"fold-init took MORE rounds ($tunedRounds > $baseRounds)")
+      s"contracted loop took MORE rounds ($tunedRounds > $baseRounds)")
+    // the loop must have run on a CONTRACTED node set: strictly fewer
+    // loop nodes than the 68 distinct paired docs (60-chain + 6-clique
+    // + pair), however the 2 local-mode partitions split the edges
+    assert(Dedup.lastClusterNodes >= 0 && Dedup.lastClusterNodes < 68,
+      s"contraction did not shrink the loop (${Dedup.lastClusterNodes} nodes)")
     // sanity on the labeling itself: chain is ONE component rooted at
     // its min, the clique at 10, the pair at 3
     val byCluster = tuned.groupBy(_._2)
