@@ -48,6 +48,152 @@ object Probe {
       return
     }
 
+    if (args.headOption.contains("q5")) {
+      // r13 scan audit for the q5 bucketed 100× leg: the formatted plan
+      // (ReadSchema / PushedFilters / Sort placement over the bucketed
+      // scans) plus an A/B of the as-is bucketFacts layout vs a
+      // ONE-FILE-PER-BUCKET variant (writer repartitioned on the bucket
+      // key): with many files per bucket Spark drops the sortBy
+      // guarantee and re-sorts both SMJ sides on every query
+      val dir100 = ScaleData.ensure(spark, sfDir, 100,
+        tables = ScaleData.AllTables)
+      import graft.operators.Analytics
+      val warehouse = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      def clean(prefix: String): Unit =
+        for (t <- Seq("lineitem_b", "orders_b", "customer_b")) {
+          spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(warehouse, s"${prefix}_$t"))
+        }
+      def leg(label: String, prefix: String, packed: Boolean): Unit = {
+        clean(prefix)
+        val t0 = System.nanoTime()
+        Analytics.bucketFacts(spark, dir100, buckets = 32, prefix = prefix,
+          onePerBucket = packed)
+        println(f"## $label build: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        def files(t: String) =
+          new java.io.File(warehouse, s"${prefix}_$t").listFiles()
+            .count(_.getName.endsWith(".parquet"))
+        println(s"## $label files: lineitem_b=${files("lineitem_b")} orders_b=${files("orders_b")}")
+        for (i <- 1 to 3) {
+          System.gc()
+          val t = System.nanoTime()
+          Analytics.q5CoBucketed(spark, dir100, prefix)
+            .write.format("noop").mode("overwrite").save()
+          println(f"## $label q5 run$i: ${(System.nanoTime() - t) / 1e9}%.2f s")
+        }
+        println(s"===== $label plan =====")
+        Analytics.q5CoBucketed(spark, dir100, prefix).explain("formatted")
+        clean(prefix)
+      }
+      leg("as-is", "probe_q5a", packed = false)
+      leg("one-file-per-bucket", "probe_q5b", packed = true)
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("lshverify")) {
+      // r13 verify audit (verdict item 4): materialize the invariant
+      // 24M-candidate frame once, then time the shuffle-hash verify
+      // with a per-task duration histogram (max/median ratio is the
+      // guide §2.5 skew signal) and print the executed plan — the
+      // codegen claim is checked against the WholeStageCodegen spans
+      val dir100 = ScaleData.ensure(spark, sfDir, 100,
+        tables = Seq("embeddings"))
+      val n = 2L * spark.read.parquet(s"$dir100/embeddings.parquet").count()
+      val plan = Dedup.lshPlanSized(0.9, n)
+      val e = Dedup.withPlantedNearDups(spark, dir100)
+      val work = graft.Conf.resolveWorkDir(spark, "")
+      val tmpC = work + "/probe_emb100_cand"
+      try {
+        val t0 = System.nanoTime()
+        Dedup.embeddingCandFrame(e, plan._1, plan._2)
+          .write.mode("overwrite").parquet(tmpC)
+        println(f"## cand materialize: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val cand = spark.read.parquet(tmpC)
+        println(s"## candidates=${cand.count()}")
+        val durs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            durs.add(t.taskInfo.duration)
+        }
+        // warm both shapes once
+        Dedup.embeddingVerifyFrame(e, cand, 0.9, broadcastVerify = false).count()
+        for (i <- 1 to 3) {
+          System.gc()
+          durs.clear()
+          spark.sparkContext.addSparkListener(listener)
+          val t = System.nanoTime()
+          val nv = Dedup.embeddingVerifyFrame(e, cand, 0.9,
+            broadcastVerify = false).count()
+          val sec = (System.nanoTime() - t) / 1e9
+          Thread.sleep(800)
+          spark.sparkContext.removeSparkListener(listener)
+          val ds = { val it = durs.iterator(); val b = Seq.newBuilder[Long]
+            while (it.hasNext) b += it.next(); b.result().sorted }
+          val med = if (ds.nonEmpty) ds(ds.size / 2) else -1L
+          println(f"## verify run$i: $sec%.2f s verified=$nv tasks=${ds.size} " +
+            f"max_task_ms=${if (ds.nonEmpty) ds.last else -1L} med_task_ms=$med")
+        }
+        println("===== verify plan (executed) =====")
+        println(Dedup.embeddingVerifyFrame(e, cand, 0.9, broadcastVerify = false)
+          .queryExecution.executedPlan.toString.take(12000))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpC))
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("components")) {
+      // r13 A/B: the uncontracted r12 loop vs the local-contraction
+      // route over the SAME materialized 100× simhash pair frame —
+      // walls, round counts, loop-node counts, and a full-row checksum
+      // equivalence of the labels (the route must be invisible in the
+      // output)
+      val dir100 = ScaleData.ensure(spark, sfDir, 100,
+        tables = Seq("documents", "embeddings", "events"))
+      val work = graft.Conf.resolveWorkDir(spark, "")
+      val tmpP = work + "/probe_simhash_pairs100"
+      try {
+        val t0 = System.nanoTime()
+        Dedup.simhashPairs(spark, dir100).write.mode("overwrite").parquet(tmpP)
+        println(f"## pairs materialize: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val pairs = spark.read.parquet(tmpP).select("doc_a", "doc_b")
+        println(s"## pairs=${pairs.count()}")
+        def run(label: String, contract: Boolean): Unit =
+          for (i <- 1 to 3) {
+            spark.catalog.clearCache()
+            System.gc()
+            val t = System.nanoTime()
+            Dedup.clusterPairsTuned(pairs, 40, localContraction = contract)
+              .write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t) / 1e9
+            println(f"## $label run$i: $sec%.2f s rounds=${Dedup.lastClusterRounds} loop_nodes=${Dedup.lastClusterNodes}")
+          }
+        run("uncontracted", contract = false)
+        run("contracted", contract = true)
+        def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          // bit_xor, not sum: a sum of 500k 64-bit hashes overflows
+          // Long under ANSI; xor is order-insensitive and lossless here
+          val r = df.agg(count(lit(1)),
+            call_function("bit_xor", xxhash64(col("doc_id"),
+              col("cluster_id"), col("cluster_size"), col("is_keeper")))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val a = checksum(Dedup.clusterPairsTuned(pairs, 40,
+          localContraction = false))
+        val b = checksum(Dedup.clusterPairs(pairs))
+        println(s"## labels uncontracted=(${a._1},${a._2}) contracted=(${b._1},${b._2}) equal=${a == b}")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpP))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("candjoin")) {
       // attribute the 100× candidate phase: SMJ (default) vs
       // shuffle-hash self-join, wall + peak heap per repeat

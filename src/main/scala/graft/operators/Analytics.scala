@@ -123,19 +123,25 @@ object Analytics {
     * shuffle once at ingest, not once per query.
     */
   def bucketFacts(spark: SparkSession, dir: String,
-                  buckets: Int = 8, prefix: String = "graft"): Unit = {
-    t(spark, dir, "lineitem").write
-      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").format("parquet").saveAsTable(s"${prefix}_lineitem_b")
-    t(spark, dir, "orders").write
-      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").format("parquet").saveAsTable(s"${prefix}_orders_b")
+                  buckets: Int = 8, prefix: String = "graft",
+                  onePerBucket: Boolean = false): Unit = {
+    // onePerBucket: pre-partition the writer on the bucket key —
+    // hashpartitioning and bucket-id use the same Murmur3(seed 42) mod
+    // buckets, so each write task holds exactly one bucket and each
+    // bucket lands in ONE file. Spark only trusts a bucketed table's
+    // sortBy order when every bucket is a single file; multi-file
+    // buckets silently re-sort both sides of every bucketed SMJ
+    // (measured — see plans/r13/q5_bucketed100_*)
+    def write(df: DataFrame, key: String, table: String): Unit =
+      (if (onePerBucket) df.repartition(buckets, col(key)) else df)
+        .write.bucketBy(buckets, key).sortBy(key)
+        .mode("overwrite").format("parquet").saveAsTable(table)
+    write(t(spark, dir, "lineitem"), "l_orderkey", s"${prefix}_lineitem_b")
+    write(t(spark, dir, "orders"), "o_orderkey", s"${prefix}_orders_b")
     // customer co-bucketed on its key: the layout [[q5CoBucketed]] rides
     // so the one fact-sized table q5 still shuffled per query never
     // leaves its scan
-    t(spark, dir, "customer").write
-      .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
-      .mode("overwrite").format("parquet").saveAsTable(s"${prefix}_customer_b")
+    write(t(spark, dir, "customer"), "c_custkey", s"${prefix}_customer_b")
   }
 
   /** [[q3]] over [[bucketFacts]] tables — identical results, zero
