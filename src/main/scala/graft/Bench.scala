@@ -1201,9 +1201,15 @@ object Bench {
           s""""$n":${cell(sec, tel)}"""
         }
       val tmpG = graft.Conf.resolveWorkDir(spark, "") + "/bench_text_grams100"
+      // zstd for the shared frame (guide §6): 31% fewer bytes than
+      // snappy (127.8 → 87.8 MB at 100×) at an equal write wall and
+      // equal consumer walls (measured, Probe grams) — at 100 TB the
+      // checkpoint's footprint is what the codec choice buys
       val (gramSec, gramTel) = timedLeg(
         TextAnalysis.gramInstances(spark, dir100)
-          .write.mode("overwrite").parquet(tmpG))
+          .write.option("compression", "zstd").mode("overwrite").parquet(tmpG))
+      val gramBytes = Option(new java.io.File(tmpG).listFiles())
+        .map(_.filter(_.isFile).map(_.length()).sum).getOrElse(-1L)
       val inst = spark.read.parquet(tmpG)
       val docs100 = spark.read.parquet(s"$dir100/documents.parquet")
         .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -1234,6 +1240,7 @@ object Bench {
         }
       s"""{"standalone":{${standalone.mkString(",")}},""" +
         s""""gram_materialize":${cell(gramSec, gramTel)},""" +
+        s""""gram_codec":"zstd","gram_bytes":$gramBytes,""" +
         s""""from_shared":{${shared.mkString(",")}}}"""
     } catch {
       case e: Throwable =>
@@ -1568,6 +1575,16 @@ object Bench {
   private def q5Bucketed100Json(spark: SparkSession, sfDir: String): String =
     try {
       sectionHygiene(spark)
+      // r13 (guide §6): one file per bucket (writer pre-partitioned on
+      // the bucket key — halves the build by deleting per-file open/
+      // commit overhead on 1088→32 files) + the sorted-scan flag, which
+      // is the ONLY way Spark 3+/4 honors a bucketed table's sortBy at
+      // scan time (it requires single-file buckets): the per-query SMJ
+      // sorts over both 60M-row fact scans disappear (plan capture
+      // plans/r13/q5_bucketed100_after.txt; measured 15.7-18.1 →
+      // 13.2-14.6 s query, 30.7 → 17.1 s build). Conf scoped to the
+      // section, set/unset like runtime_bloom's.
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val dir100 = ScaleData.ensure(spark, sfDir, 100,
         tables = ScaleData.AllTables)
       def leg(dir: String, prefix: String): String = {
@@ -1587,7 +1604,7 @@ object Bench {
         }
         val t0 = System.nanoTime()
         graft.operators.Analytics.bucketFacts(spark, dir, buckets = 32,
-          prefix = prefix)
+          prefix = prefix, onePerBucket = true)
         val buildSec = (System.nanoTime() - t0) / 1e9
         def once(): Double = {
           val t = System.nanoTime()
@@ -1603,13 +1620,20 @@ object Bench {
         val factKeyExchange = plan.contains("hashpartitioning(l_orderkey") ||
           plan.contains("hashpartitioning(o_orderkey") ||
           plan.contains("hashpartitioning(c_custkey")
+        // in-artifact proof the layout+flag deleted the fact sorts
+        val nSorts = "\\+- Sort ".r.findAllIn(plan).length
         System.gc()
         s"""{"build_sec":${fmt(buildSec, 2)},"query_sec":${fmt(qSec, 2)},""" +
-          s""""shuffle_exchanges":$nEx,"fact_key_exchange":$factKeyExchange}"""
+          s""""shuffle_exchanges":$nEx,"fact_key_exchange":$factKeyExchange,""" +
+          s""""sorts_in_plan":$nSorts}"""
       }
-      val base = leg(sfDir, "graft_q5b_base")
-      val x100 = leg(dir100, "graft_q5b_x100")
-      s"""{"base":$base,"x100":$x100}"""
+      try {
+        val base = leg(sfDir, "graft_q5b_base")
+        val x100 = leg(dir100, "graft_q5b_x100")
+        s"""{"layout":"one-file-per-bucket","sorted_scan":true,""" +
+          s""""base":$base,"x100":$x100}"""
+      } finally spark.conf
+        .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     } catch {
       case e: Throwable =>
         val msg = (e.getClass.getSimpleName + ": " +

@@ -89,6 +89,65 @@ object Probe {
       }
       leg("as-is", "probe_q5a", packed = false)
       leg("one-file-per-bucket", "probe_q5b", packed = true)
+      // one file per bucket + the sorted-scan flag: Spark 3+ only
+      // trusts a bucketed table's sortBy when every bucket is a single
+      // file AND spark.sql.legacy.bucketedTableScan.outputOrdering is
+      // on — the combination that deletes the per-query SMJ sorts
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try leg("packed+sortedscan", "probe_q5c", packed = true)
+      finally spark.conf
+        .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("grams")) {
+      // r13 item 7: the shared gram-instance materialize at 100× —
+      // codec A/B (default snappy vs zstd) on write wall + bytes, and
+      // the three consumers' walls + ReadSchema over each layout
+      import graft.operators.TextAnalysis
+      val dir100 = ScaleData.ensure(spark, sfDir, 100,
+        tables = Seq("documents", "embeddings", "events"))
+      val docs100 = spark.read.parquet(s"$dir100/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val work = graft.Conf.resolveWorkDir(spark, "")
+      def dirSize(p: String): Long = {
+        val f = new java.io.File(p)
+        if (!f.exists()) -1L
+        else f.listFiles().filter(_.isFile).map(_.length()).sum
+      }
+      for (codec <- Seq("snappy", "zstd")) {
+        spark.conf.set("spark.sql.parquet.compression.codec", codec)
+        val tmpG = s"$work/probe_grams100_$codec"
+        try {
+          for (i <- 1 to 2) {
+            System.gc()
+            val t0 = System.nanoTime()
+            TextAnalysis.gramInstances(spark, dir100)
+              .write.mode("overwrite").parquet(tmpG)
+            println(f"## $codec write run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s bytes=${dirSize(tmpG)}")
+          }
+          val inst = spark.read.parquet(tmpG)
+          val consumers = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+            "dup_ngrams" -> (() => TextAnalysis.dupNgramsFromInstances(inst)),
+            "spans" -> (() => TextAnalysis.dedupSpansFromInstances(inst)),
+            "rewrite" -> (() => TextAnalysis.dedupRewriteFromInstances(docs100, inst)))
+          consumers.foreach { case (n, f) =>
+            f().write.format("noop").mode("overwrite").save() // warm
+            System.gc()
+            val t0 = System.nanoTime()
+            f().write.format("noop").mode("overwrite").save()
+            println(f"## $codec $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+          val scan = TextAnalysis.dupNgramsFromInstances(inst)
+            .queryExecution.executedPlan.toString
+          scan.linesIterator.filter(_.contains("ReadSchema"))
+            .take(2).foreach(l => println(s"## $codec dup_ngrams $l".take(300)))
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpG))
+        }
+      }
+      spark.conf.unset("spark.sql.parquet.compression.codec")
       spark.stop()
       return
     }
